@@ -1,0 +1,29 @@
+"""database_transportor_spark — a PySpark-native rebuild of the
+`Wimpy-Kid/database-transportor` declarative cross-database migration engine,
+extended with large-scale data-pipeline operators (dedup, similarity search,
+text analysis, streaming aggregation).
+
+Core API::
+
+    from database_transportor_spark import DBT, ParquetCatalog
+
+    engine = DBT(maps, target=ParquetCatalog(spark, out_dir),
+                 original=ParquetCatalog(spark, src_dir))
+    engine.do_transport()
+"""
+
+from .engine import DBT
+from .spec import SpecError, parse_maps
+from .sources.catalog import Catalog, JDBCCatalog, MemoryCatalog, ParquetCatalog
+
+__all__ = [
+    "DBT",
+    "SpecError",
+    "parse_maps",
+    "Catalog",
+    "JDBCCatalog",
+    "MemoryCatalog",
+    "ParquetCatalog",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,185 @@
+"""The engine: spec → lazy DataFrame pipelines → ordered writes.
+
+Public API mirrors the reference's ``DBT`` class (DBT.php:58-66,523-569) so a
+user of the reference can map their mental model 1:1, but execution is
+Spark-native: each map compiles to one declarative DataFrame (read → filter →
+project → lookups → explode), Catalyst optimizes it, and the only driver-side
+work is planning.
+
+Lifecycle (vs. reference ``doTransport``, DBT.php:85-112):
+
+1. validate specs (``parse_maps``), topo-sort (planner) — replaces
+   ``initDefinition`` + runtime recursion + ``finished`` memoization.
+2. seed check (S6): every target-side lookup table produced by no map must be
+   non-empty.
+3. per map in topo order: build the pipeline **lazily**; register the result
+   (staging columns included) so downstream target-side lookups read the
+   in-flight DataFrame instead of re-reading the sink — the reference needed
+   physical temp columns on the target (X5, DBT.php:423-446) precisely
+   because its lookups probed already-written rows; we never write them.
+4. ``do_transport`` writes each output minus staging columns, honoring
+   ``order`` (O1), then runs ``run_after_transport`` hooks (X6).
+
+Transactions (X7): the reference wraps the run in a single-connection DB
+transaction (CreateTemp.temp:26-38).  Spark JDBC has no cross-table
+transaction; ``do_transport(mode="overwrite")`` gives idempotent re-runs and
+a staging-suffix swap can be layered on the catalog — a documented, weaker
+guarantee.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.middle import build_middle
+from .operators.projection import apply_projection, output_columns
+from .operators.refer import apply_refer, apply_refers
+from .plans.planner import seed_tables, topo_order
+from .predicates import apply_conditions
+from .sources.catalog import Catalog
+from .spec import MapSpec, SpecError, parse_maps, SIDE_ORIGINAL
+
+__all__ = ["DBT"]
+
+
+class DBT:
+    """Declarative map-driven transport engine (Spark-native rebuild of
+    ``/root/reference/src/DBT.php``)."""
+
+    def __init__(
+        self,
+        maps: dict[str, Any],
+        target: Catalog,
+        original: Catalog,
+        preload: Optional[dict[str, list[str]]] = None,
+    ):
+        self.specs: dict[str, MapSpec] = parse_maps(maps)
+        self.target = target
+        self.original = original
+        # S5: the reference declares preload but never consumes it
+        # (DBT.php:71-78 TODO); we honor it as cache() on first read.
+        self.preload = {k: set(v) for k, v in (preload or {}).items()}
+        self.extra_seeds: set[str] = set()
+        self._outputs: dict[str, DataFrame] = {}        # map key → full df
+        self._outputs_by_table: dict[str, DataFrame] = {}  # produced table → df
+        self._read_cache: dict[tuple[str, str], DataFrame] = {}
+
+    # -- reference-API-parity setters (DBT.php:523-569) ---------------------
+    def set_maps(self, maps: dict[str, Any]) -> "DBT":
+        self.specs = parse_maps(maps)
+        self._outputs.clear()
+        self._outputs_by_table.clear()
+        return self
+
+    def set_seed(self, seeds: list[str]) -> "DBT":
+        self.extra_seeds = set(seeds)
+        return self
+
+    def set_chunk(self, chunk: int) -> "DBT":
+        # S2: pagination chunk — subsumed by partitioned reads; kept for API
+        # parity, forwarded to JDBC fetch/batch size when the catalog has one.
+        for cat in (self.target, self.original):
+            if hasattr(cat, "fetchsize"):
+                cat.fetchsize = chunk
+            if hasattr(cat, "batchsize"):
+                cat.batchsize = chunk
+        return self
+
+    def set_safety(self, safety: int) -> "DBT":
+        # X3: recursion cap — moot under topological planning; cycles are
+        # detected exactly, not at depth `safety`.  Kept for API parity.
+        return self
+
+    # -- resolution ---------------------------------------------------------
+    def _resolve(self, side: str, table: str) -> DataFrame:
+        if side != SIDE_ORIGINAL and table in self._outputs_by_table:
+            return self._outputs_by_table[table]
+        key = (side, table)
+        if key not in self._read_cache:
+            cat = self.original if side == SIDE_ORIGINAL else self.target
+            df = cat.read(table)
+            if table in self.preload.get(side, ()):
+                df = df.cache()
+            self._read_cache[key] = df
+        return self._read_cache[key]
+
+    # -- planning / execution ----------------------------------------------
+    def check_seed(self) -> None:
+        """S6 (DBT.php:512-518): every seed table must be non-empty."""
+        for table in sorted(seed_tables(self.specs) | self.extra_seeds):
+            if not self.target.is_nonempty(table):
+                raise SpecError(f"seed table {table!r} is missing or empty in target")
+
+    def build_map(self, key: str) -> DataFrame:
+        """Compile one map into its final (pre-write) DataFrame, staging
+        columns included."""
+        m = self.specs[key]
+        if m.middle is not None:
+            return build_middle(m, self._resolve)
+
+        df = self._resolve(SIDE_ORIGINAL, m.original_table)
+        df = apply_conditions(df, m.extra_conditions)  # F1-F3 → pushdown
+        df = apply_projection(df, m)                   # P1-P6
+        # Reference resolves refers (J3) before refer (J1/J2) per chunk
+        # (DBT.php:197-207); preserved in case a refer probes a refers output.
+        for c in m.columns:
+            if c.refers is not None:
+                df = apply_refers(df, c, self._resolve)
+        for c in m.columns:
+            if c.refer is not None:
+                df = apply_refer(df, c, self._resolve)
+
+        available = set(df.columns)
+        ordered = [
+            c.target
+            for c in m.columns
+            if (not c.skip or c.target in available) and c.target in available
+        ]
+        missing = [
+            c.target for c in m.columns if not c.skip and c.target not in available
+        ]
+        if missing:
+            raise SpecError(f"map {key!r}: columns never produced: {missing}")
+        return df.select(*ordered)
+
+    def transform(self) -> dict[str, DataFrame]:
+        """Plan every map in topo order; no writes.  Returns the final
+        DataFrames (staging columns still present — ``write_columns`` says
+        what a sink should keep)."""
+        for key in topo_order(self.specs):
+            if key in self._outputs:
+                continue
+            df = self.build_map(key)
+            m = self.specs[key]
+            self._outputs[key] = df
+            self._outputs_by_table[key] = df
+            self._outputs_by_table[m.target_table] = df
+        return dict(self._outputs)
+
+    def write_columns(self, key: str) -> list[str]:
+        m = self.specs[key]
+        df = self._outputs[key]
+        return output_columns(m, set(df.columns))
+
+    def do_transport(self, mode: str = "append") -> dict[str, DataFrame]:
+        """Execute: seed check, plan, write each table in dependency order
+        (X1), drop staging columns pre-write (X5), run post hooks (X6)."""
+        self.check_seed()
+        outputs = self.transform()
+        hooks = []
+        for key in topo_order(self.specs):
+            m = self.specs[key]
+            df = outputs[key]
+            out = df.select(*self.write_columns(key))
+            if m.order is not None:
+                c = F.col(m.order.order_by)
+                out = out.orderBy(c.asc() if m.order.direction == "asc" else c.desc())
+            self.target.write(out, m.target_table, mode=mode)
+            if m.run_after_transport is not None:
+                hooks.append(m.run_after_transport)
+        for hook in hooks:
+            hook()
+        return outputs
