@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's DuckDB oracle harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet fixtures, comparing row count, column names, and an
+order-insensitive value hash.  Usage::
+
+    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to kill engine-level last-ulp noise; exact values unaffected
+        return repr(round(v, 6))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return repr(v)
+
+
+def df_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir: str) -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:24s} rows={len(s_rows):7d}  (rows-only, no oracle)")
+            continue
+        o = con.execute(oracles[name])
+        o_cols = [d[0] for d in o.description]
+        o_rows = o.fetchall()
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols {sorted(s_cols)} != {sorted(o_cols)}")
+        if not problems:
+            sh, oh = df_hash(s_cols, s_rows), df_hash(o_cols, o_rows)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                # show a sample diff
+                so = sorted(
+                    "|".join(canon_value(r[i]) for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i]))
+                    for r in s_rows
+                )
+                oo = sorted(
+                    "|".join(canon_value(r[i]) for i in sorted(range(len(o_cols)), key=lambda i: o_cols[i]))
+                    for r in o_rows
+                )
+                for a, b in zip(so, oo):
+                    if a != b:
+                        print(f"  spark:  {a}\n  duckdb: {b}")
+                        break
+        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        print(f"{name:24s} rows={len(s_rows):7d}  {status}")
+        if problems:
+            failed.append(name)
+    print()
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print(f"all {len(qs)} queries match their oracles")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
