@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refers_group": q_refers_group,
         "middle_junction": q_middle_junction,
         "flagship": q_flagship,
+        **_EXTENSION_QUERIES,
     }
 
 
@@ -461,4 +462,321 @@ def oracle_sql() -> dict[str, str]:
         "refers_group": SQL_REFERS_GROUP,
         "middle_junction": SQL_MIDDLE_JUNCTION,
         "flagship": SQL_FLAGSHIP,
+        **_EXTENSION_ORACLES,
     }
+
+
+# ===========================================================================
+# Extension surface: LLM-data-pipeline operators (SURVEY §7 / driver north
+# star) — dedup, similarity search, text analysis, multimodal, streaming.
+# ===========================================================================
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture adapter: events.parquet stores TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; read nanos as long and convert to a
+    microsecond timestamp (hour-window semantics unaffected)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "upper_ratio",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+       length(regexp_replace(text, '[^.,!?;:''"()\\[\\]{}\\-]', '', 'g'))
+         / greatest(length(text), 1) AS punct_ratio,
+       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         / greatest(length(text), 1) AS upper_ratio,
+       len(list_distinct(list_intersect(
+           string_split_regex(trim(lower(text)), '\\s+'),
+           ['the','a','and','of','to','in','is','it','that','for']))) AS stopword_hits
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+SQL_LANG_ID = """
+WITH t AS (
+    SELECT doc_id, lang, text,
+           string_split_regex(trim(lower(text)), '\\s+') AS toks,
+           length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk
+    FROM documents
+), h AS (
+    SELECT doc_id, lang, n_cjk,
+           len(list_distinct(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for']))) AS h_en,
+           len(list_distinct(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu','mit']))) AS h_de,
+           len(list_distinct(list_intersect(toks, ['le','la','les','et','est','un','une','de','pour']))) AS h_fr,
+           len(list_distinct(list_intersect(toks, ['el','los','las','y','es','un','una','de','para']))) AS h_es
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN n_cjk > 0 THEN 'zh'
+            WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs, "text", k=8).select("doc_id", "fp")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+')[1:8], ' ')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, keys=["text"], order_by="doc_id", keep="min").select(
+        "doc_id", "text"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05, max_df=100)
+    return out.select(
+        "id_a", "id_b",
+        F.col("intersection").cast("long").alias("intersection"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM t
+), ex0 AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), hot AS (
+    SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100
+), ex AS (
+    SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.intersection,
+       sa.n + sb.n - i.intersection AS union_size
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.intersection / (sa.n + sb.n - i.intersection) >= 0.05
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, shingle_n=3, threshold=0.2
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, probes, "vec_id", "embedding", k=10)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_COSINE = """
+WITH probes AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+), scored AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(p.qe, e.embedding) AS cos
+    FROM probes p, embeddings e
+    WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(emb, probes, "vec_id", "embedding", k=10, stride=37, nprobe=3)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.3, stride=37)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.multimodal import attach_binary, byte_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_binary(docs, "text")
+    return byte_features(media, "doc_id", "content")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.streaming.events import tumbling_agg
+
+    events = _read_events(spark, sf_dir)
+    return tumbling_agg(events, "ts", "event_type", "1 hour").select(
+        "window_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value", "min_value", "max_value",
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from database_transportor_spark.streaming.events import stream_tumbling_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = stream_tumbling_agg(
+        spark,
+        f"{sf_dir}/events.parquet",
+        sink_table=f"swa_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "window_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value", "min_value", "max_value",
+    )
+
+
+def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.streaming.events import topn_per_key
+
+    events = _read_events(spark, sf_dir)
+    out = topn_per_key(events, "event_type", "value", "event_id", n=5)
+    return out.select(
+        "event_id", "event_type", "value", F.col("rn").cast("long").alias("rn")
+    )
+
+
+SQL_EVENTS_TOPN = """
+SELECT event_id, event_type, value, rn FROM (
+    SELECT event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+    FROM events
+) WHERE rn <= 5
+"""
+
+
+_EXTENSION_QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine": q_ann_cosine,
+    "ann_ivf": q_ann_ivf,
+    "cosine_pairs": q_cosine_pairs,
+    "multimodal_features": q_multimodal_features,
+    "events_window": q_events_window,
+    "events_stream_window": q_events_stream_window,
+    "events_topn": q_events_topn,
+}
+
+_EXTENSION_ORACLES = {
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    # minhash_lsh / simhash_pairs / ann_ivf / cosine_pairs: hash- or
+    # approximation-dependent → rows-only (no DuckDB equivalent).
+    "ann_cosine": SQL_ANN_COSINE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_stream_window": SQL_EVENTS_WINDOW,
+    "events_topn": SQL_EVENTS_TOPN,
+}

@@ -1,0 +1,118 @@
+"""Multimodal (binary) column plumbing.
+
+Media are opaque ``binary`` columns plus a typed metadata struct; all
+decode/feature work runs in Arrow-batched Pandas stages via
+``mapInPandas`` so bytes never round-trip row-at-a-time through Python.
+
+The image/audio codec libraries are NOT in this container, so the decode
+step is stubbed (clearly marked ``NotImplementedError``) behind a
+deterministic byte-level feature extractor that exercises the REAL Spark
+plumbing: binary schema, Arrow batch transfer, batch-shaped UDF signature,
+and partition-preserving execution.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_binary",
+    "byte_features",
+    "decode_image",
+    "sample_frames",
+]
+
+#: typed metadata carried alongside the opaque payload
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text",
+                  out_col: str = "content") -> DataFrame:
+    """Fixture adapter: materialize a real ``binary`` column (UTF-8 bytes of
+    ``text_col``) plus a metadata struct, giving the media-table shape
+    ``(id..., content binary, meta struct)`` the pipeline operates on."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def byte_features(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    Deterministic byte-level features (size + md5) stand in for the decode
+    step; the Spark side — ``mapInPandas`` batch iteration, schema contract,
+    no shuffle — is exactly what a real image/audio featurizer uses.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("digest", StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            content = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "digest": content.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)
+
+
+def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode an image binary column to (height, width, channels) tensors.
+
+    STUB: pillow/opencv are not available in this container.  The Spark
+    plumbing contract is identical to :func:`byte_features` — swap the
+    extractor body for ``PIL.Image.open(io.BytesIO(b))`` when the codec
+    libraries exist.
+    """
+    raise NotImplementedError(
+        "image codecs not available in this environment; see byte_features() "
+        "for the identical mapInPandas plumbing with a deterministic extractor"
+    )
+
+
+def sample_frames(df: DataFrame, content_col: str = "content",
+                  every_ms: int = 1000) -> DataFrame:
+    """Sample video frames every ``every_ms``.  STUB — see :func:`decode_image`."""
+    raise NotImplementedError(
+        "video codecs not available in this environment; the mapInPandas "
+        "batch contract matches byte_features()"
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen-friendly, no Python in the hot path.  Designed for the
+``documents``-shaped table (id + text) at 100 TB: every operator is a
+narrow projection (no shuffle) unless stated otherwise.
+
+Operators:
+
+- :func:`tokens` — whitespace tokenization (lowercased).
+- :func:`text_stats` — length / token-count / punctuation / uppercase /
+  stopword-ratio quality signals.
+- :func:`quality_score` — a single [0,1] heuristic quality scalar.
+- :func:`language_id` — stopword-hit + CJK-codepoint heuristic language ID.
+- :func:`fingerprint` — deterministic document fingerprint (md5 over the
+  first *k* normalized tokens) for cheap near-head dedup keys.
+- :func:`token_count` — BPE-ish subword count estimate via regex splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "token_count",
+    "STOPWORDS",
+]
+
+#: Small per-language stopword lists for the heuristic language ID.
+#: (Deliberately tiny: the point is the operator shape, not ISO coverage.)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "de", "para"],
+}
+
+#: conservative punctuation class — identical byte set in Spark and DuckDB
+#: regex flavors, so oracle parity is exact.
+_PUNCT_CLASS = r"""[.,!?;:'"()\[\]{}\-]"""
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens. Empty text ⇒ empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(F.lower(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns. Narrow projection — no shuffle."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), f"[^{_PUNCT_CLASS[1:-1]}]", ""))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", n_punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("upper_ratio", n_upper / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stopword_hits", n_stop)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One [0,1] heuristic quality scalar (length + structure signals) —
+    the shape of a C4/Gopher-style quality filter stage."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    mean_tok_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    has_stop = F.when(
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))) > 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(
+        "quality", (len_ok + tok_ok + has_stop) / F.lit(3.0)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: CJK codepoint presence ⇒ zh; otherwise argmax
+    of per-language stopword hits (ties resolve in en,de,fr,es order)."""
+    toks = tokens(text_col)
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    n_cjk = F.length(F.regexp_replace(F.col(text_col), "[^一-鿿]", ""))
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(n_cjk > 0, F.lit("zh"))
+        .when(best == F.lit(0), F.lit("unknown"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["de"] == best, F.lit("de"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
+                out_col: str = "fp") -> DataFrame:
+    """md5 over the first ``k`` normalized tokens — a cheap, deterministic
+    head-fingerprint for candidate-level dedup keys."""
+    head = F.concat_ws(" ", F.slice(tokens(text_col), 1, k))
+    return df.withColumn(out_col, F.md5(head))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_subwords") -> DataFrame:
+    """BPE-ish token-count estimate: split on whitespace AND on transitions
+    between letters/digits/other — approximates subword segmentation without
+    a vocab file (the real tokenizer would be a Pandas UDF stage)."""
+    pieces = F.split(
+        F.trim(F.col(text_col)),
+        r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])",
+    )
+    return df.withColumn(out_col, F.size(pieces))
