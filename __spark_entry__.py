@@ -578,7 +578,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05, max_df=100)
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_df=100,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select(
         "id_a", "id_b",
         F.col("intersection").cast("long").alias("intersection"),
@@ -621,7 +624,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=16, bands=4, shingle_n=3, threshold=0.2
+        docs, "doc_id", "text", n_hashes=16, bands=4, shingle_n=3, threshold=0.2,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -629,7 +633,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, bands=4)
+    return simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, bands=4,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

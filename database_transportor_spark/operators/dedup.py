@@ -30,6 +30,7 @@ from .text import tokens
 __all__ = [
     "exact_dedup",
     "ngram_shingles",
+    "ngram_shingle_hashes",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -64,15 +65,39 @@ def exact_dedup(
 
 
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word ``n``-gram shingles of a text column (array<string>)."""
+    """Distinct word ``n``-gram shingles of a text column (array<string>).
+
+    ``arrays_zip`` of ``n`` shifted slices, NOT ``transform(sequence, i ->
+    slice(toks, i, n))``: in a lambda body each reference to ``toks``
+    re-evaluates the tokenizer per *element*, turning shingling into
+    O(len²) regex work per document.  The zip formulation evaluates each
+    slice once per row and the lambda body touches only the zipped struct.
+    """
     toks = tokens(text)
+    n0 = F.size(toks) - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, n0) for i in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
-    # guard: sequence(1, x) with x < 1 would count DOWN; short docs get [].
+    # guard: slice with negative length errors; short docs get [].
     return F.array_distinct(
         F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+    )
+
+
+def ngram_shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Distinct ``xxhash64`` word n-gram shingles (array<long>) — the
+    shingle *hash* computed straight from per-token hashes, so the shingle
+    string never materializes.  One tokenizer pass, one hash per token,
+    one 3-long hash per gram; everything downstream (posting lists,
+    MinHash, Jaccard verification) only ever needs the hash."""
+    toks = tokens(text)
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    n0 = F.size(hs) - (n - 1)
+    z = F.arrays_zip(*[F.slice(hs, i + 1, n0) for i in range(n)])
+    grams = F.transform(z, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)]))
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array().cast("array<long>")).otherwise(grams)
     )
 
 
@@ -83,6 +108,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via inverted shingle index.
 
@@ -97,23 +123,41 @@ def ngram_jaccard_pairs(
     df-capping every production near-dup pipeline applies.  Jaccard is then
     computed over the capped shingle space on BOTH numerator and
     denominator, so the measure stays a true Jaccard of the filtered sets.
+
+    The posting list is keyed by ``xxhash64(shingle)`` rather than the
+    shingle string: the shuffled join key is 8 bytes instead of ~n words,
+    and the equality compare is a long compare.  (64-bit collisions would
+    merge two shingles globally — odds ~N²/2⁶⁵, ignorable at any corpus
+    size we target.)  The posting list is persisted BEFORE the df-frequency
+    branch: it feeds the frequency count, the doc-size aggregate, and both
+    sides of the self-join — without the persist the tokenize→shingle scan
+    runs 4×, which is the difference between one pass and four over the
+    corpus at 100 TB.
+
+    ``min_partitions``: shingling is CPU-bound; when the input arrives in
+    fewer partitions than cores (e.g. one small parquet file), pass the
+    session's parallelism to spread the scan.  Leave ``None`` at scale —
+    real inputs already have thousands of partitions and the extra shuffle
+    of raw text would be pure cost.
     """
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
     sh = df.select(
         F.col(id_col).alias("__id"),
-        ngram_shingles(text_col, n).alias("__shingles"),
+        ngram_shingle_hashes(text_col, n).alias("__shingles"),
     )
-    posting = sh.select("__id", F.explode("__shingles").alias("__s"))
+    posting = sh.select("__id", F.explode("__shingles").alias("__h")).persist()
     if max_df is not None:
-        dfreq = posting.groupBy("__s").agg(F.count("*").alias("__df"))
+        dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
         posting = posting.join(
-            F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__s")),
-            "__s",
+            F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__h")),
+            "__h",
             "left_anti",
         )
     sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
-        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count("*").alias("intersection"))
     )
@@ -134,24 +178,43 @@ def minhash_signatures(
     text_col: str,
     n_hashes: int = 16,
     shingle_n: int = 3,
+    min_partitions: int | None = None,
 ) -> DataFrame:
-    """MinHash signatures: ``sig[i] = min over shingles of xxhash64(salt_i, s)``.
+    """MinHash signatures + hashed shingle sets, one shuffle.
 
-    Pure expression — ``n_hashes`` array-min folds per row, no shuffle.
-    Documents with no shingles get NULL signatures (filtered by callers).
+    Returns ``(__id, __hset array<long>, __sig array<long>)`` where
+    ``__hset`` is the distinct ``xxhash64`` shingle set and
+    ``sig[i] = min over shingles of xxhash64(salt_i, xxhash64(s))``.
+    Documents with no shingles are dropped (no signature to compare).
+
+    Shape: explode shingles → hash each string ONCE → groupBy(id) with
+    ``n_hashes`` cheap long-rehash ``min`` aggregates plus ``collect_set``
+    for the verification set.  The aggregation is a hard optimizer barrier,
+    so the tokenize→shingle pipeline runs exactly once per document — a
+    pure-projection formulation gets inlined ``n_hashes``+1 times by
+    Catalyst's project-collapse and dominates runtime.  Map-side partial
+    aggregation means the shuffle carries ≈1 row per (doc, partition).
+    ``min_partitions``: see :func:`ngram_jaccard_pairs`.
     """
-    sh = F.array_distinct(ngram_shingles(text_col, shingle_n))
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(f"mh{i}"), s)))
-            for i in range(n_hashes)
-        ]
-    )
-    return df.select(
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
+    posting = df.select(
         F.col(id_col).alias("__id"),
-        sh.alias("__shingles"),
-        sigs.alias("__sig"),
-    ).filter(F.size("__shingles") > 0)
+        F.explode(ngram_shingle_hashes(text_col, shingle_n)).alias("__h"),
+    )
+    aggs = [F.collect_set("__h").alias("__hset")] + [
+        F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("__h"))).alias(f"__s{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        posting.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id",
+            "__hset",
+            F.array(*[F.col(f"__s{i}") for i in range(n_hashes)]).alias("__sig"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -162,6 +225,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -176,11 +240,15 @@ def minhash_lsh_pairs(
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # Persisted: feeds both sides of the candidate self-join and the
+    # two verification lookups — recomputing the shingle scan 4× is the
+    # difference between one pass and four over the corpus at scale.
+    sig = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_n, min_partitions
+    ).persist()
 
     band_entries = sig.select(
         "__id",
-        "__shingles",
         F.explode(
             F.array(
                 *[
@@ -194,9 +262,12 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("__id", "__shingles", "b.band", "b.bhash")
+    ).select("__id", "b.band", "b.bhash")
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
+    # Candidate pairs carry ids only — the heavy shingle sets are joined
+    # back in AFTER dedup, so band-explode shuffles 16 bytes per row, not
+    # the whole document's shingle set, and each pair is verified once.
     cand = (
         a.join(
             b,
@@ -204,13 +275,13 @@ def minhash_lsh_pairs(
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__shingles").alias("__sa"),
-            F.col("b.__shingles").alias("__sb"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    hs = sig.select("__id", "__hset")
+    cand = (
+        cand.join(hs.withColumnRenamed("__id", "id_a").withColumnRenamed("__hset", "__sa"), "id_a")
+        .join(hs.withColumnRenamed("__id", "id_b").withColumnRenamed("__hset", "__sb"), "id_b")
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size(F.array_union("__sa", "__sb"))
@@ -227,28 +298,38 @@ def simhash(
     text_col: str,
     bits: int = 32,
     out_col: str = "simhash",
+    min_partitions: int | None = None,
 ) -> DataFrame:
-    """SimHash over token hashes, pure expressions.
+    """SimHash over token hashes: ``bit_j = sign(Σ_tokens (2*bit_j(h)-1))``.
 
-    ``bit_j = sign(Σ_tokens (2*bit_j(xxhash64(tok)) - 1))``; the per-bit
-    fold is an ``aggregate`` over the token-hash array — JVM-side, no
-    shuffle, no UDF."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_sum(j: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
+    Shape: explode tokens → ``xxhash64`` each occurrence ONCE → groupBy(id)
+    with ``bits`` conditional-sum aggregates → recombine bits.  The
+    aggregation barrier guarantees the tokenize+hash pipeline is evaluated
+    once per token — a pure-projection fold gets the token-hash expression
+    inlined ``bits`` times by project-collapse.  Map-side partial agg keeps
+    the shuffle at ≈1 row per (doc, partition).  Documents with zero
+    tokens drop out (they have no signature to compare).
+    ``min_partitions``: see :func:`ngram_jaccard_pairs`.
+    """
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
+    posting = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).select("__id", F.xxhash64("__t").alias("__h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    agg = posting.groupBy("__id").agg(*bit_sums)
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        sim = sim + F.when(bit_sum(j) > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("__id"), sim.alias(out_col))
+        sim = sim + F.when(
+            F.col(f"__b{j}") > 0, F.lit(2 ** j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("__id", sim.alias(out_col))
 
 
 def simhash_pairs(
@@ -258,6 +339,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -269,7 +351,9 @@ def simhash_pairs(
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for pigeonhole recall")
     width = bits // bands
-    s = simhash(df, id_col, text_col, bits)
+    # Both sides of the candidate self-join read this — persist so the
+    # token scan + signature aggregation happens once, not twice.
+    s = simhash(df, id_col, text_col, bits, min_partitions=min_partitions).persist()
     mask = (1 << width) - 1
     entries = s.select(
         "__id",

@@ -54,16 +54,19 @@ def build_middle(mspec: MapSpec, resolve: Resolver) -> DataFrame:
     acc_str = F.col(acc).cast("string")
     one_df = one_df.filter(F.col(acc).isNotNull() & (F.trim(acc_str) != ""))
 
+    method = many.search_method
     if one.pre_format is not None:
         fn, rtype = split_hook(one.pre_format)
         if isinstance(fn, str):
             values = value_hook_column(one.pre_format, acc)
         else:
             values = F.udf(fn, rtype or ArrayType(StringType()))(F.col(acc))
-    else:
+    elif method in ("in", "between", "notbetween"):
+        # list-valued probe: the documented CSV-split default (README.md:349)
         values = F.split(F.trim(acc_str), ",")
-
-    method = many.search_method
+    else:
+        # scalar comparison: probe with the raw according value
+        values = F.col(acc)
     one_fill = F.col(one.wanted_column).alias(one.fill_column)
 
     if method == "in":
@@ -86,7 +89,7 @@ def build_middle(mspec: MapSpec, resolve: Resolver) -> DataFrame:
         elif method in ("<>", "!="):
             cond = col != p
         elif method == "like":
-            cond = col.like(p)  # pattern from data
+            cond = F.like(col, p)  # pattern comes from data, so Column form
         else:
             lo, hi = p.getItem(0), p.getItem(1)
             cond = col.between(lo, hi)
