@@ -1,0 +1,176 @@
+"""CLI — the Spark-native equivalent of the reference's artisan commands.
+
+X8 (``php artisan transport {--class=}``, TransportCommand.php:17,31-45):
+``python -m database_transportor_spark transport --spec FILE [--mode ...]``
+loads a Python spec module and runs :meth:`DBT.do_transport`.
+
+X9 (``php artisan make:transportor Name``, CreateCommand.php:17,35-59 and
+the two ``*.temp`` templates): ``python -m database_transportor_spark make
+Name [--dir d]`` renders a spec-file template — the same scaffold-first
+workflow, emitting a Python module instead of a PHP class.
+
+Spec-module contract (the rendered template documents it inline)::
+
+    MAPS = {...}                    # the declarative map (= reference $maps)
+    ORIGINAL = {"kind": "parquet", "root": "/data/original"}
+    TARGET = {"kind": "jdbc", "url": "jdbc:...", "properties": {...}}
+    MODE = "append"                 # optional; write mode
+    SEEDS = []                      # optional; extra seed tables (S6)
+    PRELOAD = {}                    # optional; {"original": [tables]} (S5)
+    SPARK = {"spark.sql.shuffle.partitions": "200"}   # optional conf
+
+Multiple ``--spec`` files run in order — the equivalent of the reference's
+main ``Transportor`` fanning out over registered transportor classes
+(TransportorTemp.temp:9-32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import re
+import sys
+from typing import Any
+
+__all__ = ["main"]
+
+_TEMPLATE = '''"""Transportor spec: {name}.
+
+Run with::
+
+    python -m database_transportor_spark transport --spec {path}
+"""
+
+# Declarative map — identical vocabulary to the reference package:
+# columns (rename / default / function / affection), extra_conditions,
+# refer / refers lookups, middle junction maps, transport_after, order.
+MAPS = {{
+    "{snake}": {{
+        "original_table": "{snake}",
+        # "target_table": "{snake}",        # optional physical-name override
+        # "extra_conditions": [["col", "=", 1], "raw_sql > 0"],
+        "columns": {{
+            "id": "id",
+            # "renamed": "source_col",
+            # "constant": {{"default": "value"}},
+            # "computed": {{"original": "col", "function": "upper(col)"}},
+            # "looked_up": {{
+            #     "refer": {{
+            #         "search_source": "original",
+            #         "search_table": "dim",
+            #         "search_column": "key",
+            #         "according_column": "fk",
+            #         "wanted_column": "name",
+            #     }},
+            #     "default": "unknown",
+            # }},
+        }},
+    }},
+}}
+
+# One catalog per side: {{"kind": "parquet", "root": dir}} or
+# {{"kind": "jdbc", "url": ..., "properties": {{...}},
+#   "partition_options": {{"table": {{"partitionColumn": ..., ...}}}}}}
+ORIGINAL = {{"kind": "parquet", "root": "/path/to/original"}}
+TARGET = {{"kind": "parquet", "root": "/path/to/target"}}
+
+MODE = "append"
+'''
+
+
+def _load_module(path: str):
+    spec = importlib.util.spec_from_file_location(
+        os.path.splitext(os.path.basename(path))[0], path
+    )
+    if spec is None or spec.loader is None:
+        raise SystemExit(f"cannot load spec file: {path}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _build_catalog(spark, conf: dict[str, Any]):
+    from .sources.catalog import JDBCCatalog, ParquetCatalog
+
+    kind = conf.get("kind", "parquet")
+    if kind == "parquet":
+        return ParquetCatalog(spark, conf["root"], suffix=conf.get("suffix", ".parquet"))
+    if kind == "jdbc":
+        return JDBCCatalog(
+            spark,
+            conf["url"],
+            properties=conf.get("properties"),
+            fetchsize=conf.get("fetchsize", 10_000),
+            batchsize=conf.get("batchsize", 10_000),
+            partition_options=conf.get("partition_options"),
+        )
+    raise SystemExit(f"unknown catalog kind: {kind!r}")
+
+
+def _cmd_transport(args: argparse.Namespace) -> int:
+    from pyspark.sql import SparkSession
+
+    from .engine import DBT
+
+    mods = [_load_module(p) for p in args.spec]
+    builder = SparkSession.builder.appName("database-transportor")
+    if args.master:
+        builder = builder.master(args.master)
+    for mod in mods:
+        for k, v in getattr(mod, "SPARK", {}).items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+
+    for mod, path in zip(mods, args.spec):
+        eng = DBT(
+            mod.MAPS,
+            target=_build_catalog(spark, mod.TARGET),
+            original=_build_catalog(spark, mod.ORIGINAL),
+            preload=getattr(mod, "PRELOAD", None),
+        )
+        seeds = getattr(mod, "SEEDS", None)
+        if seeds:
+            eng.set_seed(seeds)
+        mode = args.mode or getattr(mod, "MODE", "append")
+        outputs = eng.do_transport(mode=mode)
+        print(f"{path}: transported {len(outputs)} table(s): {sorted(outputs)}")
+    return 0
+
+
+def _cmd_make(args: argparse.Namespace) -> int:
+    snake = re.sub(r"(?<!^)(?=[A-Z])", "_", args.name).lower()
+    os.makedirs(args.dir, exist_ok=True)
+    path = os.path.join(args.dir, f"{snake}.py")
+    if os.path.exists(path) and not args.force:
+        raise SystemExit(f"{path} already exists (use --force to overwrite)")
+    with open(path, "w") as f:
+        f.write(_TEMPLATE.format(name=args.name, snake=snake, path=path))
+    print(f"created {path}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="database_transportor_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("transport", help="run one or more spec modules")
+    t.add_argument("--spec", action="append", required=True,
+                   help="path to a spec .py file (repeatable, runs in order)")
+    t.add_argument("--mode", default=None,
+                   help="write mode override (append/overwrite)")
+    t.add_argument("--master", default=None, help="Spark master override")
+    t.set_defaults(fn=_cmd_transport)
+
+    m = sub.add_parser("make", help="scaffold a new transportor spec file")
+    m.add_argument("name", help="transportor name (CamelCase or snake_case)")
+    m.add_argument("--dir", default="transportors", help="output directory")
+    m.add_argument("--force", action="store_true")
+    m.set_defaults(fn=_cmd_make)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
