@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .operators.middle import build_middle
 from .operators.projection import apply_projection, output_columns
-from .operators.refer import apply_refer, apply_refers
+from .operators.refer import apply_refer, apply_refers_batch, refers_merge_key
 from .plans.planner import seed_tables, topo_order
 from .predicates import apply_conditions
 from .sources.catalog import Catalog
@@ -125,9 +125,15 @@ class DBT:
         df = apply_projection(df, m)                   # P1-P6
         # Reference resolves refers (J3) before refer (J1/J2) per chunk
         # (DBT.php:197-207); preserved in case a refer probes a refers output.
+        # Refers sharing (source, table, key, conditions) merge into one
+        # aggregation + one join — N columns over the same lookup table
+        # cost one scan and one shuffle instead of N of each.
+        groups: dict[tuple, list] = {}
         for c in m.columns:
             if c.refers is not None:
-                df = apply_refers(df, c, self._resolve)
+                groups.setdefault(refers_merge_key(c), []).append(c)
+        for cs in groups.values():
+            df = apply_refers_batch(df, cs, self._resolve)
         for c in m.columns:
             if c.refer is not None:
                 df = apply_refer(df, c, self._resolve)

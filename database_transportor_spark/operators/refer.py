@@ -51,7 +51,7 @@ from ..predicates import apply_conditions
 from ..spec import ColumnSpec, ReferSpec, RefersSpec
 from ..functions.hooks import processor_agg_column
 
-__all__ = ["apply_refer", "apply_refers"]
+__all__ = ["apply_refer", "apply_refers", "apply_refers_batch", "refers_merge_key"]
 
 #: resolve(side, table) -> DataFrame; provided by the engine so target-side
 #: lookups see in-flight outputs of already-planned maps (J4/X1 — the
@@ -155,32 +155,59 @@ def apply_refer(fact: DataFrame, cspec: ColumnSpec, resolve: Resolver) -> DataFr
 
 
 def apply_refers(fact: DataFrame, cspec: ColumnSpec, resolve: Resolver) -> DataFrame:
-    """Apply a J3 ``refers`` grouped-aggregation lookup.
+    """Apply a single J3 ``refers`` grouped-aggregation lookup."""
+    return apply_refers_batch(fact, [cspec], resolve)
 
-    ``dim.groupBy(search_column).agg(processor)`` then a left join — the
-    aggregation is partial (map-side combine) and the joined side is one row
-    per key by construction, so no fan-out and no dedup needed.
+
+def refers_merge_key(cspec: ColumnSpec) -> tuple:
+    """Refers lookups sharing this key can be served by ONE aggregation and
+    ONE join.  ``repr`` of conditions because values may be lists."""
+    s = cspec.refers
+    return (
+        s.search_source,
+        s.search_table,
+        s.search_column,
+        s.according_column,
+        repr(s.conditions),
+    )
+
+
+def apply_refers_batch(
+    fact: DataFrame, cspecs: list[ColumnSpec], resolve: Resolver
+) -> DataFrame:
+    """Apply one or more J3 ``refers`` lookups that share the same
+    (source, table, key, conditions) — see :func:`refers_merge_key`.
+
+    ``dim.groupBy(search_column).agg(p1, p2, ...)`` then a single left
+    join — the aggregation is partial (map-side combine) and the joined
+    side is one row per key by construction, so no fan-out and no dedup
+    needed.  Merging matters at scale: N refers columns over the same fact
+    table become one scan + one shuffle instead of N of each.
     """
-    spec = cspec.refers
+    spec = cspecs[0].refers
     dim = resolve(spec.search_source, spec.search_table)
     dim = apply_conditions(dim, spec.conditions)
 
-    tag = f"__refs_{cspec.target}"
-    key, wanted = f"{tag}_k", f"{tag}_w"
-    agg_col = processor_agg_column(spec.processor, dim).alias(wanted)
-    build = (
-        dim.groupBy(
-            _rtrim_if_string(
-                F.col(spec.search_column), _is_string(dim, spec.search_column)
-            ).alias(key)
-        ).agg(agg_col)
-    )
-    build = _maybe_broadcast(build, spec.broadcast)
+    key = f"__refs_{cspecs[0].target}_k"
+    wanteds = [f"__refs_{c.target}_w" for c in cspecs]
+    aggs = [
+        processor_agg_column(c.refers.processor, dim).alias(w)
+        for c, w in zip(cspecs, wanteds)
+    ]
+    build = dim.groupBy(
+        _rtrim_if_string(
+            F.col(spec.search_column), _is_string(dim, spec.search_column)
+        ).alias(key)
+    ).agg(*aggs)
+    flags = {c.refers.broadcast for c in cspecs if c.refers.broadcast is not None}
+    build = _maybe_broadcast(build, flags.pop() if len(flags) == 1 else None)
     probe = _rtrim_if_string(
         F.col(spec.according_column), _is_string(fact, spec.according_column)
     )
     joined = fact.join(build, probe == F.col(key), "left")
-    value = F.col(wanted)
-    if cspec.has_default and cspec.default is not None:
-        value = F.coalesce(value, F.lit(cspec.default))
-    return joined.withColumn(cspec.target, value).drop(key, wanted)
+    for c, w in zip(cspecs, wanteds):
+        value = F.col(w)
+        if c.has_default and c.default is not None:
+            value = F.coalesce(value, F.lit(c.default))
+        joined = joined.withColumn(c.target, value)
+    return joined.drop(key, *wanteds)
