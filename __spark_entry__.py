@@ -480,7 +480,9 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: double math rounds the microsecond up for large
+        # nanos and diverges from DuckDB's truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -737,6 +739,129 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.streaming.events import sliding_agg
+
+    events = _read_events(spark, sf_dir)
+    return sliding_agg(events, "ts", "event_type", "2 hours", "1 hour").select(
+        "window_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value", "min_value", "max_value",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events,
+     UNNEST([date_trunc('hour', ts),
+             date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(ws)
+GROUP BY 1, 2
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.streaming.events import session_agg
+
+    events = _read_events(spark, sf_dir)
+    return session_agg(events, "ts", "event_type", "10 minutes").select(
+        "session_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value", "min_value", "max_value",
+    )
+
+
+SQL_EVENTS_SESSION = """
+WITH o AS (
+    SELECT event_type, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTES
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), g AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT min(ts) AS session_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM g GROUP BY event_type, sid
+"""
+
+
+def q_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from database_transportor_spark.streaming.events import stream_stateful_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return stream_stateful_totals(
+        spark,
+        f"{sf_dir}/events.parquet",
+        sink_table=f"sst_{uuid.uuid4().hex[:8]}",
+    )
+
+
+SQL_EVENTS_STATEFUL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(docs, "text").select(
+        "doc_id", F.col("n_subwords").cast("long").alias("n_subwords")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+-- DuckDB RE2 has no lookarounds; a letter->digit (or digit->letter)
+-- transition adds exactly one split, and the length-2 transition patterns
+-- cannot self-overlap, so counting them separately equals Spark's
+-- lookaround split count.
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))
+       + len(regexp_extract_all(text, '[a-zA-Z][0-9]'))
+       + len(regexp_extract_all(text, '[0-9][a-zA-Z]')) AS n_subwords
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs, "text").select("doc_id", "quality")
+
+
+SQL_QUALITY_SCORE = r"""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN len(list_intersect(toks,
+              ['the','a','and','of','to','in','is','it','that','for'])) > 0
+          THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+FROM t
+"""
+
+
 def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.streaming.events import topn_per_key
 
@@ -769,8 +894,13 @@ _EXTENSION_QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "multimodal_features": q_multimodal_features,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
     "events_stream_window": q_events_stream_window,
+    "events_stateful": q_events_stateful,
     "events_topn": q_events_topn,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
 }
 
 _EXTENSION_ORACLES = {
@@ -784,6 +914,11 @@ _EXTENSION_ORACLES = {
     "ann_cosine": SQL_ANN_COSINE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "events_session": SQL_EVENTS_SESSION,
     "events_stream_window": SQL_EVENTS_WINDOW,
+    "events_stateful": SQL_EVENTS_STATEFUL,
     "events_topn": SQL_EVENTS_TOPN,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
 }

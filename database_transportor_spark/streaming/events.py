@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling_agg", "stream_tumbling_agg", "topn_per_key"]
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_tumbling_agg",
+    "stream_stateful_totals",
+    "topn_per_key",
+]
 
 
 def _window_aggs() -> list:
@@ -40,6 +47,59 @@ def tumbling_agg(
         .agg(*_window_aggs())
         .select(
             F.col("__w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in ``window/slide``
+    overlapping windows.  Same shuffle shape as tumbling (one, on
+    (window, key)); the fan-out happens in the generate step before the
+    partial aggregation, so the shuffle carries pre-combined rows."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("__w"), F.col(key_col)
+        )
+        .agg(*_window_aggs())
+        .select(
+            F.col("__w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregate: events per key closer than ``gap`` merge
+    into one session (``F.session_window`` — the engine merges overlapping
+    [ts, ts+gap) intervals).  The same expression streams with a watermark;
+    batch form here so the DuckDB gap-and-island oracle can check it."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("__w"), F.col(key_col)
+        )
+        .agg(*_window_aggs())
+        .select(
+            F.col("__w.start").alias("session_start"),
             key_col,
             "n_events",
             "sum_value",
@@ -84,7 +144,7 @@ def stream_tumbling_agg(
         # fixture adapter: nanosecond-timestamp parquet read as long
         # (spark.sql.legacy.parquet.nanosAsLong) → microsecond timestamp
         stream = stream.withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
     agg = (
         stream.withWatermark(ts_col, watermark)
@@ -108,6 +168,93 @@ def stream_tumbling_agg(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_stateful_totals(
+    spark: SparkSession,
+    source_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    sink_table: str = "stream_stateful_totals",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running totals via
+    ``applyInPandasWithState`` — the escape hatch for operators Spark's
+    built-in streaming aggregations can't express (the state schema and
+    update function are arbitrary).
+
+    State per key = (n_events, sum_value); each micro-batch folds its rows
+    into the state and emits the updated snapshot.  Emitted totals are
+    monotone, so the final answer per key is the max over emissions —
+    which equals the batch groupBy, giving this stateful pipeline an exact
+    SQL oracle.  State is bounded by key cardinality; at 100 TB/day add a
+    timeout (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle
+    keys.
+    """
+    import os
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    batch_df = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(batch_df.schema)
+    if source_dir.endswith(".parquet") and os.path.isfile(source_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        stream = reader.parquet(os.path.dirname(source_dir))
+    else:
+        stream = reader.parquet(source_dir)
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "sum_value": [s]})
+
+    totals = stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # n_events grows monotonically per key, so the snapshot with the highest
+    # count is the final state (sum alone isn't monotone if values go
+    # negative — hence max_by, not max).
+    return (
+        spark.table(sink_table)
+        .groupBy(key_col)
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+        )
+    )
 
 
 def topn_per_key(
