@@ -50,6 +50,25 @@ def main() -> None:
         return x * 1.0
 
     spark.range(1000).select(F.sum(_warm(F.col("id").cast("double")))).collect()
+    # higher-order-function / window / join interpreter+JIT paths
+    w = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(5)), lambda i: F.xxhash64(i + F.col("id"))
+        ).alias("arr"),
+    )
+    from pyspark.sql import Window
+
+    ranked = w.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    small = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    ranked.join(F.broadcast(small), "k").select(
+        F.max(
+            F.aggregate("arr", F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b))
+        )
+    ).collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
