@@ -22,7 +22,7 @@ deterministic across runs, executors, and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -55,12 +55,17 @@ def exact_dedup(
     """
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
-    oc = F.col(order_by).asc() if keep == "min" else F.col(order_by).desc()
-    w = Window.partitionBy(*keys).orderBy(oc)
+    # min_by/max_by aggregation, not a row_number window: aggregation gets
+    # map-side partial combine (the shuffle carries ≤1 row per key per
+    # partition), where a window must shuffle and sort EVERY row.  At 100 TB
+    # with text-valued keys that is the difference between a combiner-sized
+    # shuffle and moving the whole corpus.
+    pick = F.min_by if keep == "min" else F.max_by
+    row = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*keys)
+        .agg(pick(row, F.col(order_by)).alias("__row"))
+        .select("__row.*")
     )
 
 

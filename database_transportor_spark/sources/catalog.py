@@ -45,12 +45,24 @@ class Catalog:
 
 
 class ParquetCatalog(Catalog):
-    """One parquet file/dir per table under ``root`` (driver fixtures)."""
+    """One parquet file/dir per table under ``root`` (driver fixtures).
 
-    def __init__(self, spark: SparkSession, root: str, suffix: str = ".parquet"):
+    ``staged=True`` implements the X7 transaction-gap strategy
+    (CreateTemp.temp:26-38 wraps the whole reference run in one DB
+    transaction; Spark has no cross-table equivalent): each write lands in
+    ``<table>.__staging`` and is swapped into place only after the job
+    succeeds, so readers never observe a half-written table and a failed
+    run leaves the previous data intact.  The swap is per-table — the
+    cross-TABLE guarantee remains weaker than the reference's single
+    transaction, which is documented, not hidden.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, suffix: str = ".parquet",
+                 staged: bool = False):
         self.spark = spark
         self.root = root.rstrip("/")
         self.suffix = suffix
+        self.staged = staged
 
     def path(self, table: str) -> str:
         return f"{self.root}/{table}{self.suffix}"
@@ -59,7 +71,21 @@ class ParquetCatalog(Catalog):
         return self.spark.read.parquet(self.path(table))
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
-        df.write.mode(mode).parquet(self.path(table))
+        if not self.staged or mode == "append":
+            # append can't stage meaningfully (the swap would drop history)
+            df.write.mode(mode).parquet(self.path(table))
+            return
+        import shutil
+        import os
+
+        final = self.path(table)
+        staging = f"{final}.__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        # job succeeded — swap
+        if os.path.isdir(final) or os.path.isfile(final):
+            shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
 
 
 class JDBCCatalog(Catalog):
@@ -69,6 +95,12 @@ class JDBCCatalog(Catalog):
     "lowerBound": ..., "upperBound": ..., "numPartitions": ...}`` enables
     parallel reads; without it the read is single-task (fine for dims, wrong
     for facts at scale).
+
+    Staged-swap (X7) over JDBC: Spark's JDBC writer cannot rename tables,
+    so the swap needs one direct statement on the target DB — write with
+    ``table + "__staging"`` then run ``ALTER TABLE ... RENAME`` (or the
+    dialect's equivalent) in a ``run_after_transport`` hook; the parquet
+    catalog implements the same pattern natively.
     """
 
     def __init__(
