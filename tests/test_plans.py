@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the plans the engine must keep producing.
+
+Correctness tests can all pass while the plan silently degrades (lost
+pushdown, fan-out joins, dropped broadcast, duplicate scans); these tests
+pin the plan shape that makes the engine scale.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def _plan(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_refer_single_broadcasts_and_prunes(spark):
+    df = _entry().queries()["refer_single"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # driving scan reads only the referenced columns
+    assert "o_totalprice" not in plan
+    assert "o_comment" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _entry().queries()["filter_conditions"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    # the between bounds actually pushed, not just IsNotNull
+    assert "GreaterThanOrEqual(l_quantity,10" in plan, plan
+
+
+def test_refers_merge_single_join(spark):
+    # two refers over the same (table, key) must plan exactly ONE join
+    df = _entry().queries()["refers_group"](spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Join") == 1, plan
+
+
+def test_refer_join_never_inner(spark):
+    # enrichment must stay left-outer: an inner join would drop miss rows
+    df = _entry().queries()["refer_single"](spark, SF)
+    plan = _plan(df, "simple")
+    assert "LeftOuter" in plan
+
+
+def test_text_stats_no_shuffle(spark):
+    df = _entry().queries()["text_stats"](spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_scan_project_prunes_unused_columns(spark):
+    df = _entry().queries()["scan_project"](spark, SF)
+    plan = _plan(df)
+    # customer has 8 columns; the query uses 4 — address/comment must not scan
+    assert "c_address" not in plan
+    assert "c_comment" not in plan
