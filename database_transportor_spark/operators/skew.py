@@ -1,0 +1,84 @@
+"""Skew-aware join utilities.
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin``) handles skewed
+*sort-merge* joins transparently and is the first line of defense.  Salting
+remains necessary when (a) the join must aggregate after the join and one
+key dominates (AQE splits the join but the downstream groupBy still hot-
+spots), or (b) the build side is too big to broadcast and a handful of keys
+hold most of the probe rows.
+
+:func:`salted_left_join` implements the standard prescription:
+
+- probe side: each row gets a random-but-deterministic salt in
+  ``[0, salts)`` (hash of a tiebreak column — reproducible across retries,
+  unlike ``rand()``).
+- build side: replicated ``salts`` times (one copy per salt value).
+- join on (key, salt): a key's rows now spread over ``salts`` reducers.
+
+Replication multiplies the build side, so salt ONLY the hot keys: pass
+``hot_keys`` (or let :func:`hot_key_sample` estimate them with a cheap
+sampled count) and the join splits into a salted lane for hot keys and a
+plain lane for the long tail, unioned after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hot_key_sample", "salted_left_join"]
+
+
+def hot_key_sample(
+    df: DataFrame,
+    key: str,
+    threshold: int = 100_000,
+    fraction: float = 0.01,
+    seed: int = 7,
+) -> list:
+    """Estimate hot join keys from a sample: keys whose sampled count
+    extrapolates past ``threshold`` rows.  One narrow sample + small
+    aggregate — the driver only ever sees the (few) hot keys."""
+    est = (
+        df.sample(fraction=fraction, seed=seed)
+        .groupBy(key)
+        .agg((F.count("*") / fraction).alias("__est"))
+        .filter(F.col("__est") >= threshold)
+    )
+    return [r[0] for r in est.select(key).collect()]
+
+
+def salted_left_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_on: str,
+    hot_keys: list,
+    salts: int = 16,
+) -> DataFrame:
+    """Left join ``probe`` with ``build`` on ``key`` where ``hot_keys``
+    are salted across ``salts`` reducers and the long tail joins plain.
+
+    ``salt_on`` is any probe column with per-row variation (an id); the
+    salt is ``pmod(xxhash64(salt_on), salts)`` — deterministic, so task
+    retries produce identical partitioning.  Build columns that collide
+    with probe columns are suffixed ``_b`` by the caller beforehand.
+    """
+    if not hot_keys:
+        return probe.join(build, on=key, how="left")
+
+    is_hot: Column = F.col(key).isin(hot_keys)
+
+    hot_probe = probe.filter(is_hot).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salts))
+    )
+    salt_values = F.explode(
+        F.array(*[F.lit(i).cast("int") for i in range(salts)])
+    ).alias("__salt")
+    hot_build = build.filter(is_hot).select("*", salt_values)
+    hot = hot_probe.join(hot_build, on=[key, "__salt"], how="left").drop("__salt")
+
+    tail = probe.filter(~is_hot | F.col(key).isNull()).join(
+        build, on=key, how="left"
+    )
+    return hot.unionByName(tail)
