@@ -621,6 +621,58 @@ WHERE i.intersection / (sa.n + sb.n - i.intersection) >= 0.05
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_df=100,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM t
+), ex0 AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), hot AS (
+    SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100
+), ex AS (
+    SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.i / (sa.n + sb.n - i.i) >= 0.05
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.dedup import minhash_lsh_pairs
 
@@ -887,6 +939,7 @@ _EXTENSION_QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine": q_ann_cosine,
@@ -909,6 +962,7 @@ _EXTENSION_ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_lsh / simhash_pairs / ann_ivf / cosine_pairs: hash- or
     # approximation-dependent → rows-only (no DuckDB equivalent).
     "ann_cosine": SQL_ANN_COSINE,

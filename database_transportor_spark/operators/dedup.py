@@ -32,6 +32,7 @@ __all__ = [
     "ngram_shingles",
     "ngram_shingle_hashes",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -295,6 +296,97 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    a ``cluster_id`` = the minimum document id reachable through the pair
+    graph (documents in no pair are their own cluster).  Downstream keeps
+    e.g. ``min(doc_id)`` per cluster — the canonical-survivor step real
+    dedup pipelines run after pair generation.
+
+    Algorithm: min-label propagation with pointer halving.  Each round a
+    vertex takes (1) the min label among itself and its neighbors, then
+    (2) the label OF its label — so label distance doubles per round and
+    convergence needs O(log diameter) rounds, not O(diameter) (low
+    similarity thresholds produce long chain components where naive
+    propagation crawls).  Each round is ``localCheckpoint``ed: persist
+    alone caches *data* but the logical plan still nests per round and
+    re-analysis cost grows without bound — the classic iterative-algorithm
+    trap on Spark.  (On a cluster, prefer ``checkpoint()`` with a reliable
+    dir if executor loss during the loop matters.)  Convergence = label
+    sum unchanged (labels only decrease), one aggregate per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("__s"), F.col(id_b).alias("__d"))
+        .union(pairs.select(F.col(id_b).alias("__s"), F.col(id_a).alias("__d")))
+        .persist()
+    )
+    # Only vertices touched by an edge can ever change label; isolated
+    # documents (the overwhelming majority of a corpus) are appended at the
+    # end as their own cluster.  The iteration then works on ~2·|pairs|
+    # rows, not the corpus.
+    labels = (
+        edges.select(F.col("__s").alias("__v"))
+        .distinct()
+        .select("__v", F.col("__v").alias("__label"))
+        .localCheckpoint()
+    )
+
+    def _label_sum(lab: DataFrame):
+        return lab.select(
+            F.sum(F.col("__label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["__s"] == labels["__v"])
+            .groupBy("__d")
+            .agg(F.min("__label").alias("__nmin"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels["__v"] == neighbor_min["__d"], "left"
+        ).select(
+            "__v",
+            F.least(
+                F.col("__label"), F.coalesce(F.col("__nmin"), F.col("__label"))
+            ).alias("__label"),
+        )
+        # pointer halving: follow my label's label
+        lab2 = labels.select(
+            F.col("__v").alias("__u"), F.col("__label").alias("__ulabel")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped["__label"] == lab2["__u"], "left")
+            .select(
+                "__v",
+                F.least(
+                    F.col("__label"),
+                    F.coalesce(F.col("__ulabel"), F.col("__label")),
+                ).alias("__label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    in_graph = labels.select(F.col("__v").alias(id_col),
+                             F.col("__label").alias("cluster_id"))
+    isolated = vertices.select(F.col(id_col)).join(
+        labels.select(F.col("__v").alias(id_col)), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return in_graph.unionByName(isolated)
 
 
 def simhash(
