@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 __all__ = ["cosine", "cosine_scores", "cosine_topk", "ivf_topk", "cosine_pairs"]
 
@@ -59,7 +59,10 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
-@pandas_udf("double")
+# DataType object, not the DDL string "double": string return types are
+# parsed at decoration time and would make importing this module require an
+# active SparkContext.
+@pandas_udf(DoubleType())
 def cosine_scores(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized cosine similarity: one numpy matmul per Arrow batch."""
     A = np.stack(a.to_numpy()).astype(np.float64)
@@ -72,24 +75,50 @@ def cosine_scores(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _centroid_model(
-    corpus: DataFrame, id_col: str, vec_col: str, stride: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int,
+    method: str = "stride",
+    n_centroids: int = 64,
+    seed: int = 7,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic stride-sampled centroids, collected driver-side.
+    """Centroid "model" for IVF bucketing, collected driver-side.
 
-    Returns (ids, row-normalized matrix), sorted by id so downstream
+    ``method="stride"``: deterministic sample (every ``stride``-th vector)
+    — zero training cost, adequate bucketing for near-uniform corpora.
+    ``method="kmeans"``: ``pyspark.ml`` KMeans with ``n_centroids``
+    clusters — pays one training pass for real cell quality, exactly how
+    a production IVF index is built.
+
+    Returns (ids, row-normalized matrix) with ids ascending so downstream
     argsort tie-breaks resolve to the lowest centroid id.  The centroid
-    count is corpus/stride — callers at real scale bound it the way any
-    ANN index bounds its cell count (e.g. KMeans with fixed k); the model
-    is a few MB and ships to executors inside the UDF closure.
+    count is bounded (that's what makes it a model, not a table); a few MB
+    ships to executors inside the UDF closure.
     """
-    rows = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
-        .collect()
-    )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+        mat = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+        )
+        ids = np.arange(len(mat), dtype=np.int64)
+    elif method == "stride":
+        rows = (
+            corpus.filter((F.col(id_col) % stride) == 0)
+            .select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .collect()
+        )
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    else:
+        raise ValueError(f"unknown centroid method {method!r}")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return ids, mat / norms
@@ -149,6 +178,8 @@ def ivf_topk(
     k: int = 10,
     stride: int = 37,
     nprobe: int = 3,
+    method: str = "stride",
+    n_centroids: int = 64,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -159,7 +190,9 @@ def ivf_topk(
     equi-join — the per-query scan is ~``nprobe/C`` of the corpus and the
     only shuffle is on the bucket id.
     """
-    ids, cmat = _centroid_model(corpus, id_col, vec_col, stride)
+    ids, cmat = _centroid_model(
+        corpus, id_col, vec_col, stride, method=method, n_centroids=n_centroids
+    )
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
