@@ -563,16 +563,80 @@ FROM documents
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from database_transportor_spark.operators.dedup import exact_dedup
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_dedup(docs, keys=["text"], order_by="doc_id", keep="min").select(
-        "doc_id", "text"
-    )
+    # through the declarative planner: migration + dedup as one spec
+    maps = {
+        "docs_unique": {
+            "original_table": "documents",
+            "columns": {"doc_id": "doc_id", "text": "text"},
+            "post_ops": [
+                {"op": "exact_dedup", "keys": ["text"], "order_by": "doc_id",
+                 "keep": "min"},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "docs_unique")
 
 
 SQL_DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data pipeline as ONE declarative spec: scan → rename →
+    language-ID tag → quality score → quality filter → exact dedup."""
+    maps = {
+        "corpus": {
+            "original_table": "documents",
+            "columns": {"doc_id": "doc_id", "text": "text", "lang": "lang"},
+            "post_ops": [
+                {"op": "language_id", "text_col": "text"},
+                {"op": "quality_score", "text_col": "text"},
+                {"op": "filter", "condition": "quality >= 0.5"},
+                {"op": "exact_dedup", "keys": ["text"], "order_by": "doc_id",
+                 "keep": "min"},
+                {"op": "select",
+                 "columns": ["doc_id", "lang", "lang_pred", "quality"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "corpus")
+
+
+SQL_DOC_PIPELINE = """
+WITH t AS (
+    SELECT doc_id, lang, text,
+           string_split_regex(trim(lower(text)), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk
+    FROM documents
+), h AS (
+    SELECT *,
+           len(list_distinct(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for']))) AS h_en,
+           len(list_distinct(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu','mit']))) AS h_de,
+           len(list_distinct(list_intersect(toks, ['le','la','les','et','est','un','une','de','pour']))) AS h_fr,
+           len(list_distinct(list_intersect(toks, ['el','los','las','y','es','un','una','de','para']))) AS h_es
+    FROM t
+), scored AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN n_chars / greatest(len(toks), 1) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN h_en > 0 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+    FROM h
+), filtered AS (
+    SELECT * FROM scored WHERE quality >= 0.5
+)
+SELECT min(doc_id) AS doc_id,
+       arg_min(lang, doc_id) AS lang,
+       arg_min(lang_pred, doc_id) AS lang_pred,
+       arg_min(quality, doc_id) AS quality
+FROM filtered GROUP BY text
 """
 
 
@@ -938,6 +1002,7 @@ _EXTENSION_QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "doc_pipeline": q_doc_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
@@ -961,6 +1026,7 @@ _EXTENSION_ORACLES = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_pipeline": SQL_DOC_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_lsh / simhash_pairs / ann_ivf / cosine_pairs: hash- or

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.middle import build_middle
+from .operators.post_ops import apply_post_ops
 from .operators.projection import apply_projection, output_columns
 from .operators.refer import apply_refer, apply_refers_batch, refers_merge_key
 from .plans.planner import seed_tables, topo_order
@@ -118,7 +119,8 @@ class DBT:
         columns included."""
         m = self.specs[key]
         if m.middle is not None:
-            return build_middle(m, self._resolve)
+            df = build_middle(m, self._resolve)
+            return apply_post_ops(df, m.post_ops, f"map {key!r}")
 
         df = self._resolve(SIDE_ORIGINAL, m.original_table)
         df = apply_conditions(df, m.extra_conditions)  # F1-F3 → pushdown
@@ -149,7 +151,9 @@ class DBT:
         ]
         if missing:
             raise SpecError(f"map {key!r}: columns never produced: {missing}")
-        return df.select(*ordered)
+        # Extension stages (dedup, scoring, tagging, filters) run on the
+        # projected result — same lazy plan, one Catalyst optimization pass.
+        return apply_post_ops(df.select(*ordered), m.post_ops, f"map {key!r}")
 
     def transform(self) -> dict[str, DataFrame]:
         """Plan every map in topo order; no writes.  Returns the final
@@ -168,7 +172,7 @@ class DBT:
     def write_columns(self, key: str) -> list[str]:
         m = self.specs[key]
         df = self._outputs[key]
-        return output_columns(m, set(df.columns))
+        return output_columns(m, df.columns)
 
     def do_transport(self, mode: str = "append") -> dict[str, DataFrame]:
         """Execute: seed check, plan, write each table in dependency order

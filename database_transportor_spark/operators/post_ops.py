@@ -1,0 +1,111 @@
+"""post_ops registry — the extension surface as declarative map stages.
+
+A map spec may carry ``"post_ops": [{"op": name, ...params}, ...]``; the
+planner applies each stage to the map's DataFrame after projection and
+lookups, in order.  This is what makes the LLM-pipeline operators part of
+the same declarative planner as the reference-parity operators: a spec can
+migrate a table AND dedup/score/fingerprint it in one plan, all lazy, all
+Catalyst-optimized together.
+
+Built-in stages (each a thin adapter over ``operators/``):
+
+    {"op": "exact_dedup", "keys": [...], "order_by": col, "keep": "min"}
+    {"op": "quality_score", "text_col": "text"}
+    {"op": "text_stats", "text_col": "text"}
+    {"op": "language_id", "text_col": "text"}
+    {"op": "fingerprint", "text_col": "text", "k": 8}
+    {"op": "token_count", "text_col": "text"}
+    {"op": "filter", "condition": "<sql expr>"}
+    {"op": "select", "columns": [...]}
+
+Register custom stages with :func:`register_post_op`; the callable gets
+``(df, params)`` and returns the new DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spec import SpecError
+
+__all__ = ["apply_post_ops", "register_post_op", "POST_OPS"]
+
+PostOp = Callable[[DataFrame, dict], DataFrame]
+
+POST_OPS: dict[str, PostOp] = {}
+
+
+def register_post_op(name: str):
+    def deco(fn: PostOp) -> PostOp:
+        POST_OPS[name] = fn
+        return fn
+
+    return deco
+
+
+def apply_post_ops(df: DataFrame, post_ops: tuple[dict, ...], where: str) -> DataFrame:
+    for spec in post_ops:
+        params = {k: v for k, v in spec.items() if k != "op"}
+        name = spec["op"]
+        if name not in POST_OPS:
+            raise SpecError(
+                f"{where}: unknown post_op {name!r} (known: {sorted(POST_OPS)})"
+            )
+        df = POST_OPS[name](df, params)
+    return df
+
+
+@register_post_op("exact_dedup")
+def _exact_dedup(df: DataFrame, p: dict) -> DataFrame:
+    from .dedup import exact_dedup
+
+    return exact_dedup(df, keys=p["keys"], order_by=p["order_by"],
+                       keep=p.get("keep", "min"))
+
+
+@register_post_op("quality_score")
+def _quality(df: DataFrame, p: dict) -> DataFrame:
+    from .text import quality_score
+
+    return quality_score(df, p.get("text_col", "text"))
+
+
+@register_post_op("text_stats")
+def _stats(df: DataFrame, p: dict) -> DataFrame:
+    from .text import text_stats
+
+    return text_stats(df, p.get("text_col", "text"))
+
+
+@register_post_op("language_id")
+def _lang(df: DataFrame, p: dict) -> DataFrame:
+    from .text import language_id
+
+    return language_id(df, p.get("text_col", "text"))
+
+
+@register_post_op("fingerprint")
+def _fp(df: DataFrame, p: dict) -> DataFrame:
+    from .text import fingerprint
+
+    return fingerprint(df, p.get("text_col", "text"), k=p.get("k", 8))
+
+
+@register_post_op("token_count")
+def _tc(df: DataFrame, p: dict) -> DataFrame:
+    from .text import token_count
+
+    return token_count(df, p.get("text_col", "text"))
+
+
+@register_post_op("filter")
+def _filter(df: DataFrame, p: dict) -> DataFrame:
+    return df.filter(F.expr(p["condition"]))
+
+
+@register_post_op("select")
+def _select(df: DataFrame, p: dict) -> DataFrame:
+    return df.select(*p["columns"])

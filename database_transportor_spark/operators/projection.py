@@ -112,14 +112,21 @@ def apply_projection(df: DataFrame, mspec: MapSpec) -> DataFrame:
     return result
 
 
-def output_columns(mspec: MapSpec, available: set[str]) -> list[str]:
+def output_columns(mspec: MapSpec, available) -> list[str]:
     """Final sink column list: define order, minus staging columns (X5 —
-    dropped before the write) and skips that nothing filled."""
+    dropped before the write) and skips that nothing filled; columns a
+    ``post_ops`` stage added (quality scores, language tags, ...) follow in
+    DataFrame order when ``available`` is ordered."""
+    avail = list(available)
+    avail_set = set(avail)
     cols = []
     for c in mspec.columns:
         if c.delete_after_transport:
             continue
-        if c.skip and c.target not in available:
+        if c.skip and c.target not in avail_set:
             continue
-        cols.append(c.target)
+        if c.target in avail_set:
+            cols.append(c.target)
+    declared = {c.target for c in mspec.columns}
+    cols += [c for c in avail if c not in declared]
     return cols

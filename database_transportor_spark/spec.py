@@ -413,6 +413,9 @@ class MapSpec:
     transport_after: Optional[str] = None
     run_after_transport: Optional[Callable[..., Any]] = None
     middle: Optional[MiddleSpec] = None
+    #: extension-surface stages applied after projection/lookups, in order;
+    #: each is {"op": <registry name>, ...params} (see operators/post_ops.py)
+    post_ops: tuple[dict, ...] = ()
 
     @property
     def staging_columns(self) -> tuple[str, ...]:
@@ -435,6 +438,12 @@ class MapSpec:
             raise SpecError(f"{where}: columns must be a dict")
         columns = tuple(ColumnSpec.parse(t, d) for t, d in columns_obj.items())
         middle = MiddleSpec.parse(obj["middle"], where) if obj.get("middle") else None
+        post_ops = obj.get("post_ops", [])
+        if not isinstance(post_ops, (list, tuple)):
+            raise SpecError(f"{where}: post_ops must be a list of dicts")
+        for p in post_ops:
+            if not isinstance(p, dict) or "op" not in p:
+                raise SpecError(f"{where}: each post_op needs an 'op' key, got {p!r}")
         original_table = obj.get("original_table")
         if original_table is None and middle is None:
             raise SpecError(f"{where}: needs original_table (or a middle spec)")
@@ -450,6 +459,7 @@ class MapSpec:
             transport_after=obj.get("transport_after"),
             run_after_transport=obj.get("run_after_transport"),
             middle=middle,
+            post_ops=tuple(post_ops),
         )
 
 

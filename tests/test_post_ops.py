@@ -1,0 +1,55 @@
+"""post_ops planner integration: stage chaining, added-column write-through,
+and error surfaces."""
+
+import pytest
+
+from database_transportor_spark import DBT, MemoryCatalog
+from database_transportor_spark.spec import SpecError
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again ok"),
+         (2, "the quick brown fox jumps over the lazy dog again and again ok"),
+         (3, "short")],
+        ["doc_id", "text"],
+    )
+
+
+def test_post_ops_chain_and_write_columns(spark):
+    maps = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "text": "text"},
+            "post_ops": [
+                {"op": "quality_score"},
+                {"op": "exact_dedup", "keys": ["text"], "order_by": "doc_id"},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=MemoryCatalog({"docs": _docs(spark)}))
+    out = eng.transform()["out"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}  # doc 2 deduped away, min doc_id survives
+    # post-op-added column is part of the written output
+    assert "quality" in eng.write_columns("out")
+
+
+def test_unknown_post_op_raises(spark):
+    maps = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id"},
+            "post_ops": [{"op": "no_such_op"}],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=MemoryCatalog({"docs": _docs(spark)}))
+    with pytest.raises(SpecError, match="no_such_op"):
+        eng.transform()
+
+
+def test_post_op_missing_op_key_rejected(spark):
+    with pytest.raises(SpecError, match="op"):
+        DBT({"out": {"original_table": "d", "columns": {"x": "x"},
+                     "post_ops": [{"keys": ["x"]}]}},
+            target=MemoryCatalog(), original=MemoryCatalog())
