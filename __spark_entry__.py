@@ -815,6 +815,31 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_binary(docs, "text")
+    out = sample_frames(media, "doc_id", "content",
+                        frame_bytes=64, stride=128, max_frames=8)
+    # DuckDB cannot slice BLOBs; compare frames through their hex encoding
+    # (byte slice == substring of hex at doubled offsets).
+    return out.select(
+        "doc_id", "frame_idx", F.md5(F.hex("frame")).alias("frame_digest")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id, i AS frame_idx,
+       md5(substring(hex(encode(text)), i * 256 + 1, 128)) AS frame_digest
+FROM documents, UNNEST(range(0, 8)) AS u(i)
+WHERE i * 128 < octet_length(encode(text))
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.streaming.events import tumbling_agg
 
@@ -1011,6 +1036,7 @@ _EXTENSION_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "cosine_pairs": q_cosine_pairs,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -1033,6 +1059,7 @@ _EXTENSION_ORACLES = {
     # approximation-dependent → rows-only (no DuckDB equivalent).
     "ann_cosine": SQL_ANN_COSINE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

@@ -109,10 +109,56 @@ def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, content_col: str = "content",
-                  every_ms: int = 1000) -> DataFrame:
-    """Sample video frames every ``every_ms``.  STUB — see :func:`decode_image`."""
-    raise NotImplementedError(
-        "video codecs not available in this environment; the mapInPandas "
-        "batch contract matches byte_features()"
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_bytes: int = 64,
+    stride: int = 128,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Sample "frames" from a binary payload — deterministic fake decode.
+
+    Video codecs are not in this container, so the decoder is a byte
+    slicer: frame ``i`` is ``content[i*stride : i*stride+frame_bytes]``.
+    The Spark plumbing is the REAL video-sampling shape and is what this
+    operator tests: ``mapInPandas`` with **fan-out** (one input row yields
+    up to ``max_frames`` output rows), Arrow batch iteration, and a typed
+    output schema carrying per-frame binary + metadata.  Swap the slicer
+    for a PyAV/ffmpeg frame grab and nothing else changes.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+            StructField("frame_digest", StringType()),
+        ]
     )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content)
+                for i in range(max_frames):
+                    start = i * stride
+                    if start >= len(data):
+                        break
+                    chunk = data[start : start + frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(sample, schema)
