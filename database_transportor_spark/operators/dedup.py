@@ -175,7 +175,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "intersection", "union_size", "jaccard")
     )
-    return out
+    # The pair set is tiny (threshold-bounded) and every consumer —
+    # clustering, reporting, survivor selection — re-reads it; persisting
+    # lets Spark's cache manager serve identical downstream plans without
+    # re-running the self-join.
+    return out.persist()
 
 
 def minhash_signatures(
@@ -329,6 +333,13 @@ def dedup_clusters(
         .union(pairs.select(F.col(id_b).alias("__s"), F.col(id_a).alias("__d")))
         .persist()
     )
+    # Size the iteration's partitioning to the EDGE set, not the session
+    # default: the pair graph is orders of magnitude smaller than the
+    # corpus, and per-round task overhead dominates when a few thousand
+    # edges spread over hundreds of shuffle partitions.  ~1M edges per
+    # partition keeps rounds overhead-free locally and scales linearly.
+    n_parts = max(2, min(int(edges.count() // 1_000_000) + 1, 2048))
+    edges = edges.repartition(n_parts, "__s").persist()
     # Only vertices touched by an edge can ever change label; isolated
     # documents (the overwhelming majority of a corpus) are appended at the
     # end as their own cluster.  The iteration then works on ~2·|pairs|
@@ -336,6 +347,7 @@ def dedup_clusters(
     labels = (
         edges.select(F.col("__s").alias("__v"))
         .distinct()
+        .repartition(n_parts, "__v")
         .select("__v", F.col("__v").alias("__label"))
         .localCheckpoint()
     )
