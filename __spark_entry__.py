@@ -170,6 +170,77 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# P5 — multi-output transform (affection): one function fills several columns
+# ---------------------------------------------------------------------------
+
+def q_affection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    maps = {
+        "out": {
+            "original_table": "customer",
+            "columns": {
+                "id": "c_custkey",
+                "uname": {
+                    "original": "c_name",
+                    "function": "named_struct('c_name', upper(c_name), "
+                                "'seg_low', lower(c_mktsegment))",
+                    "affection": [
+                        {"target_column": "seg", "source_key": "seg_low"},
+                    ],
+                },
+                "seg": None,  # P6 skip: filled by the affection above
+            },
+        }
+    }
+    return _run(spark, sf_dir, maps, "out")
+
+
+SQL_AFFECTION = """
+SELECT c_custkey AS id, upper(c_name) AS uname, lower(c_mktsegment) AS seg
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 hooks — pre_format (probe-key transform) + format_wanted (post-lookup,
+# applied even on miss, then ?? default)
+# ---------------------------------------------------------------------------
+
+def q_refer_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    maps = {
+        "out": {
+            "original_table": "customer",
+            "columns": {
+                "id": "c_custkey",
+                "shifted_nk": {"original": "c_nationkey",
+                               "function": "c_nationkey + 20"},
+                "nation": {
+                    "refer": {
+                        "search_source": "original",
+                        "search_table": "nation",
+                        "search_column": "n_nationkey",
+                        "according_column": "shifted_nk",
+                        "wanted_column": "n_name",
+                        "pre_format": "abs({value})",
+                        "format_wanted": "upper({value})",
+                    },
+                    "default": "none",
+                },
+            },
+        }
+    }
+    return _run(spark, sf_dir, maps, "out")
+
+
+SQL_REFER_HOOKS = """
+SELECT c.c_custkey AS id,
+       c.c_nationkey + 20 AS shifted_nk,
+       COALESCE(UPPER(n.n_name), 'none') AS nation
+FROM customer c
+LEFT JOIN nation n ON n.n_nationkey = abs(c.c_nationkey + 20)
+"""
+
+
+# ---------------------------------------------------------------------------
 # J1 — single-key refer lookup (left enrichment, miss ⇒ default)
 # ---------------------------------------------------------------------------
 
@@ -442,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_conditions": q_filter_conditions,
         "filter_negations": q_filter_negations,
         "transform_expr": q_transform_expr,
+        "affection": q_affection,
+        "refer_hooks": q_refer_hooks,
         "refer_single": q_refer_single,
         "refer_multi": q_refer_multi,
         "refers_group": q_refers_group,
@@ -457,6 +530,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_conditions": SQL_FILTER_CONDITIONS,
         "filter_negations": SQL_FILTER_NEGATIONS,
         "transform_expr": SQL_TRANSFORM_EXPR,
+        "affection": SQL_AFFECTION,
+        "refer_hooks": SQL_REFER_HOOKS,
         "refer_single": SQL_REFER_SINGLE,
         "refer_multi": SQL_REFER_MULTI,
         "refers_group": SQL_REFERS_GROUP,
