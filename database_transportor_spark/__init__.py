@@ -14,7 +14,13 @@ Core API::
 
 from .engine import DBT
 from .spec import SpecError, parse_maps
-from .sources.catalog import Catalog, JDBCCatalog, MemoryCatalog, ParquetCatalog
+from .sources.catalog import (
+    Catalog,
+    JDBCCatalog,
+    MemoryCatalog,
+    ParquetCatalog,
+    TableCatalog,
+)
 
 __all__ = [
     "DBT",
@@ -24,6 +30,7 @@ __all__ = [
     "JDBCCatalog",
     "MemoryCatalog",
     "ParquetCatalog",
+    "TableCatalog",
 ]
 
 __version__ = "0.1.0"
