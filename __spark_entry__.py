@@ -1053,6 +1053,43 @@ FROM documents
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, "doc_id", "text").select(
+        "doc_id", "dup_token_fraction", "top_bigram_fraction"
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN 1.0 - len(list_distinct(toks)) / len(toks)
+                ELSE 0.0 END AS dup_token_fraction,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END AS bgs
+    FROM t
+), ex AS (
+    SELECT doc_id, unnest(bgs) AS bg FROM base
+), counts AS (
+    SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY 1, 2
+), top AS (
+    SELECT doc_id, max(c) / sum(c) AS top_bigram_fraction
+    FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id, b.dup_token_fraction,
+       COALESCE(t.top_bigram_fraction, 0.0) AS top_bigram_fraction
+FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.text import quality_score
 
@@ -1120,6 +1157,7 @@ _EXTENSION_QUERIES = {
     "events_topn": q_events_topn,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
+    "repetition_stats": q_repetition_stats,
 }
 
 _EXTENSION_ORACLES = {
@@ -1143,4 +1181,5 @@ _EXTENSION_ORACLES = {
     "events_topn": SQL_EVENTS_TOPN,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
+    "repetition_stats": SQL_REPETITION_STATS,
 }

@@ -28,6 +28,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "repetition_stats",
     "token_count",
     "STOPWORDS",
 ]
@@ -117,6 +118,50 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
     head-fingerprint for candidate-level dedup keys."""
     head = F.concat_ws(" ", F.slice(tokens(text_col), 1, k))
     return df.withColumn(out_col, F.md5(head))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals — the filters that catch boilerplate
+    and degenerate generations:
+
+    - ``dup_token_fraction``: 1 − distinct/total tokens.
+    - ``top_bigram_fraction``: share of all bigrams taken by the most
+      frequent one.
+
+    The token fraction is a pure expression (single ``array_distinct``
+    pass).  The bigram mode is explode → two-level groupBy — a per-element
+    nested-HOF frequency scan would re-evaluate the tokenizer per distinct
+    bigram (the O(n²) interpreted-lambda trap), and the aggregation shape
+    also holds for book-length documents.  One shuffle on (id, bigram).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    dup_frac = F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+    n2 = F.size(toks) - 1
+    z = F.arrays_zip(F.slice(toks, 1, n2), F.slice(toks, 2, n2))
+    bigrams = F.when(
+        n < 2, F.array().cast("array<struct<`0`:string,`1`:string>>")
+    ).otherwise(z)
+    posting = df.select(
+        F.col(id_col).alias("__id"), F.explode(bigrams).alias("__z")
+    ).select("__id", F.concat_ws(" ", "__z.0", "__z.1").alias("__bg"))
+    top = (
+        posting.groupBy("__id", "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("__id")
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__total"))
+        .select(
+            "__id", (F.col("__top") / F.col("__total")).alias("top_bigram_fraction")
+        )
+    )
+    out = df.withColumn("dup_token_fraction", dup_frac)
+    return out.join(
+        top, out[id_col] == top["__id"], "left"
+    ).withColumn(
+        "top_bigram_fraction", F.coalesce("top_bigram_fraction", F.lit(0.0))
+    ).drop("__id")
 
 
 def token_count(df: DataFrame, text_col: str = "text",
