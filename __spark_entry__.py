@@ -1115,6 +1115,26 @@ FROM t
 """
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from database_transportor_spark.streaming.events import stream_dedup_count
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return stream_dedup_count(
+        spark,
+        f"{sf_dir}/events.parquet",
+        sink_table=f"sdd_{uuid.uuid4().hex[:8]}",
+    )
+
+
+SQL_EVENTS_STREAM_DEDUP = """
+SELECT count(DISTINCT event_id % 1000) AS n_unique,
+       count(DISTINCT event_id % 1000) AS n_keys
+FROM events
+"""
+
+
 def q_events_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.streaming.events import topn_per_key
 
@@ -1154,6 +1174,7 @@ _EXTENSION_QUERIES = {
     "events_session": q_events_session,
     "events_stream_window": q_events_stream_window,
     "events_stateful": q_events_stateful,
+    "events_stream_dedup": q_events_stream_dedup,
     "events_topn": q_events_topn,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1178,6 +1199,7 @@ _EXTENSION_ORACLES = {
     "events_session": SQL_EVENTS_SESSION,
     "events_stream_window": SQL_EVENTS_WINDOW,
     "events_stateful": SQL_EVENTS_STATEFUL,
+    "events_stream_dedup": SQL_EVENTS_STREAM_DEDUP,
     "events_topn": SQL_EVENTS_TOPN,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,

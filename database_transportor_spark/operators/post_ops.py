@@ -15,6 +15,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "language_id", "text_col": "text"}
     {"op": "fingerprint", "text_col": "text", "k": 8}
     {"op": "token_count", "text_col": "text"}
+    {"op": "repetition_stats", "id_col": "doc_id", "text_col": "text"}
     {"op": "filter", "condition": "<sql expr>"}
     {"op": "select", "columns": [...]}
 
@@ -99,6 +100,13 @@ def _tc(df: DataFrame, p: dict) -> DataFrame:
     from .text import token_count
 
     return token_count(df, p.get("text_col", "text"))
+
+
+@register_post_op("repetition_stats")
+def _rep(df: DataFrame, p: dict) -> DataFrame:
+    from .text import repetition_stats
+
+    return repetition_stats(df, p.get("id_col", "doc_id"), p.get("text_col", "text"))
 
 
 @register_post_op("filter")

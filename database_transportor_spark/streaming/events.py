@@ -18,6 +18,7 @@ __all__ = [
     "session_agg",
     "stream_tumbling_agg",
     "stream_stateful_totals",
+    "stream_dedup_count",
     "topn_per_key",
 ]
 
@@ -168,6 +169,59 @@ def stream_tumbling_agg(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_dedup_count(
+    spark: SparkSession,
+    source_dir: str,
+    ts_col: str = "ts",
+    key_expr: str = "event_id % 1000",
+    watermark: str = "2 hours",
+    sink_table: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: keep the
+    first event per ``key_expr`` seen inside the watermark horizon —
+    exactly-once semantics over an at-least-once source, with state
+    bounded by the watermark instead of growing forever (the property
+    that matters at 100 TB/day; plain ``dropDuplicates`` on a stream
+    never expires state).
+
+    WHICH row survives per key depends on arrival order, so the
+    deterministic (oracle-checkable) output is the surviving-rows count
+    per key-expression value — equal to the batch distinct count.
+    """
+    import os
+
+    from pyspark.sql.types import LongType
+
+    batch_df = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(batch_df.schema)
+    if source_dir.endswith(".parquet") and os.path.isfile(source_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        stream = reader.parquet(os.path.dirname(source_dir))
+    else:
+        stream = reader.parquet(source_dir)
+    if isinstance(stream.schema[ts_col].dataType, LongType):
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    deduped = (
+        stream.withColumn("__k", F.expr(key_expr))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__k"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table).select(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("__k").alias("n_keys"),
+    )
 
 
 def stream_stateful_totals(
