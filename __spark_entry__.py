@@ -278,6 +278,104 @@ LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# J1 rtrim — string keys normalized with rtrim on BOTH sides (trailing
+# whitespace in either table still matches; DBT.php:306-312)
+# ---------------------------------------------------------------------------
+
+def q_refer_rtrim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    padded = nation.select(
+        F.concat(F.col("n_name"), F.lit("   ")).alias("name_padded"),
+        F.col("n_regionkey"),
+    )
+    maps = {
+        "out": {
+            "original_table": "customer",
+            "columns": {
+                "id": "c_custkey",
+                "nname": {
+                    "refer": {
+                        "search_source": "original",
+                        "search_table": "nation",
+                        "search_column": "n_nationkey",
+                        "according_column": "id",
+                        "wanted_column": "n_name",
+                    },
+                    # harness detail: derive a per-row STRING probe key
+                    # (nation name) so the rtrim path is actually string-typed
+                },
+                "regionkey": {
+                    "refer": {
+                        "search_source": "original",
+                        "search_table": "nation_padded",
+                        "search_column": "name_padded",
+                        "according_column": "nname",
+                        "wanted_column": "n_regionkey",
+                    },
+                    "default": -1,
+                },
+            },
+        }
+    }
+    # first refer maps custkey→nation name (int key); second probes the
+    # PADDED name table with the unpadded name — only rtrim makes it hit.
+    out = _run(spark, sf_dir, maps, "out",
+               extra_original={"nation_padded": padded})
+    return out.select("id", "nname", "regionkey")
+
+
+SQL_REFER_RTRIM = """
+WITH padded AS (
+    SELECT n_name || '   ' AS name_padded, n_regionkey FROM nation
+)
+SELECT c.c_custkey AS id,
+       n.n_name AS nname,
+       COALESCE(p.n_regionkey, -1) AS regionkey
+FROM customer c
+LEFT JOIN nation n ON n.n_nationkey = c.c_custkey
+LEFT JOIN padded p ON rtrim(p.name_padded) = rtrim(n.n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 dup-key dedup — duplicate build-side keys collapse to ONE winner
+# (max(wanted), the engine's pinned determinization of PHP pluck()
+# last-wins); driving cardinality must not fan out
+# ---------------------------------------------------------------------------
+
+def q_refer_dupkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    maps = {
+        "out": {
+            "original_table": "customer",
+            "columns": {
+                "id": "c_custkey",
+                "max_order_total": {
+                    "refer": {
+                        "search_source": "original",
+                        "search_table": "orders",
+                        "search_column": "o_custkey",  # duplicated per customer
+                        "according_column": "id",
+                        "wanted_column": "o_totalprice",
+                    },
+                    "default": 0.0,
+                },
+            },
+        }
+    }
+    return _run(spark, sf_dir, maps, "out")
+
+
+SQL_REFER_DUPKEYS = """
+SELECT c.c_custkey AS id,
+       COALESCE(o.w, 0.0) AS max_order_total
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, MAX(o_totalprice) AS w FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # J2 — multi-key refer; miss ⇒ NULL even with a default configured
 # ---------------------------------------------------------------------------
 
@@ -516,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affection": q_affection,
         "refer_hooks": q_refer_hooks,
         "refer_single": q_refer_single,
+        "refer_rtrim": q_refer_rtrim,
+        "refer_dupkeys": q_refer_dupkeys,
         "refer_multi": q_refer_multi,
         "refers_group": q_refers_group,
         "middle_junction": q_middle_junction,
@@ -533,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
         "affection": SQL_AFFECTION,
         "refer_hooks": SQL_REFER_HOOKS,
         "refer_single": SQL_REFER_SINGLE,
+        "refer_rtrim": SQL_REFER_RTRIM,
+        "refer_dupkeys": SQL_REFER_DUPKEYS,
         "refer_multi": SQL_REFER_MULTI,
         "refers_group": SQL_REFERS_GROUP,
         "middle_junction": SQL_MIDDLE_JUNCTION,
