@@ -13,6 +13,7 @@ Core API::
 """
 
 from .engine import DBT
+from .session import build_session
 from .spec import SpecError, parse_maps
 from .sources.catalog import (
     Catalog,
@@ -24,6 +25,7 @@ from .sources.catalog import (
 
 __all__ = [
     "DBT",
+    "build_session",
     "SpecError",
     "parse_maps",
     "Catalog",

@@ -109,18 +109,14 @@ def _build_catalog(spark, conf: dict[str, Any]):
 
 
 def _cmd_transport(args: argparse.Namespace) -> int:
-    from pyspark.sql import SparkSession
-
     from .engine import DBT
+    from .session import build_session
 
     mods = [_load_module(p) for p in args.spec]
-    builder = SparkSession.builder.appName("database-transportor")
-    if args.master:
-        builder = builder.master(args.master)
+    extra: dict[str, str] = {}
     for mod in mods:
-        for k, v in getattr(mod, "SPARK", {}).items():
-            builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+        extra.update(getattr(mod, "SPARK", {}))
+    spark = build_session(master=args.master, extra_conf=extra)
 
     for mod, path in zip(mods, args.spec):
         eng = DBT(
