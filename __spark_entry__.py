@@ -1256,6 +1256,227 @@ SELECT event_id, event_type, value, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-level pipeline ops: decontamination, splits, sampling, packing, PII
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of ngram_shingle_hashes' word-3-gram sets (string-valued;
+# hash equality == string equality for oracle purposes, as in ngram_jaccard).
+_SQL_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    out = decontaminate(corpus, benchmark, "doc_id", "text", n=3, threshold=0.05)
+    return out.select(
+        "doc_id",
+        F.col("doc_ngrams").cast("long").alias("doc_ngrams"),
+        F.col("overlap_ngrams").cast("long").alias("overlap_ngrams"),
+        "contamination",
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+bench AS (
+    SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+), posting AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0
+), agg AS (
+    SELECT p.doc_id,
+           count(*) AS doc_ngrams,
+           sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS overlap_ngrams
+    FROM posting p LEFT JOIN bench b ON p.s = b.s
+    GROUP BY p.doc_id
+)
+SELECT doc_id, doc_ngrams, overlap_ngrams,
+       overlap_ngrams / doc_ngrams AS contamination
+FROM agg WHERE overlap_ngrams / doc_ngrams >= 0.05
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.corpus import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_assign(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        hash_fn="multiplicative",  # ANSI-SQL-portable for the oracle;
+    )                              # production default is xxhash64
+    return out.select("doc_id", "lang", "split")
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT doc_id, lang,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000 THEN 'train'
+            WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.corpus import leakage_safe_split
+    from database_transportor_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_df=100,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    out = leakage_safe_split(
+        docs, clusters, "doc_id", "cluster_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05}, hash_fn="multiplicative",
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+SQL_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+ex0 AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), hot AS (
+    SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100
+), ex AS (
+    SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.i / (sa.n + sb.n - i.i) >= 0.05
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), clusters AS (
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 10000 < 9000 THEN 'train'
+            WHEN ((cluster_id * 2654435761) % 4294967296) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, ["lang", "source"], k=5, id_col="doc_id", hash_fn="multiplicative"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(
+        docs, "doc_id", "n_chars", budget=2000, group_cols=["lang"]
+    )
+    return out.select("doc_id", "lang", "pack_offset", "pack_id")
+
+
+SQL_PACK_SEQUENCES = """
+SELECT doc_id, lang,
+       sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_chars AS pack_offset,
+       lang || '#' || CAST(CAST(FLOOR((sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+           / 2000) AS BIGINT) AS VARCHAR) AS pack_id
+FROM documents
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.corpus import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Fixture text is synthetic lowercase prose with no PII; splice a
+    # deterministic email + IP into every 5th document so the redaction
+    # path has real matches to find.
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = redact_pii(seeded, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("text").alias("redacted"),
+    )
+
+
+SQL_REDACT_PII = r"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\+\d[\d()\- ]{7,}\d')) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+           '\+\d[\d()\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM seeded
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1281,6 +1502,12 @@ _EXTENSION_QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "split_assign": q_split_assign,
+    "leakage_split": q_leakage_split,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "redact_pii": q_redact_pii,
 }
 
 _EXTENSION_ORACLES = {
@@ -1306,4 +1533,10 @@ _EXTENSION_ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
     "repetition_stats": SQL_REPETITION_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "leakage_split": SQL_LEAKAGE_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "redact_pii": SQL_REDACT_PII,
 }

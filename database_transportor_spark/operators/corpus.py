@@ -1,0 +1,285 @@
+"""Corpus-level operators for LLM training-data pipelines.
+
+These run AFTER per-document analysis (text.py) and near-dup detection
+(dedup.py): benchmark decontamination, train/val/test splitting (row-level
+and leakage-safe cluster-level), deterministic stratified sampling, sequence
+packing, and PII redaction.  All are DataFrame-native — no Python in the hot
+path — and each documents its 100 TB shape.
+
+Determinism contract: every operator here must assign the same output to the
+same row regardless of cluster size, partitioning, or run count — splits and
+samples feed downstream training jobs and must be reproducible.  Two hash
+families are offered:
+
+- ``xxhash64`` (default): Spark's 64-bit xxHash — the production choice.
+- ``multiplicative``: Knuth multiplicative hashing ``(id * 2654435761 + salt)
+  mod 2^32`` — weaker mixing, but expressible in ANSI SQL, so the DuckDB
+  oracle can verify the assignment bit-for-bit.  Only defined for integral
+  ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import ngram_shingle_hashes
+
+__all__ = [
+    "bucket_column",
+    "decontaminate",
+    "split_assign",
+    "leakage_safe_split",
+    "stratified_sample",
+    "pack_sequences",
+    "redact_pii",
+    "PII_PATTERNS",
+]
+
+KNUTH = 2654435761  # 2^32 * golden ratio conjugate; classic multiplicative mix
+M32 = 4294967296
+
+
+def bucket_column(
+    id_col: Column | str,
+    n_buckets: int,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Deterministic bucket in ``[0, n_buckets)`` for an id column.
+
+    ``xxhash64``: production default.  ``multiplicative``: ANSI-SQL-portable
+    (integral ids only) so external engines can reproduce the assignment.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(n_buckets))
+    if hash_fn == "multiplicative":
+        return F.pmod(
+            F.pmod(c.cast("long") * F.lit(KNUTH) + F.lit(salt), F.lit(M32)),
+            F.lit(n_buckets),
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``n``-grams with an evaluation/benchmark set.
+
+    Returns ``(id_col, doc_ngrams, overlap_ngrams, contamination)`` for
+    every document with ≥1 shingle, where ``contamination`` = fraction of
+    the document's distinct n-grams that appear anywhere in the benchmark
+    set; rows below ``threshold`` are dropped (default 0.0 keeps all).
+
+    Scale shape: the benchmark side (eval sets — MMLU, GSM8K, held-out
+    suites) is tiny next to a 100 TB corpus, so its distinct shingle-hash
+    set is **broadcast**; the corpus side is one narrow explode + broadcast
+    semi-join + one groupBy(id) — a single shuffle keyed by document id,
+    no corpus self-join anywhere.  Shingles are ``xxhash64`` longs (8-byte
+    compare, no string movement); see ``ngram_shingle_hashes``.
+    """
+    bcol = bench_text_col or text_col
+    bench_set = (
+        benchmark.select(F.explode(ngram_shingle_hashes(bcol, n)).alias("__h"))
+        .distinct()
+    )
+    posting = df.select(
+        F.col(id_col), F.explode(ngram_shingle_hashes(text_col, n)).alias("__h")
+    )
+    hit = F.when(F.col("__bh").isNotNull(), 1).otherwise(0)
+    out = (
+        posting.join(
+            F.broadcast(bench_set.select(F.col("__h").alias("__bh"))),
+            posting["__h"] == F.col("__bh"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("doc_ngrams"),
+            F.sum(hit).alias("overlap_ngrams"),
+        )
+        .withColumn(
+            "contamination", F.col("overlap_ngrams") / F.col("doc_ngrams")
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("contamination") >= threshold)
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    out_col: str = "split",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the id into
+    ``n_buckets`` and cut by cumulative weight.  Pure projection — zero
+    shuffles, stable under any partitioning or cluster size, so the same
+    document always lands in the same split across reruns and backfills.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = bucket_column(id_col, n_buckets, salt, hash_fn)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(round(acc * n_buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Split assignment keyed by near-duplicate **cluster**, not document:
+    every member of a cluster gets the same split, so near-dups of a test
+    document can never leak into train.  ``clusters`` is the output of
+    :func:`dedup.dedup_clusters` (``id_col``, ``cluster_col``).
+
+    Shape: one equi-join corpus⋈clusters on the id (both sides already
+    keyed by document id; with the cluster map orders of magnitude smaller
+    than the corpus it broadcasts), then the same zero-shuffle hash-cut as
+    :func:`split_assign` applied to the cluster id.
+    """
+    labeled = df.join(clusters.select(id_col, cluster_col), id_col, "left")
+    # Documents missing from the cluster map are their own singleton cluster.
+    labeled = labeled.withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    return split_assign(
+        labeled, cluster_col, weights, salt, hash_fn, out_col
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic ``k``-per-stratum sample: rank rows inside each stratum
+    by a hash of their id and keep the ``k`` smallest.  Unlike
+    ``df.sampleBy`` this is exactly-k, reproducible, and independent of
+    partitioning.
+
+    Shape: one shuffle (window partitioned by the strata).  At 100 TB
+    prefer strata that are genuinely coarse (source, language); the window
+    sorts each stratum — for huge strata swap in a per-partition top-k +
+    merge (``RDD.takeOrdered`` shape) — but a hash-ranked window is exact
+    and deterministic, which sampling for eval sets usually requires.
+    """
+    rank_key = bucket_column(id_col, M32, salt, hash_fn)
+    w = Window.partitionBy(*strata_cols).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    ("packs") by contiguous fill: documents are laid on a tape in ``id``
+    order (per group) and a document belongs to the pack where it *starts*
+    — ``pack = floor(start_offset / budget)``.  This is the
+    concatenate-then-chunk packing standard pretraining pipelines use
+    (docs straddling a boundary belong to their starting chunk).
+
+    Returns the input plus ``pack_id`` (globally unique when grouped:
+    ``group ## pack_index``) and ``pack_offset`` (the document's start
+    offset within its group's tape).
+
+    Shape: one window cumulative-sum per group.  Packing is
+    embarrassingly parallel across groups — at 100 TB the group should be
+    a shard key (e.g. ``pmod(xxhash64(id), n_shards)`` or source+date), so
+    each window partition is one shard and no global sort exists.  A
+    cumulative sum over ``rows unbounded preceding`` is a streaming pass
+    per partition, not a sort-the-world.
+    """
+    groups = group_cols or []
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)).alias("pack_offset")
+    out = df.withColumn("pack_offset", start)
+    pack_idx = F.floor(F.col("pack_offset") / F.lit(budget))
+    if groups:
+        pack = F.concat_ws(
+            "#", *[F.col(g).cast("string") for g in groups], pack_idx.cast("string")
+        )
+    else:
+        pack = pack_idx.cast("string")
+    return out.withColumn(out_col, pack)
+
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB/Go scrubbers): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d()\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+    count_cols: bool = True,
+) -> DataFrame:
+    """Redact PII spans from a text column, replacing each match with
+    ``<PATTERN_NAME>`` and (optionally) counting matches per pattern.
+
+    Pure projection — regexp_replace chains inside whole-stage codegen,
+    zero shuffles, linear in corpus size.  Patterns are applied in dict
+    order; counts are computed on the ORIGINAL text so later patterns
+    can't eat earlier matches' counts.
+    """
+    pats = patterns or PII_PATTERNS
+    out = out_col or text_col
+    result = df
+    if count_cols:
+        for name, pat in pats.items():
+            result = result.withColumn(
+                f"n_{name}",
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+            )
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return result.withColumn(out, red)

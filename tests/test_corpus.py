@@ -1,0 +1,137 @@
+"""Corpus-level pipeline operators: splits, sampling, packing,
+decontamination, PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.corpus import (
+    decontaminate,
+    leakage_safe_split,
+    pack_sequences,
+    redact_pii,
+    split_assign,
+    stratified_sample,
+)
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = split_assign(df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    # partitioning must not change any assignment
+    assert a.join(b.withColumnRenamed("split", "s2"), "doc_id") \
+            .filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_split_assign_multiplicative_matches_formula(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+                       hash_fn="multiplicative").collect()
+    for r in out:
+        b = ((r["doc_id"] * 2654435761) % 4294967296) % 10000
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert r["split"] == want
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    # clusters of 4: cluster_id = doc_id - doc_id % 4
+    clusters = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster_id")
+    )
+    out = leakage_safe_split(docs, clusters, "doc_id", "cluster_id")
+    spans = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spans == 0
+    # docs absent from the cluster map fall back to singleton clusters
+    partial = clusters.filter(F.col("doc_id") < 500)
+    out2 = leakage_safe_split(docs, partial, "doc_id", "cluster_id")
+    assert out2.filter(F.col("cluster_id").isNull()).count() == 0
+    assert out2.count() == 1000
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], ["doc_id", "grp"]
+    )
+    s1 = stratified_sample(df, ["grp"], k=7, id_col="doc_id")
+    assert s1.groupBy("grp").count().filter(F.col("count") != 7).count() == 0
+    s2 = stratified_sample(df.repartition(5), ["grp"], k=7, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in s1.collect()) == \
+           sorted(r["doc_id"] for r in s2.collect())
+    # k larger than the stratum keeps everything
+    tiny = df.filter(F.col("doc_id") < 5)
+    assert stratified_sample(tiny, ["grp"], k=100, id_col="doc_id").count() == 5
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 600), (4, 600), (5, 100)],
+        ["doc_id", "n_tok"],
+    )
+    out = {r["doc_id"]: (r["pack_offset"], r["pack_id"])
+           for r in pack_sequences(df, "doc_id", "n_tok", budget=1000).collect()}
+    # offsets: 0, 600, 1200, 1800, 2400 → packs 0,0,1,1,2
+    assert out == {1: (0, "0"), 2: (600, "0"), 3: (1200, "1"),
+                   4: (1800, "1"), 5: (2400, "2")}
+
+
+def test_pack_sequences_grouped_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 900), (2, "a", 900), (1, "b", 900)],
+        ["doc_id", "g", "n_tok"],
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=1000, group_cols=["g"])
+    packs = {(r["g"], r["doc_id"]): r["pack_id"] for r in out.collect()}
+    assert packs == {("a", 1): "a#0", ("a", 2): "a#0", ("b", 1): "b#0"}
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a sleeping cat"),  # shares prefix
+            (2, "completely unrelated words appear in this line here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(corpus, bench, "doc_id", "text", n=3).collect()}
+    assert out[1]["overlap_ngrams"] > 0
+    assert out[2]["overlap_ngrams"] == 0
+    assert 0 < out[1]["contamination"] <= 1.0
+    # threshold drops the clean doc
+    flagged = decontaminate(corpus, bench, "doc_id", "text", n=3, threshold=0.1)
+    assert [r["doc_id"] for r in flagged.collect()] == [1]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or from 192.168.0.1 call +1 555 123 4567"),
+            (2, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["text"] and "<IPV4>" in out[1]["text"]
+    assert "bob@example.com" not in out[1]["text"]
+    assert out[2]["text"] == "nothing sensitive here"
+    assert out[2]["n_email"] == 0
+
+
+def test_split_assign_bad_hash_fn(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", hash_fn="md5").collect()
