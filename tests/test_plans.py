@@ -68,3 +68,27 @@ def test_scan_project_prunes_unused_columns(spark):
     # customer has 8 columns; the query uses 4 — address/comment must not scan
     assert "c_address" not in plan
     assert "c_comment" not in plan
+
+
+def test_split_assign_zero_shuffle(spark):
+    # split assignment is a pure projection — any Exchange would mean the
+    # hash-cut stopped being partition-stable
+    df = _entry().queries()["split_assign"](spark, SF)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark shingle set must broadcast; a shuffle join here would
+    # move the whole corpus posting list at 100 TB
+    df = _entry().queries()["decontaminate"](spark, SF)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_single_window_pass(spark):
+    # one hash-partitioned exchange for the per-group window, nothing more
+    df = _entry().queries()["pack_sequences"](spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
