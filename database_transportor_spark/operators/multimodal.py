@@ -32,6 +32,7 @@ __all__ = [
     "attach_binary",
     "byte_features",
     "decode_image",
+    "resize_image",
     "sample_frames",
 ]
 
@@ -107,6 +108,80 @@ def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
         "image codecs not available in this environment; see byte_features() "
         "for the identical mapInPandas plumbing with a deterministic extractor"
     )
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    target_width: int = 64,
+    target_height: int = 64,
+) -> DataFrame:
+    """Resize an image binary column to ``target_width × target_height``,
+    emitting the resized payload plus an updated metadata struct.
+
+    When pillow is importable the real decoder runs
+    (``Image.open → resize → tobytes``).  In this container it is not, so a
+    clearly-marked deterministic fake stands in: the payload is
+    stride-sampled down to exactly ``target_width * target_height`` bytes
+    (or fewer for tiny payloads).  Either way the Spark side is the real
+    resize shape — ``mapInPandas`` over Arrow batches, binary in / binary
+    out, typed meta struct, no shuffle, partition-preserving — so swapping
+    the body for the codec changes nothing in the plan.
+    """
+    try:  # pragma: no cover - pillow absent in this environment
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("content", BinaryType()),
+            StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+    n_out = target_width * target_height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if have_pil:  # pragma: no cover - real decode path
+            import io
+
+            from PIL import Image
+
+            def one(b: bytes) -> bytes:
+                img = Image.open(io.BytesIO(b))
+                return img.resize((target_width, target_height)).tobytes()
+
+        else:
+            # Deterministic fake: stride-sample to n_out bytes.
+            def one(b: bytes) -> bytes:
+                if len(b) <= n_out:
+                    return b
+                step = len(b) / n_out
+                return bytes(b[int(i * step)] for i in range(n_out))
+
+        for pdf in batches:
+            out = pdf[content_col].map(lambda b: one(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": out,
+                    "meta": [
+                        {
+                            "mime": "image/raw",
+                            "width": target_width,
+                            "height": target_height,
+                            "duration_ms": None,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(do_resize, schema)
 
 
 def sample_frames(

@@ -49,3 +49,51 @@ def test_union_find_string_ids(spark):
     pairs = spark.createDataFrame([("b", "a"), ("b", "c")], ["id_a", "id_b"])
     out = _result(dedup_clusters(vertices, pairs, "doc_id"))
     assert out == [("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")]
+
+
+def test_minhash_lsh_precision_and_recall(spark):
+    """LSH guarantees: every returned pair really has jaccard >= threshold
+    (verification step), and recall vs the exact pair set stays high."""
+    from database_transportor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in lsh}
+    # precision is exact by construction (verified jaccard)
+    for r in lsh:
+        assert r["jaccard"] >= 0.5
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.7, (len(got), len(exact))
+
+
+def test_resize_image_plumbing(spark):
+    from database_transportor_spark.operators.multimodal import (
+        attach_binary,
+        resize_image,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = attach_binary(docs)
+    out = resize_image(media, "doc_id", "content", target_width=8, target_height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["content"]) <= 32
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+    # deterministic across runs
+    again = {r["doc_id"]: bytes(r["content"]) for r in
+             resize_image(media, "doc_id", "content", 8, 4).collect()}
+    for r in rows:
+        assert bytes(r["content"]) == again[r["doc_id"]]
