@@ -1256,6 +1256,54 @@ SELECT event_id, event_type, value, rn FROM (
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep as ONE declarative spec: scan → redact → deterministic
+    split → per-split sequence packing → drop the test split."""
+    maps = {
+        "prepped": {
+            "original_table": "documents",
+            "columns": {"doc_id": "doc_id", "text": "text", "n_chars": "n_chars"},
+            "post_ops": [
+                {"op": "redact_pii", "text_col": "text"},
+                {"op": "split_assign", "id_col": "doc_id",
+                 "weights": {"train": 0.9, "val": 0.05, "test": 0.05},
+                 "hash_fn": "multiplicative"},
+                {"op": "pack_sequences", "id_col": "doc_id",
+                 "tokens_col": "n_chars", "budget": 2000,
+                 "group_cols": ["split"]},
+                {"op": "filter", "condition": "split <> 'test'"},
+                {"op": "select",
+                 "columns": ["doc_id", "split", "pack_id", "n_email"]},
+            ],
+        }
+    }
+    out = _run(spark, sf_dir, maps, "prepped")
+    return out.select(
+        "doc_id", "split", "pack_id", F.col("n_email").cast("long").alias("n_email")
+    )
+
+
+SQL_CORPUS_PIPELINE = r"""
+WITH s AS (
+    SELECT doc_id, n_chars,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000 THEN 'train'
+                WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), p AS (
+    SELECT doc_id, split, n_email,
+           split || '#' || CAST(CAST(FLOOR((sum(n_chars) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+               / 2000) AS BIGINT) AS VARCHAR) AS pack_id
+    FROM s
+)
+SELECT doc_id, split, pack_id, n_email FROM p WHERE split <> 'test'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level pipeline ops: decontamination, splits, sampling, packing, PII
 # ---------------------------------------------------------------------------
@@ -1508,6 +1556,7 @@ _EXTENSION_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "redact_pii": q_redact_pii,
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 _EXTENSION_ORACLES = {
@@ -1539,4 +1588,5 @@ _EXTENSION_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "redact_pii": SQL_REDACT_PII,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
 }

@@ -16,6 +16,10 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "fingerprint", "text_col": "text", "k": 8}
     {"op": "token_count", "text_col": "text"}
     {"op": "repetition_stats", "id_col": "doc_id", "text_col": "text"}
+    {"op": "split_assign", "id_col": "doc_id", "weights": {...}, "hash_fn": ...}
+    {"op": "stratified_sample", "strata_cols": [...], "k": N, "id_col": ...}
+    {"op": "pack_sequences", "id_col": ..., "tokens_col": ..., "budget": N}
+    {"op": "redact_pii", "text_col": "text"}
     {"op": "filter", "condition": "<sql expr>"}
     {"op": "select", "columns": [...]}
 
@@ -117,3 +121,47 @@ def _filter(df: DataFrame, p: dict) -> DataFrame:
 @register_post_op("select")
 def _select(df: DataFrame, p: dict) -> DataFrame:
     return df.select(*p["columns"])
+
+
+@register_post_op("split_assign")
+def _split(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import split_assign
+
+    return split_assign(
+        df,
+        p["id_col"],
+        p.get("weights"),
+        salt=p.get("salt", 0),
+        hash_fn=p.get("hash_fn", "xxhash64"),
+        out_col=p.get("out_col", "split"),
+    )
+
+
+@register_post_op("stratified_sample")
+def _strat(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import stratified_sample
+
+    return stratified_sample(
+        df, p["strata_cols"], p["k"], p["id_col"],
+        salt=p.get("salt", 0), hash_fn=p.get("hash_fn", "xxhash64"),
+    )
+
+
+@register_post_op("pack_sequences")
+def _pack(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import pack_sequences
+
+    return pack_sequences(
+        df, p["id_col"], p["tokens_col"], p["budget"],
+        group_cols=p.get("group_cols"), out_col=p.get("out_col", "pack_id"),
+    )
+
+
+@register_post_op("redact_pii")
+def _redact(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import redact_pii
+
+    return redact_pii(
+        df, p.get("text_col", "text"), patterns=p.get("patterns"),
+        out_col=p.get("out_col"), count_cols=p.get("count_cols", True),
+    )

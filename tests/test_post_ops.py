@@ -53,3 +53,32 @@ def test_post_op_missing_op_key_rejected(spark):
         DBT({"out": {"original_table": "d", "columns": {"x": "x"},
                      "post_ops": [{"keys": ["x"]}]}},
             target=MemoryCatalog(), original=MemoryCatalog())
+
+
+def test_corpus_post_ops_compose(spark):
+    """split/pack/redact stages compose declaratively on the planner."""
+    from database_transportor_spark import DBT, MemoryCatalog
+
+    src = spark.createDataFrame(
+        [(i, "word " * (i % 7 + 1), (i % 7 + 1) * 5) for i in range(200)],
+        ["doc_id", "text", "n_tok"],
+    )
+    maps = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "text": "text", "n_tok": "n_tok"},
+            "post_ops": [
+                {"op": "redact_pii", "text_col": "text"},
+                {"op": "split_assign", "id_col": "doc_id"},
+                {"op": "stratified_sample", "strata_cols": ["split"], "k": 50,
+                 "id_col": "doc_id"},
+                {"op": "pack_sequences", "id_col": "doc_id",
+                 "tokens_col": "n_tok", "budget": 100, "group_cols": ["split"]},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog({}), original=MemoryCatalog({"docs": src}))
+    out = eng.transform()["out"]
+    assert {"split", "pack_id", "pack_offset", "n_email"} <= set(out.columns)
+    assert out.count() <= 150  # ≤ 50 per split stratum
+    assert out.filter("pack_offset < 0").count() == 0
