@@ -1305,6 +1305,67 @@ SELECT doc_id, split, pack_id, n_email FROM p WHERE split <> 'test'
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins: as-of (union + carry-forward) and range (bucketed)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent prior (or same-instant) view by
+    the same user — classic event-attribution as-of join."""
+    from database_transportor_spark.operators.temporal import asof_join
+
+    events = _read_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side made unique per (user, ts) so both engines pick the same row
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(purchases, views, "user_id", "ts")
+    return out.select("event_id", "user_id", "value", "view_value")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, p.value, v.view_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value FROM events
+                WHERE event_type = 'view' GROUP BY 1, 2) v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events landing inside each user's first active hour — equi-key +
+    interval containment via the bucketed range join."""
+    from database_transportor_spark.operators.temporal import range_join
+
+    events = _read_events(spark, sf_dir)
+    intervals = events.groupBy("user_id").agg(
+        F.min("ts").alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    out = range_join(
+        events.select("event_id", "user_id", "ts"),
+        intervals, "user_id", "ts", "lo", "hi", bucket="900",
+    )
+    return out.select("event_id", "user_id", "lo")
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+    SELECT user_id, min(ts) AS lo, min(ts) + INTERVAL 1 HOUR AS hi
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, iv.lo
+FROM events e JOIN iv ON e.user_id = iv.user_id
+WHERE iv.lo <= e.ts AND e.ts <= iv.hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level pipeline ops: decontamination, splits, sampling, packing, PII
 # ---------------------------------------------------------------------------
 
@@ -1557,6 +1618,8 @@ _EXTENSION_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "redact_pii": q_redact_pii,
     "corpus_pipeline": q_corpus_pipeline,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 _EXTENSION_ORACLES = {
@@ -1589,4 +1652,6 @@ _EXTENSION_ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "redact_pii": SQL_REDACT_PII,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
 }

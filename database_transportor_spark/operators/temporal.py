@@ -1,0 +1,160 @@
+"""Temporal join operators Spark's DataFrame API lacks natively.
+
+- :func:`asof_join` — for each left row, attach the latest right row at or
+  before its timestamp (per key).  Spark has no ASOF JOIN; the naive
+  formulation (theta-join on ``r.ts <= l.ts`` + row_number) degenerates to
+  a per-key cross product.  This implementation is the scalable shape:
+  **union both sides, one window sort per key, carry the last right row
+  forward** — cost is one shuffle on the key and one per-key sort of
+  |L|+|R| rows, independent of how many right rows precede each left row.
+
+- :func:`range_join` — equi-key + interval containment.  A raw
+  ``BETWEEN`` theta-join forces Spark into BroadcastNestedLoop on big
+  inputs; bucketing the time axis turns it into an equi-join on
+  ``(key, bucket)`` with each interval exploded to the buckets it spans,
+  then an exact containment filter.  Shuffle is keyed by (key, bucket) —
+  never a cross product — at the cost of duplicate candidate rows for
+  intervals spanning multiple buckets (exact filter dedupes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    tolerance: Column | str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for every left row, the most recent right row with
+    ``right_ts <= left_ts`` sharing the key(s); no match ⇒ NULLs (left
+    rows are never dropped, like a left-outer join).
+
+    ``tolerance``: optional max staleness (e.g. ``"INTERVAL 1 HOUR"`` or a
+    Column); matches older than ``left_ts - tolerance`` are discarded.
+
+    Ties on the timestamp: a right row AT the left row's timestamp wins
+    (``<=``, pandas ``merge_asof`` semantics); among right rows with the
+    SAME timestamp the last in the window's deterministic order wins.
+
+    Right columns are appended, key/ts columns kept from the left; right
+    payload columns colliding with a left name get ``suffix``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+
+    payload = [c for c in right.columns if c not in keys and c != rts]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+
+    # one event stream: right rows sort before left rows at equal ts is
+    # WRONG for <= (right at same ts must be visible) — so right gets
+    # side=0 and left side=1, and the window orders (ts, side); the carried
+    # struct then includes same-ts right rows for the left row.
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(rts).alias("__rts"), *[F.col(c).alias(out_names[c]) for c in payload]
+        ).alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    for c in left.columns:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.select(*l.columns)  # align column order for the union
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn("__last", F.last("__r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1)
+
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        fresh = F.col("__last.__rts") >= (F.col("__ts") - tol)
+        out = out.withColumn(
+            "__last", F.when(fresh, F.col("__last")).otherwise(F.lit(None))
+        )
+
+    result = out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__last.{out_names[c]}").alias(out_names[c]) for c in payload],
+    )
+    return result
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: Column | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to interval rows containing it:
+    ``points.on == intervals.on AND lo <= point <= hi``.
+
+    ``bucket``: bucket width as a SQL expression string or Column — an
+    interval spanning B buckets emits B candidate rows.  Pick it near the
+    typical interval length: smaller ⇒ more explode duplicates, larger ⇒
+    more false candidates per bucket.  ``None`` ⇒ plain theta-join (fine
+    when one side broadcasts; at scale always set a bucket).
+
+    Numeric or timestamp axes both work (timestamps bucket via epoch
+    seconds).  ``how``: "inner" or "left" (points without any containing
+    interval kept with NULLs).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+
+    pcol, lo, hi = F.col(point_col), F.col(lo_col), F.col(hi_col)
+    contains = (lo <= pcol) & (pcol <= hi)
+    if bucket is None:
+        cond = [points[k] == intervals[k] for k in keys] + [contains]
+        return points.join(intervals, cond, how)
+
+    b = F.expr(bucket) if isinstance(bucket, str) else bucket
+
+    def _bnum(c: Column) -> Column:
+        # timestamps bucket on epoch seconds (cast → double); numerics directly
+        return F.floor(c.cast("double") / b.cast("double")).cast("long")
+
+    p = points.withColumn("__b", _bnum(pcol))
+    iv = intervals.withColumn("__b", F.explode(F.sequence(_bnum(lo), _bnum(hi))))
+    cond = [p[k] == iv[k] for k in keys] + [p["__b"] == iv["__b"], contains]
+    joined = p.join(iv, cond, "inner").drop("__b")
+    # drop the duplicated key columns from the interval side
+    for k in keys:
+        joined = joined.drop(iv[k])
+    if how == "inner":
+        return joined
+    # left: re-attach points that matched no interval
+    matched = joined
+    missing = p.drop("__b").join(
+        matched.select(*[F.col(k) for k in keys], F.col(point_col)).distinct(),
+        keys + [point_col],
+        "left_anti",
+    )
+    for c in matched.columns:
+        if c not in missing.columns:
+            missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(missing.select(*matched.columns))

@@ -1,0 +1,103 @@
+"""asof_join / range_join semantics, including a pandas merge_asof
+cross-check and bucketed-vs-theta equivalence."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.temporal import asof_join, range_join
+
+
+def _quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", 1, 100.0), ("A", 5, 101.0), ("A", 9, 102.0),
+            ("B", 3, 50.0),
+        ],
+        ["sym", "ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", 0, 7), ("A", 5, 8), ("A", 6, 9), ("A", 20, 10),
+            ("B", 2, 11), ("B", 4, 12),
+            ("C", 1, 13),
+        ],
+        ["sym", "ts", "qty"],
+    )
+    return quotes, trades
+
+
+def test_asof_join_basic(spark):
+    quotes, trades = _quotes_trades(spark)
+    out = {(r["sym"], r["ts"]): r["px"] for r in
+           asof_join(trades, quotes, "sym", "ts").collect()}
+    assert out[("A", 0)] is None        # nothing at or before
+    assert out[("A", 5)] == 101.0       # equal ts: right at same ts wins (<=)
+    assert out[("A", 6)] == 101.0
+    assert out[("A", 20)] == 102.0      # latest carried far forward
+    assert out[("B", 2)] is None
+    assert out[("B", 4)] == 50.0
+    assert out[("C", 1)] is None        # key missing from right entirely
+
+
+def test_asof_join_matches_pandas(spark):
+    quotes, trades = _quotes_trades(spark)
+    got = asof_join(trades, quotes, "sym", "ts").orderBy("sym", "ts").toPandas()
+    want = pd.merge_asof(
+        trades.orderBy("ts").toPandas().sort_values("ts"),
+        quotes.orderBy("ts").toPandas().sort_values("ts"),
+        on="ts", by="sym",
+    ).sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert list(got["px"].fillna(-1)) == list(want["px"].fillna(-1))
+
+
+def test_asof_join_tolerance(spark):
+    quotes, trades = _quotes_trades(spark)
+    out = {(r["sym"], r["ts"]): r["px"] for r in
+           asof_join(trades, quotes, "sym", "ts", tolerance="2").collect()}
+    assert out[("A", 5)] == 101.0   # staleness 0 ≤ 2
+    assert out[("A", 20)] is None   # quote 11 ticks stale > 2
+    assert out[("B", 4)] == 50.0    # staleness 1 ≤ 2
+
+
+def test_asof_join_name_collision_suffix(spark):
+    left = spark.createDataFrame([("A", 5, 1.0)], ["k", "ts", "v"])
+    right = spark.createDataFrame([("A", 3, 2.0)], ["k", "ts", "v"])
+    row = asof_join(left, right, "k", "ts").first()
+    assert row["v"] == 1.0 and row["v_right"] == 2.0
+
+
+def test_range_join_bucketed_equals_theta(spark):
+    points = spark.createDataFrame(
+        [(k, t) for k in ("u1", "u2") for t in range(0, 100, 4)], ["k", "t"]
+    )
+    intervals = spark.createDataFrame(
+        [("u1", 0, 10, "a"), ("u1", 8, 30, "b"), ("u1", 90, 200, "c"),
+         ("u2", 50, 55, "d")],
+        ["k", "lo", "hi", "tag"],
+    )
+    theta = range_join(points, intervals, "k", "t", "lo", "hi")
+    bucketed = range_join(points, intervals, "k", "t", "lo", "hi", bucket="16")
+    t = sorted((r["k"], r["t"], r["tag"]) for r in theta.collect())
+    b = sorted((r["k"], r["t"], r["tag"]) for r in bucketed.collect())
+    assert t == b and len(t) > 0
+    # overlapping intervals fan out
+    assert ("u1", 8, "a") in t and ("u1", 8, "b") in t
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    points = spark.createDataFrame([("u1", 5), ("u1", 999)], ["k", "t"])
+    intervals = spark.createDataFrame([("u1", 0, 10, "a")], ["k", "lo", "hi", "tag"])
+    out = range_join(points, intervals, "k", "t", "lo", "hi",
+                     bucket="8", how="left")
+    rows = {r["t"]: r["tag"] for r in out.collect()}
+    assert rows == {5: "a", 999: None}
+
+
+def test_range_join_no_nested_loop_when_bucketed(spark):
+    points = spark.createDataFrame([("u1", i) for i in range(50)], ["k", "t"])
+    intervals = spark.createDataFrame(
+        [("u1", 10 * i, 10 * i + 9, i) for i in range(5)], ["k", "lo", "hi", "iv"]
+    )
+    df = range_join(points, intervals, "k", "t", "lo", "hi", bucket="10")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
