@@ -1305,6 +1305,71 @@ SELECT doc_id, split, pack_id, n_email FROM p WHERE split <> 'test'
 
 
 # ---------------------------------------------------------------------------
+# Hypertable rollups and sketch aggregates
+# ---------------------------------------------------------------------------
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level continuous aggregate computed by re-aggregating the hour
+    level, which re-aggregates the minute level — NOT from raw events; the
+    oracle aggregates raw events directly, so a hash match proves the
+    merge hierarchy is exact."""
+    from database_transportor_spark.operators.rollup import time_rollup
+
+    events = _read_events(spark, sf_dir)
+    levels = time_rollup(
+        events, "ts", ["event_type"],
+        {
+            "n_events": ("count", None),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        ["1 minute", "1 hour", "1 day"],
+    )
+    day = levels["1 day"]
+    return day.select(
+        F.col("bucket_start").alias("day_start"), "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_transportor_spark.operators.sketches import grouped_median
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return grouped_median(li, ["l_returnflag"], "l_quantity")
+
+
+SQL_GROUPED_MEDIAN = """
+SELECT l_returnflag, median(l_quantity) AS median
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type — approximate by design, so the
+    driver records the rows-only check; the error bound vs the exact count
+    is asserted in tests/test_sketches.py."""
+    from database_transportor_spark.operators.sketches import approx_distinct
+
+    events = _read_events(spark, sf_dir)
+    return approx_distinct(events, ["event_type"], "user_id", rsd=0.02)
+
+
+# ---------------------------------------------------------------------------
 # Temporal joins: as-of (union + carry-forward) and range (bucketed)
 # ---------------------------------------------------------------------------
 
@@ -1620,6 +1685,9 @@ _EXTENSION_QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "events_rollup": q_events_rollup,
+    "grouped_median": q_grouped_median,
+    "approx_distinct": q_approx_distinct,
 }
 
 _EXTENSION_ORACLES = {
@@ -1654,4 +1722,7 @@ _EXTENSION_ORACLES = {
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "grouped_median": SQL_GROUPED_MEDIAN,
+    # approx_distinct: HLL sketch, engine-specific -> rows-only
 }

@@ -1,0 +1,76 @@
+"""Rollup re-aggregation exactness and sketch error bounds."""
+
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.rollup import time_rollup
+from database_transportor_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    grouped_percentiles,
+)
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_rollup_levels_nest_exactly(spark):
+    ev = _events(spark)
+    levels = time_rollup(
+        ev, "ts", ["event_type"],
+        {"n_events": ("count", None), "min_value": ("min", "value"),
+         "max_value": ("max", "value")},
+        ["1 minute", "1 hour"],
+    )
+    # hour level from minutes == hour level from raw
+    direct = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("bucket_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"), F.min("value").alias("min_value"),
+          F.max("value").alias("max_value"))
+    merged = levels["1 hour"]
+    key = ["bucket_start", "event_type"]
+    diff = (
+        merged.alias("m").join(direct.alias("d"), key)
+        .filter(
+            (F.col("m.n_events") != F.col("d.n_events"))
+            | (F.col("m.min_value") != F.col("d.min_value"))
+            | (F.col("m.max_value") != F.col("d.max_value"))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert merged.count() == direct.count()
+
+
+def test_rollup_rejects_non_decomposable(spark):
+    import pytest
+
+    ev = _events(spark)
+    with pytest.raises(ValueError):
+        time_rollup(ev, "ts", [], {"m": ("avg", "value")}, ["1 hour"])
+
+
+def test_approx_distinct_error_bound(spark):
+    ev = _events(spark)
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r["event_type"]: r["approx_distinct"] for r in
+              approx_distinct(ev, ["event_type"], "user_id", rsd=0.02).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, n, approx[k])
+
+
+def test_approx_quantiles_rank_error(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    probs = [0.25, 0.5, 0.75]
+    exact = grouped_percentiles(li, ["l_returnflag"], "l_extendedprice", probs)
+    approx = approx_quantiles(li, ["l_returnflag"], "l_extendedprice", probs,
+                              accuracy=10_000)
+    e = {r["l_returnflag"]: r["percentiles"] for r in exact.collect()}
+    a = {r["l_returnflag"]: r["quantiles"] for r in approx.collect()}
+    for k in e:
+        for ev, av in zip(e[k], a[k]):
+            assert abs(av - ev) / max(abs(ev), 1e-9) < 0.02, (k, ev, av)
