@@ -381,8 +381,11 @@ def dedup_clusters(
     if n_edges <= max_local_edges:
         spark = vertices.sparkSession
         id_type = vertices.schema[id_col].dataType
+        # collect(), not toLocalIterator(): the iterator fetches shuffle
+        # partitions sequentially (one roundtrip each); a single parallel
+        # collect of ≤max_local_edges 2-tuples is bounded driver memory.
         labels = _local_union_find(
-            ((r["__s"], r["__d"]) for r in edges.toLocalIterator()),
+            [(r["__s"], r["__d"]) for r in edges.collect()],
             spark,
             id_type,
         )
