@@ -1,0 +1,45 @@
+"""Blanket physical-plan audit across the whole query surface.
+
+Every ``queries()`` entry is planned at sf0.001 and scanned for the
+operators that do not survive a 100× scale-up: CartesianProduct and
+BroadcastNestedLoopJoin.  Ops that *deliberately* score a bounded probe
+set against the corpus (brute-force ANN baselines — the probe side is a
+constant handful of vectors) are listed as exceptions with the reason.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# query -> why a nested-loop/cartesian is acceptable THERE
+ALLOWED_NESTED_LOOP = {
+    # brute-force cosine baselines: probe side is O(10) rows by contract;
+    # the corpus side streams once — the point of these ops is exact
+    # scoring, the scale path is ann_ivf/cosine_pairs' bucketed variants
+    "ann_cosine": "bounded probe set vs corpus, exact-scoring baseline",
+}
+
+STREAMING = {
+    # availableNow streaming queries leave a running-query plan, not a
+    # batch plan; their shapes are pinned in streaming-specific tests
+    "events_stream_window", "events_stateful", "events_stream_dedup",
+}
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.mark.parametrize("name", sorted(set(_queries()) - STREAMING))
+def test_no_cartesian_or_nested_loop(spark, name):
+    df = _queries()[name](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join\n{plan}"
+        )
