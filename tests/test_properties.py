@@ -175,3 +175,86 @@ def test_predicate_matches_reference_semantics(spark, rows, op, val):
         }[op]
 
     assert got == sum(1 for _, v in rows if ref_match(v))
+
+
+# ---------------------------------------------------------------------------
+# temporal + corpus operator properties
+# ---------------------------------------------------------------------------
+
+_ts_rows = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2", "u3"]),
+              st.integers(min_value=0, max_value=40),
+              st.integers(min_value=-9, max_value=9)),
+    min_size=0, max_size=14,
+)
+
+
+@given(left=_ts_rows, right=_ts_rows)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import pandas as pd
+
+    from database_transportor_spark.operators.temporal import asof_join
+
+    # merge_asof needs a unique right (key, ts); dedupe keeping max value —
+    # mirrored on the Spark side by pre-aggregating, as the docstring advises
+    rd = {}
+    for k, t, v in right:
+        rd[(k, t)] = max(v, rd.get((k, t), v))
+    right_u = [(k, t, v) for (k, t), v in sorted(rd.items())]
+
+    ldf = spark.createDataFrame(left or [("u1", 0, 0)], ["k", "ts", "lv"])
+    rdf = spark.createDataFrame(right_u or [("zz", 0, 0)], ["k", "ts", "rv"])
+    got = (
+        asof_join(ldf, rdf, "k", "ts")
+        .orderBy("k", "ts", "lv")
+        .toPandas()[["k", "ts", "lv", "rv"]]
+    )
+    lp = pd.DataFrame(left or [("u1", 0, 0)], columns=["k", "ts", "lv"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_u or [("zz", 0, 0)], columns=["k", "ts", "rv"]).sort_values("ts", kind="stable")
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k")
+        .sort_values(["k", "ts", "lv"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert list(got["rv"].fillna(-99)) == list(want["rv"].fillna(-99))
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 100), st.integers(1, 30)),
+                     min_size=1, max_size=20, unique_by=lambda r: r[0]))
+@SET
+def test_pack_sequences_invariants(spark, rows):
+    from database_transportor_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = sorted(
+        (r["doc_id"], r["pack_offset"], int(r["pack_id"]))
+        for r in pack_sequences(df, "doc_id", "n_tok", budget=25).collect()
+    )
+    toks = dict(rows)
+    # offsets are the exclusive prefix sum in id order; packs never decrease
+    run = 0
+    prev_pack = 0
+    for doc_id, off, pack in out:
+        assert off == run
+        assert pack == off // 25
+        assert pack >= prev_pack
+        prev_pack = pack
+        run += toks[doc_id]
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30,
+                    unique=True))
+@SET
+def test_split_assign_total_and_stable(spark, ids):
+    from database_transportor_spark.operators.corpus import split_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = split_assign(df, "doc_id", {"a": 0.5, "b": 0.5})
+    rows = out.collect()
+    assert len(rows) == len(ids)                      # never drops/dups rows
+    m1 = {r["doc_id"]: r["split"] for r in rows}
+    m2 = {r["doc_id"]: r["split"]
+          for r in split_assign(df.repartition(3), "doc_id",
+                                {"a": 0.5, "b": 0.5}).collect()}
+    assert m1 == m2                                   # partitioning-invariant
