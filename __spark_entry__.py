@@ -1402,6 +1402,51 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value FROM events
 """
 
 
+def q_asof_refer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of lookup as a declarative spec column THROUGH the engine:
+    each purchase enriched with the latest prior view value, miss ⇒ -1."""
+    events = _read_events(spark, sf_dir)
+    maps = {
+        "enriched": {
+            "original_table": "purchases",
+            "columns": {
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "value": "value",
+                "last_view": {
+                    "asof_refer": {
+                        "search_table": "views",
+                        "search_source": "original",
+                        "on": "user_id",
+                        "according_ts": "ts",
+                        "search_ts": "ts",
+                        "wanted_column": "value",
+                    },
+                    "default": -1.0,
+                },
+            },
+        }
+    }
+    return _run(
+        spark, sf_dir, maps, "enriched",
+        extra_original={
+            "purchases": events.filter(F.col("event_type") == "purchase"),
+            "views": events.filter(F.col("event_type") == "view"),
+        },
+    )
+
+
+SQL_ASOF_REFER = """
+SELECT p.event_id, p.user_id, p.value,
+       COALESCE(v.view_value, -1.0) AS last_view
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value FROM events
+                WHERE event_type = 'view' GROUP BY 1, 2) v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events landing inside each user's first active hour — equi-key +
     interval containment via the bucketed range join."""
@@ -1684,6 +1729,7 @@ _EXTENSION_QUERIES = {
     "redact_pii": q_redact_pii,
     "corpus_pipeline": q_corpus_pipeline,
     "asof_join": q_asof_join,
+    "asof_refer": q_asof_refer,
     "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "grouped_median": q_grouped_median,
@@ -1721,6 +1767,7 @@ _EXTENSION_ORACLES = {
     "redact_pii": SQL_REDACT_PII,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "asof_join": SQL_ASOF_JOIN,
+    "asof_refer": SQL_ASOF_REFER,
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "grouped_median": SQL_GROUPED_MEDIAN,

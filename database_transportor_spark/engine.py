@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from .operators.middle import build_middle
 from .operators.post_ops import apply_post_ops
 from .operators.projection import apply_projection, output_columns
-from .operators.refer import apply_refer, apply_refers_batch, refers_merge_key
+from .operators.refer import (
+    apply_asof_refer,
+    apply_refer,
+    apply_refers_batch,
+    refers_merge_key,
+)
 from .plans.planner import seed_tables, topo_order
 from .predicates import apply_conditions
 from .sources.catalog import Catalog
@@ -139,6 +144,9 @@ class DBT:
         for c in m.columns:
             if c.refer is not None:
                 df = apply_refer(df, c, self._resolve)
+        for c in m.columns:
+            if c.asof_refer is not None:
+                df = apply_asof_refer(df, c, self._resolve)
 
         available = set(df.columns)
         ordered = [

@@ -20,7 +20,7 @@ Semantics implemented:
   the main column takes ``result[original] ?? default``.
 - P6 skip (DBT.php:173-175): empty defines are ignored (middle maps fill them).
 
-Lookup columns (refer/refers) are deliberately NOT handled here — they join
+Lookup columns (refer/refers/asof_refer) are deliberately NOT handled here — they join
 against target columns this projection produces (e.g. staging columns,
 README.md:206-210) and are applied afterwards by ``operators/refer.py``.
 """
@@ -67,7 +67,7 @@ def apply_projection(df: DataFrame, mspec: MapSpec) -> DataFrame:
     fn_cols: dict[str, str] = {}
     stage1: list[Column] = []
     for c in mspec.columns:
-        if c.skip or c.refer or c.refers:
+        if c.skip or c.refer or c.refers or c.asof_refer:
             continue
         if c.function is not None:
             tmp = f"__fn_{c.target}"
@@ -79,7 +79,7 @@ def apply_projection(df: DataFrame, mspec: MapSpec) -> DataFrame:
     # Stage 2 — assemble target columns.
     out: list[tuple[str, Column]] = []
     for c in mspec.columns:
-        if c.skip or c.refer or c.refers:
+        if c.skip or c.refer or c.refers or c.asof_refer:
             continue
         if c.function is not None:
             tmp = fn_cols[c.target]

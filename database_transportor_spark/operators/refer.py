@@ -51,7 +51,7 @@ from ..predicates import apply_conditions
 from ..spec import ColumnSpec, ReferSpec, RefersSpec
 from ..functions.hooks import processor_agg_column
 
-__all__ = ["apply_refer", "apply_refers", "apply_refers_batch", "refers_merge_key"]
+__all__ = ["apply_refer", "apply_refers", "apply_refers_batch", "apply_asof_refer", "refers_merge_key"]
 
 #: resolve(side, table) -> DataFrame; provided by the engine so target-side
 #: lookups see in-flight outputs of already-planned maps (J4/X1 — the
@@ -211,3 +211,34 @@ def apply_refers_batch(
             value = F.coalesce(value, F.lit(c.default))
         joined = joined.withColumn(c.target, value)
     return joined.drop(key, *wanteds)
+
+
+def apply_asof_refer(fact: DataFrame, cspec, resolve: Resolver) -> DataFrame:
+    """Apply an ``asof_refer`` lookup (extension; no reference analogue):
+    ``cspec.target`` takes the lookup table's ``wanted_column`` from the
+    latest row with ``search_ts <= according_ts`` per key.  Miss ⇒
+    ``default`` (J1-style coalesce).  Lookup rows sharing (key, search_ts)
+    reduce to ``max(wanted)`` pre-join — deterministic like the other
+    lookups' pinned dedup.  One shuffle on the key (union + window
+    carry-forward, see ``operators/temporal.py``)."""
+    from ..predicates import apply_conditions
+    from .temporal import asof_join
+
+    spec = cspec.asof_refer
+    dim = resolve(spec.search_source, spec.search_table)
+    dim = apply_conditions(dim, spec.conditions)
+    keys = list(spec.on)
+    dim = (
+        dim.groupBy(*keys, spec.search_ts)
+        .agg(F.max(spec.wanted_column).alias(cspec.target))
+    )
+    out = asof_join(
+        fact, dim, keys,
+        left_ts=spec.according_ts, right_ts=spec.search_ts,
+        tolerance=spec.tolerance,
+    )
+    if cspec.has_default and cspec.default is not None:
+        out = out.withColumn(
+            cspec.target, F.coalesce(F.col(cspec.target), F.lit(cspec.default))
+        )
+    return out

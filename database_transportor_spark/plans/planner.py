@@ -43,7 +43,7 @@ def produced_tables(specs: dict[str, MapSpec]) -> dict[str, str]:
 def _target_lookups(m: MapSpec):
     """Yield (side, table) pairs the map reads from the target side."""
     for c in m.columns:
-        for spec in (c.refer, c.refers):
+        for spec in (c.refer, c.refers, c.asof_refer):
             if spec is not None and spec.search_source == SIDE_TARGET:
                 yield spec.search_table
     if m.middle is not None:

@@ -52,6 +52,7 @@ __all__ = [
     "OrderSpec",
     "ReferSpec",
     "RefersSpec",
+    "AsofReferSpec",
     "AffectionSpec",
     "ColumnSpec",
     "MiddleSide",
@@ -258,6 +259,49 @@ class RefersSpec:
 
 
 @dataclass(frozen=True)
+class AsofReferSpec:
+    """As-of lookup (extension; no reference analogue): the column takes
+    ``wanted_column`` from the latest lookup row with ``search_ts <=
+    according_ts`` sharing the key(s).  Miss ⇒ ``default`` (J1-style).
+
+    Determinism: lookup rows sharing (key, search_ts) are reduced to
+    ``max(wanted_column)`` before the join, so results never depend on
+    partitioning.  ``tolerance`` (e.g. ``"INTERVAL 1 HOUR"``) discards
+    matches staler than ``according_ts - tolerance``.
+    """
+
+    search_table: str
+    on: tuple[str, ...]
+    according_ts: str
+    search_ts: str
+    wanted_column: str
+    search_source: str = SIDE_ORIGINAL
+    tolerance: Optional[str] = None
+    conditions: tuple[Condition, ...] = ()
+
+    @staticmethod
+    def parse(obj: Any, where: str) -> "AsofReferSpec":
+        if not isinstance(obj, dict):
+            raise SpecError(f"{where}: asof_refer must be a dict, got {obj!r}")
+        for k in ("search_table", "on", "according_ts", "wanted_column"):
+            if k not in obj:
+                raise SpecError(f"{where}: asof_refer missing key {k!r}")
+        source = obj.get("search_source", SIDE_ORIGINAL)
+        if source not in (SIDE_ORIGINAL, SIDE_TARGET):
+            raise SpecError(f"{where}: search_source must be original|target, got {source!r}")
+        return AsofReferSpec(
+            search_table=obj["search_table"],
+            on=_as_key_list(obj["on"], f"{where}.on"),
+            according_ts=obj["according_ts"],
+            search_ts=obj.get("search_ts", obj["according_ts"]),
+            wanted_column=obj["wanted_column"],
+            search_source=source,
+            tolerance=obj.get("tolerance"),
+            conditions=_parse_conditions(obj.get("conditions"), where),
+        )
+
+
+@dataclass(frozen=True)
 class AffectionSpec:
     """Secondary output of a multi-output transform (P5, DBT.php:396-405)."""
 
@@ -291,6 +335,7 @@ class ColumnSpec:
     affection: tuple[AffectionSpec, ...] = ()
     refer: Optional[ReferSpec] = None
     refers: Optional[RefersSpec] = None
+    asof_refer: Optional[AsofReferSpec] = None
     delete_after_transport: bool = False
     rebuild: bool = False
     skip: bool = False
@@ -309,8 +354,10 @@ class ColumnSpec:
             raise SpecError(f"{where}: define must be a string, dict, or None; got {obj!r}")
         refer = ReferSpec.parse(obj["refer"], where) if obj.get("refer") else None
         refers = RefersSpec.parse(obj["refers"], where) if obj.get("refers") else None
-        if refer and refers:
-            raise SpecError(f"{where}: cannot have both refer and refers")
+        asof = (AsofReferSpec.parse(obj["asof_refer"], where)
+                if obj.get("asof_refer") else None)
+        if sum(x is not None for x in (refer, refers, asof)) > 1:
+            raise SpecError(f"{where}: refer/refers/asof_refer are mutually exclusive")
         spec = ColumnSpec(
             target=target,
             original=obj.get("original"),
@@ -320,6 +367,7 @@ class ColumnSpec:
             affection=AffectionSpec.parse_list(obj.get("affection"), where),
             refer=refer,
             refers=refers,
+            asof_refer=asof,
             delete_after_transport=bool(obj.get("delete_after_transport", False)),
             rebuild=bool(obj.get("rebuild", False)),
         )
@@ -333,10 +381,12 @@ class ColumnSpec:
             and spec.function is None
             and refer is None
             and refers is None
+            and asof is None
             and not spec.has_default
         ):
             raise SpecError(
-                f"{where}: define needs one of original/default/function/refer/refers"
+                f"{where}: define needs one of original/default/function/"
+                "refer/refers/asof_refer"
             )
         return spec
 

@@ -101,3 +101,74 @@ def test_range_join_no_nested_loop_when_bucketed(spark):
     df = range_join(points, intervals, "k", "t", "lo", "hi", bucket="10")
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_refer_through_engine(spark):
+    from database_transportor_spark import DBT, MemoryCatalog
+
+    trades = spark.createDataFrame(
+        [(1, "A", 5), (2, "A", 0), (3, "B", 9)], ["tid", "sym", "ts"]
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 4, 11.0), ("A", 4, 12.0), ("B", 20, 13.0)],
+        ["sym", "ts", "px"],
+    )
+    maps = {
+        "out": {
+            "original_table": "trades",
+            "columns": {
+                "tid": "tid",
+                "px": {
+                    "asof_refer": {
+                        "search_table": "quotes",
+                        "search_source": "original",
+                        "on": "sym",
+                        "according_ts": "ts",
+                        "wanted_column": "px",
+                    },
+                    "default": 0.0,
+                },
+            },
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"trades": trades, "quotes": quotes}))
+    out = {r["tid"]: r["px"] for r in eng.transform()["out"].collect()}
+    # tid 1 at ts 5: latest quote ts 4 — dup (A,4) reduces to max ⇒ 12.0
+    assert out == {1: 12.0, 2: 0.0, 3: 0.0}
+
+
+def test_asof_refer_target_side_orders_maps(spark):
+    """asof_refer with search_source=target must add a topo edge."""
+    from database_transportor_spark import DBT, MemoryCatalog
+    from database_transportor_spark.plans.planner import topo_order
+    from database_transportor_spark.spec import parse_maps
+
+    maps = {
+        "a_enrich": {
+            "original_table": "trades",
+            "columns": {
+                "tid": "tid",
+                "px": {
+                    "asof_refer": {
+                        "search_table": "b_quotes",
+                        "search_source": "target",
+                        "on": "sym",
+                        "according_ts": "ts",
+                        "wanted_column": "px",
+                    },
+                },
+            },
+        },
+        "b_quotes": {
+            "original_table": "raw_quotes",
+            "columns": {"sym": "sym", "ts": "ts", "px": "px"},
+        },
+    }
+    order = topo_order(parse_maps(maps))
+    assert order.index("b_quotes") < order.index("a_enrich")
+    trades = spark.createDataFrame([(1, "A", 5)], ["tid", "sym", "ts"])
+    raw_quotes = spark.createDataFrame([("A", 2, 7.0)], ["sym", "ts", "px"])
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"trades": trades, "raw_quotes": raw_quotes}))
+    assert eng.transform()["a_enrich"].first()["px"] == 7.0
