@@ -1304,6 +1304,30 @@ SELECT doc_id, split, pack_id, n_email FROM p WHERE split <> 'test'
 """
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases × prior views within 1 hour,
+    per user), run to completion with availableNow; the oracle is the
+    equivalent batch interval join."""
+    from database_transportor_spark.streaming.events import stream_interval_join
+
+    import uuid
+
+    return stream_interval_join(
+        spark, f"{sf_dir}/events.parquet",
+        sink_table=f"sij_{uuid.uuid4().hex[:8]}",
+    )
+
+
+SQL_EVENTS_STREAM_JOIN = """
+SELECT l.event_id AS l_id, r.event_id AS r_id,
+       l.user_id AS l_key, l.value AS l_value, r.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hypertable rollups and sketch aggregates
 # ---------------------------------------------------------------------------
@@ -1718,6 +1742,7 @@ _EXTENSION_QUERIES = {
     "events_stateful": q_events_stateful,
     "events_stream_dedup": q_events_stream_dedup,
     "events_topn": q_events_topn,
+    "events_stream_join": q_events_stream_join,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
@@ -1756,6 +1781,7 @@ _EXTENSION_ORACLES = {
     "events_stateful": SQL_EVENTS_STATEFUL,
     "events_stream_dedup": SQL_EVENTS_STREAM_DEDUP,
     "events_topn": SQL_EVENTS_TOPN,
+    "events_stream_join": SQL_EVENTS_STREAM_JOIN,
     "token_count": SQL_TOKEN_COUNT,
     "quality_score": SQL_QUALITY_SCORE,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -128,25 +128,7 @@ def stream_tumbling_agg(
     the batch :func:`tumbling_agg` over the same input — letting the DuckDB
     oracle check a genuinely streamed execution.
     """
-    import os
-
-    from pyspark.sql.types import LongType
-
-    batch_df = spark.read.parquet(source_dir)
-    # FileStreamSource requires a directory; a single-file fixture path is
-    # split into (dir, glob) so the same code serves both layouts.
-    reader = spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1)
-    if source_dir.endswith(".parquet") and os.path.isfile(source_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
-        stream = reader.parquet(os.path.dirname(source_dir))
-    else:
-        stream = reader.parquet(source_dir)
-    if isinstance(stream.schema[ts_col].dataType, LongType):
-        # fixture adapter: nanosecond-timestamp parquet read as long
-        # (spark.sql.legacy.parquet.nanosAsLong) → microsecond timestamp
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
+    stream = _stream_reader(spark, source_dir, ts_col)
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("__w"), F.col(key_col))
@@ -190,21 +172,7 @@ def stream_dedup_count(
     deterministic (oracle-checkable) output is the surviving-rows count
     per key-expression value — equal to the batch distinct count.
     """
-    import os
-
-    from pyspark.sql.types import LongType
-
-    batch_df = spark.read.parquet(source_dir)
-    reader = spark.readStream.schema(batch_df.schema)
-    if source_dir.endswith(".parquet") and os.path.isfile(source_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
-        stream = reader.parquet(os.path.dirname(source_dir))
-    else:
-        stream = reader.parquet(source_dir)
-    if isinstance(stream.schema[ts_col].dataType, LongType):
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
+    stream = _stream_reader(spark, source_dir, ts_col)
     deduped = (
         stream.withColumn("__k", F.expr(key_expr))
         .withWatermark(ts_col, watermark)
@@ -325,3 +293,92 @@ def topn_per_key(
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
     )
+
+def _stream_reader(spark: SparkSession, source_dir: str, ts_col: str):
+    """File-stream reader over the parquet fixture (dir or single file),
+    with the nanosecond-long → microsecond-timestamp adapter."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    # self-contained: the fixture stores TIMESTAMP(NANOS), which the
+    # vectorized reader rejects unless read as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_df = spark.read.parquet(source_dir)
+    # FileStreamSource requires a directory; a single-file fixture path is
+    # split into (dir, glob) so the same code serves both layouts.
+    reader = spark.readStream.schema(batch_df.schema)
+    if source_dir.endswith(".parquet") and os.path.isfile(source_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        stream = reader.parquet(os.path.dirname(source_dir))
+    else:
+        stream = reader.parquet(source_dir)
+    if isinstance(stream.schema[ts_col].dataType, LongType):
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return stream
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    source_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    left_type: str = "purchase",
+    right_type: str = "view",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    sink_table: str = "stream_interval_join",
+) -> DataFrame:
+    """Stream-stream interval join: every ``left_type`` event paired with
+    the same user's ``right_type`` events from the preceding ``lookback``
+    (inclusive of the same instant) — the attribution-join shape, streamed.
+
+    Both sides carry watermarks; the interval condition bounds how long
+    either side's state lives (right rows expire once no future left row
+    can reach back to them; left rows once their lookback is watermark-
+    expired).  Without the time-bound condition a stream-stream inner join
+    would keep state forever — the property that matters at scale.
+
+    Append mode + terminating trigger ⇒ the result equals the equivalent
+    batch interval join, so a DuckDB oracle can hash-check a genuinely
+    streamed execution.
+    """
+    stream = _stream_reader(spark, source_dir, ts_col)
+    l = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col(key_col).alias("l_key"),
+            F.col(ts_col).alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table).select("l_id", "r_id", "l_key", "l_value", "r_value")
