@@ -50,6 +50,9 @@ QUERIES = [
     "dedup_exact",
     "split_assign",
     "pack_sequences",
+    "asof_join",
+    "decontaminate",
+    "dedup_clusters",
 ]
 
 KEY_OFFSETS = {
