@@ -165,3 +165,21 @@ def _redact(df: DataFrame, p: dict) -> DataFrame:
         df, p.get("text_col", "text"), patterns=p.get("patterns"),
         out_col=p.get("out_col"), count_cols=p.get("count_cols", True),
     )
+
+
+@register_post_op("approx_distinct")
+def _approx_distinct(df: DataFrame, p: dict) -> DataFrame:
+    from .sketches import approx_distinct
+
+    return approx_distinct(
+        df, p["keys"], p["col"], rsd=p.get("rsd", 0.02),
+        out_col=p.get("out_col", "approx_distinct"),
+    )
+
+
+@register_post_op("grouped_median")
+def _grouped_median(df: DataFrame, p: dict) -> DataFrame:
+    from .sketches import grouped_median
+
+    return grouped_median(df, p["keys"], p["col"],
+                          out_col=p.get("out_col", "median"))

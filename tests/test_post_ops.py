@@ -82,3 +82,25 @@ def test_corpus_post_ops_compose(spark):
     assert {"split", "pack_id", "pack_offset", "n_email"} <= set(out.columns)
     assert out.count() <= 150  # ≤ 50 per split stratum
     assert out.filter("pack_offset < 0").count() == 0
+
+
+def test_sketch_post_ops(spark):
+    from database_transportor_spark import DBT, MemoryCatalog
+
+    src = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), i % 25) for i in range(500)], ["id", "g", "u"]
+    )
+    maps = {
+        "out": {
+            "original_table": "t",
+            "columns": {"id": "id", "g": "g", "u": "u"},
+            "post_ops": [
+                {"op": "approx_distinct", "keys": ["g"], "col": "u"},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog({}), original=MemoryCatalog({"t": src}))
+    out = {r["g"]: r["approx_distinct"] for r in eng.transform()["out"].collect()}
+    assert set(out) == {"g0", "g1"}
+    for v in out.values():
+        assert abs(v - 25) <= 2  # ~2% HLL error on 25 distinct

@@ -172,3 +172,19 @@ def test_asof_refer_target_side_orders_maps(spark):
     eng = DBT(maps, target=MemoryCatalog(),
               original=MemoryCatalog({"trades": trades, "raw_quotes": raw_quotes}))
     assert eng.transform()["a_enrich"].first()["px"] == 7.0
+
+
+def test_asof_refer_spec_validation():
+    import pytest
+
+    from database_transportor_spark.spec import SpecError, parse_maps
+
+    with pytest.raises(SpecError, match="missing key"):
+        parse_maps({"m": {"original_table": "t", "columns": {
+            "x": {"asof_refer": {"search_table": "q", "on": "k"}}}}})
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        parse_maps({"m": {"original_table": "t", "columns": {
+            "x": {"asof_refer": {"search_table": "q", "on": "k",
+                                  "according_ts": "ts", "wanted_column": "v"},
+                  "refer": {"search_table": "q", "search_column": "k",
+                             "according_column": "k", "wanted_column": "v"}}}}})
