@@ -130,6 +130,8 @@ def split_assign(
     document always lands in the same split across reruns and backfills.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights!r}")
     total = sum(weights.values())
     bucket = bucket_column(id_col, n_buckets, salt, hash_fn)
     expr: Column | None = None

@@ -50,6 +50,10 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
+    reserved = {"__ts", "__side", "__r", "__last"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
 
     payload = [c for c in right.columns if c not in keys and c != rts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}

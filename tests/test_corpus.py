@@ -135,3 +135,11 @@ def test_split_assign_bad_hash_fn(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         split_assign(df, "doc_id", hash_fn="md5").collect()
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(df, "doc_id", {"a": 0.5, "b": -0.5})
+    # an empty dict falls back to the documented default split
+    assert split_assign(df, "doc_id", {}).count() == 5

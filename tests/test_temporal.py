@@ -188,3 +188,12 @@ def test_asof_refer_spec_validation():
                                   "according_ts": "ts", "wanted_column": "v"},
                   "refer": {"search_table": "q", "search_column": "k",
                              "according_column": "k", "wanted_column": "v"}}}}})
+
+
+def test_asof_join_reserved_names_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([("A", 1, 2)], ["k", "ts", "__side"])
+    right = spark.createDataFrame([("A", 1, 3.0)], ["k", "ts", "v"])
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(left, right, "k", "ts")
