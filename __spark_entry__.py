@@ -915,23 +915,157 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from database_transportor_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH under a driver-checkable *contract* (the signatures are
+    xxhash64-based, so DuckDB cannot replay them pair-for-pair; per VERDICT
+    r1 the oracle instead checks the contract the operator promises):
+
+    - ``n_exact_pairs`` — |{pairs with exact n-gram Jaccard >= threshold}|,
+      computed independently by both engines (anchors the exact machinery);
+    - ``n_unsound`` — emitted pairs NOT in the exact set; the operator
+      verifies every candidate against exact Jaccard, so this must be 0;
+    - ``recall_ok`` — LSH recalled >= 80% of the exact set (fixture pairs
+      sit at J >= 0.9 where 16/4-banded collision probability is ~0.99).
+    """
+    from database_transportor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(
+    mp = spark.sparkContext.defaultParallelism
+    emitted = minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=16, bands=4, shingle_n=3, threshold=0.2,
-        min_partitions=spark.sparkContext.defaultParallelism,
+        min_partitions=mp,
+    ).select("id_a", "id_b", F.lit(1).alias("__em"))
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, min_partitions=mp,
+    ).select("id_a", "id_b", F.lit(1).alias("__ex"))
+    both = emitted.join(exact, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("__ex", F.lit(0))).cast("long").alias("n_exact_pairs"),
+        F.sum(F.when(F.col("__ex").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_unsound"),
+        (
+            F.sum(F.when(F.col("__em").isNotNull() & F.col("__ex").isNotNull(), 1)
+                  .otherwise(0))
+            >= F.sum(F.coalesce("__ex", F.lit(0))) * 0.8
+        ).alias("recall_ok"),
     )
+
+
+# Exact-Jaccard pair count over the same word-3-gram shingle sets (no
+# max_df cap — the LSH verify step sees the full shingle universe too);
+# soundness and the recall floor are asserted as literals because the
+# Spark side computes them against this same exact set.
+SQL_MINHASH_LSH = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+),
+ex AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_unsound,
+       TRUE AS recall_ok
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.2
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from database_transportor_spark.operators.dedup import simhash_pairs
+    """SimHash near-dup contract (signature is xxhash64-based — see
+    q_minhash_lsh for why the oracle checks the contract, not the pairs):
+
+    - ``n_exact_pairs`` — exact n-gram Jaccard >= 0.9 pair count (both
+      engines compute it independently);
+    - ``recall_ok`` — simhash emitted >= 80% of those near-identical
+      pairs (hamming <= 3 at J >= 0.9 with overwhelming probability);
+    - ``n_identical_missed`` — pairs with *identical normalized token
+      lists* not emitted: identical tokens force identical signatures,
+      which always collide in every band, so this is deterministically 0.
+    """
+    from database_transportor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from database_transportor_spark.operators.text import tokens
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(
+    mp = spark.sparkContext.defaultParallelism
+    emitted = simhash_pairs(
         docs, "doc_id", "text", bits=32, max_hamming=3, bands=4,
-        min_partitions=spark.sparkContext.defaultParallelism,
+        min_partitions=mp,
+    ).select("id_a", "id_b", F.lit(1).alias("__em"))
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9, min_partitions=mp,
+    ).select("id_a", "id_b", F.lit(1).alias("__ex"))
+    toks = docs.select("doc_id", tokens("text").alias("__t"))
+    ident = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(1).alias("__id"),
+        )
     )
+    both = (
+        emitted.join(exact, ["id_a", "id_b"], "full_outer")
+        .join(ident, ["id_a", "id_b"], "full_outer")
+    )
+    return both.agg(
+        F.sum(F.coalesce("__ex", F.lit(0))).cast("long").alias("n_exact_pairs"),
+        (
+            F.sum(F.when(F.col("__em").isNotNull() & F.col("__ex").isNotNull(), 1)
+                  .otherwise(0))
+            >= F.sum(F.coalesce("__ex", F.lit(0))) * 0.8
+        ).alias("recall_ok"),
+        F.sum(F.when(F.col("__id").isNotNull() & F.col("__em").isNull(), 1)
+              .otherwise(0)).cast("long").alias("n_identical_missed"),
+    )
+
+
+SQL_SIMHASH_PAIRS = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+),
+ex AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       CAST(0 AS BIGINT) AS n_identical_missed
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.9
+"""
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,6 +1095,11 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the bounded deterministic centroid rule
+    (``vec_id % 37 = 0 ORDER BY vec_id LIMIT 64``) — the same rule the
+    DuckDB oracle expresses in SQL, so bucket assignment, candidate set,
+    and final ranks are all cross-engine checkable.  Only integral
+    columns are hashed (rank, ids); cosine stays internal."""
     from database_transportor_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -969,11 +1108,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+# Mirrors ivf_topk exactly: bounded stride centroids, nearest-centroid
+# bucket per corpus vector (ties -> lowest centroid id), nprobe=3 buckets
+# per probe, exact cosine re-score over the candidates, rank <= k.
+SQL_ANN_IVF = """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 64
+), assign AS (
+    SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+), qa AS (
+    SELECT query_id, bucket FROM (
+        SELECT e.vec_id AS query_id, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10
+    ) WHERE rn <= 3
+), cand AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id
+    FROM qa q JOIN assign a USING (bucket)
+    WHERE a.vec_id <> q.query_id
+), scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+    FROM cand c
+    JOIN embeddings qe ON qe.vec_id = c.query_id
+    JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup pairs, oracle-checked on pair membership:
+    the bounded centroid rule and bucket-local join are both SQL-
+    expressible, and the float cosine stays out of the hashed projection."""
     from database_transportor_spark.operators.similarity import cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.3, stride=37)
+    out = cosine_pairs(emb, "vec_id", "embedding", threshold=0.3, stride=37)
+    return out.select("id_a", "id_b")
+
+
+SQL_COSINE_PAIRS = """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 64
+), assign AS (
+    SELECT vec_id, embedding, bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM assign a JOIN assign b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,13 +1586,35 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users per event type — approximate by design, so the
-    driver records the rows-only check; the error bound vs the exact count
-    is asserted in tests/test_sketches.py."""
+    """HLL++ distinct users per event type, oracle-checked via its accuracy
+    contract: the hashed projection carries the exact distinct count plus a
+    Spark-computed flag asserting the sketch landed within 5× the configured
+    rsd; the DuckDB oracle emits the same exact count and a literal TRUE.
+    Spark's HLL++ is deterministic for a fixed dataset, so the flag is
+    stable run-to-run (tight-bound test in tests/test_sketches.py)."""
     from database_transportor_spark.operators.sketches import approx_distinct
 
     events = _read_events(spark, sf_dir)
-    return approx_distinct(events, ["event_type"], "user_id", rsd=0.02)
+    approx = approx_distinct(events, ["event_type"], "user_id", rsd=0.02)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * (5 * 0.02)
+        ).alias("approx_within_bound"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS approx_within_bound
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1521,11 +1745,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     out = decontaminate(corpus, benchmark, "doc_id", "text", n=3, threshold=0.05)
+    # Hash the contamination ratio as integral parts-per-million (integer
+    # division on both engines) rather than a raw IEEE754 double, per the
+    # numeric-parity policy in the module header.
     return out.select(
         "doc_id",
         F.col("doc_ngrams").cast("long").alias("doc_ngrams"),
         F.col("overlap_ngrams").cast("long").alias("overlap_ngrams"),
-        "contamination",
+        F.expr(
+            "CAST(overlap_ngrams AS BIGINT) * 1000000 div CAST(doc_ngrams AS BIGINT)"
+        ).alias("contamination_ppm"),
     )
 
 
@@ -1542,8 +1771,10 @@ bench AS (
     FROM posting p LEFT JOIN bench b ON p.s = b.s
     GROUP BY p.doc_id
 )
-SELECT doc_id, doc_ngrams, overlap_ngrams,
-       overlap_ngrams / doc_ngrams AS contamination
+SELECT doc_id,
+       CAST(doc_ngrams AS BIGINT) AS doc_ngrams,
+       CAST(overlap_ngrams AS BIGINT) AS overlap_ngrams,
+       CAST((overlap_ngrams * 1000000) // doc_ngrams AS BIGINT) AS contamination_ppm
 FROM agg WHERE overlap_ngrams / doc_ngrams >= 0.05
 """
 
@@ -1655,14 +1886,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pack_sequences(
         docs, "doc_id", "n_chars", budget=2000, group_cols=["lang"]
     )
-    return out.select("doc_id", "lang", "pack_offset", "pack_id")
+    # Cast the running offset to long explicitly: DuckDB's windowed sum is
+    # HUGEINT, which serializes (and hashes) differently from BIGINT.
+    return out.select(
+        "doc_id", "lang",
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        "pack_id",
+    )
 
 
 SQL_PACK_SEQUENCES = """
 SELECT doc_id, lang,
-       sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         - n_chars AS pack_offset,
+       CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_chars AS BIGINT) AS pack_offset,
        lang || '#' || CAST(CAST(FLOOR((sum(n_chars) OVER (
            PARTITION BY lang ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
@@ -1769,9 +2006,11 @@ _EXTENSION_ORACLES = {
     "doc_pipeline": SQL_DOC_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
-    # minhash_lsh / simhash_pairs / ann_ivf / cosine_pairs: hash- or
-    # approximation-dependent → rows-only (no DuckDB equivalent).
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_cosine": SQL_ANN_COSINE,
+    "ann_ivf": SQL_ANN_IVF,
+    "cosine_pairs": SQL_COSINE_PAIRS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "events_window": SQL_EVENTS_WINDOW,
@@ -1797,5 +2036,5 @@ _EXTENSION_ORACLES = {
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "grouped_median": SQL_GROUPED_MEDIAN,
-    # approx_distinct: HLL sketch, engine-specific -> rows-only
+    "approx_distinct": SQL_APPROX_DISTINCT,
 }

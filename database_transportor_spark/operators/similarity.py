@@ -9,8 +9,9 @@ Three operators, same contract:
 - :func:`ivf_topk` — **IVF-style** approximate top-k: vectors are bucketed
   by nearest centroid once (the "index"); each query searches only its
   ``nprobe`` nearest centroid buckets.  The scan is then ~``nprobe/C`` of
-  the corpus — the 100 TB path.  Centroids here are a deterministic sample
-  (every ``stride``-th vector); swap in KMeans centroids for real recall.
+  the corpus — the 100 TB path.  Centroids here are a deterministic
+  *bounded* sample (every ``stride``-th vector, capped at
+  ``n_centroids``); swap in KMeans centroids for real recall.
 - :func:`cosine_pairs` — embedding-cosine near-duplicate pairs above a
   threshold, IVF-bucketed so only same-bucket vectors compare.
 
@@ -85,8 +86,9 @@ def _centroid_model(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Centroid "model" for IVF bucketing, collected driver-side.
 
-    ``method="stride"``: deterministic sample (every ``stride``-th vector)
-    — zero training cost, adequate bucketing for near-uniform corpora.
+    ``method="stride"``: deterministic bounded sample (every ``stride``-th
+    vector, capped at ``n_centroids``) — zero training cost, adequate
+    bucketing for near-uniform corpora.
     ``method="kmeans"``: ``pyspark.ml`` KMeans with ``n_centroids``
     clusters — pays one training pass for real cell quality, exactly how
     a production IVF index is built.
@@ -109,10 +111,17 @@ def _centroid_model(
         )
         ids = np.arange(len(mat), dtype=np.int64)
     elif method == "stride":
+        # Bounded: stride-filter then take the first ``n_centroids`` by id
+        # (Spark compiles orderBy+limit to TakeOrdered — per-partition
+        # top-k, driver merge), so driver memory is O(n_centroids) at ANY
+        # corpus size, not O(N/stride).  The same rule is expressible in
+        # ANSI SQL (``WHERE id % stride = 0 ORDER BY id LIMIT n``), which
+        # is what lets the harness oracle-check the IVF queries.
         rows = (
             corpus.filter((F.col(id_col) % stride) == 0)
             .select(F.col(id_col), F.col(vec_col))
             .orderBy(id_col)
+            .limit(n_centroids)
             .collect()
         )
         ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -221,13 +230,17 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     stride: int = 37,
+    method: str = "stride",
+    n_centroids: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (``cos >= threshold``),
     IVF-bucketed: only vectors sharing a nearest-centroid bucket are
     compared, so the join is bucket-local, not N².  (Near-identical vectors
     land in the same bucket with high probability; widen with nprobe>1
     assignment for higher recall.)"""
-    ids, cmat = _centroid_model(corpus, id_col, vec_col, stride)
+    ids, cmat = _centroid_model(
+        corpus, id_col, vec_col, stride, method=method, n_centroids=n_centroids
+    )
     indexed = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),

@@ -57,12 +57,12 @@ def dependency_edges(specs: dict[str, MapSpec]) -> dict[str, set[str]]:
     produced = produced_tables(specs)
     deps: dict[str, set[str]] = {k: set() for k in specs}
     for key, m in specs.items():
-        if m.transport_after:
-            if m.transport_after not in specs:
+        for after in m.transport_after:
+            if after not in specs:
                 raise SpecError(
-                    f"map {key!r}: transport_after {m.transport_after!r} is not a map"
+                    f"map {key!r}: transport_after {after!r} is not a map"
                 )
-            deps[key].add(m.transport_after)
+            deps[key].add(after)
         for table in _target_lookups(m):
             dep_key = produced.get(table)
             if dep_key is not None and dep_key != key:

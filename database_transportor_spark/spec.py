@@ -460,7 +460,10 @@ class MapSpec:
     columns: tuple[ColumnSpec, ...] = ()
     extra_conditions: tuple[Condition, ...] = ()
     order: Optional[OrderSpec] = None
-    transport_after: Optional[str] = None
+    #: map keys that must migrate first (X2, DBT.php:125-127).  The
+    #: reference takes a single key; a list of keys is accepted as a
+    #: documented extension — normalized to a tuple at parse time.
+    transport_after: tuple[str, ...] = ()
     run_after_transport: Optional[Callable[..., Any]] = None
     middle: Optional[MiddleSpec] = None
     #: extension-surface stages applied after projection/lookups, in order;
@@ -497,6 +500,20 @@ class MapSpec:
         original_table = obj.get("original_table")
         if original_table is None and middle is None:
             raise SpecError(f"{where}: needs original_table (or a middle spec)")
+        after_obj = obj.get("transport_after")
+        if after_obj is None:
+            transport_after: tuple[str, ...] = ()
+        elif isinstance(after_obj, str):
+            transport_after = (after_obj,)
+        elif isinstance(after_obj, (list, tuple)) and all(
+            isinstance(a, str) for a in after_obj
+        ):
+            transport_after = tuple(after_obj)
+        else:
+            raise SpecError(
+                f"{where}: transport_after must be a map key or list of map"
+                f" keys, got {after_obj!r}"
+            )
         return MapSpec(
             key=key,
             original_table=original_table,
@@ -506,7 +523,7 @@ class MapSpec:
             columns=columns,
             extra_conditions=_parse_conditions(obj.get("extra_conditions"), where),
             order=OrderSpec.parse(obj["order"]) if obj.get("order") else None,
-            transport_after=obj.get("transport_after"),
+            transport_after=transport_after,
             run_after_transport=obj.get("run_after_transport"),
             middle=middle,
             post_ops=tuple(post_ops),

@@ -29,8 +29,11 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round to kill engine-level last-ulp noise; exact values unaffected
-        return repr(round(v, 6))
+        # FULL precision — the driver's hash is strict, so the local harness
+        # must be at least as strict (r1 lesson: local rounding hid two
+        # driver-level hash mismatches).  Queries must emit integer-exact or
+        # bit-identical values; never rely on rounding here.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return repr(v)
