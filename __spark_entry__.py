@@ -651,7 +651,14 @@ def oracle_sql() -> dict[str, str]:
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture adapter: events.parquet stores TIMESTAMP(NANOS) which Spark's
     vectorized reader rejects; read nanos as long and convert to a
-    microsecond timestamp (hour-window semantics unaffected)."""
+    microsecond timestamp (hour-window semantics unaffected).
+
+    The legacy flag is deliberately session-scoped HERE (harness glue, not
+    library code): the returned DataFrame is lazy, so the flag must still
+    be set when a downstream action scans the file.  events.parquet is the
+    only nanos-typed fixture, and every consumer in this harness wants the
+    long interpretation.  The library's streaming operators, by contrast,
+    run to completion and restore the flag (events.py:_scoped_nanos_conf)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql.types import LongType
@@ -1246,7 +1253,6 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from database_transportor_spark.streaming.events import stream_tumbling_agg
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = stream_tumbling_agg(
         spark,
         f"{sf_dir}/events.parquet",
@@ -1321,7 +1327,6 @@ def q_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from database_transportor_spark.streaming.events import stream_stateful_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return stream_stateful_totals(
         spark,
         f"{sf_dir}/events.parquet",
@@ -1424,7 +1429,6 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from database_transportor_spark.streaming.events import stream_dedup_count
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return stream_dedup_count(
         spark,
         f"{sf_dir}/events.parquet",

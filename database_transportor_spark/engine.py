@@ -99,6 +99,15 @@ class DBT:
         # detected exactly, not at depth `safety`.  Kept for API parity.
         return self
 
+    def set_preload(self, preload: dict[str, list[str]]) -> "DBT":
+        # S5 runtime setter (DBT.php:546-548).  Declaring a table preloaded
+        # means "it fits in memory" (the reference loads it whole into PHP
+        # arrays), so besides cache() we attach a broadcast hint — a
+        # preloaded dimension then joins without shuffling the fact side.
+        self.preload = {k: set(v) for k, v in (preload or {}).items()}
+        self._read_cache.clear()
+        return self
+
     # -- resolution ---------------------------------------------------------
     def _resolve(self, side: str, table: str) -> DataFrame:
         if side != SIDE_ORIGINAL and table in self._outputs_by_table:
@@ -108,7 +117,9 @@ class DBT:
             cat = self.original if side == SIDE_ORIGINAL else self.target
             df = cat.read(table)
             if table in self.preload.get(side, ()):
-                df = df.cache()
+                # Preload (S5) implies dimension-sized: cache for reuse and
+                # hint broadcast so lookups against it never shuffle facts.
+                df = F.broadcast(df.cache())
             self._read_cache[key] = df
         return self._read_cache[key]
 
@@ -182,22 +193,48 @@ class DBT:
         df = self._outputs[key]
         return output_columns(m, df.columns)
 
-    def do_transport(self, mode: str = "append") -> dict[str, DataFrame]:
+    def do_transport(
+        self, mode: str = "append", staged: bool = False
+    ) -> dict[str, DataFrame]:
         """Execute: seed check, plan, write each table in dependency order
-        (X1), drop staging columns pre-write (X5), run post hooks (X6)."""
+        (X1), drop staging columns pre-write (X5), run post hooks (X6).
+
+        ``staged=True`` is the X7 transaction-gap strategy (the reference
+        wraps the run in one DB transaction, CreateTemp.temp:26-38): every
+        table lands in ``<table>__staging`` first; only after ALL heavy
+        writes succeed are the staging tables swapped in (cheap renames).
+        A failure during the write phase aborts every staging table and
+        leaves the live target untouched.  Hooks (X6) run post-swap, like
+        the reference's post-commit destructor hooks."""
         self.check_seed()
         outputs = self.transform()
         hooks = []
-        for key in topo_order(self.specs):
-            m = self.specs[key]
-            df = outputs[key]
-            out = df.select(*self.write_columns(key))
-            if m.order is not None:
-                c = F.col(m.order.order_by)
-                out = out.orderBy(c.asc() if m.order.direction == "asc" else c.desc())
-            self.target.write(out, m.target_table, mode=mode)
-            if m.run_after_transport is not None:
-                hooks.append(m.run_after_transport)
+        written: list[str] = []
+        try:
+            for key in topo_order(self.specs):
+                m = self.specs[key]
+                df = outputs[key]
+                out = df.select(*self.write_columns(key))
+                if m.order is not None:
+                    c = F.col(m.order.order_by)
+                    out = out.orderBy(
+                        c.asc() if m.order.direction == "asc" else c.desc()
+                    )
+                if staged:
+                    # append first so a mid-write failure (partial staging
+                    # output) is aborted along with the completed ones
+                    written.append(m.target_table)
+                    self.target.write_staged(out, m.target_table)
+                else:
+                    self.target.write(out, m.target_table, mode=mode)
+                if m.run_after_transport is not None:
+                    hooks.append(m.run_after_transport)
+        except Exception:
+            for table in written:
+                self.target.abort_staged(table)
+            raise
+        for table in written:
+            self.target.commit_staged(table)
         for hook in hooks:
             hook()
         return outputs

@@ -225,9 +225,24 @@ def apply_asof_refer(fact: DataFrame, cspec, resolve: Resolver) -> DataFrame:
     from .temporal import asof_join
 
     spec = cspec.asof_refer
+    keys = list(spec.on)
+    if cspec.target in fact.columns:
+        # Match refer/refers overwrite semantics: the lookup result REPLACES
+        # any same-named fact column.  Without this, asof_join would rename
+        # the looked-up payload to '<target>_right' and the stale fact
+        # column would silently win (ADVICE r1).  Overwrite by dropping the
+        # fact column first — unless it feeds the join itself, which is an
+        # unsatisfiable spec.
+        if cspec.target in keys or cspec.target == spec.according_ts:
+            from ..spec import SpecError
+
+            raise SpecError(
+                f"asof_refer target {cspec.target!r} collides with its own"
+                f" join input (on/according_ts); rename the target"
+            )
+        fact = fact.drop(cspec.target)
     dim = resolve(spec.search_source, spec.search_table)
     dim = apply_conditions(dim, spec.conditions)
-    keys = list(spec.on)
     dim = (
         dim.groupBy(*keys, spec.search_ts)
         .agg(F.max(spec.wanted_column).alias(cspec.target))

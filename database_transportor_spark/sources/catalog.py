@@ -28,13 +28,45 @@ __all__ = ["Catalog", "ParquetCatalog", "JDBCCatalog", "MemoryCatalog", "TableCa
 
 
 class Catalog:
-    """Read/write access to named tables on one side of the migration."""
+    """Read/write access to named tables on one side of the migration.
+
+    Staged-swap protocol (X7): the reference wraps the whole run in ONE DB
+    transaction (CreateTemp.temp:26-38, TransportorTemp.temp:12-24) so a
+    failed migration leaves the target untouched.  Spark has no cross-table
+    transaction, so the engine approximates the all-or-nothing intent in
+    two phases: every table is first written to ``<table>__staging``
+    (:meth:`write_staged`), and only after ALL heavy writes succeed are the
+    staging tables swapped into place (:meth:`commit_staged` — cheap
+    renames).  A failure during the write phase aborts with the previous
+    data intact; a failure *between* swaps can leave a mixed target — the
+    narrow residual window is documented, not hidden.
+    """
+
+    #: suffix for in-flight tables; mirrors the scaffolded temp-table
+    #: naming the reference generates around its transaction.
+    staging_suffix = "__staging"
 
     def read(self, table: str) -> DataFrame:
         raise NotImplementedError
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         raise NotImplementedError
+
+    def staged_name(self, table: str) -> str:
+        return f"{table}{self.staging_suffix}"
+
+    def write_staged(self, df: DataFrame, table: str) -> None:
+        """Phase 1: land the full result next to the live table."""
+        self.write(df, self.staged_name(table), mode="overwrite")
+
+    def commit_staged(self, table: str) -> None:
+        """Phase 2: replace the live table with its staging twin (cheap)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement staged commits"
+        )
+
+    def abort_staged(self, table: str) -> None:
+        """Best-effort cleanup of an uncommitted staging table."""
 
     def is_nonempty(self, table: str) -> bool:
         """Seed validation (S6, DBT.php:512-518): cheap existence probe."""
@@ -87,6 +119,20 @@ class ParquetCatalog(Catalog):
             shutil.rmtree(final, ignore_errors=True)
         os.replace(staging, final)
 
+    def commit_staged(self, table: str) -> None:
+        import os
+        import shutil
+
+        final = self.path(table)
+        if os.path.isdir(final) or os.path.isfile(final):
+            shutil.rmtree(final, ignore_errors=True)
+        os.replace(self.path(self.staged_name(table)), final)
+
+    def abort_staged(self, table: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.path(self.staged_name(table)), ignore_errors=True)
+
 
 class JDBCCatalog(Catalog):
     """Live-RDBMS catalog via Spark's JDBC source.
@@ -97,10 +143,13 @@ class JDBCCatalog(Catalog):
     for facts at scale).
 
     Staged-swap (X7) over JDBC: Spark's JDBC writer cannot rename tables,
-    so the swap needs one direct statement on the target DB — write with
-    ``table + "__staging"`` then run ``ALTER TABLE ... RENAME`` (or the
-    dialect's equivalent) in a ``run_after_transport`` hook; the parquet
-    catalog implements the same pattern natively.
+    so :meth:`commit_staged` issues the dialect's rename DDL over a direct
+    driver-side connection (``java.sql.DriverManager`` through the live
+    JVM — no extra Python DB driver needed).  The engine's
+    ``do_transport(staged=True)`` writes every table to ``__staging``
+    first and swaps only after all writes succeed, matching the
+    all-or-nothing intent of the reference's transaction wrapper
+    (CreateTemp.temp:26-38).
     """
 
     def __init__(
@@ -144,6 +193,49 @@ class JDBCCatalog(Catalog):
             writer = writer.option(k, v)
         writer.save()
 
+    # -- staged swap (X7): direct DDL over a driver-side JDBC connection --
+    def _execute_ddl(self, *statements: str) -> None:
+        jvm = self.spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            for sql in statements:
+                stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
+
+    def _table_exists(self, table: str) -> bool:
+        try:
+            self.read(table).schema  # resolves remotely, fetches no rows
+            return True
+        except Exception:
+            return False
+
+    def _rename_sql(self, old: str, new: str) -> str:
+        # MySQL and Derby use RENAME TABLE; PostgreSQL and most others
+        # spell it ALTER TABLE ... RENAME TO.
+        if self.url.startswith(("jdbc:mysql", "jdbc:mariadb", "jdbc:derby")):
+            return f"RENAME TABLE {old} TO {new}"
+        return f"ALTER TABLE {old} RENAME TO {new}"
+
+    def commit_staged(self, table: str) -> None:
+        staging = self.staged_name(table)
+        if self._table_exists(table):
+            self._execute_ddl(f"DROP TABLE {table}")
+        self._execute_ddl(self._rename_sql(staging, table))
+
+    def abort_staged(self, table: str) -> None:
+        staging = self.staged_name(table)
+        if self._table_exists(staging):
+            try:
+                self._execute_ddl(f"DROP TABLE {staging}")
+            except Exception:
+                pass
+
 
 class TableCatalog(Catalog):
     """Session-catalog tables (``saveAsTable``/``spark.table``) with
@@ -182,6 +274,28 @@ class TableCatalog(Catalog):
             writer = writer.bucketBy(n, *cols).sortBy(*cols)
         writer.saveAsTable(self._qualified(table))
 
+    def write_staged(self, df: DataFrame, table: str) -> None:
+        # Stage under the FINAL table's bucket spec so the swap preserves
+        # the co-located-join layout.
+        writer = df.write.mode("overwrite").format("parquet")
+        spec = self.bucket_specs.get(table)
+        if spec:
+            n, cols = spec
+            writer = writer.bucketBy(n, *cols).sortBy(*cols)
+        writer.saveAsTable(self._qualified(self.staged_name(table)))
+
+    def commit_staged(self, table: str) -> None:
+        final = self._qualified(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {final}")
+        self.spark.sql(
+            f"ALTER TABLE {self._qualified(self.staged_name(table))} RENAME TO {final}"
+        )
+
+    def abort_staged(self, table: str) -> None:
+        self.spark.sql(
+            f"DROP TABLE IF EXISTS {self._qualified(self.staged_name(table))}"
+        )
+
 
 class MemoryCatalog(Catalog):
     """Dict-backed catalog for tests; ``write`` unions into the dict so the
@@ -200,3 +314,9 @@ class MemoryCatalog(Catalog):
             self.tables[table] = df
         else:
             self.tables[table] = self.tables[table].unionByName(df, allowMissingColumns=True)
+
+    def commit_staged(self, table: str) -> None:
+        self.tables[table] = self.tables.pop(self.staged_name(table))
+
+    def abort_staged(self, table: str) -> None:
+        self.tables.pop(self.staged_name(table), None)

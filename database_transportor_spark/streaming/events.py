@@ -9,6 +9,8 @@ the knob that matters at 100 TB/day.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +32,30 @@ def _window_aggs() -> list:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     ]
+
+
+def _scoped_nanos_conf(fn):
+    """Restore ``spark.sql.legacy.parquet.nanosAsLong`` after the wrapped
+    run-to-completion streaming call.  ``_stream_reader`` must set the flag
+    for the duration of the query (the fixture stores TIMESTAMP(NANOS)),
+    but leaving it set would silently change how every later *batch*
+    parquet read in the shared session interprets nanos columns.  The
+    memory-sink result is fully materialized before return, so restoring
+    afterwards is safe."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, *args, **kwargs):
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return wrapper
 
 
 def tumbling_agg(
@@ -110,6 +136,7 @@ def session_agg(
     )
 
 
+@_scoped_nanos_conf
 def stream_tumbling_agg(
     spark: SparkSession,
     source_dir: str,
@@ -153,6 +180,7 @@ def stream_tumbling_agg(
     return spark.table(sink_table)
 
 
+@_scoped_nanos_conf
 def stream_dedup_count(
     spark: SparkSession,
     source_dir: str,
@@ -192,6 +220,7 @@ def stream_dedup_count(
     )
 
 
+@_scoped_nanos_conf
 def stream_stateful_totals(
     spark: SparkSession,
     source_dir: str,
@@ -320,6 +349,7 @@ def _stream_reader(spark: SparkSession, source_dir: str, ts_col: str):
     return stream
 
 
+@_scoped_nanos_conf
 def stream_interval_join(
     spark: SparkSession,
     source_dir: str,

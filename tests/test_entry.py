@@ -47,3 +47,14 @@ def test_query_matches_oracle(spark, oracle, name):
     assert len(s_rows) == len(o_rows)
     assert sorted(s_cols) == sorted(o_cols)
     assert df_hash(s_cols, s_rows) == df_hash(o_cols, o_rows)
+
+
+def test_stream_reader_restores_nanos_conf(spark):
+    """The TIMESTAMP(NANOS) legacy flag is scoped to the streaming call —
+    it must not leak into later batch reads on the shared session."""
+    import __spark_entry__ as e
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    e.queries()["events_stream_dedup"](spark, "/root/testdata/sf0.001").collect()
+    assert spark.conf.get(key, None) is None

@@ -92,3 +92,32 @@ def test_pack_sequences_single_window_pass(spark):
     plan = _plan(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan
+
+
+def test_preloaded_lookup_broadcasts(spark):
+    """set_preload (S5 setter parity, DBT.php:546-548): a preloaded lookup
+    table joins via BroadcastHashJoin — no shuffle of the fact side."""
+    from database_transportor_spark import DBT, ParquetCatalog
+
+    maps = {
+        "out": {
+            "original_table": "orders",
+            "columns": {
+                "id": "o_orderkey",
+                "segment": {
+                    "refer": {
+                        "search_source": "original",
+                        "search_table": "customer",
+                        "search_column": "c_custkey",
+                        "according_column": "id",
+                        "wanted_column": "c_mktsegment",
+                    },
+                },
+            },
+        }
+    }
+    cat = ParquetCatalog(spark, SF)
+    eng = DBT(maps, target=cat, original=cat).set_preload({"original": ["customer"]})
+    df = eng.transform()["out"]
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan

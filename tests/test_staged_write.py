@@ -31,3 +31,108 @@ def test_staged_failure_preserves_previous(spark, tmp_path):
         cat.write(bad, "t", mode="overwrite")
     # previous data intact
     assert cat.read("t").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Engine-level staged transport (X7): all tables land in __staging, then
+# swap — across ParquetCatalog, JDBCCatalog (embedded Derby), TableCatalog.
+# ---------------------------------------------------------------------------
+
+from database_transportor_spark import DBT, MemoryCatalog
+from database_transportor_spark.sources.catalog import JDBCCatalog, TableCatalog
+
+MAPS = {
+    "dim": {"original_table": "src", "columns": {"id": "id", "name": "name"}},
+    "fact": {
+        "original_table": "src",
+        "transport_after": "dim",
+        "columns": {"id": "id", "tag": {"default": "x"}},
+    },
+}
+
+
+def _source(spark):
+    return MemoryCatalog(
+        {"src": spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")}
+    )
+
+
+def test_engine_staged_parquet_all_or_nothing(spark, tmp_path):
+    target = ParquetCatalog(spark, str(tmp_path))
+    eng = DBT(MAPS, target=target, original=_source(spark))
+    eng.do_transport(staged=True)
+    assert target.read("dim").count() == 2
+    assert target.read("fact").count() == 2
+    assert not os.path.exists(f"{tmp_path}/dim__staging.parquet")
+
+    # second run whose SECOND write fails: neither table may change
+    bad_maps = dict(MAPS)
+    bad_maps["fact"] = {
+        "original_table": "src",
+        "transport_after": "dim",
+        "columns": {"id": {"original": "id", "function": "id / (id - id)"}},
+    }
+    before = target.read("dim").columns
+    eng2 = DBT(bad_maps, target=target, original=_source(spark))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng2.do_transport(staged=True)
+    # live tables intact, no staging leftovers
+    assert target.read("dim").columns == before
+    assert target.read("fact").count() == 2
+    assert not os.path.exists(f"{tmp_path}/dim__staging.parquet")
+    assert not os.path.exists(f"{tmp_path}/fact__staging.parquet")
+
+
+def test_engine_staged_jdbc_derby_swap(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    target = JDBCCatalog(spark, url)
+    eng = DBT(MAPS, target=target, original=_source(spark))
+    eng.do_transport(staged=True)
+    assert target.read("dim").count() == 2
+    assert sorted(c.lower() for c in target.read("fact").columns) == ["id", "tag"]
+    assert not target._table_exists("dim__staging")
+
+    # re-run overwrites via a fresh swap (previous tables get dropped)
+    eng2 = DBT(MAPS, target=target, original=_source(spark))
+    eng2.do_transport(staged=True)
+    assert target.read("dim").count() == 2
+    assert not target._table_exists("fact__staging")
+
+
+def test_engine_staged_jdbc_derby_failure_keeps_previous(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/derbydb2;create=true"
+    target = JDBCCatalog(spark, url)
+    DBT(MAPS, target=target, original=_source(spark)).do_transport(staged=True)
+
+    bad_maps = dict(MAPS)
+    bad_maps["fact"] = {
+        "original_table": "src",
+        "transport_after": "dim",
+        "columns": {"id": {"original": "id", "function": "id / (id - id)"}},
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        DBT(bad_maps, target=target, original=_source(spark)).do_transport(staged=True)
+    assert target.read("dim").count() == 2
+    assert target.read("fact").count() == 2
+    assert not target._table_exists("dim__staging")
+    assert not target._table_exists("fact__staging")
+
+
+def test_engine_staged_table_catalog_swap(spark):
+    target = TableCatalog(spark)
+    try:
+        eng = DBT(MAPS, target=target, original=_source(spark))
+        eng.do_transport(staged=True)
+        assert target.read("dim").count() == 2
+        assert target.read("fact").count() == 2
+        assert not spark.catalog.tableExists("dim__staging")
+        # swap again on top of the existing tables
+        DBT(MAPS, target=target, original=_source(spark)).do_transport(staged=True)
+        assert target.read("dim").count() == 2
+    finally:
+        for t in ("dim", "fact", "dim__staging", "fact__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

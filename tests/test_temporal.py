@@ -197,3 +197,59 @@ def test_asof_join_reserved_names_rejected(spark):
     right = spark.createDataFrame([("A", 1, 3.0)], ["k", "ts", "v"])
     with pytest.raises(ValueError, match="reserves"):
         asof_join(left, right, "k", "ts")
+
+
+def test_asof_refer_overwrites_colliding_fact_column(spark):
+    """A fact column named like the asof_refer target is REPLACED by the
+    lookup result (refer/refers overwrite semantics), not silently kept."""
+    from database_transportor_spark import DBT, MemoryCatalog
+
+    trades = spark.createDataFrame(
+        [(1, "A", 5, -1.0), (2, "B", 9, -1.0)], ["tid", "sym", "ts", "px"]
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0)], ["sym", "ts", "px"]
+    )
+    maps = {
+        "out": {
+            "original_table": "trades",
+            "columns": {
+                "tid": "tid",
+                "px": {
+                    "asof_refer": {
+                        "search_table": "quotes",
+                        "search_source": "original",
+                        "on": "sym",
+                        "according_ts": "ts",
+                        "wanted_column": "px",
+                    },
+                    "default": 0.0,
+                },
+            },
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"trades": trades, "quotes": quotes}))
+    out = {r["tid"]: r["px"] for r in eng.transform()["out"].collect()}
+    # the stale -1.0 fact values must NOT survive
+    assert out == {1: 10.0, 2: 0.0}
+
+
+def test_asof_refer_target_colliding_with_join_input_raises(spark):
+    import pytest
+
+    from database_transportor_spark.operators.refer import apply_asof_refer
+    from database_transportor_spark.spec import ColumnSpec, SpecError
+
+    fact = spark.createDataFrame([(1, "A", 5)], ["tid", "sym", "ts"])
+    cspec = ColumnSpec.parse("ts", {
+        "asof_refer": {
+            "search_table": "quotes",
+            "search_source": "original",
+            "on": "sym",
+            "according_ts": "ts",
+            "wanted_column": "px",
+        },
+    })
+    with pytest.raises(SpecError, match="collides"):
+        apply_asof_refer(fact, cspec, lambda s, t: fact)
