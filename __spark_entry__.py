@@ -1699,6 +1699,86 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value FROM events
 """
 
 
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of enrichment THROUGH the time-bucketed hot-key path
+    (``bucket``): each key's timeline splits into aligned 6-hour buckets,
+    per-bucket latest rows are carried across buckets, and the big sort is
+    per (key, bucket) — so one pathological key can't pin a task to
+    |L|+|R|.  Bucketing must be result-transparent, hence the oracle is
+    the identical DuckDB ASOF JOIN."""
+    events = _read_events(spark, sf_dir)
+    maps = {
+        "enriched": {
+            "original_table": "purchases",
+            "columns": {
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "value": "value",
+                "last_view": {
+                    "asof_refer": {
+                        "search_table": "views",
+                        "search_source": "original",
+                        "on": "user_id",
+                        "according_ts": "ts",
+                        "search_ts": "ts",
+                        "wanted_column": "value",
+                        "bucket": "6 hours",
+                    },
+                    "default": -1.0,
+                },
+            },
+        }
+    }
+    return _run(
+        spark, sf_dir, maps, "enriched",
+        extra_original={
+            "purchases": events.filter(F.col("event_type") == "purchase"),
+            "views": events.filter(F.col("event_type") == "view"),
+        },
+    )
+
+
+SQL_ASOF_BUCKETED = SQL_ASOF_REFER
+
+
+def q_refer_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J1 refer through the declarative skew-salting lane: pinned hot
+    keys spread over 8 reducers, the long tail joins plain, and the two
+    lanes union.  Salting must be result-transparent, so the oracle is the
+    plain LEFT JOIN."""
+    maps = {
+        "enriched_orders": {
+            "original_table": "orders",
+            "columns": {
+                "orderkey": "o_orderkey",
+                "custkey": "o_custkey",
+                "customer_name": {
+                    "refer": {
+                        "search_source": "original",
+                        "search_table": "customer",
+                        "search_column": "c_custkey",
+                        "according_column": "custkey",
+                        "wanted_column": "c_name",
+                        "salt": {"salts": 8, "hot_keys": [1, 2, 3, 5, 8]},
+                    },
+                    "default": "unknown",
+                },
+                "status": "o_orderstatus",
+            },
+        }
+    }
+    return _run(spark, sf_dir, maps, "enriched_orders")
+
+
+SQL_REFER_SALTED = """
+SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+       COALESCE(c.c_name, 'unknown') AS customer_name,
+       o.o_orderstatus AS status
+FROM orders o
+LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events landing inside each user's first active hour — equi-key +
     interval containment via the bucketed range join."""
@@ -1996,6 +2076,8 @@ _EXTENSION_QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "asof_join": q_asof_join,
     "asof_refer": q_asof_refer,
+    "asof_bucketed": q_asof_bucketed,
+    "refer_salted": q_refer_salted,
     "range_join": q_range_join,
     "events_rollup": q_events_rollup,
     "grouped_median": q_grouped_median,
@@ -2037,6 +2119,8 @@ _EXTENSION_ORACLES = {
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "asof_join": SQL_ASOF_JOIN,
     "asof_refer": SQL_ASOF_REFER,
+    "asof_bucketed": SQL_ASOF_BUCKETED,
+    "refer_salted": SQL_REFER_SALTED,
     "range_join": SQL_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "grouped_median": SQL_GROUPED_MEDIAN,

@@ -114,7 +114,25 @@ def apply_refer(fact: DataFrame, cspec: ColumnSpec, resolve: Resolver) -> DataFr
         build = build.groupBy(key).agg(F.max(wanted).alias(wanted))
         build = _maybe_broadcast(build, spec.broadcast)
         probe = _probe_column(fact, according, spec, rtrim=True)
-        joined = fact.join(build, probe == F.col(key), "left")
+        if spec.salt is not None:
+            # Skew lane: hot probe keys spread over `salts` reducers, long
+            # tail joins plain (operators/skew.py).  Results are identical
+            # to the unsalted join — the harness `refer_salted` oracle
+            # checks exactly that.  The salt source is a hash of the whole
+            # fact row: per-row variation, deterministic across retries.
+            from .skew import hot_key_sample, salted_left_join
+
+            salt_src = F.xxhash64(*[F.col(c) for c in fact.columns])
+            keyed = fact.withColumn(key, probe).withColumn("__salt_src", salt_src)
+            hot = list(spec.salt.hot_keys) or hot_key_sample(
+                keyed, key, threshold=spec.salt.threshold
+            )
+            joined = salted_left_join(
+                keyed, build, key=key, salt_on="__salt_src",
+                hot_keys=hot, salts=spec.salt.salts,
+            ).drop("__salt_src")
+        else:
+            joined = fact.join(build, probe == F.col(key), "left")
         value = F.col(wanted)
         if spec.format_wanted is not None:
             # Applied even on miss, then ?? default (DBT.php:314-318).
@@ -250,7 +268,7 @@ def apply_asof_refer(fact: DataFrame, cspec, resolve: Resolver) -> DataFrame:
     out = asof_join(
         fact, dim, keys,
         left_ts=spec.according_ts, right_ts=spec.search_ts,
-        tolerance=spec.tolerance,
+        tolerance=spec.tolerance, bucket=spec.bucket,
     )
     if cspec.has_default and cspec.default is not None:
         out = out.withColumn(

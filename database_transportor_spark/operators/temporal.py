@@ -33,6 +33,7 @@ def asof_join(
     right_ts: str | None = None,
     tolerance: Column | str | None = None,
     suffix: str = "_right",
+    bucket: str | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, the most recent right row with
     ``right_ts <= left_ts`` sharing the key(s); no match ⇒ NULLs (left
@@ -47,10 +48,24 @@ def asof_join(
 
     Right columns are appended, key/ts columns kept from the left; right
     payload columns colliding with a left name get ``suffix``.
+
+    ``bucket``: hot-key escape hatch.  The default single window sorts all
+    |L|+|R| rows of the hottest key in ONE task — fine until one key
+    dominates.  Passing a duration (e.g. ``"1 day"``; requires
+    timestamp-typed ``ts`` columns) splits every key's timeline into
+    aligned buckets: per-(key, bucket) latest right rows are aggregated
+    (tiny), carried across buckets by a per-key window over bucket
+    summaries (rows = #buckets, not #events), and each bucket is seeded
+    with its carry-in — so the big sort is per (key, bucket) and the
+    hottest task is bounded by the densest bucket.  Results are identical
+    to the default path (asserted by tests and the ``asof_bucketed``
+    harness oracle), with one caveat: when several right rows share a
+    key's max timestamp *within a bucket*, the carried-in winner among
+    those exact ties is pinned by ``max_by`` rather than window order.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
-    reserved = {"__ts", "__side", "__r", "__last"}
+    reserved = {"__ts", "__side", "__r", "__last", "__b", "__r0", "__t0"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join reserves column names {sorted(clash)}")
@@ -81,12 +96,60 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     r = r.select(*l.columns)  # align column order for the union
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = l.unionByName(r).withColumn("__last", F.last("__r", ignorenulls=True).over(w))
+    if bucket is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = l.unionByName(r).withColumn(
+            "__last", F.last("__r", ignorenulls=True).over(w)
+        )
+    else:
+        bkt = lambda c: F.window(c, bucket)["start"]  # noqa: E731
+        lb = l.withColumn("__b", bkt(F.col("__ts")))
+        rb = r.withColumn("__b", bkt(F.col("__ts")))
+        # 1. tiny per-(key, bucket) summary of the latest right row
+        summary = rb.groupBy(*keys, "__b").agg(
+            F.max_by("__r", F.col("__ts")).alias("__r0")
+        )
+        # 2. bucket universe = every (key, bucket) either side touches, so
+        #    left-only buckets still receive a carry-in
+        universe = (
+            lb.select(*keys, "__b").unionByName(rb.select(*keys, "__b")).distinct()
+        )
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__b").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = (
+            universe.join(summary, [*keys, "__b"], "left")
+            .withColumn("__r0", F.last("__r0", ignorenulls=True).over(wb))
+            .filter(F.col("__r0").isNotNull())
+        )
+        # 3. seed each bucket with its carry-in: sorts first in the bucket
+        #    (ts = bucket start, side -1 loses to a real right row there)
+        seeds = carry_in.select(
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in left.columns if c not in keys],
+            *[F.col(k) for k in keys],
+            F.col("__b").alias("__ts"),
+            F.lit(-1).alias("__side"),
+            F.col("__r0").alias("__r"),
+            F.col("__b"),
+        ).select(*lb.columns)
+        w = (
+            Window.partitionBy(*keys, "__b")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = (
+            lb.unionByName(rb)
+            .unionByName(seeds)
+            .withColumn("__last", F.last("__r", ignorenulls=True).over(w))
+            .drop("__b")
+        )
     out = carried.filter(F.col("__side") == 1)
 
     if tolerance is not None:

@@ -182,6 +182,12 @@ class ReferSpec:
     #: None (default) lets Catalyst/AQE decide from statistics — the right
     #: call at 100 TB where a "dimension" may not fit an executor.
     broadcast: Optional[bool] = None
+    #: skew escape hatch (single-key only): salt the hot keys across N
+    #: reducers when the build side can't broadcast and a few keys hold
+    #: most probe rows (operators/skew.py).  ``{"salt": 16}`` auto-samples
+    #: hot keys; a dict pins them: ``{"salt": {"salts": 16, "hot_keys":
+    #: [...], "threshold": 100000}}``.
+    salt: Optional["SaltSpec"] = None
 
     @property
     def is_multi(self) -> bool:
@@ -206,6 +212,9 @@ class ReferSpec:
         source = obj.get("search_source", SIDE_TARGET)
         if source not in (SIDE_ORIGINAL, SIDE_TARGET):
             raise SpecError(f"{where}: search_source must be original|target, got {source!r}")
+        salt = SaltSpec.parse(obj["salt"], where) if obj.get("salt") else None
+        if salt is not None and len(search) > 1:
+            raise SpecError(f"{where}: salt is only supported on single-key refers")
         return ReferSpec(
             search_table=search_table,
             search_column=search,
@@ -216,7 +225,31 @@ class ReferSpec:
             pre_format=obj.get("pre_format"),
             format_wanted=obj.get("format_wanted"),
             broadcast=obj.get("broadcast"),
+            salt=salt,
         )
+
+
+@dataclass(frozen=True)
+class SaltSpec:
+    """Skew-salting parameters for a single-key refer (operators/skew.py)."""
+
+    salts: int = 16
+    hot_keys: tuple = ()  # empty → sampled at plan time (hot_key_sample)
+    threshold: int = 100_000
+
+    @staticmethod
+    def parse(obj: Any, where: str) -> "SaltSpec":
+        if isinstance(obj, bool):
+            raise SpecError(f"{where}: salt must be an int or dict")
+        if isinstance(obj, int):
+            return SaltSpec(salts=obj)
+        if isinstance(obj, dict):
+            return SaltSpec(
+                salts=int(obj.get("salts", 16)),
+                hot_keys=tuple(obj.get("hot_keys", ())),
+                threshold=int(obj.get("threshold", 100_000)),
+            )
+        raise SpecError(f"{where}: salt must be an int or dict, got {obj!r}")
 
 
 @dataclass(frozen=True)
@@ -278,6 +311,10 @@ class AsofReferSpec:
     search_source: str = SIDE_ORIGINAL
     tolerance: Optional[str] = None
     conditions: tuple[Condition, ...] = ()
+    #: hot-key escape hatch: a duration ("1 day") splitting each key's
+    #: timeline into buckets so no single task sorts a whole hot key
+    #: (operators/temporal.py:asof_join bucket param).
+    bucket: Optional[str] = None
 
     @staticmethod
     def parse(obj: Any, where: str) -> "AsofReferSpec":
@@ -289,6 +326,9 @@ class AsofReferSpec:
         source = obj.get("search_source", SIDE_ORIGINAL)
         if source not in (SIDE_ORIGINAL, SIDE_TARGET):
             raise SpecError(f"{where}: search_source must be original|target, got {source!r}")
+        bucket = obj.get("bucket")
+        if bucket is not None and not isinstance(bucket, str):
+            raise SpecError(f"{where}: bucket must be a duration string")
         return AsofReferSpec(
             search_table=obj["search_table"],
             on=_as_key_list(obj["on"], f"{where}.on"),
@@ -298,6 +338,7 @@ class AsofReferSpec:
             search_source=source,
             tolerance=obj.get("tolerance"),
             conditions=_parse_conditions(obj.get("conditions"), where),
+            bucket=bucket,
         )
 
 

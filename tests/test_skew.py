@@ -52,3 +52,52 @@ def test_no_hot_keys_degenerates_to_plain(spark):
     out = salted_left_join(probe, build, key="k", salt_on="id",
                            hot_keys=[], salts=8)
     assert out.count() == 1000
+
+
+def test_salted_refer_through_engine_matches_plain(spark):
+    """Declarative salt on a J1 refer: result-identical to unsalted,
+    both with pinned hot keys and with auto-sampled ones."""
+    from database_transportor_spark import DBT, MemoryCatalog
+
+    facts = spark.createDataFrame(
+        [(i, i % 3 if i % 10 else 99) for i in range(200)], "id long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (99, "hot")], "k long, v string"
+    )
+
+    def run(salt):
+        refer = {
+            "search_source": "original",
+            "search_table": "dim",
+            "search_column": "k",
+            "according_column": "k",
+            "wanted_column": "v",
+        }
+        if salt is not None:
+            refer["salt"] = salt
+        maps = {"out": {"original_table": "facts",
+                        "columns": {"id": "id", "k": "k",
+                                    "v": {"refer": refer, "default": "?"}}}}
+        eng = DBT(maps, target=MemoryCatalog(),
+                  original=MemoryCatalog({"facts": facts, "dim": dim}))
+        return sorted(map(tuple, eng.transform()["out"].collect()))
+
+    plain = run(None)
+    assert run({"salts": 4, "hot_keys": [0, 99]}) == plain
+    # auto-sampling lane: low threshold so the sampled count trips it
+    assert run({"salts": 4, "threshold": 10}) == plain
+    assert run(4) == plain  # int shorthand
+
+
+def test_salt_rejected_on_multi_key_refer():
+    import pytest
+
+    from database_transportor_spark.spec import ReferSpec, SpecError
+
+    with pytest.raises(SpecError, match="single-key"):
+        ReferSpec.parse({
+            "search_table": "d", "wanted_column": "v",
+            "search_column": ["a", "b"], "according_column": ["a", "b"],
+            "salt": 8,
+        }, "col 'x'")

@@ -253,3 +253,35 @@ def test_asof_refer_target_colliding_with_join_input_raises(spark):
     })
     with pytest.raises(SpecError, match="collides"):
         apply_asof_refer(fact, cspec, lambda s, t: fact)
+
+
+def test_asof_join_bucketed_matches_plain(spark):
+    """The time-bucketed hot-key path must be result-transparent."""
+    import datetime
+    import random
+
+    from database_transportor_spark.operators.temporal import asof_join
+
+    random.seed(11)
+    base = datetime.datetime(2024, 1, 1)
+    L = [(random.randint(0, 3), base + datetime.timedelta(minutes=random.randint(0, 5000)), i)
+         for i in range(300)]
+    seen, R = set(), []
+    for _ in range(250):
+        k, t = random.randint(0, 3), base + datetime.timedelta(minutes=random.randint(0, 5000))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        R.append((k, t, float(len(R))))
+    left = spark.createDataFrame(L, "k int, ts timestamp, lid long")
+    right = spark.createDataFrame(R, "k int, ts timestamp, px double")
+    plain = sorted(map(tuple, asof_join(left, right, "k", "ts").collect()))
+    for b in ("45 minutes", "1 day"):
+        bucketed = sorted(map(tuple, asof_join(left, right, "k", "ts", bucket=b).collect()))
+        assert bucketed == plain, b
+    # and with tolerance
+    plain_t = sorted(map(tuple, asof_join(
+        left, right, "k", "ts", tolerance="INTERVAL 90 MINUTES").collect()))
+    buck_t = sorted(map(tuple, asof_join(
+        left, right, "k", "ts", tolerance="INTERVAL 90 MINUTES", bucket="1 hour").collect()))
+    assert buck_t == plain_t
