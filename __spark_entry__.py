@@ -1015,9 +1015,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", bits=32, max_hamming=3, bands=4,
         min_partitions=mp,
     ).select("id_a", "id_b", F.lit(1).alias("__em"))
-    exact = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.9, min_partitions=mp,
-    ).select("id_a", "id_b", F.lit(1).alias("__ex"))
+    # Same (params, plan) as q_minhash_lsh's anchor, filtered up to 0.9:
+    # ngram_jaccard_pairs persists its output, and Spark's cache manager
+    # matches canonicalized plans — so in a session that already ran the
+    # minhash contract the expensive exact join is served from cache
+    # instead of recomputed (one shared anchor for both LSH contracts).
+    exact = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2, min_partitions=mp,
+        )
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", F.lit(1).alias("__ex"))
+    )
     toks = docs.select("doc_id", tokens("text").alias("__t"))
     ident = (
         toks.alias("a")

@@ -35,18 +35,22 @@ def _window_aggs() -> list:
 
 
 def _scoped_nanos_conf(fn):
-    """Restore ``spark.sql.legacy.parquet.nanosAsLong`` after the wrapped
-    run-to-completion streaming call.  ``_stream_reader`` must set the flag
-    for the duration of the query (the fixture stores TIMESTAMP(NANOS)),
-    but leaving it set would silently change how every later *batch*
-    parquet read in the shared session interprets nanos columns.  The
-    memory-sink result is fully materialized before return, so restoring
-    afterwards is safe."""
+    """Set ``spark.sql.legacy.parquet.nanosAsLong`` for the duration of the
+    wrapped run-to-completion streaming call and restore it afterwards.
+    The fixture stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects unless read as long — but leaving the flag set would silently
+    change how every later *batch* parquet read in the shared session
+    interprets nanos columns.  Setting it here (not just in
+    ``_stream_reader``) makes every decorated operator self-sufficient:
+    ``stream_stateful_totals`` does its own schema-probe batch read before
+    any reader helper runs.  The memory-sink result is fully materialized
+    before return, so restoring afterwards is safe."""
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, *args, **kwargs):
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
         try:
             return fn(spark, *args, **kwargs)
         finally:

@@ -58,3 +58,16 @@ def test_stream_reader_restores_nanos_conf(spark):
     spark.conf.unset(key)
     e.queries()["events_stream_dedup"](spark, "/root/testdata/sf0.001").collect()
     assert spark.conf.get(key, None) is None
+
+
+def test_stateful_totals_standalone_session(spark):
+    """stream_stateful_totals must run in a session where the nanos flag
+    was never set: its schema-probe batch read happens before any reader
+    helper, so the decorator (not the caller) owns setting the flag."""
+    import __spark_entry__ as e
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    rows = e.queries()["events_stateful"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert spark.conf.get(key, None) is None
