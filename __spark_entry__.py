@@ -1266,6 +1266,9 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"{sf_dir}/events.parquet",
         sink_table=f"swa_{uuid.uuid4().hex[:8]}",
+        # fixture-sized state-store count: a handful of stateful keys
+        # per micro-batch makes 32 state partitions pure fixed cost
+        state_partitions=8,
     )
     return out.select(
         "window_start", "event_type",
@@ -1340,6 +1343,9 @@ def q_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"{sf_dir}/events.parquet",
         sink_table=f"sst_{uuid.uuid4().hex[:8]}",
+        # fixture-sized state-store count: a handful of stateful keys
+        # per micro-batch makes 32 state partitions pure fixed cost
+        state_partitions=8,
     )
 
 
@@ -1442,6 +1448,9 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"{sf_dir}/events.parquet",
         sink_table=f"sdd_{uuid.uuid4().hex[:8]}",
+        # fixture-sized state-store count: a handful of stateful keys
+        # per micro-batch makes 32 state partitions pure fixed cost
+        state_partitions=8,
     )
 
 
@@ -1530,6 +1539,9 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join(
         spark, f"{sf_dir}/events.parquet",
         sink_table=f"sij_{uuid.uuid4().hex[:8]}",
+        # fixture-sized state-store count: a handful of stateful keys
+        # per micro-batch makes 32 state partitions pure fixed cost
+        state_partitions=8,
     )
 
 

