@@ -2062,6 +2062,102 @@ FROM seeded
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle: shard + in-shard position via
+    the ANSI-portable multiplicative hash, so the oracle reproduces the
+    exact permutation (no global sort — per-shard windows)."""
+    from database_transportor_spark.operators.corpus import corpus_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_shuffle(docs, "doc_id", n_shards=8, seed=42,
+                         hash_fn="multiplicative")
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH keyed AS (
+    SELECT doc_id,
+           (doc_id * 2654435761 + 42) % 4294967296 AS skey
+    FROM documents
+)
+SELECT doc_id,
+       CAST(skey % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id)
+            AS BIGINT) AS shuffle_pos
+FROM keyed
+"""
+
+
+def q_upsample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: src0 repeated 2.5x (half the ids get a 3rd
+    copy, chosen by id-hash), src1 dropped, everything else kept 1x.
+    Zero-shuffle explode; the oracle replays the multiplicative draw."""
+    from database_transportor_spark.operators.corpus import upsample_domains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = upsample_domains(
+        docs, "source", {"src0": 2.5, "src1": 0.0}, "doc_id",
+        salt=7, hash_fn="multiplicative",
+    )
+    return out.select(
+        "doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+SQL_UPSAMPLE_DOMAINS = """
+WITH w AS (
+    SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.0
+                ELSE 1.0 END AS wt,
+           (doc_id * 2654435761 + 7) % 4294967296 AS draw
+    FROM documents
+), c AS (
+    SELECT doc_id, source,
+           CAST(floor(wt) AS BIGINT)
+           + CASE WHEN draw < (wt - floor(wt)) * 4294967296 THEN 1 ELSE 0 END
+             AS copies
+    FROM w
+)
+SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx
+FROM c WHERE copies > 0
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column.  floor-based
+    codes are exact IEEE-double arithmetic, so DuckDB reproduces every
+    code and the per-vector scale bit-for-bit."""
+    from database_transportor_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb, "embedding", id_col="vec_id")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH s AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS qscale,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id, qscale,
+       CASE WHEN qscale = 0
+            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qscale)
+                           AS BIGINT))
+       END AS qvec
+FROM s
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2103,6 +2199,9 @@ _EXTENSION_QUERIES = {
     "events_rollup": q_events_rollup,
     "grouped_median": q_grouped_median,
     "approx_distinct": q_approx_distinct,
+    "corpus_shuffle": q_corpus_shuffle,
+    "upsample_domains": q_upsample_domains,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 _EXTENSION_ORACLES = {
@@ -2146,4 +2245,7 @@ _EXTENSION_ORACLES = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "grouped_median": SQL_GROUPED_MEDIAN,
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    "upsample_domains": SQL_UPSAMPLE_DOMAINS,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
 }

@@ -33,6 +33,8 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "redact_pii",
+    "corpus_shuffle",
+    "upsample_domains",
     "PII_PATTERNS",
 ]
 
@@ -285,3 +287,85 @@ def redact_pii(
     for name, pat in pats.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return result.withColumn(out, red)
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training order: every row
+    gets a ``shard`` in ``[0, n_shards)`` and a ``shuffle_pos`` (its read
+    position within the shard).  Reading shards ``0..n-1`` sequentially,
+    each in ``shuffle_pos`` order, visits the corpus in a fixed
+    pseudo-random permutation of ``hash(id, seed)`` — change ``seed`` to
+    get an independent epoch order.
+
+    Scale shape: there is NO global sort.  ``shard`` is a hash bucket and
+    ``shuffle_pos`` is a window per shard — ``n_shards`` independent
+    sorts that run in parallel and bound each sort at ``|corpus| /
+    n_shards`` rows.  At 100 TB pick ``n_shards`` so a shard fits a
+    training reader's input budget (thousands of shards); the standard
+    write is ``.repartition("shard").sortWithinPartitions("shuffle_pos")``
+    → one parquet file per shard, which turns the whole shuffle into one
+    shuffle + a per-partition sort.  Determinism contract as module
+    docstring: identical output for any partitioning or cluster size.
+    """
+    key = bucket_column(id_col, M32, seed, hash_fn)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__skey").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__skey", key)
+        .withColumn("shard", F.pmod(F.col("__skey"), F.lit(n_shards)))
+        .withColumn("shuffle_pos", F.row_number().over(w))
+        .drop("__skey")
+    )
+
+
+def upsample_domains(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain-mix rebalancing by deterministic repetition: a domain with
+    weight ``w`` keeps ``floor(w)`` full copies of every row plus one
+    extra copy for the deterministic ``frac(w)`` fraction of ids (chosen
+    by id-hash, so the same rows are upsampled on every run).  ``w = 0``
+    drops the domain; ``w = 3.5`` repeats half the rows 4x and half 3x —
+    the "repeat low-resource sources N.5 times" knob every pretraining
+    mix uses.
+
+    Output: input rows times their copy count, with ``copy_idx`` (0-based)
+    distinguishing repeats — downstream shuffling (``corpus_shuffle`` on
+    ``(id, copy_idx)``) spreads copies across the epoch.
+
+    Scale shape: zero shuffles — a literal CASE on the domain column, a
+    hash compare, and one ``explode(sequence(...))``; output size is
+    exactly ``sum_domain(w_d * |domain_d|)`` rows.  The weight table is a
+    plan literal (not a join): domain counts are small by definition.
+    """
+    c = F.col(domain_col)
+    wcol = F.lit(float(default_weight))
+    for dom, wt in weights.items():
+        wcol = F.when(c == dom, F.lit(float(wt))).otherwise(wcol)
+    base = F.floor(wcol).cast("int")
+    frac = wcol - F.floor(wcol)
+    # the extra-copy draw reuses bucket_column's uniform [0, M32) hash;
+    # strict < keeps frac=0 exact (no row ever drawn) on both engines
+    draw = bucket_column(id_col, M32, salt, hash_fn)
+    copies = base + F.when(draw < (frac * F.lit(float(M32))), 1).otherwise(0)
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__copies")
+    )

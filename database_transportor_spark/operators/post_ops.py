@@ -183,3 +183,34 @@ def _grouped_median(df: DataFrame, p: dict) -> DataFrame:
 
     return grouped_median(df, p["keys"], p["col"],
                           out_col=p.get("out_col", "median"))
+
+@register_post_op("corpus_shuffle")
+def _corpus_shuffle(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import corpus_shuffle
+
+    return corpus_shuffle(
+        df, p["id_col"], p["n_shards"],
+        seed=p.get("seed", 0), hash_fn=p.get("hash_fn", "xxhash64"),
+    )
+
+
+@register_post_op("upsample_domains")
+def _upsample_domains(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import upsample_domains
+
+    return upsample_domains(
+        df, p["domain_col"], p["weights"], p["id_col"],
+        salt=p.get("salt", 0), hash_fn=p.get("hash_fn", "xxhash64"),
+        default_weight=p.get("default_weight", 1.0),
+    )
+
+
+@register_post_op("quantize_embeddings")
+def _quantize_embeddings(df: DataFrame, p: dict) -> DataFrame:
+    from .similarity import quantize_embeddings
+
+    return quantize_embeddings(
+        df, p["vec_col"], id_col=p.get("id_col"),
+        out_col=p.get("out_col", "qvec"), scale_col=p.get("scale_col", "qscale"),
+        rounding=p.get("rounding", "floor"),
+    )

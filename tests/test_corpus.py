@@ -143,3 +143,85 @@ def test_split_assign_rejects_bad_weights(spark):
         split_assign(df, "doc_id", {"a": 0.5, "b": -0.5})
     # an empty dict falls back to the documented default split
     assert split_assign(df, "doc_id", {}).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# corpus_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shuffle_partition_independent(spark):
+    from database_transportor_spark.operators.corpus import corpus_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = corpus_shuffle(df, "doc_id", 4, seed=1).orderBy("doc_id").collect()
+    b = (
+        corpus_shuffle(df.repartition(7), "doc_id", 4, seed=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_corpus_shuffle_positions_contiguous(spark):
+    from database_transportor_spark.operators.corpus import corpus_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = corpus_shuffle(df, "doc_id", 4, seed=3).collect()
+    assert all(0 <= r["shard"] < 4 for r in out)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    assert sum(len(p) for p in by_shard.values()) == 100
+
+
+def test_corpus_shuffle_seed_changes_order(spark):
+    from database_transportor_spark.operators.corpus import corpus_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = corpus_shuffle(df, "doc_id", 2, seed=1).orderBy("doc_id").collect()
+    b = corpus_shuffle(df, "doc_id", 2, seed=2).orderBy("doc_id").collect()
+    assert a != b  # a different epoch permutation
+
+
+# ---------------------------------------------------------------------------
+# upsample_domains
+# ---------------------------------------------------------------------------
+
+
+def test_upsample_exact_integer_weights(spark):
+    from database_transportor_spark.operators.corpus import upsample_domains
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        ["doc_id", "dom"],
+    )
+    out = upsample_domains(df, "dom", {"a": 3.0, "b": 0.0}, "doc_id")
+    assert out.filter("dom = 'b'").count() == 0
+    assert out.filter("dom = 'a'").count() == 150  # 50 rows x 3
+    idx = [r["copy_idx"] for r in out.filter("doc_id = 0").collect()]
+    assert sorted(idx) == [0, 1, 2]
+
+
+def test_upsample_fractional_weight_bounds_and_determinism(spark):
+    from database_transportor_spark.operators.corpus import upsample_domains
+
+    df = spark.createDataFrame([(i, "a") for i in range(1000)], ["doc_id", "dom"])
+    out = upsample_domains(df, "dom", {"a": 1.5}, "doc_id", salt=11)
+    n = out.count()
+    assert 1300 <= n <= 1700  # ~1500 expected, hash-uniform
+    again = upsample_domains(
+        df.repartition(5), "dom", {"a": 1.5}, "doc_id", salt=11
+    ).count()
+    assert n == again
+
+
+def test_upsample_default_weight_passthrough(spark):
+    from database_transportor_spark.operators.corpus import upsample_domains
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "dom"])
+    out = upsample_domains(df, "dom", {"x": 2.0}, "doc_id").collect()
+    assert len([r for r in out if r["dom"] == "y"]) == 1  # untouched domain
+    assert len([r for r in out if r["dom"] == "x"]) == 2

@@ -104,3 +104,45 @@ def test_sketch_post_ops(spark):
     assert set(out) == {"g0", "g1"}
     for v in out.values():
         assert abs(v - 25) <= 2  # ~2% HLL error on 25 distinct
+
+
+def test_training_mix_post_ops_compose(spark):
+    """upsample + shuffle stages build a training mix declaratively."""
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 == 0 else "lo", f"t{i}") for i in range(40)],
+        ["doc_id", "dom", "text"],
+    )
+    maps = {
+        "mix": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "dom": "dom", "text": "text"},
+            "post_ops": [
+                {"op": "upsample_domains", "domain_col": "dom",
+                 "weights": {"hi": 2.0}, "id_col": "doc_id"},
+                {"op": "corpus_shuffle", "id_col": "doc_id", "n_shards": 4},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"docs": df}))
+    out = eng.transform()["mix"]
+    assert out.count() == 60  # 20 hi x2 + 20 lo x1
+    assert {"copy_idx", "shard", "shuffle_pos"} <= set(out.columns)
+
+
+def test_quantize_post_op(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5]), (2, [0.0])], "vec_id long, embedding array<float>"
+    )
+    maps = {
+        "q": {
+            "original_table": "emb",
+            "columns": {"vec_id": "vec_id", "embedding": "embedding"},
+            "post_ops": [{"op": "quantize_embeddings", "vec_col": "embedding"}],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"emb": df}))
+    out = {r["vec_id"]: r for r in eng.transform()["q"].collect()}
+    assert out[1]["qvec"] == [127, -64]
+    assert out[2]["qvec"] == [0]

@@ -53,3 +53,59 @@ def test_ivf_stride_and_kmeans_agree_on_shape(spark):
         rows = out.collect()
         assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
         assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_codes_and_dequant_error(spark):
+    from database_transportor_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, "embedding").collect()}
+    assert out[2]["qscale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
+    assert out[3]["qvec"] == [127]  # max element quantizes to exactly 127
+    r1 = out[1]
+    assert r1["qscale"] == 1.0
+    for code, v in zip(r1["qvec"], [0.5, -1.0, 0.25]):
+        assert -128 <= code <= 127
+        # floor quantizer: error in [0, 1) LSB
+        deq = code * r1["qscale"] / 127.0
+        assert 0.0 <= v - deq < r1["qscale"] / 127.0 + 1e-12
+
+
+def test_quantize_half_up_mode_and_bad_rounding(spark):
+    import pytest
+
+    from database_transportor_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(df, "embedding", rounding="half_up").first()
+    assert r["qvec"] == [127, -64]  # Spark HALF_UP rounds .5 away from zero
+    with pytest.raises(ValueError, match="rounding"):
+        quantize_embeddings(df, "embedding", rounding="stochastic")
+
+
+def test_quantize_keeps_columns(spark):
+    from database_transportor_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0], "x")], "vec_id long, embedding array<float>, tag string"
+    )
+    full = quantize_embeddings(df, "embedding")
+    assert full.columns == ["vec_id", "embedding", "tag", "qscale", "qvec"]
+    slim = quantize_embeddings(df, "embedding", id_col="vec_id")
+    assert slim.columns == ["vec_id", "qscale", "qvec"]
