@@ -22,6 +22,14 @@ Spec-module contract (the rendered template documents it inline)::
 Multiple ``--spec`` files run in order — the equivalent of the reference's
 main ``Transportor`` fanning out over registered transportor classes
 (TransportorTemp.temp:9-32).
+
+Beyond reference parity: ``explain --spec FILE [--map NAME] [--audit-only]
+[--strict]`` prints each map's formatted physical plan WITHOUT writing,
+plus a one-line audit (shuffle count, broadcast vs sort-merge joins,
+codegen spans, pushed filters, cartesian products).  Exit code is nonzero
+when a plan contains a cartesian/nested-loop join (always) or a scan with
+no pushed filters (``--strict``) — wire it into CI to catch plan
+regressions before they reach a 1000-executor cluster.
 """
 
 from __future__ import annotations
@@ -134,6 +142,81 @@ def _cmd_transport(args: argparse.Namespace) -> int:
     return 0
 
 
+def _explain_string(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _audit_plan(text: str) -> dict[str, Any]:
+    """Compact plan audit over the formatted explain output — the checks
+    ``tests/test_plan_audit.py`` applies to the harness queries, surfaced
+    as an operator-facing command: is the filter at the scan, is the small
+    side broadcast, how many shuffles will this cost, did anything
+    degenerate into a cross join."""
+    # formatted explain prints every node twice (tree + detail section);
+    # count the detail headers "(<id>) <NodeName>" so each node counts once
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", text, re.M)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    return {
+        "shuffles": sum(1 for n in nodes if n == "Exchange"),
+        "broadcast_joins": sum(1 for n in nodes if n == "BroadcastHashJoin"),
+        "sortmerge_joins": sum(1 for n in nodes if n == "SortMergeJoin"),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", text))),
+        "pushed_filters": sum(1 for p in pushed if p.strip()),
+        "scans_without_pushdown": sum(1 for p in pushed if not p.strip()),
+        "cartesian": sum(
+            1
+            for n in nodes
+            if n in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+    }
+
+
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from .engine import DBT
+    from .session import build_session
+
+    mods = [_load_module(p) for p in args.spec]
+    extra: dict[str, str] = {}
+    for mod in mods:
+        extra.update(getattr(mod, "SPARK", {}))
+    spark = build_session(master=args.master, extra_conf=extra)
+
+    bad = 0
+    for mod, path in zip(mods, args.spec):
+        eng = DBT(
+            mod.MAPS,
+            target=_build_catalog(spark, mod.TARGET),
+            original=_build_catalog(spark, mod.ORIGINAL),
+            preload=getattr(mod, "PRELOAD", None),
+        )
+        outputs = eng.transform()
+        for name in sorted(outputs):
+            if args.map and name not in args.map:
+                continue
+            text = _explain_string(outputs[name])
+            audit = _audit_plan(text)
+            print(f"== {path} :: {name} ==")
+            if not args.audit_only:
+                print(text)
+            print(
+                "audit: "
+                + "  ".join(f"{k}={v}" for k, v in audit.items())
+            )
+            if audit["cartesian"]:
+                print("audit: FAIL — cartesian/nested-loop join in plan")
+                bad += 1
+            if audit["scans_without_pushdown"] and args.strict:
+                print("audit: FAIL — scan without pushed filters (--strict)")
+                bad += 1
+    return 1 if bad else 0
+
+
 def _cmd_make(args: argparse.Namespace) -> int:
     snake = re.sub(r"(?<!^)(?=[A-Z])", "_", args.name).lower()
     os.makedirs(args.dir, exist_ok=True)
@@ -157,6 +240,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="write mode override (append/overwrite)")
     t.add_argument("--master", default=None, help="Spark master override")
     t.set_defaults(fn=_cmd_transport)
+
+    e = sub.add_parser(
+        "explain",
+        help="print + audit the physical plan of each map without writing",
+    )
+    e.add_argument("--spec", action="append", required=True,
+                   help="path to a spec .py file (repeatable)")
+    e.add_argument("--map", action="append", default=None,
+                   help="only explain these map names (repeatable)")
+    e.add_argument("--audit-only", action="store_true",
+                   help="suppress the full plan, print the audit line only")
+    e.add_argument("--strict", action="store_true",
+                   help="exit nonzero when a scan has no pushed filters")
+    e.add_argument("--master", default=None, help="Spark master override")
+    e.set_defaults(fn=_cmd_explain)
 
     m = sub.add_parser("make", help="scaffold a new transportor spec file")
     m.add_argument("name", help="transportor name (CamelCase or snake_case)")

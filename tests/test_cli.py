@@ -64,3 +64,59 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
         f"SELECT count(*), count(DISTINCT source) FROM '{out}/new_nations.parquet/*.parquet'"
     ).fetchall()
     assert rows[0][0] == 10 and rows[0][1] == 1
+
+
+def test_explain_audit(tmp_path):
+    spec = tmp_path / "spec.py"
+    spec.write_text(
+        f'''
+MAPS = {{
+    "filtered": {{
+        "original_table": "nation",
+        "extra_conditions": [["n_regionkey", "in", [0, 1]]],
+        "columns": {{"id": "n_nationkey", "name": "n_name"}},
+    }},
+    "joined": {{
+        "original_table": "customer",
+        "columns": {{
+            "cust_id": "c_custkey",
+            "nation_name": {{
+                "original": "c_nationkey",
+                "refer": {{
+                    "search_source": "original",
+                    "search_table": "nation",
+                    "search_column": "n_nationkey",
+                    "according_column": "c_nationkey",
+                    "wanted_column": "n_name",
+                }},
+                "default": "unknown",
+            }},
+        }},
+    }},
+}}
+ORIGINAL = {{"kind": "parquet", "root": "{SF}"}}
+TARGET = {{"kind": "parquet", "root": "{tmp_path}/out"}}
+SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
+'''
+    )
+    r = _run(["explain", "--spec", str(spec), "--master", "local[2]"],
+             timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert ":: filtered ==" in r.stdout and ":: joined ==" in r.stdout
+    assert "PushedFilters" in r.stdout        # full plan printed
+    assert "audit:" in r.stdout
+    # the refer map's audit line reports a broadcast join, no cartesian
+    joined_audit = [
+        ln for ln in r.stdout.splitlines()
+        if ln.startswith("audit:") and "cartesian=0" in ln
+    ]
+    assert joined_audit, r.stdout[-2000:]
+    assert any("broadcast_joins=1" in ln for ln in joined_audit)
+
+    # audit-only mode suppresses the plan body, map filter selects one map
+    r2 = _run(["explain", "--spec", str(spec), "--map", "filtered",
+               "--audit-only", "--master", "local[2]"], timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert ":: joined ==" not in r2.stdout
+    assert "PushedFilters" not in r2.stdout
+    assert "audit:" in r2.stdout
