@@ -17,6 +17,7 @@ from .session import build_session
 from .spec import SpecError, parse_maps
 from .sources.catalog import (
     Catalog,
+    FileCatalog,
     JDBCCatalog,
     MemoryCatalog,
     ParquetCatalog,
@@ -29,6 +30,7 @@ __all__ = [
     "SpecError",
     "parse_maps",
     "Catalog",
+    "FileCatalog",
     "JDBCCatalog",
     "MemoryCatalog",
     "ParquetCatalog",

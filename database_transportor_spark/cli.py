@@ -104,6 +104,17 @@ def _build_catalog(spark, conf: dict[str, Any]):
     kind = conf.get("kind", "parquet")
     if kind == "parquet":
         return ParquetCatalog(spark, conf["root"], suffix=conf.get("suffix", ".parquet"))
+    if kind in ("csv", "json", "orc", "file"):
+        from .sources.catalog import FileCatalog
+
+        return FileCatalog(
+            spark,
+            conf["root"],
+            format=conf.get("format", kind if kind != "file" else "parquet"),
+            suffix=conf.get("suffix"),
+            read_options=conf.get("read_options"),
+            write_options=conf.get("write_options"),
+        )
     if kind == "jdbc":
         return JDBCCatalog(
             spark,

@@ -24,7 +24,14 @@ from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Catalog", "ParquetCatalog", "JDBCCatalog", "MemoryCatalog", "TableCatalog"]
+__all__ = [
+    "Catalog",
+    "FileCatalog",
+    "ParquetCatalog",
+    "JDBCCatalog",
+    "MemoryCatalog",
+    "TableCatalog",
+]
 
 
 class Catalog:
@@ -76,8 +83,19 @@ class Catalog:
             return False
 
 
-class ParquetCatalog(Catalog):
-    """One parquet file/dir per table under ``root`` (driver fixtures).
+class FileCatalog(Catalog):
+    """One file/dir per table under ``root``, in any Spark file format
+    (``parquet``/``csv``/``json``/``orc``/...).  Format-specific behavior
+    is reader/writer options: CSV defaults to ``header=true`` both ways
+    plus ``inferSchema=true`` on read (pass ``read_options`` to pin a
+    schema-bearing option set instead — inference costs an extra pass and
+    guesses types, which production jobs should not rely on).
+
+    Scale note: prefer parquet/orc for anything large — columnar formats
+    keep predicate pushdown and column pruning (``explain`` shows
+    ``PushedFilters``); csv/json scans always read and parse whole rows,
+    so they exist here for interchange with external systems, not as the
+    100 TB storage layer.
 
     ``staged=True`` implements the X7 transaction-gap strategy
     (CreateTemp.temp:26-38 wraps the whole reference run in one DB
@@ -89,23 +107,54 @@ class ParquetCatalog(Catalog):
     transaction, which is documented, not hidden.
     """
 
-    def __init__(self, spark: SparkSession, root: str, suffix: str = ".parquet",
-                 staged: bool = False):
+    format = "parquet"
+    _format_defaults: dict[str, tuple[dict[str, str], dict[str, str]]] = {
+        # format -> (read options, write options)
+        "csv": ({"header": "true", "inferSchema": "true"}, {"header": "true"}),
+    }
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        format: str | None = None,
+        suffix: str | None = None,
+        staged: bool = False,
+        read_options: Optional[dict[str, str]] = None,
+        write_options: Optional[dict[str, str]] = None,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
-        self.suffix = suffix
+        if format is not None:
+            self.format = format
+        self.suffix = suffix if suffix is not None else f".{self.format}"
         self.staged = staged
+        dflt_r, dflt_w = self._format_defaults.get(self.format, ({}, {}))
+        self.read_options = {**dflt_r, **(read_options or {})}
+        self.write_options = {**dflt_w, **(write_options or {})}
 
     def path(self, table: str) -> str:
         return f"{self.root}/{table}{self.suffix}"
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        return (
+            self.spark.read.options(**self.read_options)
+            .format(self.format)
+            .load(self.path(table))
+        )
+
+    def _save(self, df: DataFrame, path: str, mode: str) -> None:
+        (
+            df.write.options(**self.write_options)
+            .format(self.format)
+            .mode(mode)
+            .save(path)
+        )
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         if not self.staged or mode == "append":
             # append can't stage meaningfully (the swap would drop history)
-            df.write.mode(mode).parquet(self.path(table))
+            self._save(df, self.path(table), mode)
             return
         import shutil
         import os
@@ -113,7 +162,7 @@ class ParquetCatalog(Catalog):
         final = self.path(table)
         staging = f"{final}.__staging"
         shutil.rmtree(staging, ignore_errors=True)
-        df.write.mode("overwrite").parquet(staging)
+        self._save(df, staging, "overwrite")
         # job succeeded — swap
         if os.path.isdir(final) or os.path.isfile(final):
             shutil.rmtree(final, ignore_errors=True)
@@ -132,6 +181,16 @@ class ParquetCatalog(Catalog):
         import shutil
 
         shutil.rmtree(self.path(self.staged_name(table)), ignore_errors=True)
+
+
+class ParquetCatalog(FileCatalog):
+    """Backward-compatible parquet specialization of :class:`FileCatalog`
+    (the fixture/default catalog everywhere in this repo)."""
+
+    def __init__(self, spark: SparkSession, root: str, suffix: str = ".parquet",
+                 staged: bool = False):
+        super().__init__(spark, root, format="parquet", suffix=suffix,
+                         staged=staged)
 
 
 class JDBCCatalog(Catalog):
