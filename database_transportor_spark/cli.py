@@ -17,6 +17,8 @@ Spec-module contract (the rendered template documents it inline)::
     MODE = "append"                 # optional; write mode
     SEEDS = []                      # optional; extra seed tables (S6)
     PRELOAD = {}                    # optional; {"original": [tables]} (S5)
+    INCREMENTAL = {}                # optional; {"map_key": "cursor_col"} —
+                                    #   watermark-based incremental appends
     SPARK = {"spark.sql.shuffle.partitions": "200"}   # optional conf
 
 Multiple ``--spec`` files run in order — the equivalent of the reference's
@@ -147,8 +149,12 @@ def _cmd_transport(args: argparse.Namespace) -> int:
         seeds = getattr(mod, "SEEDS", None)
         if seeds:
             eng.set_seed(seeds)
-        mode = args.mode or getattr(mod, "MODE", "append")
-        outputs = eng.do_transport(mode=mode)
+        incremental = getattr(mod, "INCREMENTAL", None)
+        if incremental:
+            outputs = eng.do_incremental_transport(incremental)
+        else:
+            mode = args.mode or getattr(mod, "MODE", "append")
+            outputs = eng.do_transport(mode=mode)
         print(f"{path}: transported {len(outputs)} table(s): {sorted(outputs)}")
     return 0
 

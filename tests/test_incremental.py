@@ -1,0 +1,88 @@
+"""Watermark-based incremental transport (do_incremental_transport)."""
+
+import pytest
+
+from database_transportor_spark import DBT, ParquetCatalog
+from database_transportor_spark.spec import SpecError
+
+
+def _maps():
+    return {
+        "evts": {
+            "original_table": "src",
+            "columns": {"event_id": "id", "val": "v"},
+        }
+    }
+
+
+def _eng(spark, src_root, tgt_root):
+    return DBT(
+        _maps(),
+        target=ParquetCatalog(spark, str(tgt_root)),
+        original=ParquetCatalog(spark, str(src_root)),
+    )
+
+
+def _write_src(spark, root, rows):
+    spark.createDataFrame(rows, ["id", "v"]).write.mode("overwrite").parquet(
+        f"{root}/src.parquet"
+    )
+
+
+def test_incremental_appends_only_new_rows(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src(spark, src, [(1, "a"), (2, "b")])
+    # first run: empty target -> full load
+    _eng(spark, src, tgt).do_incremental_transport({"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+    # new source rows arrive; rerun ingests strictly-greater cursors only
+    _write_src(spark, src, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    _eng(spark, src, tgt).do_incremental_transport({"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+    # no new rows: rerun is a no-op, nothing duplicated
+    _eng(spark, src, tgt).do_incremental_transport({"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_incremental_pushes_cursor_to_scan(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src(spark, src, [(i, "x") for i in range(10)])
+    eng = _eng(spark, src, tgt)
+    eng.do_incremental_transport({"evts": "event_id"})
+    eng2 = _eng(spark, src, tgt)
+    eng2._incremental_filters = {"evts": ("id", 9)}
+    plan = eng2.build_map("evts")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(id,9)" in plan
+
+
+def test_incremental_rejects_computed_cursor(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src(spark, src, [(1, "a")])
+    maps = {
+        "evts": {
+            "original_table": "src",
+            "columns": {
+                "event_id": {"original": "id", "function": "id + 1"},
+                "val": "v",
+            },
+        }
+    }
+    eng = DBT(maps, target=ParquetCatalog(spark, str(tgt)),
+              original=ParquetCatalog(spark, str(src)))
+    with pytest.raises(SpecError, match="plain renamed"):
+        eng.do_incremental_transport({"evts": "event_id"})
+
+
+def test_incremental_rejects_unknown_map_and_column(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src(spark, src, [(1, "a")])
+    eng = _eng(spark, src, tgt)
+    with pytest.raises(SpecError, match="unknown map"):
+        eng.do_incremental_transport({"nope": "event_id"})
+    with pytest.raises(SpecError, match="not produced"):
+        eng.do_incremental_transport({"evts": "missing_col"})
