@@ -53,6 +53,10 @@ QUERIES = [
     "asof_join",
     "decontaminate",
     "dedup_clusters",
+    "corpus_shuffle",
+    "upsample_domains",
+    "quantize_embeddings",
+    "events_stream_join",
 ]
 
 KEY_OFFSETS = {
