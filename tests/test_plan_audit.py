@@ -44,3 +44,26 @@ def test_no_cartesian_or_nested_loop(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join\n{plan}"
         )
+
+
+@pytest.mark.parametrize("name", ["upsample_domains", "quantize_embeddings"])
+def test_zero_shuffle_ops_have_no_exchange(spark, name):
+    """Ops documented as zero-shuffle must compile to Exchange-free plans."""
+    df = _queries()[name](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, f"{name}: unexpected shuffle\n{plan}"
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    """The epoch shuffle is one hash-partition exchange (the per-shard
+    window) — no global sort (Sort with global=true) anywhere."""
+    df = _queries()["corpus_shuffle"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+    import re
+
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), f"global sort:\n{plan}"
