@@ -86,3 +86,30 @@ def test_incremental_rejects_unknown_map_and_column(spark, tmp_path):
         eng.do_incremental_transport({"nope": "event_id"})
     with pytest.raises(SpecError, match="not produced"):
         eng.do_incremental_transport({"evts": "missing_col"})
+
+
+def test_incremental_jdbc_roundtrip_derby(spark, tmp_path):
+    """Incremental transport against a live RDBMS target (embedded Derby):
+    watermark probe + append, idempotent reruns."""
+    from database_transportor_spark.sources.catalog import JDBCCatalog
+
+    url = f"jdbc:derby:{tmp_path}/incdb;create=true"
+    src = tmp_path / "src"
+    _write_src(spark, src, [(1, "a"), (2, "b")])
+    tgt = JDBCCatalog(spark, url)
+
+    def eng():
+        return DBT(_maps(), target=tgt,
+                   original=ParquetCatalog(spark, str(src)))
+
+    eng().do_incremental_transport({"evts": "event_id"})
+    assert tgt.read("evts").count() == 2
+
+    _write_src(spark, src, [(1, "a"), (2, "b"), (3, "c")])
+    eng().do_incremental_transport({"evts": "event_id"})
+    rows = sorted(r[0] for r in tgt.read("evts").select("event_id").collect())
+    assert rows == [1, 2, 3]
+
+    # no new rows -> no-op
+    eng().do_incremental_transport({"evts": "event_id"})
+    assert tgt.read("evts").count() == 3
