@@ -649,25 +649,21 @@ def oracle_sql() -> dict[str, str]:
 # ===========================================================================
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture adapter: events.parquet stores TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; read nanos as long and convert to a
-    microsecond timestamp (hour-window semantics unaffected).
+    """Fixture adapter: normalize events.ts to TIMESTAMP whatever the
+    fixture's physical encoding (long nanos under the legacy flag, NTZ
+    micros, or native TIMESTAMP) — see functions/timecols.py.
 
     The legacy flag is deliberately session-scoped HERE (harness glue, not
     library code): the returned DataFrame is lazy, so the flag must still
-    be set when a downstream action scans the file.  events.parquet is the
-    only nanos-typed fixture, and every consumer in this harness wants the
-    long interpretation.  The library's streaming operators, by contrast,
-    run to completion and restore the flag (events.py:_scoped_nanos_conf)."""
+    be set when a downstream action scans a nanos-typed file; it is a
+    no-op for micros/NTZ fixtures.  The library's streaming operators, by
+    contrast, run to completion and restore the flag
+    (events.py:_scoped_nanos_conf)."""
+    from database_transportor_spark.functions.timecols import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql.types import LongType
-
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # integer division: double math rounds the microsecond up for large
-        # nanos and diverges from DuckDB's truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_time(df, "ts")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2158,6 +2154,107 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Mutation operators: MERGE upsert + CDC apply (operators/mutations.py) —
+# the "changed rows at the source" story the reference can only solve by a
+# full reload (DBT.php:85-112).
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE customer with a derived source: keys %7 carry an updated name
+    (matched ⇒ replace), keys %13 re-enter shifted by +10M (not matched ⇒
+    insert); everything else passes through.  Single-shuffle union+max_by."""
+    from database_transportor_spark.operators.mutations import merge_upsert
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_name", F.concat(F.col("c_name"), F.lit("#UPD"))
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    return merge_upsert(cust, updates.unionByName(inserts), "c_custkey")
+
+
+SQL_MERGE_UPSERT = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+), src AS (
+    SELECT c_custkey, c_name || '#UPD' AS c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal
+    FROM base WHERE c_custkey % 13 = 0
+), tagged AS (
+    SELECT *, 0 AS pri FROM base
+    UNION ALL
+    SELECT *, 1 AS pri FROM src
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY pri DESC) AS rn
+      FROM tagged)
+WHERE rn = 1
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a synthetic CDC feed to orders: %5 keys get status 'X' (seq 1),
+    %10 keys are then deleted (seq 2), %20 keys re-inserted with status 'Z'
+    (seq 3) — per-key latest image wins, deletes drop the row."""
+    from database_transportor_spark.operators.mutations import cdc_apply
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+
+    def ch(mod: int, op: str, seq: int, status: str | None) -> DataFrame:
+        df = orders.filter(F.col("o_orderkey") % mod == 0)
+        if status is not None:
+            df = df.withColumn("o_orderstatus", F.lit(status))
+        return df.withColumn("op", F.lit(op)).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+
+    changes = (
+        ch(5, "U", 1, "X").unionByName(ch(10, "D", 2, None)).unionByName(
+            ch(20, "I", 3, "Z")
+        )
+    )
+    return cdc_apply(orders, changes, "o_orderkey")
+
+
+SQL_CDC_APPLY = """
+WITH t AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+), changes AS (
+    SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_orderpriority,
+           'U' AS op, 1 AS seq FROM t WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+           'D' AS op, 2 AS seq FROM t WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'Z' AS o_orderstatus, o_orderpriority,
+           'I' AS op, 3 AS seq FROM t WHERE o_orderkey % 20 = 0
+), latest AS (
+    SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                ORDER BY seq DESC) AS rn
+                   FROM changes)
+    WHERE rn = 1
+)
+SELECT COALESCE(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority
+            ELSE t.o_orderpriority END AS o_orderpriority
+FROM t FULL OUTER JOIN latest c ON t.o_orderkey = c.o_orderkey
+WHERE COALESCE(c.op, '') <> 'D'
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2202,6 +2299,8 @@ _EXTENSION_QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "upsample_domains": q_upsample_domains,
     "quantize_embeddings": q_quantize_embeddings,
+    "merge_upsert": q_merge_upsert,
+    "cdc_apply": q_cdc_apply,
 }
 
 _EXTENSION_ORACLES = {
@@ -2248,4 +2347,6 @@ _EXTENSION_ORACLES = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "upsample_domains": SQL_UPSAMPLE_DOMAINS,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "cdc_apply": SQL_CDC_APPLY,
 }

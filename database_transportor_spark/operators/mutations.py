@@ -1,0 +1,136 @@
+"""Key-based mutation operators: MERGE upsert and CDC change-feed apply.
+
+The reference engine transports by full reload or append
+(``/root/reference/src/DBT.php:85-112`` — ``doTransport`` writes whole
+map outputs); rows that changed at the source after their first transport
+are only picked up by a full re-run.  These operators close that gap the
+Spark-native way: compute the merged table as one declarative plan and
+swap it in (``Catalog.write_staged``), which is how MERGE works on plain
+parquet/JDBC sinks without a transactional table format.
+
+Scale notes
+-----------
+- :func:`merge_upsert` is ONE shuffle: both sides union into a single
+  ``groupBy(keys)`` with ``max_by`` over a priority tuple — partial
+  aggregation runs map-side, nothing sorts, no window over the full
+  table, no join.  At 100 TB the cost is the same hash shuffle a
+  ``groupBy`` costs, and AQE handles skewed keys.
+- :func:`cdc_apply` shuffles the (usually tiny) change feed once to pick
+  each key's latest image, then joins it to the target on the key — a
+  broadcast join whenever the feed fits under the threshold, so the
+  target is never shuffled in the common case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "cdc_apply"]
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: str | list[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics on DataFrames: source rows REPLACE same-key target
+    rows ("when matched then update"), unmatched source rows are inserted
+    ("when not matched then insert"), untouched target rows pass through.
+
+    ``source`` must carry the same columns as ``target`` (full row
+    images).  ``seq_col``: optional monotone column resolving duplicate
+    keys WITHIN the two sides (highest wins); without it each side must
+    be key-unique (the usual MERGE precondition — violations resolve
+    arbitrarily, like SQL MERGE's "multiple matched rows" error would).
+
+    Shape: union + one ``max_by`` aggregation keyed on ``keys`` — a
+    single hash shuffle with map-side combine; no sort, no join.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_upsert: source lacks target columns {missing}")
+    cols = list(target.columns)
+    payload = [c for c in cols if c not in keys]
+    if seq_col is not None and seq_col not in source.columns and seq_col not in target.columns:
+        raise ValueError(f"merge_upsert: seq column {seq_col!r} on neither side")
+
+    def _seq(df: DataFrame):
+        # seq may exist on one side only (e.g. a feed-side LSN); absent ⇒
+        # constant, priority alone decides.  Cast unifies the struct-
+        # comparator type across sides.
+        if seq_col is not None and seq_col in df.columns:
+            return F.col(seq_col).cast("long").alias("__seq")
+        return F.lit(0).cast("long").alias("__seq")
+
+    tagged = target.select(*cols, F.lit(0).alias("__pri"), _seq(target)).unionByName(
+        source.select(*cols, F.lit(1).alias("__pri"), _seq(source))
+    )
+    picked = tagged.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col("__pri"), F.col("__seq")),
+        ).alias("__row")
+    )
+    return picked.select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"__row.{c}").alias(c) for c in payload],
+    ).select(*cols)
+
+
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: str | list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed (full row images + op + sequence) to a
+    snapshot: for each key, the change with the highest ``seq_col`` wins —
+    an upsert op replaces/inserts the row, the delete op removes it; keys
+    absent from the feed pass through untouched.
+
+    ``changes`` must carry every ``target`` column (image may be NULL on
+    deletes) plus ``op_col`` and ``seq_col``.  ``seq_col`` must be unique
+    per key (LSN / binlog position semantics); ties resolve arbitrarily.
+
+    Shape: one aggregation over the FEED (small side) to pick each key's
+    latest image, then a single equi-join against the target — broadcast
+    when the feed is small, so the 100 TB snapshot never shuffles.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in target.columns if c not in keys]
+    missing = [c for c in target.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"cdc_apply: changes lack target columns {missing}")
+    for c in (op_col, seq_col):
+        if c not in changes.columns:
+            raise ValueError(f"cdc_apply: changes lack required column {c!r}")
+
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col(op_col).alias("__op")),
+            F.col(seq_col),
+        ).alias("__c")
+    )
+    joined = target.join(latest, keys, "full_outer")
+    has_change = F.col("__c").isNotNull()
+    # op validation rides inside the filter expression itself (a dropped
+    # check column would be pruned by Catalyst and never evaluated)
+    checked_op = F.when(
+        F.col("__c.__op").isin(*upsert_ops, delete_op), F.col("__c.__op")
+    ).otherwise(
+        F.raise_error(F.concat(F.lit("cdc_apply: unknown op "), F.col("__c.__op")))
+    )
+    out = joined.filter(~(has_change & (checked_op == delete_op)))
+    return out.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.when(has_change, F.col(f"__c.{c}")).otherwise(F.col(c)).alias(c)
+            for c in payload
+        ],
+    ).select(*target.columns)

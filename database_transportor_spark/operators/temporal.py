@@ -201,12 +201,29 @@ def range_join(
 
     b = F.expr(bucket) if isinstance(bucket, str) else bucket
 
-    def _bnum(c: Column) -> Column:
-        # timestamps bucket on epoch seconds (cast → double); numerics directly
+    from pyspark.sql.types import TimestampNTZType
+
+    def _bnum(c: Column, dtype) -> Column:
+        # timestamps bucket on epoch seconds (cast → double); numerics
+        # directly.  NTZ forbids the direct double cast — go through
+        # TIMESTAMP first (session-tz interpretation; monotone under the
+        # UTC sessions this engine standardizes on).
+        if isinstance(dtype, TimestampNTZType):
+            c = c.cast("timestamp")
         return F.floor(c.cast("double") / b.cast("double")).cast("long")
 
-    p = points.withColumn("__b", _bnum(pcol))
-    iv = intervals.withColumn("__b", F.explode(F.sequence(_bnum(lo), _bnum(hi))))
+    p = points.withColumn(
+        "__b", _bnum(pcol, points.schema[point_col].dataType)
+    )
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                _bnum(lo, intervals.schema[lo_col].dataType),
+                _bnum(hi, intervals.schema[hi_col].dataType),
+            )
+        ),
+    )
     cond = [p[k] == iv[k] for k in keys] + [p["__b"] == iv["__b"], contains]
     joined = p.join(iv, cond, "inner").drop("__b")
     # drop the duplicated key columns from the interval side

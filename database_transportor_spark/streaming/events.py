@@ -354,13 +354,14 @@ def topn_per_key(
 
 def _stream_reader(spark: SparkSession, source_dir: str, ts_col: str):
     """File-stream reader over the parquet fixture (dir or single file),
-    with the nanosecond-long → microsecond-timestamp adapter."""
+    normalizing the event-time column to TIMESTAMP (watermarks reject
+    NTZ and long-nanos alike — see functions/timecols.py)."""
     import os
 
-    from pyspark.sql.types import LongType
+    from ..functions.timecols import normalize_event_time
 
-    # self-contained: the fixture stores TIMESTAMP(NANOS), which the
-    # vectorized reader rejects unless read as long
+    # self-contained for the legacy nanos fixture, which the vectorized
+    # reader rejects unless read as long (no-op on micros/NTZ fixtures)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_df = spark.read.parquet(source_dir)
     # FileStreamSource requires a directory; a single-file fixture path is
@@ -371,11 +372,7 @@ def _stream_reader(spark: SparkSession, source_dir: str, ts_col: str):
         stream = reader.parquet(os.path.dirname(source_dir))
     else:
         stream = reader.parquet(source_dir)
-    if isinstance(stream.schema[ts_col].dataType, LongType):
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
-    return stream
+    return normalize_event_time(stream, ts_col)
 
 
 @_scoped_nanos_conf

@@ -1,0 +1,113 @@
+"""merge_upsert / cdc_apply semantics and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.mutations import cdc_apply, merge_upsert
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, val double",
+    )
+
+
+def test_merge_upsert_updates_inserts_passthrough(spark):
+    src = spark.createDataFrame(
+        [(2, "B2", 22.0), (9, "i", 90.0)], "k long, name string, val double"
+    )
+    out = merge_upsert(_target(spark), src, "k")
+    rows = {r["k"]: (r["name"], r["val"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),       # untouched target row passes through
+        2: ("B2", 22.0),      # matched ⇒ source replaces
+        3: ("c", 30.0),
+        9: ("i", 90.0),       # unmatched source ⇒ insert
+    }
+
+
+def test_merge_upsert_seq_resolves_source_dups(spark):
+    src = spark.createDataFrame(
+        [(2, "old", 0.0, 1), (2, "new", 2.0, 5), (9, "i", 9.0, 1)],
+        "k long, name string, val double, lsn long",
+    )
+    out = merge_upsert(_target(spark), src, "k", seq_col="lsn")
+    rows = {r["k"]: r["name"] for r in out.collect()}
+    assert rows[2] == "new" and rows[9] == "i" and rows[1] == "a"
+
+
+def test_merge_upsert_requires_target_columns(spark):
+    src = spark.createDataFrame([(1, "x")], "k long, name string")
+    with pytest.raises(ValueError, match="lacks target columns"):
+        merge_upsert(_target(spark), src, "k")
+
+
+def test_merge_upsert_single_shuffle(spark):
+    """Union + max_by agg must plan exactly one exchange (partial agg
+    map-side) — no window sort, no join."""
+    src = spark.createDataFrame([(2, "B", 2.0)], "k long, name string, val double")
+    plan = merge_upsert(_target(spark), src, "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def _changes(spark):
+    # key 2: update then delete (seq order) ⇒ gone
+    # key 3: delete then re-insert ⇒ latest image wins
+    # key 9: pure insert
+    return spark.createDataFrame(
+        [
+            (2, "B2", 22.0, "U", 1),
+            (2, None, None, "D", 2),
+            (3, None, None, "D", 1),
+            (3, "C3", 33.0, "I", 2),
+            (9, "i", 90.0, "I", 1),
+        ],
+        "k long, name string, val double, op string, seq long",
+    )
+
+
+def test_cdc_apply_latest_image_wins(spark):
+    out = cdc_apply(_target(spark), _changes(spark), "k")
+    rows = {r["k"]: (r["name"], r["val"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),
+        3: ("C3", 33.0),
+        9: ("i", 90.0),
+    }
+
+
+def test_cdc_apply_rejects_unknown_op(spark):
+    bad = spark.createDataFrame(
+        [(1, "x", 1.0, "Z", 1)], "k long, name string, val double, op string, seq long"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        cdc_apply(_target(spark), bad, "k").collect()
+
+
+def test_cdc_apply_requires_columns(spark):
+    with pytest.raises(ValueError, match="lack required column"):
+        cdc_apply(
+            _target(spark),
+            _changes(spark).drop("seq"),
+            "k",
+        )
+
+
+def test_cdc_apply_equals_replay(spark):
+    """Applying the feed must equal naive per-key replay of ops by seq."""
+    import itertools
+
+    target = _target(spark)
+    changes = _changes(spark)
+    state = {r["k"]: (r["name"], r["val"]) for r in target.collect()}
+    feed = sorted(changes.collect(), key=lambda r: (r["k"], r["seq"]))
+    for _, ops in itertools.groupby(feed, key=lambda r: r["k"]):
+        for r in ops:
+            if r["op"] == "D":
+                state.pop(r["k"], None)
+            else:
+                state[r["k"]] = (r["name"], r["val"])
+    out = {r["k"]: (r["name"], r["val"]) for r in cdc_apply(target, changes, "k").collect()}
+    assert out == state

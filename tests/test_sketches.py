@@ -11,9 +11,11 @@ from database_transportor_spark.operators.sketches import (
 
 
 def _events(spark):
+    from database_transportor_spark.functions.timecols import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(df, "ts")
 
 
 def test_rollup_levels_nest_exactly(spark):
