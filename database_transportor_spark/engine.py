@@ -280,6 +280,69 @@ class DBT:
             self._outputs.clear()
             self._outputs_by_table.clear()
 
+    def do_merge_transport(
+        self, cursors: dict[str, str], keys: dict[str, Any]
+    ) -> dict[str, DataFrame]:
+        """Incremental UPSERT run: like ``do_incremental_transport``, new
+        source rows are found by ``cursor > max(cursor in target)`` with
+        the predicate pushed into the scan — but instead of appending, the
+        fresh rows MERGE into the live target by ``keys[map]`` (same-key
+        rows replaced, new keys inserted; ``operators/mutations.py``).
+        With an update-bumped cursor (``updated_at``, LSN) this transports
+        row UPDATES, which append-style incremental cannot.
+
+        Writes are always staged (``<table>__staging`` + swap): the merged
+        plan lazily READS the live table it replaces, so an in-place
+        overwrite would clobber its own input mid-scan.  Maps not named in
+        ``cursors`` run in full, atomically alongside.
+
+        The cursor doubles as the merge's ``seq_col``: when one key occurs
+        several times among the fresh rows, the highest cursor (latest
+        update) wins.
+        """
+        from .operators.mutations import merge_upsert
+
+        self._incremental_filters = {}
+        self._outputs.clear()
+        self._outputs_by_table.clear()
+        self._read_cache.clear()
+        merge_maps: dict[str, tuple[list[str], str]] = {}
+        for key, cursor_col in cursors.items():
+            if key not in self.specs:
+                raise SpecError(f"merge cursor for unknown map {key!r}")
+            if key not in keys:
+                raise SpecError(f"merge keys missing for map {key!r}")
+            src_col = self._resolve_cursor(key, cursor_col)
+            ks = [keys[key]] if isinstance(keys[key], str) else list(keys[key])
+            m = self.specs[key]
+            if not self.target.is_nonempty(m.target_table):
+                continue  # first run: full load, nothing to merge into
+            wm = (
+                self.target.read(m.target_table)
+                .agg(F.max(F.col(cursor_col)))
+                .first()[0]
+            )
+            if wm is not None:
+                self._incremental_filters[key] = (src_col, wm)
+            merge_maps[key] = (ks, cursor_col)
+
+        def _merge(key: str, out: DataFrame) -> DataFrame:
+            if key not in merge_maps:
+                return out
+            ks, cur = merge_maps[key]
+            live = self.target.read(self.specs[key].target_table)
+            return merge_upsert(live, out, ks, seq_col=cur)
+
+        try:
+            self.check_seed()
+            outputs = self.transform()
+            self._write_all(outputs, mode="overwrite", staged=True, mutate=_merge)
+            return outputs
+        finally:
+            self._incremental_filters = {}
+            self._outputs.clear()
+            self._outputs_by_table.clear()
+
     def do_transport(
         self, mode: str = "append", staged: bool = False
     ) -> dict[str, DataFrame]:
@@ -295,6 +358,19 @@ class DBT:
         the reference's post-commit destructor hooks."""
         self.check_seed()
         outputs = self.transform()
+        self._write_all(outputs, mode=mode, staged=staged)
+        return outputs
+
+    def _write_all(
+        self,
+        outputs: dict[str, DataFrame],
+        mode: str,
+        staged: bool,
+        mutate: Any = None,
+    ) -> None:
+        """Write every map output in topo order; ``mutate(key, df)`` lets a
+        caller rewrite a table's final frame (e.g. merge with the live
+        target) after staging-column drop but before ordering/write."""
         hooks = []
         written: list[str] = []
         try:
@@ -302,6 +378,8 @@ class DBT:
                 m = self.specs[key]
                 df = outputs[key]
                 out = df.select(*self.write_columns(key))
+                if mutate is not None:
+                    out = mutate(key, out)
                 if m.order is not None:
                     c = F.col(m.order.order_by)
                     out = out.orderBy(
@@ -324,4 +402,3 @@ class DBT:
             self.target.commit_staged(table)
         for hook in hooks:
             hook()
-        return outputs

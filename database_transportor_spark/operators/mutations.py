@@ -57,16 +57,22 @@ def merge_upsert(
     if seq_col is not None and seq_col not in source.columns and seq_col not in target.columns:
         raise ValueError(f"merge_upsert: seq column {seq_col!r} on neither side")
 
-    def _seq(df: DataFrame):
-        # seq may exist on one side only (e.g. a feed-side LSN); absent ⇒
-        # constant, priority alone decides.  Cast unifies the struct-
-        # comparator type across sides.
-        if seq_col is not None and seq_col in df.columns:
-            return F.col(seq_col).cast("long").alias("__seq")
-        return F.lit(0).cast("long").alias("__seq")
+    if seq_col is None:
+        tseq = sseq = F.lit(0)
+    else:
+        # seq may exist on one side only (e.g. a feed-side LSN); the absent
+        # side gets a typed NULL (sorts lowest), so priority still decides
+        # cross-side and seq only breaks within-side ties.  The native type
+        # is kept — timestamp cursors order correctly without a lossy cast.
+        holder = source if seq_col in source.columns else target
+        dt = holder.schema[seq_col].dataType
+        tseq = F.col(seq_col) if seq_col in target.columns else F.lit(None).cast(dt)
+        sseq = F.col(seq_col) if seq_col in source.columns else F.lit(None).cast(dt)
 
-    tagged = target.select(*cols, F.lit(0).alias("__pri"), _seq(target)).unionByName(
-        source.select(*cols, F.lit(1).alias("__pri"), _seq(source))
+    tagged = target.select(
+        *cols, F.lit(0).alias("__pri"), tseq.alias("__seq")
+    ).unionByName(
+        source.select(*cols, F.lit(1).alias("__pri"), sseq.alias("__seq"))
     )
     picked = tagged.groupBy(*keys).agg(
         F.max_by(

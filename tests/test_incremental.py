@@ -113,3 +113,99 @@ def test_incremental_jdbc_roundtrip_derby(spark, tmp_path):
     # no new rows -> no-op
     eng().do_incremental_transport({"evts": "event_id"})
     assert tgt.read("evts").count() == 3
+
+
+# --- do_merge_transport: incremental UPSERT by cursor ----------------------
+
+def _merge_maps():
+    return {
+        "evts": {
+            "original_table": "src",
+            "columns": {"event_id": "id", "val": "v", "mod": "m"},
+        }
+    }
+
+
+def _write_src3(spark, root, rows):
+    spark.createDataFrame(rows, ["id", "v", "m"]).write.mode("overwrite").parquet(
+        f"{root}/src.parquet"
+    )
+
+
+def test_merge_transport_applies_updates_and_inserts(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src3(spark, src, [(1, "a", 1), (2, "b", 1)])
+
+    def eng():
+        return DBT(_merge_maps(), target=ParquetCatalog(spark, str(tgt)),
+                   original=ParquetCatalog(spark, str(src)))
+
+    # first run: empty target -> full load
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted((r["event_id"], r["val"]) for r in out.collect()) == [
+        (1, "a"), (2, "b")
+    ]
+
+    # row 1 UPDATED (cursor bumped), row 3 inserted; row 2 untouched
+    _write_src3(spark, src, [(1, "A", 2), (2, "b", 1), (3, "c", 2)])
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted((r["event_id"], r["val"]) for r in out.collect()) == [
+        (1, "A"), (2, "b"), (3, "c")
+    ], "update must replace, insert must add, untouched row must survive"
+
+    # idempotent rerun: nothing past the watermark -> same table
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert out.count() == 3
+
+
+def test_merge_transport_same_key_twice_latest_cursor_wins(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src3(spark, src, [(1, "a", 1)])
+
+    def eng():
+        return DBT(_merge_maps(), target=ParquetCatalog(spark, str(tgt)),
+                   original=ParquetCatalog(spark, str(src)))
+
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    # two fresh versions of key 1 in one batch: highest cursor must win
+    _write_src3(spark, src, [(1, "mid", 2), (1, "new", 3)])
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert [(r["event_id"], r["val"]) for r in out.collect()] == [(1, "new")]
+
+
+def test_merge_transport_requires_keys(spark, tmp_path):
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src3(spark, src, [(1, "a", 1)])
+    eng = DBT(_merge_maps(), target=ParquetCatalog(spark, str(tgt)),
+              original=ParquetCatalog(spark, str(src)))
+    with pytest.raises(SpecError, match="merge keys missing"):
+        eng.do_merge_transport({"evts": "mod"}, {})
+
+
+def test_merge_transport_jdbc_derby(spark, tmp_path):
+    """Merge transport against a live RDBMS target: the merged plan reads
+    the very table the staged swap replaces — must stay consistent."""
+    from database_transportor_spark.sources.catalog import JDBCCatalog
+
+    url = f"jdbc:derby:{tmp_path}/mergedb;create=true"
+    src = tmp_path / "src"
+    _write_src3(spark, src, [(1, "a", 1), (2, "b", 1)])
+    tgt = JDBCCatalog(spark, url)
+
+    def eng():
+        return DBT(_merge_maps(), target=tgt,
+                   original=ParquetCatalog(spark, str(src)))
+
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    assert tgt.read("evts").count() == 2
+
+    _write_src3(spark, src, [(1, "A", 2), (2, "b", 1), (3, "c", 2)])
+    eng().do_merge_transport({"evts": "mod"}, {"evts": "event_id"})
+    rows = sorted(
+        (r["event_id"], r["val"]) for r in tgt.read("evts").collect()
+    )
+    assert rows == [(1, "A"), (2, "b"), (3, "c")]
