@@ -2255,6 +2255,77 @@ WHERE COALESCE(c.op, '') <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: funnel + cohort retention (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel, 7-day horizon — per-user earliest
+    in-order stage times via a single-shuffle sorted-array fold."""
+    from database_transportor_spark.operators.funnel import funnel
+
+    ev = _read_events(spark, sf_dir)
+    return funnel(
+        ev, ["view", "click", "purchase"], horizon="INTERVAL 7 DAYS"
+    )
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e
+    JOIN s2 ON e.user_id = s2.user_id
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+    GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(1 + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS stages_completed
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix with exact distinct-user counts."""
+    from database_transportor_spark.operators.funnel import cohort_retention
+
+    ev = _read_events(spark, sf_dir)
+    return cohort_retention(ev, period="week").withColumnRenamed(
+        "offset", "week_offset"
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+    -- DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP — cast
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+    FROM events GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS p FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2301,6 +2372,8 @@ _EXTENSION_QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 _EXTENSION_ORACLES = {
@@ -2349,4 +2422,6 @@ _EXTENSION_ORACLES = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "merge_upsert": SQL_MERGE_UPSERT,
     "cdc_apply": SQL_CDC_APPLY,
+    "funnel": SQL_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }

@@ -1,0 +1,142 @@
+"""Event-sequence analytics: funnel progression and cohort retention.
+
+Batch analytics over an event stream table — the query shapes event
+engines ship natively (ClickHouse ``windowFunnel``/``retention``) but
+Spark has no built-in for.
+
+Scale shapes
+------------
+- :func:`funnel` is ONE shuffle: events are pruned to the funnel's stage
+  types at the scan (predicate pushdown), grouped per user, and each
+  user's (small) sorted event array is folded JVM-side with
+  ``F.aggregate`` — no per-stage join cascade, no Python in the loop.
+  The per-user array is bounded by that user's stage-typed events; a
+  pathological hot user is the same hot-key problem every per-entity
+  analysis has (salt upstream if one user is a measurable share of the
+  corpus).
+- :func:`cohort_retention` is two aggregations and one equi-join on the
+  user key, all co-partitioned; counts are exact (no sketches), and the
+  final matrix is tiny (cohorts × offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "cohort_retention"]
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Earliest-completion funnel: per user, the earliest time each stage
+    was reached IN ORDER — stage *i* counts only strictly after stage
+    *i-1*'s matched time, and (with ``horizon``, e.g. ``"INTERVAL 1
+    DAY"``) no later than ``t1 + horizon``.
+
+    Returns one row per user having at least stage 1:
+    ``(user, t1..tK, stages_completed)``.
+
+    Greedy semantics (industry-standard ``windowFunnel`` caveat): the
+    EARLIEST stage-1 event anchors the chain; a later stage-1 occurrence
+    that would complete more stages within the horizon is not considered.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    k = len(stages)
+    tcols = [f"t{i + 1}" for i in range(k)]
+
+    ev = events.filter(F.col(type_col).isin(list(stages))).select(
+        F.col(user_col), F.col(ts_col).alias("__ts"), F.col(type_col).alias("__tp")
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("__ts", "__tp"))).alias("__evs")
+    )
+
+    ts_type = events.schema[ts_col].dataType
+    zero = F.struct(
+        *[F.lit(None).cast(ts_type).alias(t) for t in tcols]
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        fields = []
+        in_horizon = (
+            (e["__ts"] <= acc["t1"] + F.expr(horizon))
+            if horizon is not None
+            else F.lit(True)
+        )
+        for i, t in enumerate(tcols):
+            cur = acc[t]
+            if i == 0:
+                hit = cur.isNull() & (e["__tp"] == stages[0])
+            else:
+                hit = (
+                    cur.isNull()
+                    & acc[tcols[i - 1]].isNotNull()
+                    & (e["__tp"] == stages[i])
+                    & (e["__ts"] > acc[tcols[i - 1]])
+                    & in_horizon
+                )
+            fields.append(F.when(hit, e["__ts"]).otherwise(cur).alias(t))
+        return F.struct(*fields)
+
+    folded = per_user.select(
+        user_col, F.aggregate("__evs", zero, step).alias("__f")
+    )
+    out = folded.select(
+        user_col,
+        *[F.col(f"__f.{t}").alias(t) for t in tcols],
+        sum(
+            [F.when(F.col(f"__f.{t}").isNotNull(), 1).otherwise(0) for t in tcols],
+            F.lit(0),
+        ).cast("long").alias("stages_completed"),
+    )
+    return out.filter(F.col("t1").isNotNull())
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ``period`` of
+    their FIRST event; for each (cohort, offset) the EXACT count of
+    cohort users active ``offset`` periods later.
+
+    Returns ``(cohort, offset, n_active)`` with offset 0 = the cohort
+    period itself (n_active there = cohort size).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day, week, or month")
+    per_days = {"day": 1, "week": 7}.get(period)
+
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("__cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col), F.date_trunc(period, F.col(ts_col)).alias("__p")
+        ).distinct()
+    )
+    joined = active.join(first, user_col)
+    if period == "month":
+        off = (
+            (F.year("__p") - F.year("__cohort")) * 12
+            + (F.month("__p") - F.month("__cohort"))
+        ).cast("long")
+    else:
+        off = (
+            F.datediff(F.to_date("__p"), F.to_date("__cohort")) / per_days
+        ).cast("long")
+    return (
+        joined.select(F.col("__cohort").alias("cohort"), off.alias("offset"), user_col)
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_active"))
+    )

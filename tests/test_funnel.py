@@ -1,0 +1,139 @@
+"""Funnel and cohort-retention semantics, cross-checks, plan shape."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.funnel import cohort_retention, funnel
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, tp) for (u, t, tp) in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_orders_and_counts(spark):
+    ev = _events(spark, [
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        (2, _ts(1), "click"), (2, _ts(2), "view"),      # click BEFORE view: no stage 2
+        (3, _ts(5), "view"),                              # stage 1 only
+        (4, _ts(1), "purchase"),                          # never enters funnel
+    ])
+    out = funnel(ev, ["view", "click", "purchase"])
+    got = {r["user_id"]: r["stages_completed"] for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
+    t = {r["user_id"]: (r["t1"], r["t2"], r["t3"]) for r in out.collect()}
+    assert t[1] == (_ts(1), _ts(2), _ts(3))
+    assert t[2] == (_ts(2), None, None)
+
+
+def test_funnel_horizon_cuts_late_completions(spark):
+    ev = _events(spark, [
+        (1, _ts(1), "view"), (1, _ts(2), "click"),        # within 2 days
+        (2, _ts(1), "view"), (2, _ts(10), "click"),       # click outside horizon
+    ])
+    out = funnel(ev, ["view", "click"], horizon="INTERVAL 2 DAYS")
+    got = {r["user_id"]: r["stages_completed"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_funnel_greedy_anchor_documented(spark):
+    """Earliest stage-1 anchors the chain even when a later anchor would
+    complete more stages in horizon — the documented windowFunnel caveat."""
+    ev = _events(spark, [
+        (1, _ts(1), "view"),                  # anchor; click lands outside horizon
+        (1, _ts(5), "view"), (1, _ts(6), "click"),
+    ])
+    out = funnel(ev, ["view", "click"], horizon="INTERVAL 1 DAY")
+    row = out.collect()[0]
+    assert row["t1"] == _ts(1) and row["stages_completed"] == 1
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    """Stage i must be STRICTLY after stage i-1."""
+    ev = _events(spark, [(1, _ts(1), "view"), (1, _ts(1), "click")])
+    out = funnel(ev, ["view", "click"])
+    assert out.collect()[0]["stages_completed"] == 1
+
+
+def test_funnel_matches_join_chain_on_fixture(spark):
+    """Fold implementation == naive per-stage min-join chain at sf0.001."""
+    from database_transportor_spark.functions.timecols import normalize_event_time
+
+    ev = normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts"
+    )
+    stages, hor = ["view", "click", "purchase"], "INTERVAL 7 DAYS"
+    out = funnel(ev, stages, horizon=hor)
+
+    s1 = ev.filter(F.col("event_type") == stages[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == stages[1])
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + F.expr(hor)))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == stages[2])
+        .join(s2, "user_id").join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t1") + F.expr(hor)))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    ref = (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+    )
+    lhs = {tuple(r) for r in out.select("user_id", "t1", "t2", "t3").collect()}
+    rhs = {tuple(r) for r in ref.collect()}
+    assert lhs == rhs and len(lhs) > 0
+
+
+def test_funnel_single_shuffle(spark):
+    ev = _events(spark, [(1, _ts(1), "view"), (1, _ts(2), "click")])
+    plan = (
+        funnel(ev, ["view", "click"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cohort_retention_counts(spark):
+    # cohort Mon 2024-01-01 week: users 1,2; user 1 returns next week
+    ev = _events(spark, [
+        (1, _ts(2), "view"), (2, _ts(3), "view"),
+        (1, _ts(9), "click"),
+        (3, _ts(10), "view"),
+    ])
+    out = cohort_retention(ev, period="week")
+    got = {
+        (r["cohort"].date().isoformat(), r["offset"]): r["n_active"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_cohort_offset_zero_equals_cohort_size(spark):
+    from database_transportor_spark.functions.timecols import normalize_event_time
+
+    ev = normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts"
+    )
+    out = cohort_retention(ev, period="week")
+    zero = out.filter("offset = 0").agg(F.sum("n_active")).first()[0]
+    n_users = ev.select("user_id").distinct().count()
+    assert zero == n_users
