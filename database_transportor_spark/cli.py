@@ -19,6 +19,11 @@ Spec-module contract (the rendered template documents it inline)::
     PRELOAD = {}                    # optional; {"original": [tables]} (S5)
     INCREMENTAL = {}                # optional; {"map_key": "cursor_col"} —
                                     #   watermark-based incremental appends
+    MERGE_KEYS = {}                 # optional; {"map_key": "key_col"} —
+                                    #   with INCREMENTAL: fresh rows UPSERT
+                                    #   into the live target (updates
+                                    #   propagate) instead of appending
+    STAGED = False                  # optional; all-tables staging swap (X7)
     SPARK = {"spark.sql.shuffle.partitions": "200"}   # optional conf
 
 Multiple ``--spec`` files run in order — the equivalent of the reference's
@@ -150,11 +155,15 @@ def _cmd_transport(args: argparse.Namespace) -> int:
         if seeds:
             eng.set_seed(seeds)
         incremental = getattr(mod, "INCREMENTAL", None)
-        if incremental:
-            outputs = eng.do_incremental_transport(incremental)
+        merge_keys = getattr(mod, "MERGE_KEYS", None)
+        staged = bool(getattr(mod, "STAGED", False)) or args.staged
+        if incremental and merge_keys:
+            outputs = eng.do_merge_transport(incremental, merge_keys)
+        elif incremental:
+            outputs = eng.do_incremental_transport(incremental, staged=staged)
         else:
             mode = args.mode or getattr(mod, "MODE", "append")
-            outputs = eng.do_transport(mode=mode)
+            outputs = eng.do_transport(mode=mode, staged=staged)
         print(f"{path}: transported {len(outputs)} table(s): {sorted(outputs)}")
     return 0
 
@@ -256,6 +265,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--mode", default=None,
                    help="write mode override (append/overwrite)")
     t.add_argument("--master", default=None, help="Spark master override")
+    t.add_argument("--staged", action="store_true",
+                   help="stage every table and swap only after all writes")
     t.set_defaults(fn=_cmd_transport)
 
     e = sub.add_parser(

@@ -120,3 +120,51 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
     assert ":: joined ==" not in r2.stdout
     assert "PushedFilters" not in r2.stdout
     assert "audit:" in r2.stdout
+
+
+def test_transport_merge_mode(tmp_path):
+    """INCREMENTAL + MERGE_KEYS in the spec module drives
+    do_merge_transport: an update-bumped cursor propagates row updates."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spec = tmp_path / "spec.py"
+    spec.write_text(
+        f'''
+MAPS = {{
+    "items": {{
+        "original_table": "src",
+        "columns": {{"item_id": "id", "val": "v", "mod": "m"}},
+    }},
+}}
+ORIGINAL = {{"kind": "parquet", "root": "{src}"}}
+TARGET = {{"kind": "parquet", "root": "{out}"}}
+INCREMENTAL = {{"items": "mod"}}
+MERGE_KEYS = {{"items": "item_id"}}
+SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
+'''
+    )
+    import duckdb
+
+    os.makedirs(src, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES (1, 'a', 1), (2, 'b', 1)) t(id, v, m))"
+        f" TO '{src}/src.parquet' (FORMAT PARQUET)"
+    )
+    r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
+             timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES (1, 'A', 2), (2, 'b', 1), (3, 'c', 2))"
+        f" t(id, v, m)) TO '{src}/src.parquet' (FORMAT PARQUET)"
+    )
+    r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
+             timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = sorted(
+        con.execute(
+            f"SELECT item_id, val FROM '{out}/items.parquet/*.parquet'"
+        ).fetchall()
+    )
+    assert got == [(1, "A"), (2, "b"), (3, "c")], got
