@@ -2259,6 +2259,34 @@ WHERE COALESCE(c.op, '') <> 'D'
 # Event-sequence analytics: funnel + cohort retention (operators/funnel.py)
 # ---------------------------------------------------------------------------
 
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 corpus vocabulary (min_df 2): exact tf/df counts and a
+    deterministic rank-assigned token_id."""
+    from database_transportor_spark.operators.text import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_vocab(docs, "text", "doc_id", min_df=2, max_vocab=500)
+
+
+SQL_BUILD_VOCAB = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+), counts AS (
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks WHERE token <> '' GROUP BY token
+    HAVING count(DISTINCT doc_id) >= 2
+), top AS (
+    SELECT * FROM counts ORDER BY tf DESC, token ASC LIMIT 500
+)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, token ASC) - 1 AS BIGINT)
+         AS token_id,
+       token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM top
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase funnel, 7-day horizon — per-user earliest
     in-order stage times via a single-shuffle sorted-array fold."""
@@ -2374,6 +2402,7 @@ _EXTENSION_QUERIES = {
     "cdc_apply": q_cdc_apply,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "build_vocab": q_build_vocab,
 }
 
 _EXTENSION_ORACLES = {
@@ -2424,4 +2453,5 @@ _EXTENSION_ORACLES = {
     "cdc_apply": SQL_CDC_APPLY,
     "funnel": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "build_vocab": SQL_BUILD_VOCAB,
 }

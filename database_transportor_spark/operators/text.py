@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "build_vocab",
     "text_stats",
     "quality_score",
     "language_id",
@@ -54,6 +55,49 @@ def tokens(text: Column | str) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary table: one row per distinct token with exact
+    term frequency (``tf``, total occurrences), document frequency
+    (``df``, distinct docs), and a dense rank-assigned ``token_id``
+    (0-based; most frequent first, ties broken by token string — fully
+    deterministic, so vocabularies are reproducible across runs).
+
+    Scale shape: explode + one ``groupBy(token)`` — a single hash shuffle
+    with map-side partial counts; ``df`` uses ``count_distinct`` over the
+    doc id *within* the same aggregation (no second shuffle).  The top-k
+    cut (``max_vocab``) runs on the already-aggregated (vocabulary-sized)
+    frame via TakeOrdered — never a global sort of the corpus.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    agg = exploded.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("df"),
+    )
+    if min_df > 1:
+        agg = agg.filter(F.col("df") >= min_df)
+    ranked = agg.orderBy(F.col("tf").desc(), F.col("token").asc())
+    if max_vocab is not None:
+        ranked = ranked.limit(max_vocab)
+    # rank assignment runs on the vocabulary-sized frame (≤ max_vocab, or
+    # the distinct tokens surviving min_df) — a single-partition
+    # row_number here is bounded and deterministic; the corpus itself is
+    # never globally sorted
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return ranked.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("token_id", "token", "tf", "df")
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

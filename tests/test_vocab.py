@@ -1,0 +1,50 @@
+"""build_vocab: exact counts, deterministic ranks, min_df/max_vocab cuts."""
+
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.text import build_vocab
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "  The   CAT  "),          # case/whitespace normalization
+            (4, ""),                        # empty doc contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_vocab_counts_exact(spark):
+    out = {r["token"]: (r["tf"], r["df"]) for r in build_vocab(_docs(spark)).collect()}
+    assert out["the"] == (4, 3)     # docs 1 (twice), 2, 3
+    assert out["cat"] == (2, 2)
+    assert out["sat"] == (2, 2)
+    assert out["dog"] == (1, 1)
+    assert "" not in out
+
+
+def test_vocab_rank_deterministic_tiebreak(spark):
+    rows = build_vocab(_docs(spark)).collect()
+    ids = {r["token"]: r["token_id"] for r in rows}
+    assert ids["the"] == 0                       # highest tf
+    # tf=2 tie between cat/sat: token string ascending
+    assert ids["cat"] == 1 and ids["sat"] == 2
+    assert sorted(r["token_id"] for r in rows) == list(range(len(rows)))
+
+
+def test_vocab_min_df_and_max_vocab(spark):
+    out = build_vocab(_docs(spark), min_df=2)
+    assert {r["token"] for r in out.collect()} == {"the", "cat", "sat"}
+    top2 = build_vocab(_docs(spark), max_vocab=2).collect()
+    assert [r["token"] for r in top2] == ["the", "cat"]
+
+
+def test_vocab_corpus_shuffle_count_invariant(spark):
+    """Vocabulary is order-independent: same result from a reshuffled corpus."""
+    docs = _docs(spark)
+    a = {tuple(r) for r in build_vocab(docs).collect()}
+    b = {tuple(r) for r in build_vocab(docs.orderBy(F.rand(7))).collect()}
+    assert a == b
