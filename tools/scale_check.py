@@ -57,6 +57,10 @@ QUERIES = [
     "upsample_domains",
     "quantize_embeddings",
     "events_stream_join",
+    "merge_upsert",
+    "cdc_apply",
+    "funnel",
+    "cohort_retention",
 ]
 
 KEY_OFFSETS = {
