@@ -2287,6 +2287,36 @@ FROM top
 """
 
 
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded against the top-500 (min_df 2) vocabulary; OOV
+    tokens drop.  Position-exact id sequences."""
+    from database_transportor_spark.operators.text import build_vocab, encode_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, "text", "doc_id", min_df=2, max_vocab=500)
+    return encode_tokens(docs, vocab, "text", "doc_id")
+
+
+# the vocab SQL nests verbatim as a CTE body (a WITH inside a CTE is legal)
+SQL_ENCODE_TOKENS = f"""
+WITH top AS (
+{SQL_BUILD_VOCAB}
+), vm AS (
+    SELECT MAP(list(token), list(token_id)) AS m FROM top
+)
+SELECT d.doc_id,
+       list_filter(
+           list_transform(string_split_regex(trim(lower(d.text)), '\\s+'),
+                          t -> m[t][1]),
+           x -> x IS NOT NULL) AS token_ids,
+       CAST(len(list_filter(
+           list_transform(string_split_regex(trim(lower(d.text)), '\\s+'),
+                          t -> m[t][1]),
+           x -> x IS NOT NULL)) AS BIGINT) AS n_encoded
+FROM documents d, vm
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click→purchase funnel, 7-day horizon — per-user earliest
     in-order stage times via a single-shuffle sorted-array fold."""
@@ -2403,6 +2433,7 @@ _EXTENSION_QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "build_vocab": q_build_vocab,
+    "encode_tokens": q_encode_tokens,
 }
 
 _EXTENSION_ORACLES = {
@@ -2454,4 +2485,5 @@ _EXTENSION_ORACLES = {
     "funnel": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "build_vocab": SQL_BUILD_VOCAB,
+    "encode_tokens": SQL_ENCODE_TOKENS,
 }

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "build_vocab",
+    "encode_tokens",
     "text_stats",
     "quality_score",
     "language_id",
@@ -98,6 +99,55 @@ def build_vocab(
     return ranked.withColumn(
         "token_id", (F.row_number().over(w) - 1).cast("long")
     ).select("token_id", "token", "tf", "df")
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int | None = None,
+) -> DataFrame:
+    """Encode each document's token sequence to vocabulary ids —
+    ``(id_col, token_ids array<long>, n_encoded)``.  ``vocab`` is a
+    :func:`build_vocab` output (``token``, ``token_id``).  Out-of-vocab
+    tokens drop by default or map to ``oov_id``.
+
+    Scale shape: posexplode → broadcast join against the (small by
+    construction) vocab → one ``groupBy(doc)`` re-assembly whose order is
+    pinned by the token position (``array_sort`` on (pos, id) structs —
+    ``collect_list`` alone is not order-stable).  Docs with no in-vocab
+    tokens keep an empty array, not a dropped row.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    joined = toks.join(
+        F.broadcast(vocab.select("token", F.col("token_id").cast("long"))),
+        "token",
+        "left",
+    )
+    if oov_id is None:
+        joined = joined.filter(F.col("token_id").isNotNull())
+    else:
+        joined = joined.withColumn(
+            "token_id", F.coalesce(F.col("token_id"), F.lit(int(oov_id)).cast("long"))
+        )
+    enc = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+            lambda s: s["token_id"],
+        ).alias("token_ids")
+    )
+    return (
+        df.select(id_col)
+        .join(enc, id_col, "left")
+        .withColumn(
+            "token_ids",
+            F.coalesce(F.col("token_ids"), F.array().cast("array<long>")),
+        )
+        .withColumn("n_encoded", F.size("token_ids").cast("long"))
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -48,3 +48,21 @@ def test_vocab_corpus_shuffle_count_invariant(spark):
     a = {tuple(r) for r in build_vocab(docs).collect()}
     b = {tuple(r) for r in build_vocab(docs.orderBy(F.rand(7))).collect()}
     assert a == b
+
+
+def test_encode_tokens_positions_and_oov(spark):
+    from database_transportor_spark.operators.text import encode_tokens
+
+    docs = _docs(spark)
+    vocab = build_vocab(docs, min_df=2)          # {the, cat, sat}
+    ids = {r["token"]: r["token_id"] for r in vocab.collect()}
+    out = {r["doc_id"]: r["token_ids"]
+           for r in encode_tokens(docs, vocab).collect()}
+    # doc 1 "the cat sat on the mat": OOV drops, positions preserved
+    assert out[1] == [ids["the"], ids["cat"], ids["sat"], ids["the"]]
+    assert out[3] == [ids["the"], ids["cat"]]
+    assert out[4] == []                           # empty doc kept, empty array
+
+    oov = {r["doc_id"]: r["token_ids"]
+           for r in encode_tokens(docs, vocab, oov_id=-1).collect()}
+    assert oov[1] == [ids["the"], ids["cat"], ids["sat"], -1, ids["the"], -1]
