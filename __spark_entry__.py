@@ -2384,6 +2384,59 @@ GROUP BY 1, 2
 """
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history of each user's event_type state: no-op
+    changes collapsed, validity intervals from change ts to next change."""
+    from database_transportor_spark.operators.temporal import build_scd2
+
+    ev = _read_events(spark, sf_dir)
+    return build_scd2(ev, "user_id", "ts", attr_cols=["event_type"])
+
+
+SQL_SCD2 = """
+WITH collapsed AS (
+    SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events)
+    WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM collapsed
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (30-minute inactivity gap)."""
+    from database_transportor_spark.operators.funnel import sessionize
+
+    ev = _read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return sessionize(ev, gap="30 minutes")
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+         AS session_idx,
+       CAST(user_id AS VARCHAR) || ':' ||
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR)
+         AS session_id
+FROM flagged
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2434,6 +2487,8 @@ _EXTENSION_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "build_vocab": q_build_vocab,
     "encode_tokens": q_encode_tokens,
+    "scd2": q_scd2,
+    "sessionize": q_sessionize,
 }
 
 _EXTENSION_ORACLES = {
@@ -2486,4 +2541,6 @@ _EXTENSION_ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "build_vocab": SQL_BUILD_VOCAB,
     "encode_tokens": SQL_ENCODE_TOKENS,
+    "scd2": SQL_SCD2,
+    "sessionize": SQL_SESSIONIZE,
 }

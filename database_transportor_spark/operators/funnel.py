@@ -24,7 +24,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "sessionize"]
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign a session id to EVERY event (the per-event complement of a
+    session-window aggregate): a new session starts when the gap since
+    the user's previous event exceeds ``gap``.
+
+    Appends ``session_idx`` (0-based per user, chronological) and
+    ``session_id`` (``"<user>:<idx>"``, globally unique).  One shuffle on
+    the user key; the lag and the running sum share a single (user, ts)
+    sort.  Equal-timestamp events order by timestamp alone — they always
+    land in the same session (gap 0 ≤ any positive gap), so the
+    assignment is deterministic even with duplicate timestamps.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap_expr = F.expr(f"INTERVAL {gap}") if "INTERVAL" not in gap.upper() else F.expr(gap)
+    is_new = (
+        F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr
+    )
+    return (
+        events.withColumn(
+            "__new", F.when(F.lag(ts_col).over(w).isNull() | is_new, 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            (F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) - 1).cast("long"),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws(":", F.col(user_col).cast("string"), F.col("session_idx")),
+        )
+        .drop("__new")
+    )
 
 
 def funnel(

@@ -22,7 +22,55 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "build_scd2"]
+
+
+def build_scd2(
+    feed: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    attr_cols: list[str] | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change feed: one
+    validity interval per (key, state), ``valid_from`` = the change's
+    timestamp, ``valid_to`` = the NEXT change's timestamp (NULL ⇒ current
+    row).  The output is exactly what :func:`asof_join` or
+    :func:`range_join` probes to answer "what was this key's state at
+    time t".
+
+    ``collapse=True`` drops no-op changes first (rows whose attributes
+    equal the key's previous row), so intervals describe STATE changes,
+    not feed arrivals.
+
+    Shape: one shuffle on the key; the collapse filter and the
+    ``valid_to`` lead share the same (key, ts) sort, so Spark plans a
+    single Exchange + sort.  Ties on (key, ts) are resolved by preferring
+    the later feed row deterministically only if a tiebreak column is
+    baked into ``ts_col`` — otherwise same-ts changes are collapsed by
+    the lead to zero-length intervals, the SQL-standard behavior.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    attrs = attr_cols or [c for c in feed.columns if c not in ks + [ts_col]]
+    w = Window.partitionBy(*ks).orderBy(F.col(ts_col).asc())
+    out = feed.select(*ks, ts_col, *attrs)
+    if collapse:
+        state = F.struct(*[F.col(c) for c in attrs])
+        out = (
+            out.withColumn("__prev", F.lag(state).over(w))
+            .filter(
+                F.col("__prev").isNull()
+                # null-safe: a NULL attribute equal to the previous NULL is
+                # still a no-op change
+                | ~state.eqNullSafe(F.col("__prev"))
+            )
+            .drop("__prev")
+        )
+    return (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .drop(ts_col)
+    )
 
 
 def asof_join(

@@ -137,3 +137,43 @@ def test_cohort_offset_zero_equals_cohort_size(spark):
     zero = out.filter("offset = 0").agg(F.sum("n_active")).first()[0]
     n_users = ev.select("user_id").distinct().count()
     assert zero == n_users
+
+
+def test_sessionize_gap_splits(spark):
+    ev = _events(spark, [
+        (1, _ts(1, 0), "view"), (1, _ts(1, 0), "click"),   # same ts: same session
+        (1, _ts(1, 5), "view"),                             # 5h later: new session
+        (2, _ts(1, 0), "view"),
+    ])
+    from database_transportor_spark.operators.funnel import sessionize
+
+    out = sessionize(ev, gap="60 minutes")
+    got = sorted((r["user_id"], r["ts"], r["session_idx"]) for r in out.collect())
+    assert got == [
+        (1, _ts(1, 0), 0), (1, _ts(1, 0), 0), (1, _ts(1, 5), 1),
+        (2, _ts(1, 0), 0),
+    ]
+    ids = {r["session_id"] for r in out.collect()}
+    assert ids == {"1:0", "1:1", "2:0"}
+
+
+def test_sessionize_matches_session_count(spark):
+    """Event-level assignment must produce the same number of sessions as
+    the aggregate session window on the fixture."""
+    from database_transportor_spark.functions.timecols import normalize_event_time
+    from database_transportor_spark.operators.funnel import sessionize
+
+    ev = normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts"
+    )
+    out = sessionize(ev, gap="30 minutes")
+    n_sessions = out.select("session_id").distinct().count()
+    # independent computation: count gap-starts directly
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    starts = ev.withColumn("prev", F.lag("ts").over(w)).filter(
+        F.col("prev").isNull()
+        | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    assert n_sessions == starts.count() > 0

@@ -285,3 +285,70 @@ def test_asof_join_bucketed_matches_plain(spark):
     buck_t = sorted(map(tuple, asof_join(
         left, right, "k", "ts", tolerance="INTERVAL 90 MINUTES", bucket="1 hour").collect()))
     assert buck_t == plain_t
+
+
+# --- build_scd2 ------------------------------------------------------------
+
+def test_scd2_intervals_and_collapse(spark):
+    import datetime
+
+    from database_transportor_spark.operators.temporal import build_scd2
+
+    def t(d):
+        return datetime.datetime(2024, 1, d)
+
+    feed = spark.createDataFrame(
+        [(1, t(1), "bronze"), (1, t(5), "bronze"),   # no-op ⇒ collapsed
+         (1, t(10), "gold"), (2, t(3), "silver")],
+        "k long, ts timestamp, tier string",
+    )
+    out = build_scd2(feed, "k", "ts", attr_cols=["tier"])
+    rows = sorted(
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "bronze", t(1), t(10)),      # t(5) no-op collapsed away
+        (1, "gold", t(10), None),        # current row open-ended
+        (2, "silver", t(3), None),
+    ]
+
+
+def test_scd2_no_collapse_keeps_arrivals(spark):
+    import datetime
+
+    from database_transportor_spark.operators.temporal import build_scd2
+
+    def t(d):
+        return datetime.datetime(2024, 1, d)
+
+    feed = spark.createDataFrame(
+        [(1, t(1), "a"), (1, t(5), "a")], "k long, ts timestamp, v string"
+    )
+    out = build_scd2(feed, "k", "ts", collapse=False)
+    assert out.count() == 2
+
+
+def test_scd2_asof_roundtrip(spark):
+    """Probing the SCD2 output with asof_join answers point-in-time state."""
+    import datetime
+
+    from database_transportor_spark.operators.temporal import asof_join, build_scd2
+
+    def t(d):
+        return datetime.datetime(2024, 1, d)
+
+    feed = spark.createDataFrame(
+        [(1, t(1), "bronze"), (1, t(10), "gold")],
+        "k long, ts timestamp, tier string",
+    )
+    dim = build_scd2(feed, "k", "ts", attr_cols=["tier"])
+    probes = spark.createDataFrame(
+        [(1, t(2)), (1, t(11))], "k long, at timestamp"
+    )
+    out = asof_join(
+        probes, dim.select("k", "valid_from", "tier"),
+        "k", left_ts="at", right_ts="valid_from",
+    )
+    got = {r["at"]: r["tier"] for r in out.collect()}
+    assert got == {t(2): "bronze", t(11): "gold"}
