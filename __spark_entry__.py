@@ -2437,6 +2437,72 @@ FROM flagged
 """
 
 
+def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over lineitem: six rule kinds in one pass
+    (row-level rules fold into a single scan), including the fixture's
+    known duplicate (l_orderkey, l_linenumber) pairs and the 0.05+
+    discounts as nonzero violation counts."""
+    from database_transportor_spark.operators.validate import validate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return validate(li, [
+        {"rule": "not_null", "column": "l_orderkey"},
+        {"rule": "range", "column": "l_discount", "min": 0.0, "max": 0.05},
+        {"rule": "range", "column": "l_quantity", "min": 1.0, "max": 50.0},
+        {"rule": "accepted_values", "column": "l_returnflag",
+         "values": ["A", "N", "R"]},
+        {"rule": "expression", "name": "price_nonneg",
+         "sql": "l_extendedprice >= 0"},
+        {"rule": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+        {"rule": "foreign_key", "column": "l_orderkey", "ref": orders,
+         "ref_column": "o_orderkey"},
+    ])
+
+
+SQL_VALIDATE_RULES = """
+SELECT 'not_null' AS rule, 'l_orderkey' AS target,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'range', 'l_discount',
+       CAST(sum(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.05)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range', 'l_quantity',
+       CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                      AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'accepted_values', 'l_returnflag',
+       CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A', 'N', 'R')
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'expression', 'price_nonneg',
+       CAST(sum(CASE WHEN NOT coalesce(l_extendedprice >= 0, FALSE)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'unique', 'l_orderkey,l_linenumber',
+       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+UNION ALL
+SELECT 'foreign_key', 'l_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+               ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+            AS BIGINT)
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2489,6 +2555,7 @@ _EXTENSION_QUERIES = {
     "encode_tokens": q_encode_tokens,
     "scd2": q_scd2,
     "sessionize": q_sessionize,
+    "validate_rules": q_validate_rules,
 }
 
 _EXTENSION_ORACLES = {
@@ -2543,4 +2610,5 @@ _EXTENSION_ORACLES = {
     "encode_tokens": SQL_ENCODE_TOKENS,
     "scd2": SQL_SCD2,
     "sessionize": SQL_SESSIONIZE,
+    "validate_rules": SQL_VALIDATE_RULES,
 }

@@ -24,6 +24,10 @@ Spec-module contract (the rendered template documents it inline)::
                                     #   into the live target (updates
                                     #   propagate) instead of appending
     STAGED = False                  # optional; all-tables staging swap (X7)
+    VALIDATE = {}                   # optional; {"map_key": [rules]} — data-
+                                    #   quality gate (operators/validate.py
+                                    #   vocabulary) checked before writes;
+                                    #   violations abort the run
     SPARK = {"spark.sql.shuffle.partitions": "200"}   # optional conf
 
 Multiple ``--spec`` files run in order — the equivalent of the reference's
@@ -157,13 +161,18 @@ def _cmd_transport(args: argparse.Namespace) -> int:
         incremental = getattr(mod, "INCREMENTAL", None)
         merge_keys = getattr(mod, "MERGE_KEYS", None)
         staged = bool(getattr(mod, "STAGED", False)) or args.staged
+        validate = getattr(mod, "VALIDATE", None)
         if incremental and merge_keys:
-            outputs = eng.do_merge_transport(incremental, merge_keys)
+            outputs = eng.do_merge_transport(
+                incremental, merge_keys, validate=validate
+            )
         elif incremental:
-            outputs = eng.do_incremental_transport(incremental, staged=staged)
+            outputs = eng.do_incremental_transport(
+                incremental, staged=staged, validate=validate
+            )
         else:
             mode = args.mode or getattr(mod, "MODE", "append")
-            outputs = eng.do_transport(mode=mode, staged=staged)
+            outputs = eng.do_transport(mode=mode, staged=staged, validate=validate)
         print(f"{path}: transported {len(outputs)} table(s): {sorted(outputs)}")
     return 0
 

@@ -231,7 +231,10 @@ class DBT:
         )
 
     def do_incremental_transport(
-        self, cursors: dict[str, str], staged: bool = False
+        self,
+        cursors: dict[str, str],
+        staged: bool = False,
+        validate: Optional[dict[str, list]] = None,
     ) -> dict[str, DataFrame]:
         """Watermark-based incremental run: for every map in ``cursors``
         (map key → monotonically increasing target column, e.g. an id or
@@ -274,14 +277,17 @@ class DBT:
             if wm is not None:
                 self._incremental_filters[key] = (src_col, wm)
         try:
-            return self.do_transport(mode="append", staged=staged)
+            return self.do_transport(mode="append", staged=staged, validate=validate)
         finally:
             self._incremental_filters = {}
             self._outputs.clear()
             self._outputs_by_table.clear()
 
     def do_merge_transport(
-        self, cursors: dict[str, str], keys: dict[str, Any]
+        self,
+        cursors: dict[str, str],
+        keys: dict[str, Any],
+        validate: Optional[dict[str, list]] = None,
     ) -> dict[str, DataFrame]:
         """Incremental UPSERT run: like ``do_incremental_transport``, new
         source rows are found by ``cursor > max(cursor in target)`` with
@@ -336,7 +342,10 @@ class DBT:
         try:
             self.check_seed()
             outputs = self.transform()
-            self._write_all(outputs, mode="overwrite", staged=True, mutate=_merge)
+            self._write_all(
+                outputs, mode="overwrite", staged=True, mutate=_merge,
+                validate=validate,
+            )
             return outputs
         finally:
             self._incremental_filters = {}
@@ -344,7 +353,10 @@ class DBT:
             self._outputs_by_table.clear()
 
     def do_transport(
-        self, mode: str = "append", staged: bool = False
+        self,
+        mode: str = "append",
+        staged: bool = False,
+        validate: Optional[dict[str, list]] = None,
     ) -> dict[str, DataFrame]:
         """Execute: seed check, plan, write each table in dependency order
         (X1), drop staging columns pre-write (X5), run post hooks (X6).
@@ -355,11 +367,38 @@ class DBT:
         writes succeed are the staging tables swapped in (cheap renames).
         A failure during the write phase aborts every staging table and
         leaves the live target untouched.  Hooks (X6) run post-swap, like
-        the reference's post-commit destructor hooks."""
+        the reference's post-commit destructor hooks.
+
+        ``validate``: ``{map_key: [rules]}`` (``operators/validate.py``
+        vocabulary) checked against each map's final frame BEFORE its
+        write — any violation raises ``ValidationError``, aborting the
+        run (and, staged, every staging table), so the live target never
+        sees a batch that breaks a constraint.  ``foreign_key`` rules may
+        name ``ref_table``/``ref_source`` instead of passing a DataFrame;
+        target-side references resolve against this run's in-flight
+        outputs, so a fact map can be checked against the dimension map
+        produced moments earlier in the same run."""
         self.check_seed()
         outputs = self.transform()
-        self._write_all(outputs, mode=mode, staged=staged)
+        self._write_all(outputs, mode=mode, staged=staged, validate=validate)
         return outputs
+
+    def _resolve_rules(self, rules: list) -> list:
+        out = []
+        for r in rules:
+            if (
+                r.get("rule") == "foreign_key"
+                and "ref" not in r
+                and "ref_table" in r
+            ):
+                r = {
+                    **r,
+                    "ref": self._resolve(
+                        r.get("ref_source", "target"), r["ref_table"]
+                    ),
+                }
+            out.append(r)
+        return out
 
     def _write_all(
         self,
@@ -367,10 +406,13 @@ class DBT:
         mode: str,
         staged: bool,
         mutate: Any = None,
+        validate: Optional[dict[str, list]] = None,
     ) -> None:
         """Write every map output in topo order; ``mutate(key, df)`` lets a
         caller rewrite a table's final frame (e.g. merge with the live
         target) after staging-column drop but before ordering/write."""
+        from .operators.validate import check as check_rules
+
         hooks = []
         written: list[str] = []
         try:
@@ -380,6 +422,8 @@ class DBT:
                 out = df.select(*self.write_columns(key))
                 if mutate is not None:
                     out = mutate(key, out)
+                if validate and key in validate:
+                    check_rules(out, self._resolve_rules(validate[key]))
                 if m.order is not None:
                     c = F.col(m.order.order_by)
                     out = out.orderBy(

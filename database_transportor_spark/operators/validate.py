@@ -1,0 +1,183 @@
+"""Declarative data-quality validation — the dbt-test-style layer the
+reference's seed check (S6, ``DBT.php:512-518``) gestures at: S6 only
+asserts "seed tables are non-empty"; this module checks the DATA.
+
+Rules are plain dicts (same declarative spirit as the map spec)::
+
+    [{"rule": "not_null", "column": "id"},
+     {"rule": "unique", "columns": ["id"]},
+     {"rule": "accepted_values", "column": "status", "values": ["A", "B"]},
+     {"rule": "range", "column": "qty", "min": 0, "max": 100},
+     {"rule": "expression", "name": "debit=credit", "sql": "debit = credit"},
+     {"rule": "foreign_key", "column": "fk", "ref": ref_df, "ref_column": "k"}]
+
+:func:`validate` returns one row per rule: ``(rule, target, n_violations)``
+— it never throws; :func:`check` raises ``ValidationError`` listing every
+failing rule.  The engine runs these between the staged write and the
+swap (``DBT.do_transport(validate=...)``), so a batch that breaks a
+constraint aborts atomically and the live tables never see it.
+
+Scale shape: every row-level rule (not_null / accepted_values / range /
+expression) folds into ONE conditional aggregation — a single scan of
+the table regardless of rule count, no shuffle beyond the final
+single-row agg.  ``unique`` costs one groupBy on its key columns;
+``foreign_key`` one left-anti join (broadcast when the reference side is
+dimension-sized).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate", "check", "ValidationError"]
+
+
+class ValidationError(Exception):
+    """Raised by :func:`check` when any rule has violations."""
+
+    def __init__(self, failures: list[tuple[str, str, int]]):
+        self.failures = failures
+        lines = ", ".join(f"{r}({t})={n}" for r, t, n in failures)
+        super().__init__(f"validation failed: {lines}")
+
+
+def _rule_label(rule: dict[str, Any]) -> str:
+    if rule["rule"] == "unique":
+        return ",".join(rule["columns"])
+    if rule["rule"] == "expression":
+        return rule.get("name", rule["sql"])
+    return rule.get("column", "")
+
+
+def validate(df: DataFrame, rules: list[dict[str, Any]]) -> DataFrame:
+    """Evaluate every rule; return ``(rule, target, n_violations)`` rows
+    (one per rule, zero violations included — the report is the contract).
+    """
+    spark = df.sparkSession
+    row_aggs: list = []
+    row_meta: list[tuple[str, str]] = []
+    results: list[DataFrame] = []
+
+    for rule in rules:
+        kind = rule["rule"]
+        label = _rule_label(rule)
+        if kind == "not_null":
+            cond = F.col(rule["column"]).isNull()
+        elif kind == "accepted_values":
+            c = F.col(rule["column"])
+            cond = c.isNotNull() & ~c.isin(list(rule["values"]))
+        elif kind == "range":
+            c = F.col(rule["column"])
+            cond = F.lit(False)
+            if "min" in rule:
+                cond = cond | (c < F.lit(rule["min"]))
+            if "max" in rule:
+                cond = cond | (c > F.lit(rule["max"]))
+            cond = c.isNotNull() & cond
+        elif kind == "expression":
+            # violation = predicate NOT satisfied (NULL counts as a
+            # violation — an unknown truth value fails the contract)
+            cond = ~F.coalesce(F.expr(rule["sql"]), F.lit(False))
+        elif kind == "unique":
+            dup = (
+                df.groupBy(*rule["columns"])
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+                .select(
+                    F.lit("unique").alias("rule"),
+                    F.lit(label).alias("target"),
+                    "n_violations",
+                )
+            )
+            results.append(dup)
+            continue
+        elif kind == "foreign_key":
+            ref: DataFrame = rule["ref"]
+            refc = rule.get("ref_column", rule["column"])
+            miss = (
+                df.select(F.col(rule["column"]).alias("__fk"))
+                .filter(F.col("__fk").isNotNull())
+                .join(
+                    F.broadcast(
+                        ref.select(F.col(refc).alias("__fk")).distinct()
+                    ),
+                    "__fk",
+                    "left_anti",
+                )
+                .agg(F.count("*").cast("long").alias("n_violations"))
+                .select(
+                    F.lit("foreign_key").alias("rule"),
+                    F.lit(rule["column"]).alias("target"),
+                    "n_violations",
+                )
+            )
+            results.append(miss)
+            continue
+        else:
+            raise ValueError(f"unknown validation rule {kind!r}")
+        row_aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                f"__v{len(row_aggs)}"
+            )
+        )
+        row_meta.append((kind, label))
+
+    if row_aggs:
+        one = df.agg(*row_aggs)
+        stacked = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("rule"),
+                            F.lit(t).alias("target"),
+                            F.col(f"__v{i}").alias("n_violations"),
+                        )
+                        for i, (k, t) in enumerate(row_meta)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule", "r.target", "r.n_violations")
+        results.insert(0, stacked)
+
+    if not results:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("rule", StringType()),
+                    StructField("target", StringType()),
+                    StructField("n_violations", LongType()),
+                ]
+            ),
+        )
+    return reduce(lambda a, b: a.unionByName(b), results)
+
+
+def check(df: DataFrame, rules: list[dict[str, Any]]) -> None:
+    """Run :func:`validate`; raise :class:`ValidationError` naming every
+    rule with violations (all failures reported at once, not fail-fast)."""
+    rows = validate(df, rules).collect()
+    failures = [
+        (r["rule"], r["target"], r["n_violations"])
+        for r in rows
+        if r["n_violations"] > 0
+    ]
+    if failures:
+        raise ValidationError(failures)

@@ -13,6 +13,12 @@ of them via ``extra_conf``:
   batch transfer instead of pickled rows).
 - **128 MB max parquet split** keeps scan tasks sized for steady
   whole-stage-codegen throughput without tiny-task overhead.
+- **Runtime bloom-filter join pruning on**: for a selective join, Spark
+  builds a bloom filter from the small side's join keys at runtime and
+  pushes it into the big side's SCAN — at 100 TB a fact-table scan joined
+  to a filtered dimension reads a fraction of its row groups.  (Off by
+  default upstream; the creation threshold caps build-side size, so it
+  never fires for non-selective joins.)
 """
 
 from __future__ import annotations
@@ -39,6 +45,8 @@ def build_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "true",
     }
     if shuffle_partitions is not None:
         defaults["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -1,0 +1,137 @@
+"""Data-quality rules: per-rule counts, single-scan plan, engine gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.validate import (
+    ValidationError,
+    check,
+    validate,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", 10.0, 100),
+            (2, "B", -5.0, 100),      # range violation
+            (2, "Z", 50.0, 200),      # unique + accepted_values violations
+            (None, "A", 20.0, 999),   # not_null violation; fk miss
+        ],
+        "id long, status string, qty double, fk long",
+    )
+
+
+def _ref(spark):
+    return spark.createDataFrame([(100,), (200,)], "k long")
+
+
+def test_validate_counts_per_rule(spark):
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "unique", "columns": ["id"]},
+        {"rule": "accepted_values", "column": "status", "values": ["A", "B"]},
+        {"rule": "range", "column": "qty", "min": 0.0, "max": 100.0},
+        {"rule": "expression", "name": "qty_lt_fk", "sql": "qty < fk"},
+        {"rule": "foreign_key", "column": "fk", "ref": _ref(spark),
+         "ref_column": "k"},
+    ]
+    got = {
+        (r["rule"], r["target"]): r["n_violations"]
+        for r in validate(_df(spark), rules).collect()
+    }
+    assert got == {
+        ("not_null", "id"): 1,
+        ("unique", "id"): 1,            # one extra row beyond the first
+        ("accepted_values", "status"): 1,
+        ("range", "qty"): 1,
+        ("expression", "qty_lt_fk"): 0,
+        ("foreign_key", "fk"): 1,       # 999 not in ref (NULL fk exempt)
+    }
+
+
+def test_validate_null_expression_is_violation(spark):
+    df = spark.createDataFrame([(None,)], "x double")
+    got = validate(df, [{"rule": "expression", "sql": "x > 0"}]).collect()
+    assert got[0]["n_violations"] == 1
+
+
+def test_row_rules_single_scan(spark):
+    """All row-level rules fold into one aggregation — no per-rule jobs."""
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "range", "column": "qty", "min": 0.0},
+        {"rule": "accepted_values", "column": "status", "values": ["A"]},
+    ]
+    plan = (
+        validate(_df(spark), rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan") == 1, plan
+
+
+def test_check_raises_listing_all_failures(spark):
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "range", "column": "qty", "min": 0.0},
+    ]
+    with pytest.raises(ValidationError) as ei:
+        check(_df(spark), rules)
+    assert {f[0] for f in ei.value.failures} == {"not_null", "range"}
+
+
+def test_transport_validation_gate_aborts_staged(spark, tmp_path):
+    """A violating batch must abort the staged swap: live target untouched."""
+    from database_transportor_spark import DBT, ParquetCatalog
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    spark.createDataFrame([(1, "ok")], ["id", "v"]).write.parquet(f"{src}/t.parquet")
+    maps = {"t": {"original_table": "t",
+                  "columns": {"id": "id", "v": "v"}}}
+
+    def eng():
+        return DBT(maps, target=ParquetCatalog(spark, tgt),
+                   original=ParquetCatalog(spark, src))
+
+    eng().do_transport(mode="overwrite")
+    before = spark.read.parquet(f"{tgt}/t.parquet").collect()
+
+    # poison the source: NULL id now violates the rule
+    spark.createDataFrame([(None, "bad")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(f"{src}/t.parquet")
+    with pytest.raises(ValidationError):
+        eng().do_transport(
+            staged=True,
+            validate={"t": [{"rule": "not_null", "column": "id"}]},
+        )
+    after = spark.read.parquet(f"{tgt}/t.parquet").collect()
+    assert after == before, "staged swap must not commit a violating batch"
+
+
+def test_transport_fk_rule_resolves_in_flight_dim(spark, tmp_path):
+    """foreign_key with ref_table validates a fact map against the
+    dimension map produced in the SAME run."""
+    from database_transportor_spark import DBT, ParquetCatalog
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    spark.createDataFrame([(1, "d1")], ["dk", "dv"]).write.parquet(
+        f"{src}/dim.parquet"
+    )
+    spark.createDataFrame([(10, 1), (11, 7)], ["fid", "dfk"]).write.parquet(
+        f"{src}/fact.parquet"
+    )
+    maps = {
+        "dim": {"original_table": "dim", "columns": {"dk": "dk", "dv": "dv"}},
+        "fact": {"original_table": "fact",
+                 "columns": {"fid": "fid", "dfk": "dfk"},
+                 "transport_after": ["dim"]},
+    }
+    eng = DBT(maps, target=ParquetCatalog(spark, tgt),
+              original=ParquetCatalog(spark, src))
+    with pytest.raises(ValidationError, match="foreign_key"):
+        eng.do_transport(
+            mode="overwrite",
+            validate={"fact": [{"rule": "foreign_key", "column": "dfk",
+                                "ref_table": "dim", "ref_column": "dk"}]},
+        )
