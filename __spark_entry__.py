@@ -2503,6 +2503,49 @@ SELECT 'foreign_key', 'l_orderkey',
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats over orders (exact-distinct audit
+    mode so the oracle can hash it; production default is HLL++)."""
+    from database_transportor_spark.operators.maintenance import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(
+        orders,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )
+
+
+SQL_PROFILE_TABLE = """
+SELECT 'o_orderkey' AS column, 'bigint' AS dtype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', 'bigint', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', 'string', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', 'string', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2556,6 +2599,7 @@ _EXTENSION_QUERIES = {
     "scd2": q_scd2,
     "sessionize": q_sessionize,
     "validate_rules": q_validate_rules,
+    "profile_table": q_profile_table,
 }
 
 _EXTENSION_ORACLES = {
@@ -2611,4 +2655,5 @@ _EXTENSION_ORACLES = {
     "scd2": SQL_SCD2,
     "sessionize": SQL_SESSIONIZE,
     "validate_rules": SQL_VALIDATE_RULES,
+    "profile_table": SQL_PROFILE_TABLE,
 }
