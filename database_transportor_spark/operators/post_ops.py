@@ -20,6 +20,9 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "stratified_sample", "strata_cols": [...], "k": N, "id_col": ...}
     {"op": "pack_sequences", "id_col": ..., "tokens_col": ..., "budget": N}
     {"op": "redact_pii", "text_col": "text"}
+    {"op": "sessionize", "gap": "30 minutes", "user_col": ..., "ts_col": ...}
+    {"op": "scd2", "keys": [...], "ts_col": ..., "attr_cols": [...]}
+    {"op": "check", "rules": [...]}      # data-quality gate, raises on fail
     {"op": "filter", "condition": "<sql expr>"}
     {"op": "select", "columns": [...]}
 
@@ -214,3 +217,35 @@ def _quantize_embeddings(df: DataFrame, p: dict) -> DataFrame:
         out_col=p.get("out_col", "qvec"), scale_col=p.get("scale_col", "qscale"),
         rounding=p.get("rounding", "floor"),
     )
+
+
+@register_post_op("sessionize")
+def _sessionize(df: DataFrame, p: dict) -> DataFrame:
+    from .funnel import sessionize
+
+    return sessionize(
+        df, gap=p.get("gap", "30 minutes"),
+        user_col=p.get("user_col", "user_id"), ts_col=p.get("ts_col", "ts"),
+    )
+
+
+@register_post_op("scd2")
+def _scd2(df: DataFrame, p: dict) -> DataFrame:
+    from .temporal import build_scd2
+
+    return build_scd2(
+        df, p["keys"], p["ts_col"],
+        attr_cols=p.get("attr_cols"), collapse=p.get("collapse", True),
+    )
+
+
+@register_post_op("check")
+def _check(df: DataFrame, p: dict) -> DataFrame:
+    # validation as a pipeline stage: pass-through on success, raises
+    # ValidationError on the first action that materializes the plan
+    # (rules run eagerly here — the report is tiny and failing early
+    # beats failing inside the sink write)
+    from .validate import check
+
+    check(df, p["rules"])
+    return df

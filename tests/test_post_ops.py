@@ -146,3 +146,50 @@ def test_quantize_post_op(spark):
     out = {r["vec_id"]: r for r in eng.transform()["q"].collect()}
     assert out[1]["qvec"] == [127, -64]
     assert out[2]["qvec"] == [0]
+
+
+def test_post_op_sessionize_and_check(spark):
+    """New declarative stages: sessionize annotates, check gates."""
+    import datetime
+
+    import pytest
+
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+    from database_transportor_spark.operators.validate import ValidationError
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0), 5.0),
+         (1, datetime.datetime(2024, 1, 1, 6), 6.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = apply_post_ops(
+        ev,
+        ({"op": "sessionize", "gap": "60 minutes"},
+         {"op": "check", "rules": [{"rule": "not_null", "column": "session_id"}]}),
+        "test",
+    )
+    assert {r["session_id"] for r in out.collect()} == {"1:0", "1:1"}
+
+    with pytest.raises(ValidationError):
+        apply_post_ops(
+            ev,
+            ({"op": "check",
+              "rules": [{"rule": "range", "column": "value", "max": 5.5}]},),
+            "test",
+        )
+
+
+def test_post_op_scd2(spark):
+    import datetime
+
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    feed = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "a"),
+         (1, datetime.datetime(2024, 1, 2), "b")],
+        "k long, ts timestamp, v string",
+    )
+    out = apply_post_ops(
+        feed, ({"op": "scd2", "keys": ["k"], "ts_col": "ts"},), "test"
+    )
+    assert sorted(r["valid_to"] is None for r in out.collect()) == [False, True]
