@@ -18,7 +18,9 @@ of them via ``extra_conf``:
   pushes it into the big side's SCAN — at 100 TB a fact-table scan joined
   to a filtered dimension reads a fraction of its row groups.  (Off by
   default upstream; the creation threshold caps build-side size, so it
-  never fires for non-selective joins.)
+  never fires for non-selective joins.  Its sibling conf
+  ``runtimeFilter.semiJoinReduction`` is deliberately left off — set at
+  builder time it hangs Spark 4.1's planner on trivial jobs.)
 """
 
 from __future__ import annotations
@@ -45,8 +47,10 @@ def build_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # NOTE: runtimeFilter.semiJoinReduction is deliberately NOT set —
+        # enabling it at builder time hangs Spark 4.1's planner on even
+        # trivial jobs (reproduced on local[2] range(10).count()).
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "true",
     }
     if shuffle_partitions is not None:
         defaults["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -55,7 +55,7 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
 '''
     )
     r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
-             timeout=300)
+             timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "new_nations" in r.stdout
     import duckdb
@@ -100,7 +100,7 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
 '''
     )
     r = _run(["explain", "--spec", str(spec), "--master", "local[2]"],
-             timeout=300)
+             timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert ":: filtered ==" in r.stdout and ":: joined ==" in r.stdout
     assert "PushedFilters" in r.stdout        # full plan printed
@@ -115,7 +115,7 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
 
     # audit-only mode suppresses the plan body, map filter selects one map
     r2 = _run(["explain", "--spec", str(spec), "--map", "filtered",
-               "--audit-only", "--master", "local[2]"], timeout=300)
+               "--audit-only", "--master", "local[2]"], timeout=900)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert ":: joined ==" not in r2.stdout
     assert "PushedFilters" not in r2.stdout
@@ -152,7 +152,7 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
         f" TO '{src}/src.parquet' (FORMAT PARQUET)"
     )
     r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
-             timeout=300)
+             timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
 
     con.execute(
@@ -160,7 +160,7 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
         f" t(id, v, m)) TO '{src}/src.parquet' (FORMAT PARQUET)"
     )
     r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
-             timeout=300)
+             timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     got = sorted(
         con.execute(

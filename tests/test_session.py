@@ -22,6 +22,8 @@ def test_bloom_filter_injects_on_selective_join(spark):
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # session-scoped only; NEVER a builder default — see session.py
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
     }
     prev = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
