@@ -252,6 +252,42 @@ def _cmd_explain(args: argparse.Namespace) -> int:
     return 1 if bad else 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from .operators.maintenance import compact_table
+    from .session import build_session
+
+    spark = build_session(master=args.master)
+    cat = _build_catalog(
+        spark, {"kind": args.format, "root": args.root, "format": args.format}
+    )
+    n = compact_table(cat, args.table, target_file_bytes=args.target_mb << 20)
+    print(f"compacted {args.root}/{args.table} into {n} file(s)")
+    return 0
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    from .operators.maintenance import profile_table
+    from .session import build_session
+
+    spark = build_session(master=args.master)
+    cat = _build_catalog(
+        spark, {"kind": args.format, "root": args.root, "format": args.format}
+    )
+    rows = profile_table(
+        cat.read(args.table), exact_distinct=args.exact
+    ).collect()
+    w = max(len(r["column"]) for r in rows)
+    print(f"{'column':{w}}  {'dtype':10}  {'rows':>10}  {'nulls':>8}  "
+          f"{'distinct':>10}  min..max")
+    for r in rows:
+        print(
+            f"{r['column']:{w}}  {r['dtype']:10}  {r['n_rows']:>10}  "
+            f"{r['n_nulls']:>8}  {r['n_distinct']:>10}  "
+            f"{r['min_value']}..{r['max_value']}"
+        )
+    return 0
+
+
 def _cmd_make(args: argparse.Namespace) -> int:
     snake = re.sub(r"(?<!^)(?=[A-Z])", "_", args.name).lower()
     os.makedirs(args.dir, exist_ok=True)
@@ -292,6 +328,24 @@ def main(argv: list[str] | None = None) -> int:
                    help="exit nonzero when a scan has no pushed filters")
     e.add_argument("--master", default=None, help="Spark master override")
     e.set_defaults(fn=_cmd_explain)
+
+    c = sub.add_parser("compact", help="rewrite a table into size-targeted files")
+    c.add_argument("--root", required=True, help="catalog root directory")
+    c.add_argument("--table", required=True)
+    c.add_argument("--format", default="parquet")
+    c.add_argument("--target-mb", type=int, default=128,
+                   help="target file size in MB (default 128)")
+    c.add_argument("--master", default=None)
+    c.set_defaults(fn=_cmd_compact)
+
+    p = sub.add_parser("profile", help="per-column stats (one scan)")
+    p.add_argument("--root", required=True, help="catalog root directory")
+    p.add_argument("--table", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--exact", action="store_true",
+                   help="exact distinct counts (audit mode)")
+    p.add_argument("--master", default=None)
+    p.set_defaults(fn=_cmd_profile)
 
     m = sub.add_parser("make", help="scaffold a new transportor spec file")
     m.add_argument("name", help="transportor name (CamelCase or snake_case)")

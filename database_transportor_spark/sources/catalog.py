@@ -163,9 +163,12 @@ class FileCatalog(Catalog):
         staging = f"{final}.__staging"
         shutil.rmtree(staging, ignore_errors=True)
         self._save(df, staging, "overwrite")
-        # job succeeded — swap
-        if os.path.isdir(final) or os.path.isfile(final):
+        # job succeeded — swap (rmtree no-ops on a single-file table, so
+        # remove files explicitly; see commit_staged)
+        if os.path.isdir(final):
             shutil.rmtree(final, ignore_errors=True)
+        elif os.path.isfile(final):
+            os.remove(final)
         os.replace(staging, final)
 
     def commit_staged(self, table: str) -> None:
@@ -173,8 +176,13 @@ class FileCatalog(Catalog):
         import shutil
 
         final = self.path(table)
-        if os.path.isdir(final) or os.path.isfile(final):
+        # the live table may be a single FILE (written by an external tool,
+        # e.g. a DuckDB COPY) while Spark staging is always a directory —
+        # rmtree silently no-ops on files, leaving os.replace to fail
+        if os.path.isdir(final):
             shutil.rmtree(final, ignore_errors=True)
+        elif os.path.isfile(final):
+            os.remove(final)
         os.replace(self.path(self.staged_name(table)), final)
 
     def abort_staged(self, table: str) -> None:

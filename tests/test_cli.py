@@ -168,3 +168,24 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
         ).fetchall()
     )
     assert got == [(1, "A"), (2, "b"), (3, "c")], got
+
+
+def test_compact_and_profile_cli(tmp_path):
+    """compact + profile subcommands against a real parquet table."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT range AS k, range % 7 AS g FROM range(5000))"
+        f" TO '{tmp_path}/t.parquet' (FORMAT PARQUET)"
+    )
+    # split into many files first via a transport-free rewrite
+    r = _run(["compact", "--root", str(tmp_path), "--table", "t",
+              "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "compacted" in r.stdout
+
+    r = _run(["profile", "--root", str(tmp_path), "--table", "t",
+              "--exact", "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "k" in r.stdout and "5000" in r.stdout
