@@ -258,3 +258,114 @@ def test_split_assign_total_and_stable(spark, ids):
           for r in split_assign(df.repartition(3), "doc_id",
                                 {"a": 0.5, "b": 0.5}).collect()}
     assert m1 == m2                                   # partitioning-invariant
+
+
+# --- mutation-operator properties ------------------------------------------
+
+_mkeys = st.integers(min_value=0, max_value=5)
+_mvals = st.integers(min_value=-9, max_value=9)
+_mrows = st.lists(st.tuples(_mkeys, _mvals), min_size=0, max_size=10)
+
+
+def _mdf(spark, rows):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", IntegerType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@given(target=_mrows, source=_mrows)
+@SET
+def test_merge_upsert_equals_dict_semantics(spark, target, source):
+    """merge_upsert == python dict update when both sides are key-unique."""
+    from database_transportor_spark.operators.mutations import merge_upsert
+
+    tgt = {k: v for k, v in target}          # last-wins dedup for the model
+    src = {k: v for k, v in source}
+    t_rows = list(tgt.items())
+    s_rows = list(src.items())
+    out = merge_upsert(_mdf(spark, t_rows), _mdf(spark, s_rows), "k")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {**tgt, **src}
+
+
+@given(target=_mrows, changes=_mrows)
+@SET
+def test_cdc_apply_equals_replay_property(spark, target, changes):
+    """cdc_apply == sequential replay for arbitrary feeds (ops derived
+    deterministically from the value: negative ⇒ delete)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from database_transportor_spark.operators.mutations import cdc_apply
+
+    tgt = {k: v for k, v in target}
+    feed = [
+        (k, v, "D" if v < 0 else "U", seq)
+        for seq, (k, v) in enumerate(changes)
+    ]
+    state = dict(tgt)
+    for k, v, op, _ in feed:                 # replay model
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    schema = StructType([
+        StructField("k", IntegerType()), StructField("v", IntegerType()),
+        StructField("op", StringType()), StructField("seq", IntegerType()),
+    ])
+    out = cdc_apply(
+        _mdf(spark, list(tgt.items())),
+        spark.createDataFrame(feed, schema),
+        "k",
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == state
+
+
+@given(feed=st.lists(st.tuples(_mkeys, st.integers(0, 20), _mvals),
+                     min_size=0, max_size=12))
+@SET
+def test_scd2_intervals_tile_timeline(spark, feed):
+    """SCD2 invariants: per key, intervals are chronologically chained
+    (valid_to == next valid_from), exactly one open interval, and
+    adjacent intervals never carry the same state."""
+    import datetime
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from database_transportor_spark.operators.temporal import build_scd2
+
+    dedup = {}
+    for k, day, v in feed:                   # ts unique per key
+        dedup[(k, day)] = v
+    rows = [
+        (k, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day), v)
+        for (k, day), v in dedup.items()
+    ]
+    schema = StructType([
+        StructField("k", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("v", IntegerType()),
+    ])
+    out = build_scd2(spark.createDataFrame(rows, schema), "k", "ts").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["valid_to"] is None) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], "gap/overlap"
+            assert a["v"] != b["v"], "uncollapsed no-op change"
