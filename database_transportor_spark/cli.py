@@ -252,6 +252,46 @@ def _cmd_explain(args: argparse.Namespace) -> int:
     return 1 if bad else 0
 
 
+def _cmd_validate(args: argparse.Namespace) -> int:
+    """Run a spec module's VALIDATE rules against the LIVE target tables
+    (no transport) — the "test my warehouse" entry point.  Exit nonzero
+    when any rule has violations."""
+    from .session import build_session
+
+    mods = [_load_module(p) for p in args.spec]
+    extra: dict[str, str] = {}
+    for mod in mods:
+        extra.update(getattr(mod, "SPARK", {}))
+    spark = build_session(master=args.master, extra_conf=extra)
+
+    from .engine import DBT
+    from .operators.validate import validate as run_rules
+
+    bad = 0
+    for mod, path in zip(mods, args.spec):
+        rules_by_map = getattr(mod, "VALIDATE", None) or {}
+        if not rules_by_map:
+            print(f"{path}: no VALIDATE rules declared")
+            continue
+        eng = DBT(
+            mod.MAPS,
+            target=_build_catalog(spark, mod.TARGET),
+            original=_build_catalog(spark, mod.ORIGINAL),
+        )
+        for key, rules in rules_by_map.items():
+            table = eng.specs[key].target_table
+            df = eng.target.read(table)
+            for r in run_rules(df, eng._resolve_rules(rules)).collect():
+                status = "FAIL" if r["n_violations"] else "ok"
+                print(
+                    f"{path} :: {table} :: {r['rule']}({r['target']})"
+                    f" = {r['n_violations']}  {status}"
+                )
+                if r["n_violations"]:
+                    bad += 1
+    return 1 if bad else 0
+
+
 def _cmd_compact(args: argparse.Namespace) -> int:
     from .operators.maintenance import compact_table
     from .session import build_session
@@ -328,6 +368,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="exit nonzero when a scan has no pushed filters")
     e.add_argument("--master", default=None, help="Spark master override")
     e.set_defaults(fn=_cmd_explain)
+
+    v = sub.add_parser(
+        "validate",
+        help="run a spec's VALIDATE rules against the live target (no writes)",
+    )
+    v.add_argument("--spec", action="append", required=True)
+    v.add_argument("--master", default=None)
+    v.set_defaults(fn=_cmd_validate)
 
     c = sub.add_parser("compact", help="rewrite a table into size-targeted files")
     c.add_argument("--root", required=True, help="catalog root directory")

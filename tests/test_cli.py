@@ -189,3 +189,50 @@ def test_compact_and_profile_cli(tmp_path):
               "--exact", "--master", "local[2]"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "k" in r.stdout and "5000" in r.stdout
+
+
+def test_validate_cli_reports_and_exits(tmp_path):
+    """`validate` runs VALIDATE rules against live target tables: exit 0
+    when clean, nonzero with a FAIL line when a rule is violated."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spec = tmp_path / "spec.py"
+    spec.write_text(
+        f'''
+MAPS = {{
+    "items": {{
+        "original_table": "src",
+        "columns": {{"item_id": "id", "val": "v"}},
+    }},
+}}
+ORIGINAL = {{"kind": "parquet", "root": "{src}"}}
+TARGET = {{"kind": "parquet", "root": "{out}"}}
+MODE = "overwrite"
+VALIDATE = {{"items": [
+    {{"rule": "not_null", "column": "item_id"}},
+    {{"rule": "range", "column": "val", "min": 0}},
+]}}
+SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
+'''
+    )
+    import duckdb
+
+    os.makedirs(src, exist_ok=True)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM (VALUES (1, 5), (2, -3)) t(id, v))"
+        f" TO '{src}/src.parquet' (FORMAT PARQUET)"
+    )
+    # transport WITHOUT the gate (VALIDATE is consumed by `validate`, but
+    # transport also honors it — so run transport with rules stripped)
+    plain = spec.read_text().replace('VALIDATE = {"items": [', 'VALIDATE_OFF = {"items": [')
+    plain_spec = tmp_path / "plain.py"
+    plain_spec.write_text(plain)
+    r = _run(["transport", "--spec", str(plain_spec), "--master", "local[2]"],
+             timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(["validate", "--spec", str(spec), "--master", "local[2]"],
+             timeout=900)
+    assert r.returncode == 1, (r.stdout, r.stderr[-1500:])
+    assert "range(val) = 1  FAIL" in r.stdout
+    assert "not_null(item_id) = 0  ok" in r.stdout
