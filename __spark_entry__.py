@@ -2546,6 +2546,67 @@ FROM orders
 """
 
 
+def q_diff_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-parity diff: customer vs a derived 'migrated copy' with
+    known edits — %11 keys renamed (changed), %13 keys dropped (removed),
+    a shifted block inserted (added)."""
+    from database_transportor_spark.operators.mutations import diff_tables
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    migrated = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 11 == 0,
+                F.concat(F.col("c_name"), F.lit("~v2")),
+            ).otherwise(F.col("c_name")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 17 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(20_000_000)
+            )
+        )
+    )
+    return diff_tables(cust, migrated, "c_custkey")
+
+
+SQL_DIFF_TABLES = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+), migrated AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 = 0 THEN c_name || '~v2'
+                ELSE c_name END AS c_name,
+           c_mktsegment
+    FROM base WHERE c_custkey % 13 != 0
+    UNION ALL
+    SELECT c_custkey + 20000000, c_name, c_mktsegment
+    FROM base WHERE c_custkey % 17 = 0
+), j AS (
+    SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+           l.c_custkey IS NOT NULL AS in_l,
+           r.c_custkey IS NOT NULL AS in_r,
+           list_filter([
+               CASE WHEN NOT (l.c_name IS NOT DISTINCT FROM r.c_name)
+                    THEN 'c_name' END,
+               CASE WHEN NOT (l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment)
+                    THEN 'c_mktsegment' END
+           ], x -> x IS NOT NULL) AS cc
+    FROM base l FULL OUTER JOIN migrated r ON l.c_custkey = r.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN NOT in_l THEN 'added'
+            WHEN NOT in_r THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN in_l AND in_r THEN cc ELSE [] END AS changed_cols
+FROM j
+WHERE NOT in_l OR NOT in_r OR len(cc) > 0
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2600,6 +2661,7 @@ _EXTENSION_QUERIES = {
     "sessionize": q_sessionize,
     "validate_rules": q_validate_rules,
     "profile_table": q_profile_table,
+    "diff_tables": q_diff_tables,
 }
 
 _EXTENSION_ORACLES = {
@@ -2656,4 +2718,5 @@ _EXTENSION_ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "validate_rules": SQL_VALIDATE_RULES,
     "profile_table": SQL_PROFILE_TABLE,
+    "diff_tables": SQL_DIFF_TABLES,
 }

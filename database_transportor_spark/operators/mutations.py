@@ -26,7 +26,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "cdc_apply"]
+__all__ = ["merge_upsert", "cdc_apply", "diff_tables"]
+
+
+def diff_tables(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | list[str],
+) -> DataFrame:
+    """Key-based table diff — the migration-parity check a transport
+    engine owes its users: which rows were ``added`` (right only),
+    ``removed`` (left only), or ``changed`` (both sides, different
+    payload), with the exact changed column names.
+
+    Returns ``(keys..., change_type, changed_cols array<string>)`` —
+    unchanged rows are omitted (at 100 TB the interesting output is the
+    delta, not a copy of the table).  Comparison is null-safe per column;
+    both sides must share the schema and be key-unique.
+
+    Shape: one full-outer equi-join on the keys; the per-column
+    comparison is a pure projection on the joined row.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in left.columns if c not in keys]
+    missing = [c for c in left.columns if c not in right.columns]
+    if missing:
+        raise ValueError(f"diff_tables: right lacks columns {missing}")
+
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__l"),
+        *[F.col(c).alias(f"__l_{c}") for c in payload],
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__r"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    )
+    j = l.join(r, keys, "full_outer")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")), F.lit(c)
+                )
+                for c in payload
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    change = (
+        F.when(F.col("__l").isNull(), F.lit("added"))
+        .when(F.col("__r").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.col(k) for k in keys],
+            "change_type",
+            F.when(
+                F.col("change_type") == "changed", changed_cols
+            ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+        )
+    )
 
 
 def merge_upsert(

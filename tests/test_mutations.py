@@ -111,3 +111,48 @@ def test_cdc_apply_equals_replay(spark):
                 state[r["k"]] = (r["name"], r["val"])
     out = {r["k"]: (r["name"], r["val"]) for r in cdc_apply(target, changes, "k").collect()}
     assert out == state
+
+
+def test_diff_tables_classifies(spark):
+    from database_transportor_spark.operators.mutations import diff_tables
+
+    left = _target(spark)                                   # keys 1,2,3
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B!", 20.0), (9, "i", 90.0)],
+        "k long, name string, val double",
+    )
+    out = {r["k"]: (r["change_type"], sorted(r["changed_cols"]))
+           for r in diff_tables(left, right, "k").collect()}
+    assert out == {
+        2: ("changed", ["name"]),
+        3: ("removed", []),
+        9: ("added", []),
+    }  # key 1 identical -> omitted
+
+
+def test_diff_tables_null_safe(spark):
+    from database_transportor_spark.operators.mutations import diff_tables
+
+    left = spark.createDataFrame([(1, None)], "k long, v string")
+    right_same = spark.createDataFrame([(1, None)], "k long, v string")
+    right_diff = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert diff_tables(left, right_same, "k").count() == 0
+    got = diff_tables(left, right_diff, "k").collect()[0]
+    assert got["change_type"] == "changed" and got["changed_cols"] == ["v"]
+
+
+def test_diff_tables_roundtrip_with_merge(spark):
+    """diff(target, merge_upsert(target, src)) == exactly src's effect."""
+    from database_transportor_spark.operators.mutations import (
+        diff_tables,
+        merge_upsert,
+    )
+
+    tgt = _target(spark)
+    src = spark.createDataFrame(
+        [(2, "B2", 22.0), (9, "i", 90.0)], "k long, name string, val double"
+    )
+    merged = merge_upsert(tgt, src, "k")
+    out = {r["k"]: r["change_type"]
+           for r in diff_tables(tgt, merged, "k").collect()}
+    assert out == {2: "changed", 9: "added"}
