@@ -61,6 +61,11 @@ QUERIES = [
     "cdc_apply",
     "funnel",
     "cohort_retention",
+    "sessionize",
+    "scd2",
+    "build_vocab",
+    "validate_rules",
+    "diff_tables",
 ]
 
 KEY_OFFSETS = {
