@@ -255,6 +255,14 @@ class DBT:
         missed — the standard incremental-ingest caveat.  Use a cursor that
         is monotone at the source (auto-increment id, ingest time), never
         an event time that can arrive out of order.
+
+        ``staged=True`` keeps the same atomic swap as a full staged run:
+        because a staging swap REPLACES the live table, each cursor-filtered
+        map's staged frame is ``live ∪ delta`` (union by name), not the
+        delta alone — appending just the delta to a staging table and
+        swapping would silently drop every pre-watermark row.  The live
+        read is lazy and the live table stays untouched until the final
+        commit, so the union never reads its own output.
         """
         self._incremental_filters = {}
         # fresh plan + fresh reads: the previous run's cached outputs were
@@ -277,7 +285,25 @@ class DBT:
             if wm is not None:
                 self._incremental_filters[key] = (src_col, wm)
         try:
-            return self.do_transport(mode="append", staged=staged, validate=validate)
+            if not staged:
+                return self.do_transport(mode="append", staged=False, validate=validate)
+
+            # Staged swap replaces the live table wholesale, so the staged
+            # frame for a cursor-filtered map must be live ∪ delta — the
+            # delta alone would delete every pre-watermark row on commit.
+            def _union_live(key: str, out: DataFrame) -> DataFrame:
+                if key not in self._incremental_filters:
+                    return out
+                live = self.target.read(self.specs[key].target_table)
+                return live.unionByName(out)
+
+            self.check_seed()
+            outputs = self.transform()
+            self._write_all(
+                outputs, mode="overwrite", staged=True, mutate=_union_live,
+                validate=validate,
+            )
+            return outputs
         finally:
             self._incremental_filters = {}
             self._outputs.clear()
@@ -383,7 +409,44 @@ class DBT:
         self._write_all(outputs, mode=mode, staged=staged, validate=validate)
         return outputs
 
-    def _resolve_rules(self, rules: list) -> list:
+    def _producing_key(self, table: str) -> Optional[str]:
+        for key, m in self.specs.items():
+            if key == table or m.target_table == table:
+                return key
+        return None
+
+    def _ref_frame(
+        self, side: str, table: str, final_frames: Optional[dict[str, DataFrame]]
+    ) -> DataFrame:
+        """Resolve a foreign_key rule's reference table to the frame the
+        target will hold AFTER this run commits.
+
+        During incremental/merge runs the in-flight output of a
+        cursor-filtered map is the DELTA only — checking a fact row's FK
+        against it would flag every reference to an unchanged dimension key
+        as a violation.  Preference order: the exact final frame recorded by
+        ``_write_all`` (topo order guarantees declared dependencies are
+        there), else committed-live ∪ delta for cursor-filtered maps (FK is
+        an existence check, so the union is valid under merge too — a key
+        present twice still exists), else the plain in-flight/catalog read.
+        """
+        if side != SIDE_ORIGINAL:
+            if final_frames and table in final_frames:
+                return final_frames[table]
+            pk = self._producing_key(table)
+            if pk is not None and pk in self._incremental_filters:
+                live = self.target.read(self.specs[pk].target_table)
+                if pk in self._outputs:
+                    delta = self._outputs[pk].select(*self.write_columns(pk))
+                    return live.unionByName(delta)
+                return live
+        return self._resolve(side, table)
+
+    def _resolve_rules(
+        self,
+        rules: list,
+        final_frames: Optional[dict[str, DataFrame]] = None,
+    ) -> list:
         out = []
         for r in rules:
             if (
@@ -393,8 +456,8 @@ class DBT:
             ):
                 r = {
                     **r,
-                    "ref": self._resolve(
-                        r.get("ref_source", "target"), r["ref_table"]
+                    "ref": self._ref_frame(
+                        r.get("ref_source", "target"), r["ref_table"], final_frames
                     ),
                 }
             out.append(r)
@@ -415,6 +478,7 @@ class DBT:
 
         hooks = []
         written: list[str] = []
+        final_frames: dict[str, DataFrame] = {}
         try:
             for key in topo_order(self.specs):
                 m = self.specs[key]
@@ -422,8 +486,18 @@ class DBT:
                 out = df.select(*self.write_columns(key))
                 if mutate is not None:
                     out = mutate(key, out)
+                # post-mutate frame IS the table's committed state (merge /
+                # live∪delta applied); record it so later maps' FK rules
+                # check against what the target will actually hold.  An
+                # append-mode cursor-filtered map (no mutate) commits
+                # live ∪ delta, not the delta being written.
+                fin = out
+                if mutate is None and key in self._incremental_filters:
+                    fin = self.target.read(m.target_table).unionByName(out)
+                final_frames[key] = fin
+                final_frames[m.target_table] = fin
                 if validate and key in validate:
-                    check_rules(out, self._resolve_rules(validate[key]))
+                    check_rules(out, self._resolve_rules(validate[key], final_frames))
                 if m.order is not None:
                     c = F.col(m.order.order_by)
                     out = out.orderBy(

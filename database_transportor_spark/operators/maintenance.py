@@ -33,15 +33,29 @@ def compact_table(
     """Rewrite ``table`` into ``ceil(current_bytes / target_file_bytes)``
     files (min 1) via the catalog's staged swap; returns the file count
     written.  Sizing reads the local filesystem (fixture/bench layout) —
-    on HDFS/S3 pass an explicit partition count by pre-repartitioning
-    instead, or extend with the Hadoop FileSystem API.
+    a non-local path (``s3://``, ``hdfs://``...) raises rather than
+    silently sizing to one file; on object stores pre-repartition
+    explicitly or extend with the Hadoop FileSystem API.
     """
     path = catalog.path(table)
-    total = 0
-    for dirpath, _, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(dirpath, f))
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_table: cannot size {path!r} — only local paths are "
+            "supported; pre-repartition explicitly for scheme "
+            f"{scheme!r} or extend sizing via the Hadoop FileSystem API"
+        )
+    local = path.split("://", 1)[1] if scheme == "file" else path
+    if os.path.isfile(local):
+        # single-file table (e.g. an external DuckDB COPY) — os.walk
+        # yields nothing for a file path, which would undersize to n=1
+        total = os.path.getsize(local)
+    else:
+        total = 0
+        for dirpath, _, files in os.walk(local):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(dirpath, f))
     n = max(1, math.ceil(total / target_file_bytes))
     df = catalog.read(table)
     # coalesce when shrinking (no shuffle); repartition only if growing

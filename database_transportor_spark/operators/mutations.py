@@ -16,9 +16,9 @@ Scale notes
   table, no join.  At 100 TB the cost is the same hash shuffle a
   ``groupBy`` costs, and AQE handles skewed keys.
 - :func:`cdc_apply` shuffles the (usually tiny) change feed once to pick
-  each key's latest image, then joins it to the target on the key — a
-  broadcast join whenever the feed fits under the threshold, so the
-  target is never shuffled in the common case.
+  each key's latest image, then removes touched keys from the target via
+  a broadcast LEFT-ANTI join and unions the upsert images back — the
+  target is never shuffled.
 """
 
 from __future__ import annotations
@@ -158,6 +158,7 @@ def cdc_apply(
     seq_col: str = "seq",
     upsert_ops: tuple[str, ...] = ("I", "U"),
     delete_op: str = "D",
+    broadcast_feed: bool = True,
 ) -> DataFrame:
     """Apply a CDC change feed (full row images + op + sequence) to a
     snapshot: for each key, the change with the highest ``seq_col`` wins —
@@ -169,8 +170,17 @@ def cdc_apply(
     per key (LSN / binlog position semantics); ties resolve arbitrarily.
 
     Shape: one aggregation over the FEED (small side) to pick each key's
-    latest image, then a single equi-join against the target — broadcast
-    when the feed is small, so the 100 TB snapshot never shuffles.
+    latest image, then a LEFT-ANTI join removing touched keys from the
+    target and a union adding the upsert images back.  A full-outer join
+    would force both sides to sort-merge-shuffle (Spark cannot broadcast
+    full-outer); the anti join broadcasts the feed's keys
+    (``broadcast_feed=True``, the CDC contract that the feed is small), so
+    the 100 TB snapshot is never shuffled.  Set ``broadcast_feed=False``
+    for a pathological feed larger than executor memory.
+
+    Unknown ops raise: the op check is the anti-branch CaseWhen of the
+    upsert filter itself, evaluated for every latest-change row before any
+    row is dropped — it cannot be pruned away with the projection.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     payload = [c for c in target.columns if c not in keys]
@@ -187,20 +197,25 @@ def cdc_apply(
             F.col(seq_col),
         ).alias("__c")
     )
-    joined = target.join(latest, keys, "full_outer")
-    has_change = F.col("__c").isNotNull()
-    # op validation rides inside the filter expression itself (a dropped
-    # check column would be pruned by Catalyst and never evaluated)
-    checked_op = F.when(
-        F.col("__c.__op").isin(*upsert_ops, delete_op), F.col("__c.__op")
-    ).otherwise(
-        F.raise_error(F.concat(F.lit("cdc_apply: unknown op "), F.col("__c.__op")))
+    op = F.col("__c.__op")
+    # every `latest` row has a non-null op (it came from the feed), so the
+    # CaseWhen's otherwise-branch fires exactly on unknown ops — no
+    # short-circuit reliance, guaranteed branch-order semantics
+    is_upsert = (
+        F.when(op.isin(*upsert_ops), F.lit(True))
+        .when(op == F.lit(delete_op), F.lit(False))
+        .otherwise(
+            F.raise_error(F.concat(F.lit("cdc_apply: unknown op "), op))
+        )
     )
-    out = joined.filter(~(has_change & (checked_op == delete_op)))
-    return out.select(
+    upserts = latest.filter(is_upsert).select(
         *[F.col(k) for k in keys],
-        *[
-            F.when(has_change, F.col(f"__c.{c}")).otherwise(F.col(c)).alias(c)
-            for c in payload
-        ],
-    ).select(*target.columns)
+        *[F.col(f"__c.{c}").alias(c) for c in payload],
+    )
+    feed_keys = latest.select(*[F.col(k) for k in keys])
+    if broadcast_feed:
+        feed_keys = F.broadcast(feed_keys)
+    kept = target.join(feed_keys, keys, "left_anti")
+    return kept.select(*target.columns).unionByName(
+        upserts.select(*target.columns)
+    )

@@ -92,7 +92,9 @@ def asof_join(
 
     Ties on the timestamp: a right row AT the left row's timestamp wins
     (``<=``, pandas ``merge_asof`` semantics); among right rows with the
-    SAME timestamp the last in the window's deterministic order wins.
+    SAME timestamp the one with the greatest ``xxhash64`` of its payload
+    wins — a deterministic tiebreak shared by the default and ``bucket``
+    paths, so results never depend on shuffle order or code path.
 
     Right columns are appended, key/ts columns kept from the left; right
     payload columns colliding with a left name get ``suffix``.
@@ -107,13 +109,12 @@ def asof_join(
     with its carry-in — so the big sort is per (key, bucket) and the
     hottest task is bounded by the densest bucket.  Results are identical
     to the default path (asserted by tests and the ``asof_bucketed``
-    harness oracle), with one caveat: when several right rows share a
-    key's max timestamp *within a bucket*, the carried-in winner among
-    those exact ties is pinned by ``max_by`` rather than window order.
+    harness oracle): exact timestamp ties resolve by the payload-hash
+    tiebreak in both paths, so bucketing never changes the answer.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
-    reserved = {"__ts", "__side", "__r", "__last", "__b", "__r0", "__t0"}
+    reserved = {"__ts", "__side", "__r", "__last", "__b", "__r0", "__t0", "__tb"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join reserves column names {sorted(clash)}")
@@ -133,11 +134,16 @@ def asof_join(
             F.col(rts).alias("__rts"), *[F.col(c).alias(out_names[c]) for c in payload]
         ).alias("__r"),
     )
+    # deterministic tiebreak among right rows sharing (key, ts): hash of the
+    # carried payload — the SAME total order drives the window sort and the
+    # bucketed path's max_by, so both paths pick the same winner on exact ties
+    r = r.withColumn("__tb", F.xxhash64(F.col("__r")))
     l = left.select(
         "*",
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.lit(None).cast("long").alias("__tb"),
     )
     for c in left.columns:
         if c not in keys:
@@ -147,7 +153,7 @@ def asof_join(
     if bucket is None:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = l.unionByName(r).withColumn(
@@ -157,9 +163,10 @@ def asof_join(
         bkt = lambda c: F.window(c, bucket)["start"]  # noqa: E731
         lb = l.withColumn("__b", bkt(F.col("__ts")))
         rb = r.withColumn("__b", bkt(F.col("__ts")))
-        # 1. tiny per-(key, bucket) summary of the latest right row
+        # 1. tiny per-(key, bucket) summary of the latest right row —
+        #    (ts, tiebreak) ordering matches the window sort exactly
         summary = rb.groupBy(*keys, "__b").agg(
-            F.max_by("__r", F.col("__ts")).alias("__r0")
+            F.max_by("__r", F.struct(F.col("__ts"), F.col("__tb"))).alias("__r0")
         )
         # 2. bucket universe = every (key, bucket) either side touches, so
         #    left-only buckets still receive a carry-in
@@ -185,11 +192,12 @@ def asof_join(
             F.col("__b").alias("__ts"),
             F.lit(-1).alias("__side"),
             F.col("__r0").alias("__r"),
+            F.lit(None).cast("long").alias("__tb"),
             F.col("__b"),
         ).select(*lb.columns)
         w = (
             Window.partitionBy(*keys, "__b")
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = (

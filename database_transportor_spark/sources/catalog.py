@@ -59,6 +59,13 @@ class Catalog:
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         raise NotImplementedError
 
+    def identity(self) -> str:
+        """Stable string naming this catalog's storage location — used to
+        key default streaming-checkpoint paths, so two sinks pointing at
+        different targets never share a checkpoint.  In-memory catalogs
+        have no durable location and fall back to object identity."""
+        return f"{type(self).__name__}:{id(self)}"
+
     def staged_name(self, table: str) -> str:
         return f"{table}{self.staging_suffix}"
 
@@ -135,6 +142,9 @@ class FileCatalog(Catalog):
 
     def path(self, table: str) -> str:
         return f"{self.root}/{table}{self.suffix}"
+
+    def identity(self) -> str:
+        return f"{type(self).__name__}:{self.root}:{self.format}"
 
     def read(self, table: str) -> DataFrame:
         return (
@@ -235,6 +245,9 @@ class JDBCCatalog(Catalog):
         self.batchsize = batchsize
         self.partition_options = dict(partition_options or {})
 
+    def identity(self) -> str:
+        return f"{type(self).__name__}:{self.url}"
+
     def read(self, table: str) -> DataFrame:
         reader = (
             self.spark.read.format("jdbc")
@@ -261,17 +274,27 @@ class JDBCCatalog(Catalog):
         writer.save()
 
     # -- staged swap (X7): direct DDL over a driver-side JDBC connection --
-    def _execute_ddl(self, *statements: str) -> None:
+    def _execute_ddl(self, *statements: str, transactional: bool = False) -> None:
         jvm = self.spark.sparkContext._jvm
         props = jvm.java.util.Properties()
         for k, v in self.properties.items():
             props.setProperty(k, str(v))
         conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
         try:
+            if transactional:
+                conn.setAutoCommit(False)
             stmt = conn.createStatement()
-            for sql in statements:
-                stmt.execute(sql)
-            stmt.close()
+            try:
+                for sql in statements:
+                    stmt.execute(sql)
+                if transactional:
+                    conn.commit()
+            except Exception:
+                if transactional:
+                    conn.rollback()
+                raise
+            finally:
+                stmt.close()
         finally:
             conn.close()
 
@@ -282,18 +305,61 @@ class JDBCCatalog(Catalog):
         except Exception:
             return False
 
-    def _rename_sql(self, old: str, new: str) -> str:
-        # MySQL and Derby use RENAME TABLE; PostgreSQL and most others
-        # spell it ALTER TABLE ... RENAME TO.
-        if self.url.startswith(("jdbc:mysql", "jdbc:mariadb", "jdbc:derby")):
-            return f"RENAME TABLE {old} TO {new}"
-        return f"ALTER TABLE {old} RENAME TO {new}"
+    def dialect(self) -> str:
+        """SQL dialect inferred from the JDBC URL; drives swap DDL."""
+        for prefix, name in (
+            ("jdbc:mysql", "mysql"),
+            ("jdbc:mariadb", "mysql"),
+            ("jdbc:postgresql", "postgres"),
+            ("jdbc:derby", "derby"),
+        ):
+            if self.url.startswith(prefix):
+                return name
+        return "ansi"
+
+    def swap_ddl(self, table: str, exists: bool) -> tuple[list[str], bool]:
+        """The dialect's staged-swap statements and whether they must run
+        inside one DDL transaction.  Matches the reference's all-or-nothing
+        transaction intent (CreateTemp.temp:26-38) as closely as each
+        dialect allows:
+
+        - **mysql/mariadb**: ``RENAME TABLE live TO old, staging TO live``
+          is a single ATOMIC multi-rename (MySQL DDL is otherwise
+          non-transactional) — readers switch tables instantaneously; the
+          old copy drops afterwards.
+        - **postgres**: DDL is transactional — ``DROP`` + ``ALTER TABLE
+          RENAME`` commit as one unit (``transactional=True``), rollback
+          restores the live table on any failure.
+        - **derby**: transactional DDL like postgres, spelled
+          ``RENAME TABLE``.
+        - **ansi** (unknown dialect): drop + ``ALTER TABLE RENAME`` without
+          a transaction — the weakest, documented fallback.
+        """
+        staging = self.staged_name(table)
+        d = self.dialect()
+        if d == "mysql":
+            if exists:
+                old = f"{table}__old"
+                return (
+                    [
+                        f"DROP TABLE IF EXISTS {old}",
+                        f"RENAME TABLE {table} TO {old}, {staging} TO {table}",
+                        f"DROP TABLE {old}",
+                    ],
+                    False,
+                )
+            return ([f"RENAME TABLE {staging} TO {table}"], False)
+        rename = (
+            f"RENAME TABLE {staging} TO {table}"
+            if d == "derby"
+            else f"ALTER TABLE {staging} RENAME TO {table}"
+        )
+        stmts = ([f"DROP TABLE {table}"] if exists else []) + [rename]
+        return (stmts, d in ("postgres", "derby"))
 
     def commit_staged(self, table: str) -> None:
-        staging = self.staged_name(table)
-        if self._table_exists(table):
-            self._execute_ddl(f"DROP TABLE {table}")
-        self._execute_ddl(self._rename_sql(staging, table))
+        stmts, transactional = self.swap_ddl(table, self._table_exists(table))
+        self._execute_ddl(*stmts, transactional=transactional)
 
     def abort_staged(self, table: str) -> None:
         staging = self.staged_name(table)
@@ -329,6 +395,9 @@ class TableCatalog(Catalog):
 
     def _qualified(self, table: str) -> str:
         return f"{self.database}.{table}" if self.database else table
+
+    def identity(self) -> str:
+        return f"{type(self).__name__}:{self.database or 'default'}"
 
     def read(self, table: str) -> DataFrame:
         return self.spark.table(self._qualified(table))

@@ -53,9 +53,22 @@ def stream_merge_sink(
     """
     batch_df = spark.read.parquet(source_dir)
     stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
-    ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(), f"merge_sink_ckpt_{table}"
-    )
+    if checkpoint is None:
+        # default checkpoint must be unique per (source, target, table):
+        # keyed on the table name alone, a second sink with the same table
+        # but a different source/target would silently reuse a stale
+        # checkpoint and process zero batches
+        import hashlib
+
+        ident = hashlib.sha256(
+            "\x00".join(
+                [os.path.abspath(source_dir), target.identity(), table]
+            ).encode()
+        ).hexdigest()[:16]
+        checkpoint = os.path.join(
+            tempfile.gettempdir(), f"merge_sink_ckpt_{table}_{ident}"
+        )
+    ckpt = checkpoint
     merged_batches = {"n": 0}
 
     def _apply(batch: DataFrame, batch_id: int) -> None:

@@ -209,3 +209,94 @@ def test_merge_transport_jdbc_derby(spark, tmp_path):
         (r["event_id"], r["val"]) for r in tgt.read("evts").collect()
     )
     assert rows == [(1, "A"), (2, "b"), (3, "c")]
+
+
+# --- staged incremental: atomic swap must not lose pre-watermark rows ------
+
+def test_staged_incremental_preserves_prewatermark_rows(spark, tmp_path):
+    """staged=True swaps the staging table over the live one — the staged
+    frame must therefore be live ∪ delta, never the delta alone (which
+    would silently delete every already-transported row on commit)."""
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    _write_src(spark, src, [(1, "a"), (2, "b")])
+    _eng(spark, src, tgt).do_incremental_transport(
+        {"evts": "event_id"}, staged=True
+    )
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+    _write_src(spark, src, [(1, "a"), (2, "b"), (3, "c")])
+    _eng(spark, src, tgt).do_incremental_transport(
+        {"evts": "event_id"}, staged=True
+    )
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3], (
+        "pre-watermark rows must survive a staged incremental swap"
+    )
+
+    # idempotent rerun
+    _eng(spark, src, tgt).do_incremental_transport(
+        {"evts": "event_id"}, staged=True
+    )
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def _dim_fact_maps():
+    return {
+        "dim": {
+            "original_table": "dsrc",
+            "columns": {"dkey": "k", "dname": "n"},
+        },
+        "fact": {
+            "original_table": "fsrc",
+            "transport_after": "dim",
+            "columns": {"fid": "id", "dfk": "dk"},
+        },
+    }
+
+
+def test_incremental_fk_validates_against_final_not_delta(spark, tmp_path):
+    """During an incremental run the in-flight dim output is the DELTA
+    only; an FK rule on the fact map must still accept references to
+    UNCHANGED dim keys (they live in the committed target), so the ref
+    resolves against live ∪ delta, not the delta."""
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    spark.createDataFrame([(1, "x"), (2, "y")], ["k", "n"]).write.parquet(
+        f"{src}/dsrc.parquet"
+    )
+    spark.createDataFrame([(10, 1)], ["id", "dk"]).write.parquet(
+        f"{src}/fsrc.parquet"
+    )
+
+    def eng():
+        return DBT(_dim_fact_maps(), target=ParquetCatalog(spark, str(tgt)),
+                   original=ParquetCatalog(spark, str(src)))
+
+    fk = {"fact": [{"rule": "foreign_key", "column": "dfk",
+                    "ref_table": "dim", "ref_column": "dkey"}]}
+    eng().do_incremental_transport(
+        {"dim": "dkey", "fact": "fid"}, validate=fk
+    )
+
+    # second run: NO new dim rows (delta dim is empty), one new fact row
+    # referencing the OLD dim key 2 — must validate green
+    spark.createDataFrame([(10, 1), (11, 2)], ["id", "dk"]).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fsrc.parquet")
+    eng().do_incremental_transport(
+        {"dim": "dkey", "fact": "fid"}, validate=fk
+    )
+    out = spark.read.parquet(f"{tgt}/fact.parquet")
+    assert sorted(r["fid"] for r in out.collect()) == [10, 11]
+
+    # a fact row referencing a key in NEITHER live nor delta still aborts
+    from database_transportor_spark.operators.validate import ValidationError
+
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99)], ["id", "dk"]
+    ).write.mode("overwrite").parquet(f"{src}/fsrc.parquet")
+    with pytest.raises(ValidationError, match="foreign_key"):
+        eng().do_incremental_transport(
+            {"dim": "dkey", "fact": "fid"}, validate=fk
+        )

@@ -2,6 +2,8 @@
 
 import glob
 
+import pytest
+
 from database_transportor_spark.operators.maintenance import (
     compact_table,
     profile_table,
@@ -46,3 +48,41 @@ def test_profile_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan") == 1, plan
+
+
+def test_compact_sizes_single_file_table(spark, tmp_path):
+    """A live table that is ONE file (external DuckDB COPY layout) must be
+    sized by getsize, not os.walk (which yields nothing for a file)."""
+    import os
+    import shutil
+
+    from database_transportor_spark.operators.maintenance import compact_table
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = spark.range(0, 50_000).selectExpr("id", "repeat('x', 64) AS pad")
+    df.coalesce(1).write.parquet(f"{tmp_path}/single.parquet.dir")
+    part = next(
+        f for f in os.listdir(f"{tmp_path}/single.parquet.dir")
+        if f.endswith(".parquet")
+    )
+    shutil.move(
+        f"{tmp_path}/single.parquet.dir/{part}", f"{tmp_path}/single.parquet"
+    )
+    shutil.rmtree(f"{tmp_path}/single.parquet.dir")
+    size = os.path.getsize(f"{tmp_path}/single.parquet")
+    assert size > 0
+    # target ~half the file size -> must split into >= 2 files, proving the
+    # sizing saw the real byte count rather than total=0 -> n=1
+    n = compact_table(cat, "single", target_file_bytes=max(1, size // 2))
+    assert n >= 2
+    assert spark.read.parquet(f"{tmp_path}/single.parquet").count() == 50_000
+
+
+def test_compact_rejects_remote_scheme(spark):
+    from database_transportor_spark.operators.maintenance import compact_table
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, "s3://bucket/tables")
+    with pytest.raises(ValueError, match="only local paths"):
+        compact_table(cat, "t")

@@ -47,3 +47,20 @@ def test_merge_sink_batch_internal_versions(spark, tmp_path):
                       checkpoint=ckpt)
     got = {r["k"]: r["val"] for r in tgt.read("t").collect()}
     assert got == {1: "new", 2: "b"}
+
+
+def test_merge_sink_default_checkpoint_unique_per_source_target(spark, tmp_path):
+    """Two sinks writing the SAME table name from DIFFERENT sources/targets
+    must not share a default checkpoint (a shared one silently processes
+    zero batches on the second sink)."""
+    for i in (1, 2):
+        spark.createDataFrame([(i, f"v{i}")], ["k", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / f"feed{i}"))
+    t1 = ParquetCatalog(spark, str(tmp_path / "t1"))
+    t2 = ParquetCatalog(spark, str(tmp_path / "t2"))
+    n1 = stream_merge_sink(spark, str(tmp_path / "feed1"), t1, "tab", "k")
+    n2 = stream_merge_sink(spark, str(tmp_path / "feed2"), t2, "tab", "k")
+    assert n1 >= 1 and n2 >= 1, "second sink must not reuse first's checkpoint"
+    assert [r["v"] for r in t1.read("tab").collect()] == ["v1"]
+    assert [r["v"] for r in t2.read("tab").collect()] == ["v2"]

@@ -156,3 +156,32 @@ def test_diff_tables_roundtrip_with_merge(spark):
     out = {r["k"]: r["change_type"]
            for r in diff_tables(tgt, merged, "k").collect()}
     assert out == {2: "changed", 9: "added"}
+
+
+def test_cdc_apply_broadcasts_feed_no_target_shuffle(spark):
+    """The snapshot side must reach the result through a broadcast
+    LEFT-ANTI join — never a sort-merge/full-outer shuffle of the target."""
+    from pyspark.sql import functions as F
+
+    target = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    changes = spark.createDataFrame(
+        [(1, 111, "U", 1), (2, None, "D", 2)], ["k", "v", "op", "seq"]
+    )
+    out = cdc_apply(target, changes, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    res = {r["k"]: r["v"] for r in out.collect()}
+    assert res[1] == 111 and 2 not in res and res[3] == 6
+
+
+def test_cdc_apply_unknown_op_raises_even_when_filtered(spark):
+    """The op check lives in the upsert filter's CaseWhen — it must fire
+    for an unknown op even though that row would be dropped by the
+    filter either way (no reliance on And short-circuit)."""
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame([(2, "b", "X", 1)], ["k", "v", "op", "seq"])
+    with pytest.raises(Exception, match="unknown op"):
+        cdc_apply(target, changes, "k").collect()

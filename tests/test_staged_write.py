@@ -136,3 +136,47 @@ def test_engine_staged_table_catalog_swap(spark):
     finally:
         for t in ("dim", "fact", "dim__staging", "fact__staging"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --- dialect-templated swap DDL (no live server needed: pure SQL gen) ------
+
+def _jdbc(url):
+    from database_transportor_spark.sources.catalog import JDBCCatalog
+
+    return JDBCCatalog(spark=None, url=url)
+
+
+def test_swap_ddl_mysql_atomic_multirename():
+    """MySQL DDL is non-transactional; the swap must ride the one atomic
+    primitive it has — RENAME TABLE's multi-rename."""
+    cat = _jdbc("jdbc:mysql://host/db")
+    stmts, txn = cat.swap_ddl("t", exists=True)
+    assert stmts == [
+        "DROP TABLE IF EXISTS t__old",
+        "RENAME TABLE t TO t__old, t__staging TO t",
+        "DROP TABLE t__old",
+    ]
+    assert txn is False
+    stmts, txn = cat.swap_ddl("t", exists=False)
+    assert stmts == ["RENAME TABLE t__staging TO t"] and txn is False
+    assert _jdbc("jdbc:mariadb://host/db").swap_ddl("t", True)[0][1].startswith(
+        "RENAME TABLE"
+    )
+
+
+def test_swap_ddl_postgres_transactional():
+    cat = _jdbc("jdbc:postgresql://host/db")
+    stmts, txn = cat.swap_ddl("t", exists=True)
+    assert stmts == ["DROP TABLE t", "ALTER TABLE t__staging RENAME TO t"]
+    assert txn is True, "postgres DDL is transactional — swap must use it"
+    stmts, txn = cat.swap_ddl("t", exists=False)
+    assert stmts == ["ALTER TABLE t__staging RENAME TO t"] and txn is True
+
+
+def test_swap_ddl_derby_and_ansi_fallback():
+    stmts, txn = _jdbc("jdbc:derby:/tmp/db").swap_ddl("t", exists=True)
+    assert stmts == ["DROP TABLE t", "RENAME TABLE t__staging TO t"]
+    assert txn is True
+    stmts, txn = _jdbc("jdbc:oracle:thin:@h").swap_ddl("t", exists=True)
+    assert stmts == ["DROP TABLE t", "ALTER TABLE t__staging RENAME TO t"]
+    assert txn is False

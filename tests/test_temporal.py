@@ -352,3 +352,34 @@ def test_scd2_asof_roundtrip(spark):
     )
     got = {r["at"]: r["tier"] for r in out.collect()}
     assert got == {t(2): "bronze", t(11): "gold"}
+
+
+def test_asof_join_bucketed_tie_matches_plain(spark):
+    """Several right rows share a key's MAX timestamp inside one bucket:
+    the bucketed carry summary and the plain window path must pick the
+    SAME winner (deterministic payload-hash tiebreak in both)."""
+    from datetime import datetime
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1 + h // 24, h % 24, m)
+
+    # three right rows at the identical (key, ts); left probes land both in
+    # the same bucket and in a LATER bucket (exercises the carried-in path)
+    right = spark.createDataFrame(
+        [("k", ts(1), "a"), ("k", ts(1), "b"), ("k", ts(1), "c"),
+         ("k", ts(1), "d"), ("k", ts(1), "e")],
+        ["key", "rts", "payload"],
+    )
+    left = spark.createDataFrame(
+        [("k", ts(1, 30)), ("k", ts(5)), ("k", ts(26))], ["key", "lts"]
+    )
+    plain = asof_join(left, right, "key", "lts", "rts").orderBy("lts")
+    bucketed = asof_join(
+        left, right, "key", "lts", "rts", bucket="1 hour"
+    ).orderBy("lts")
+    p = [(r["lts"], r["payload"]) for r in plain.collect()]
+    b = [(r["lts"], r["payload"]) for r in bucketed.collect()]
+    assert p == b, f"tie winner diverged between paths: {p} vs {b}"
+    # repeated runs stay deterministic
+    p2 = [(r["lts"], r["payload"]) for r in plain.collect()]
+    assert p == p2
