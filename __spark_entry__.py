@@ -2255,6 +2255,59 @@ WHERE COALESCE(c.op, '') <> 'D'
 """
 
 
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink (streaming/merge_sink.py) run to completion
+    with availableNow: a parquet feed stream upserts into a live target by
+    key through ``foreachBatch`` + the catalog's staged swap.  Live = keys
+    %3 != 0, feed = keys %2 == 0 with bumped balances — so the merged
+    table exercises updates (overlap), inserts (feed-only keys), and
+    pass-through (live-only keys).  The oracle is the equivalent batch
+    MERGE; a hash match proves the streaming path lands the exact batch
+    answer."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+    from database_transportor_spark.streaming.merge_sink import stream_merge_sink
+
+    work = tempfile.mkdtemp(prefix=f"smq_{uuid.uuid4().hex[:8]}_")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    live = cust.filter(F.col("c_custkey") % 3 != 0)
+    feed = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000, 2)
+    )
+    tgt = ParquetCatalog(spark, f"{work}/tgt")
+    tgt.write(live, "sm", mode="overwrite")
+    feed.coalesce(4).write.mode("overwrite").parquet(f"{work}/feed")
+    stream_merge_sink(
+        spark, f"{work}/feed", tgt, "sm", "c_custkey",
+        checkpoint=f"{work}/ckpt",
+    )
+    # the returned frame lazily reads the merged target — the temp dir must
+    # outlive this call (driver/bench collect it right after)
+    return tgt.read("sm")
+
+
+SQL_STREAM_MERGE = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+), live AS (
+    SELECT * FROM base WHERE c_custkey % 3 <> 0
+), feed AS (
+    SELECT c_custkey, c_name, round(c_acctbal + 1000, 2) AS c_acctbal
+    FROM base WHERE c_custkey % 2 = 0
+)
+SELECT COALESCE(f.c_custkey, l.c_custkey) AS c_custkey,
+       CASE WHEN f.c_custkey IS NOT NULL THEN f.c_name
+            ELSE l.c_name END AS c_name,
+       CASE WHEN f.c_custkey IS NOT NULL THEN f.c_acctbal
+            ELSE l.c_acctbal END AS c_acctbal
+FROM live l FULL OUTER JOIN feed f ON l.c_custkey = f.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event-sequence analytics: funnel + cohort retention (operators/funnel.py)
 # ---------------------------------------------------------------------------
@@ -2653,6 +2706,7 @@ _EXTENSION_QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
+    "stream_merge": q_stream_merge,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "build_vocab": q_build_vocab,
@@ -2710,6 +2764,7 @@ _EXTENSION_ORACLES = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "merge_upsert": SQL_MERGE_UPSERT,
     "cdc_apply": SQL_CDC_APPLY,
+    "stream_merge": SQL_STREAM_MERGE,
     "funnel": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "build_vocab": SQL_BUILD_VOCAB,

@@ -292,6 +292,72 @@ def _cmd_validate(args: argparse.Namespace) -> int:
     return 1 if bad else 0
 
 
+def _cmd_diff(args: argparse.Namespace) -> int:
+    """Post-transport parity report — the migration-validation question a
+    reference user asks first: does the LIVE target still equal what the
+    spec produces from the ORIGINAL side?  Recomputes each map's frame
+    (no writes) and key-diffs it against the live table
+    (``operators/mutations.diff_tables``).  Exit nonzero on any drift.
+
+    Key columns come from the spec module's ``DIFF_KEYS = {map: [cols]}``,
+    or ``--map NAME --keys col1,col2`` for a one-off.
+    """
+    from .engine import DBT
+    from .operators.mutations import diff_tables
+    from .session import build_session
+
+    mods = [_load_module(p) for p in args.spec]
+    extra: dict[str, str] = {}
+    for mod in mods:
+        extra.update(getattr(mod, "SPARK", {}))
+    spark = build_session(master=args.master, extra_conf=extra)
+
+    from pyspark.sql import functions as F
+
+    drift = 0
+    for mod, path in zip(mods, args.spec):
+        keys_by_map = dict(getattr(mod, "DIFF_KEYS", None) or {})
+        if args.map and args.keys:
+            keys_by_map = {args.map: args.keys.split(",")}
+        if not keys_by_map:
+            print(f"{path}: no DIFF_KEYS declared (or pass --map/--keys)")
+            continue
+        eng = DBT(
+            mod.MAPS,
+            target=_build_catalog(spark, mod.TARGET),
+            original=_build_catalog(spark, mod.ORIGINAL),
+        )
+        outputs = eng.transform()
+        for key, ks in keys_by_map.items():
+            if key not in eng.specs:
+                raise SystemExit(f"{path}: DIFF_KEYS names unknown map {key!r}")
+            ks = [ks] if isinstance(ks, str) else list(ks)
+            table = eng.specs[key].target_table
+            expected = outputs[key].select(*eng.write_columns(key))
+            live = eng.target.read(table).select(*expected.columns)
+            d = diff_tables(live, expected, ks)
+            counts = {
+                r["change_type"]: r["n"]
+                for r in d.groupBy("change_type")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            missing = counts.get("added", 0)      # expected but absent
+            extra_rows = counts.get("removed", 0)  # in target only
+            changed = counts.get("changed", 0)
+            total = missing + extra_rows + changed
+            status = "DRIFT" if total else "ok"
+            print(
+                f"{path} :: {table}: missing={missing} extra={extra_rows} "
+                f"changed={changed}  {status}"
+            )
+            if total:
+                drift += 1
+                if args.show:
+                    d.show(args.show, truncate=False)
+    return 1 if drift else 0
+
+
 def _cmd_compact(args: argparse.Namespace) -> int:
     from .operators.maintenance import compact_table
     from .session import build_session
@@ -376,6 +442,19 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--spec", action="append", required=True)
     v.add_argument("--master", default=None)
     v.set_defaults(fn=_cmd_validate)
+
+    d = sub.add_parser(
+        "diff",
+        help="post-transport parity diff: live target vs recomputed spec",
+    )
+    d.add_argument("--spec", action="append", required=True)
+    d.add_argument("--map", default=None, help="diff only this map")
+    d.add_argument("--keys", default=None,
+                   help="comma-separated key columns (with --map)")
+    d.add_argument("--show", type=int, default=0,
+                   help="print up to N drifted rows per table")
+    d.add_argument("--master", default=None)
+    d.set_defaults(fn=_cmd_diff)
 
     c = sub.add_parser("compact", help="rewrite a table into size-targeted files")
     c.add_argument("--root", required=True, help="catalog root directory")

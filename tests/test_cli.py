@@ -236,3 +236,49 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
     assert r.returncode == 1, (r.stdout, r.stderr[-1500:])
     assert "range(val) = 1  FAIL" in r.stdout
     assert "not_null(item_id) = 0  ok" in r.stdout
+
+
+def test_diff_cli_parity_and_drift(tmp_path):
+    """`diff` recomputes the spec and key-diffs the live target: green
+    right after a transport, nonzero exit once the target drifts."""
+    out = tmp_path / "out"
+    spec = tmp_path / "spec.py"
+    spec.write_text(
+        f'''
+MAPS = {{
+    "nat": {{
+        "original_table": "nation",
+        "columns": {{"id": "n_nationkey", "name": "n_name"}},
+    }},
+}}
+ORIGINAL = {{"kind": "parquet", "root": "{SF}"}}
+TARGET = {{"kind": "parquet", "root": "{out}"}}
+MODE = "overwrite"
+DIFF_KEYS = {{"nat": ["id"]}}
+SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
+'''
+    )
+    r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
+             timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(["diff", "--spec", str(spec), "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    assert "ok" in r.stdout
+
+    # corrupt the live target: drop a row and rewrite
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE TABLE t AS SELECT * FROM '{out}/nat.parquet/*.parquet' WHERE id <> 3"
+    )
+    import shutil
+
+    shutil.rmtree(f"{out}/nat.parquet")
+    con.sql(f"COPY t TO '{out}/nat.parquet' (FORMAT PARQUET)")
+
+    r = _run(["diff", "--spec", str(spec), "--master", "local[2]", "--show", "5"],
+             timeout=900)
+    assert r.returncode == 1, "drift must exit nonzero\n" + r.stdout
+    assert "missing=1" in r.stdout and "DRIFT" in r.stdout

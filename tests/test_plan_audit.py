@@ -67,3 +67,39 @@ def test_corpus_shuffle_single_exchange(spark):
     import re
 
     assert not re.search(r"Sort \[[^\]]*\], true", plan), f"global sort:\n{plan}"
+
+
+# Dimension-sized lookup joins must BROADCAST — a silent fallback to
+# sort-merge (threshold/conf regression) would shuffle the fact side at
+# 100 TB.  Listed per query: which joins the design says are broadcast.
+BROADCAST_EXPECTED = {
+    # nation dim lookup + grouped-orders count merge-joined into customer:
+    # the dim join must broadcast; the refers aggregate joins on the fact
+    # key and may shuffle (it is fact-sized), so require >= 1 broadcast.
+    "flagship": 1,
+    "refer_single": 1,     # nation lookup into customer
+    "refer_rtrim": 1,
+    "refer_dupkeys": 1,    # last-wins dedup'd lookup, still dim-sized
+    "refer_hooks": 1,
+    "refer_salted": 1,     # salted variant still broadcasts the salted dim
+    "cdc_apply": 1,        # feed keys broadcast into the anti join
+}
+
+
+@pytest.mark.parametrize("name", sorted(BROADCAST_EXPECTED))
+def test_dimension_lookups_broadcast(spark, name):
+    qs = _queries()
+    if name not in qs:
+        pytest.skip(f"{name} not registered")
+    df = qs[name](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    n = plan.count("BroadcastHashJoin")
+    assert n >= BROADCAST_EXPECTED[name], (
+        f"{name}: expected >= {BROADCAST_EXPECTED[name]} BroadcastHashJoin, "
+        f"found {n}\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan or name == "flagship", (
+        f"{name}: dimension lookup degraded to sort-merge\n{plan}"
+    )
