@@ -2660,6 +2660,151 @@ WHERE NOT in_l OR NOT in_r OR len(cc) > 0
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing: cap en at 30k chars / de at 10k chars of
+    expected kept volume, other langs pass through; kept set decided by a
+    deterministic multiplicative id-hash so DuckDB can replay it exactly."""
+    from database_transportor_spark.operators.corpus import sample_to_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_to_token_budget(
+        docs, "lang", "n_chars", {"en": 30_000, "de": 10_000}, "doc_id",
+        hash_fn="multiplicative",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SQL_TOKEN_BUDGET = """
+WITH totals AS (
+    SELECT lang, SUM(n_chars) AS total FROM documents GROUP BY lang
+), rates AS (
+    SELECT lang,
+           CASE WHEN lang = 'en' THEN LEAST(1.0, 30000.0 / total)
+                WHEN lang = 'de' THEN LEAST(1.0, 10000.0 / total)
+                ELSE 1.0 END AS r
+    FROM totals
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN rates t ON d.lang = t.lang
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < t.r * 1000000
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms with exact corpus counts; ranking
+    key is the 6-decimal-rounded score (ulp-stable across engines), ties
+    break by token string."""
+    from database_transportor_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+SQL_TFIDF_TERMS = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM toks WHERE token <> '' GROUP BY 1, 2
+), dfreq AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           round(t.tf * ln((SELECT count(DISTINCT doc_id) FROM documents)
+                           * 1.0 / d.df), 6) AS tfidf
+    FROM tf t JOIN dfreq d USING (token)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rn AS INTEGER) AS term_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+def q_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: corpus (doc_id %10 != 0) indexed ONCE via
+    build_lsh_index, then the incoming batch (%10 == 0) probed against the
+    index without rescanning the corpus.  Contract oracle (signatures are
+    xxhash64-based; see q_minhash_lsh): ``n_exact_pairs`` = exact
+    cross-side Jaccard >= 0.2 pairs (both engines compute independently),
+    ``n_unsound`` = emitted pairs outside the exact set (always 0 — every
+    candidate is exact-verified), ``recall_ok`` = >= 80% of exact pairs
+    recalled (fixture near-dups sit at J >= 0.9 where 16/4-band collision
+    probability is ~0.99)."""
+    from database_transportor_spark.operators.dedup import (
+        build_lsh_index,
+        ngram_jaccard_pairs,
+        query_lsh_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    mp = spark.sparkContext.defaultParallelism
+    index = build_lsh_index(
+        corpus, "doc_id", "text", n_hashes=16, bands=4, min_partitions=mp
+    )
+    emitted = query_lsh_index(
+        index, batch, "doc_id", "text", n_hashes=16, bands=4, threshold=0.2,
+        min_partitions=mp,
+    ).select("batch_id", "corpus_id", F.lit(1).alias("__em"))
+    # exact anchor: same plan as the other LSH contracts (served from the
+    # plan cache when they ran in-session), filtered to cross-side pairs
+    ex = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, min_partitions=mp,
+    ).filter((F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0))
+    exact = ex.select(
+        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("batch_id"),
+        F.when(F.col("id_a") % 10 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("corpus_id"),
+        F.lit(1).alias("__ex"),
+    )
+    both = emitted.join(exact, ["batch_id", "corpus_id"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("__ex", F.lit(0))).cast("long").alias("n_exact_pairs"),
+        F.sum(F.when(F.col("__ex").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_unsound"),
+        (
+            F.sum(F.when(F.col("__em").isNotNull() & F.col("__ex").isNotNull(), 1)
+                  .otherwise(0))
+            >= F.sum(F.coalesce("__ex", F.lit(0))) * 0.8
+        ).alias("recall_ok"),
+    )
+
+
+SQL_LSH_INDEX = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+),
+ex AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_unsound,
+       TRUE AS recall_ok
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.2
+  AND (i.id_a % 10 = 0) <> (i.id_b % 10 = 0)
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2710,6 +2855,9 @@ _EXTENSION_QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "build_vocab": q_build_vocab,
+    "token_budget": q_token_budget,
+    "tfidf_terms": q_tfidf_terms,
+    "lsh_index": q_lsh_index,
     "encode_tokens": q_encode_tokens,
     "scd2": q_scd2,
     "sessionize": q_sessionize,
@@ -2768,6 +2916,9 @@ _EXTENSION_ORACLES = {
     "funnel": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "build_vocab": SQL_BUILD_VOCAB,
+    "token_budget": SQL_TOKEN_BUDGET,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "lsh_index": SQL_LSH_INDEX,
     "encode_tokens": SQL_ENCODE_TOKENS,
     "scd2": SQL_SCD2,
     "sessionize": SQL_SESSIONIZE,

@@ -35,6 +35,7 @@ __all__ = [
     "redact_pii",
     "corpus_shuffle",
     "upsample_domains",
+    "sample_to_token_budget",
     "PII_PATTERNS",
 ]
 
@@ -368,4 +369,64 @@ def upsample_domains(
             "copy_idx", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
         )
         .drop("__copies")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Downsample each domain to an expected total-token budget — the
+    "give me 500B tokens of web, 50B of code" knob a pretraining mix
+    needs when domains are capped by BUDGET rather than by weight
+    (:func:`upsample_domains` rebalances by ratio; this one hits absolute
+    token targets).
+
+    Per domain ``d``: keep rate ``r_d = min(1, budget_d / total_tokens_d)``
+    and keep a row iff ``hash(id) % precision < r_d * precision`` — so the
+    kept set is deterministic, reproducible across runs and engines
+    (``hash_fn="multiplicative"`` for ANSI-SQL portability), and a SUBSET
+    relation holds as budgets shrink (the same hash order decides, so a
+    smaller budget keeps a subset of a larger one — stable ablations).
+    Domains without a budget pass through whole.
+
+    Expected kept tokens per domain = ``r_d * total_d`` ≈ the budget
+    (exact in expectation; variance shrinks with corpus size — at 100 TB
+    the relative error is negligible, and the alternative exact cut would
+    need a global sort).
+
+    Shape: one tiny per-domain aggregation (map-side combined) joined back
+    by BROADCAST, then a zero-shuffle hash filter.  The corpus is scanned
+    twice (totals + filter) but never shuffled; at 100 TB feed ``totals``
+    from table statistics or a rollup if the extra scan matters.
+    """
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(tokens_col)).alias("__total")
+    )
+    if budgets:
+        bcol = F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        )[F.col(domain_col)].cast("double")
+    else:
+        bcol = F.lit(None).cast("double")
+    rates = totals.select(
+        F.col(domain_col),
+        F.when(
+            bcol.isNull(), F.lit(1.0)  # unbudgeted domain: keep all
+        ).otherwise(
+            F.least(F.lit(1.0), bcol / F.col("__total").cast("double"))
+        ).alias("__rate"),
+    )
+    draw = bucket_column(id_col, precision, salt, hash_fn)
+    return (
+        df.join(F.broadcast(rates), domain_col, "left")
+        .filter(draw < F.coalesce(F.col("__rate"), F.lit(1.0)) * F.lit(float(precision)))
+        .drop("__rate")
+        .select(*df.columns)
     )

@@ -35,6 +35,8 @@ __all__ = [
     "dedup_clusters",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "build_lsh_index",
+    "query_lsh_index",
     "simhash",
     "simhash_pairs",
 ]
@@ -566,4 +568,120 @@ def simhash_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _band_hash_array(sig_col, n_hashes: int, bands: int):
+    """Array of ``bands`` band hashes over a minhash signature array —
+    shared by :func:`build_lsh_index` and :func:`query_lsh_index`, so an
+    index built yesterday collides correctly with a batch hashed today."""
+    rows = n_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(*[sig_col.getItem(bi * rows + r) for r in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Persistable LSH index over a corpus — the INCREMENTAL-ingestion half
+    of near-dup dedup: index the 100 TB corpus ONCE (write this frame with
+    any catalog), then probe every incoming batch with
+    :func:`query_lsh_index` without ever re-scanning the corpus, and
+    append the batch's own index rows for the next round.
+
+    One compact row per document: ``(__id, __hset array<long>,
+    __bands array<long>)`` — the exact shingle-hash set (for candidate
+    verification) plus one band hash per band.  Index size ≈ the corpus's
+    distinct-shingle footprint; at 100 TB partition the written table by
+    a stable shard of ``__id`` so per-batch appends touch few files.
+
+    Shape: the one-shuffle :func:`minhash_signatures` aggregation plus a
+    pure projection.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    sig = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_n, min_partitions
+    )
+    return sig.select(
+        "__id",
+        "__hset",
+        _band_hash_array(F.col("__sig"), n_hashes, bands).alias("__bands"),
+    )
+
+
+def query_lsh_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW batch and an already-indexed
+    corpus (:func:`build_lsh_index` with the SAME parameters): returns
+    ``(batch_id, corpus_id, jaccard)`` for every batch document whose
+    exact shingle Jaccard against an indexed document reaches
+    ``threshold`` and that collides in >= 1 band (the standard LSH recall
+    contract; raise ``bands`` for more recall).
+
+    The batch-side cost is one signature aggregation over the BATCH only;
+    the corpus index is joined by band hash (ids-only shuffle) and its
+    shingle sets are fetched only for colliding candidates — the corpus
+    text is never touched.  Self-collisions (a batch doc already in the
+    index under the same id) are excluded.
+
+    Shape: batch signatures (one shuffle) → band-hash equi-join against
+    the exploded index (shuffle keyed on 16-byte band hashes) → exact
+    verify on the joined shingle sets.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    bsig = minhash_signatures(
+        batch, id_col, text_col, n_hashes, shingle_n, min_partitions
+    ).persist()
+    b_entries = bsig.select(
+        F.col("__id").alias("batch_id"),
+        F.posexplode(
+            _band_hash_array(F.col("__sig"), n_hashes, bands)
+        ).alias("band", "bhash"),
+    )
+    i_entries = index.select(
+        F.col("__id").alias("corpus_id"),
+        F.posexplode(F.col("__bands")).alias("band", "bhash"),
+    )
+    cand = (
+        b_entries.join(i_entries, ["band", "bhash"])
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    cand = cand.join(
+        bsig.select(F.col("__id").alias("batch_id"), F.col("__hset").alias("__sa")),
+        "batch_id",
+    ).join(
+        index.select(
+            F.col("__id").alias("corpus_id"), F.col("__hset").alias("__sb")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
     )

@@ -32,6 +32,7 @@ __all__ = [
     "fingerprint",
     "repetition_stats",
     "token_count",
+    "tfidf_top_terms",
     "STOPWORDS",
 ]
 
@@ -268,3 +269,60 @@ def token_count(df: DataFrame, text_col: str = "text",
         r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])",
     )
     return df.withColumn(out_col, F.size(pieces))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the per-doc keyword/topic
+    signal pipelines use for clustering previews, domain tagging, and
+    quick relevance filters.
+
+    Scoring: ``tf * ln(N / df)`` with exact corpus counts (``tf`` = the
+    term's count IN the document, ``df`` = docs containing it, ``N`` =
+    corpus size).  Ties (same score within a doc) break by token string —
+    fully deterministic output.  Returns ``(id, token, tf, df,
+    tfidf DOUBLE, term_rank)``, ``term_rank`` 1-based.
+
+    Scale shape: explode → one ``groupBy(id, token)`` for per-doc tf (one
+    hash shuffle, map-side combined) → token-level ``df`` computed by
+    re-aggregating THAT result (ids-free, vocabulary-sized output) and
+    broadcast back — the corpus text moves through exactly one exchange;
+    the per-doc top-k is a window over (id) on the already-aggregated
+    (id, token) frame, partitioned by the same key the tf aggregation
+    hashed on, so AQE plans it shuffle-free after the first exchange.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n")).first()["n"]
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = exploded.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    # rank on the ROUNDED score: ln() can differ by an ulp across engines
+    # (JVM vs any external replayer), and ranking on the raw double would
+    # let such dust reorder mathematically-tied scores — 6 decimals is far
+    # above ulp noise and far below any meaningful score difference
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "term_rank")
+    )

@@ -225,3 +225,33 @@ def test_upsample_default_weight_passthrough(spark):
     out = upsample_domains(df, "dom", {"x": 2.0}, "doc_id").collect()
     assert len([r for r in out if r["dom"] == "y"]) == 1  # untouched domain
     assert len([r for r in out if r["dom"] == "x"]) == 2
+
+
+def test_sample_to_token_budget(spark):
+    from database_transportor_spark.operators.corpus import (
+        sample_to_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 600 else "b", 100) for i in range(1000)],
+        ["id", "dom", "toks"],
+    )
+    # domain a: 600*100=60k tokens capped to 15k => rate 0.25;
+    # domain b: no budget => kept whole
+    out = sample_to_token_budget(df, "dom", "toks", {"a": 15_000}, "id")
+    a_tokens = out.filter("dom = 'a'").count() * 100
+    assert out.filter("dom = 'b'").count() == 400
+    assert 10_000 <= a_tokens <= 20_000, f"expected ~15k, got {a_tokens}"
+    # deterministic: identical rerun keeps the identical set
+    again = sample_to_token_budget(df, "dom", "toks", {"a": 15_000}, "id")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    # subset property: halving the budget keeps a subset
+    half = sample_to_token_budget(df, "dom", "toks", {"a": 7_500}, "id")
+    ids_full = {r["id"] for r in out.filter("dom = 'a'").collect()}
+    ids_half = {r["id"] for r in half.filter("dom = 'a'").collect()}
+    assert ids_half <= ids_full and len(ids_half) < len(ids_full)
+    # over-budget domain is untouched (rate clamps to 1)
+    rich = sample_to_token_budget(df, "dom", "toks", {"a": 10_000_000}, "id")
+    assert rich.filter("dom = 'a'").count() == 600

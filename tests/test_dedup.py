@@ -97,3 +97,58 @@ def test_resize_image_plumbing(spark):
              resize_image(media, "doc_id", "content", 8, 4).collect()}
     for r in rows:
         assert bytes(r["content"]) == again[r["doc_id"]]
+
+
+def test_lsh_index_build_query_roundtrip(spark, tmp_path):
+    """Index a corpus, persist it, probe a batch against the RELOADED
+    index: near-dups across batch/corpus surface; exact verification
+    keeps precision at 1.0 (no unsound pairs)."""
+    from database_transportor_spark.operators.dedup import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    # doc 3 appends one token: J = 15/16 ~= 0.94, where a 16/4-banded LSH
+    # collides with p ~= 0.998 (a mid-document edit at J ~= 0.67 would be
+    # a coin flip at these parameters — the documented recall tradeoff)
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different text about spark shuffles and "
+                        "partitions at terabyte scale for engines"),
+         (3, base + " yes")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, base), (200, "unrelated content entirely about cooking pasta "
+                            "with garlic and fresh tomato sauce")],
+        ["doc_id", "text"],
+    )
+    index = build_lsh_index(corpus, "doc_id", "text", n_hashes=16, bands=4)
+    index.write.parquet(f"{tmp_path}/lsh_index.parquet")
+    reloaded = spark.read.parquet(f"{tmp_path}/lsh_index.parquet")
+    pairs = query_lsh_index(
+        reloaded, batch, "doc_id", "text", n_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs}
+    assert (100, 1) in got, "identical doc must be found"
+    assert (100, 3) in got, "near-dup (one word changed) must be found"
+    assert all(b == 100 for b, _ in got), "unrelated batch doc matched"
+    assert all(r["jaccard"] > 0.5 for r in pairs)
+    # incremental append: batch joins the index for the next round
+    new_rows = build_lsh_index(batch, "doc_id", "text", n_hashes=16, bands=4)
+    new_rows.write.mode("append").parquet(f"{tmp_path}/lsh_index.parquet")
+    grown = spark.read.parquet(f"{tmp_path}/lsh_index.parquet")
+    assert grown.count() == 5
+
+
+def test_lsh_index_param_mismatch_raises(spark):
+    from database_transportor_spark.operators.dedup import build_lsh_index
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        build_lsh_index(df, "doc_id", "text", n_hashes=16, bands=5)

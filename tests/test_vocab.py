@@ -66,3 +66,34 @@ def test_encode_tokens_positions_and_oov(spark):
     oov = {r["doc_id"]: r["token_ids"]
            for r in encode_tokens(docs, vocab, oov_id=-1).collect()}
     assert oov[1] == [ids["the"], ids["cat"], ids["sat"], -1, ids["the"], -1]
+
+
+def test_tfidf_top_terms(spark):
+    from database_transportor_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared shared"),
+            (3, "cherry date shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", k=2)
+    rows = {(r["doc_id"], r["term_rank"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3) is the top term
+    top1 = rows[(1, 1)]
+    assert top1["token"] == "apple" and top1["tf"] == 2 and top1["df"] == 1
+    import math
+
+    assert abs(top1["tfidf"] - round(2 * math.log(3), 6)) < 1e-9
+    # 'shared' appears in every doc -> idf = ln(1) = 0, never outranks
+    # a distinctive term
+    assert all(
+        r["token"] != "shared" or r["tfidf"] == 0.0 for r in rows.values()
+    )
+    # k bound holds per doc
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in rows)
+    assert all(v <= 2 for v in per_doc.values())

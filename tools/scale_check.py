@@ -1,9 +1,13 @@
 """Scale-linearity harness: measure how headline operators scale from
-sf0.1 (x1) to x2/x5/x10 synthetic blow-ups.
+sf0.1 (x1) to x2/x5/x10 (and beyond) synthetic blow-ups.
 
 Usage::
 
     PYTHONPATH=/root/repo python tools/scale_check.py [x2 x5 x10 ...]
+
+``SPARK_GRAFT_SCALE_QUERIES=q1,q2`` restricts the timed slice — used for
+the deep x20/x50 sweep of the pair generators, whose 100 TB story rests
+on the posting-cap/banding math holding past the fixed-overhead floor.
 
 Builds scaled copies of the sf0.1 fixtures under ``.scale_data/x{K}`` (one
 time; ~100 MB for x10), then times a representative query slice at each
@@ -67,6 +71,10 @@ QUERIES = [
     "validate_rules",
     "diff_tables",
 ]
+
+_subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _subset:
+    QUERIES = [q.strip() for q in _subset.split(",") if q.strip()]
 
 KEY_OFFSETS = {
     "lineitem": ["l_orderkey"],
