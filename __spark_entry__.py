@@ -2660,6 +2660,39 @@ WHERE NOT in_l OR NOT in_r OR len(cc) > 0
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the events JSON payload (ONE from_json parse
+    per row against the minimal schema — never per-field re-parses), with
+    a per-type aggregate over the extracted value to prove the typing."""
+    from database_transportor_spark.functions.json_cols import (
+        json_extract_columns,
+    )
+
+    events = _read_events(spark, sf_dir)
+    out = json_extract_columns(events, "props", {"k": "long"})
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null_k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+           AS n_null_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget domain mixing: cap en at 30k chars / de at 10k chars of
     expected kept volume, other langs pass through; kept set decided by a
@@ -2856,6 +2889,7 @@ _EXTENSION_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "build_vocab": q_build_vocab,
     "token_budget": q_token_budget,
+    "json_extract": q_json_extract,
     "tfidf_terms": q_tfidf_terms,
     "lsh_index": q_lsh_index,
     "encode_tokens": q_encode_tokens,
@@ -2917,6 +2951,7 @@ _EXTENSION_ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "build_vocab": SQL_BUILD_VOCAB,
     "token_budget": SQL_TOKEN_BUDGET,
+    "json_extract": SQL_JSON_EXTRACT,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "lsh_index": SQL_LSH_INDEX,
     "encode_tokens": SQL_ENCODE_TOKENS,

@@ -255,3 +255,42 @@ def test_sample_to_token_budget(spark):
     # over-budget domain is untouched (rate clamps to 1)
     rich = sample_to_token_budget(df, "dom", "toks", {"a": 10_000_000}, "id")
     assert rich.filter("dom = 'a'").count() == 600
+
+
+def test_json_extract_columns(spark):
+    from database_transportor_spark.functions.json_cols import (
+        infer_json_schema,
+        json_extract_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "meta": {"os": "linux", "v": 2.5}}'),
+            (2, '{"k": 7}'),
+            (3, '{"k": "not-a-number", "meta": {"os": "mac"}}'),
+            (4, None),
+        ],
+        ["id", "props"],
+    )
+    out = json_extract_columns(
+        df, "props",
+        {"k": "long", "os": ("meta.os", "string"), "v": ("meta.v", "double")},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == 5 and rows[1]["os"] == "linux" and rows[1]["v"] == 2.5
+    assert rows[2]["k"] == 7 and rows[2]["os"] is None
+    assert rows[3]["k"] is None, "type mismatch must yield NULL, not error"
+    assert rows[3]["os"] == "mac"
+    assert rows[4]["k"] is None
+    # original columns preserved, one parse (single from_json in the plan)
+    assert out.columns == ["id", "props", "k", "os", "v"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_json") <= out.columns.count("k") + 3  # parsed once, projected thrice
+
+    ddl = infer_json_schema(df, "props")
+    assert "k" in ddl and "meta" in ddl
+
+    import pytest
+
+    with pytest.raises(ValueError, match="descends through|collides"):
+        json_extract_columns(df, "props", {"a": ("k.x", "long"), "b": ("k", "long")})
