@@ -2660,6 +2660,97 @@ WHERE NOT in_l OR NOT in_r OR len(cc) > 0
 """
 
 
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END-GAME: cluster near-dups (same pair-gen parameters as
+    q_leakage_split), then REMOVE rows keeping each cluster's best copy —
+    quality = (n_chars, doc_id) lexicographically, so the winner is
+    deterministic even among equal-length near-dups."""
+    from database_transportor_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_df=100,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    ranked = docs.withColumn(
+        "__q", F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id")
+    )
+    kept = dedup_keep_best(
+        ranked, clusters, "doc_id", "cluster_id", order_col="__q", keep="max"
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+SQL_DEDUP_BEST = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+ex0 AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), hot AS (
+    SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100
+), ex AS (
+    SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.i / (sa.n + sb.n - i.i) >= 0.05
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT doc_id AS id, doc_id AS r FROM documents
+    UNION
+    SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), clusters AS (
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, lang, n_chars
+FROM (
+    SELECT d.doc_id, d.lang, d.n_chars,
+           row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars * 10000000 + d.doc_id DESC
+           ) AS rn
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+)
+WHERE rn = 1
+"""
+
+
+def q_zscore_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based outlier gate: drop events whose value sits more
+    than 2.5 population-sigma from its event_type's mean."""
+    from database_transportor_spark.operators.corpus import zscore_filter
+
+    events = _read_events(spark, sf_dir)
+    out = zscore_filter(events, "value", ["event_type"], max_z=2.5)
+    return out.select("event_id", "event_type", "value")
+
+
+SQL_ZSCORE_GATE = """
+WITH stats AS (
+    SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE e.value IS NULL OR s.sd IS NULL OR s.sd = 0
+   OR abs(e.value - s.mu) / s.sd <= 2.5
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from the events JSON payload (ONE from_json parse
     per row against the minimal schema — never per-field re-parses), with
@@ -2890,6 +2981,8 @@ _EXTENSION_QUERIES = {
     "build_vocab": q_build_vocab,
     "token_budget": q_token_budget,
     "json_extract": q_json_extract,
+    "dedup_best": q_dedup_best,
+    "zscore_gate": q_zscore_gate,
     "tfidf_terms": q_tfidf_terms,
     "lsh_index": q_lsh_index,
     "encode_tokens": q_encode_tokens,
@@ -2952,6 +3045,8 @@ _EXTENSION_ORACLES = {
     "build_vocab": SQL_BUILD_VOCAB,
     "token_budget": SQL_TOKEN_BUDGET,
     "json_extract": SQL_JSON_EXTRACT,
+    "dedup_best": SQL_DEDUP_BEST,
+    "zscore_gate": SQL_ZSCORE_GATE,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "lsh_index": SQL_LSH_INDEX,
     "encode_tokens": SQL_ENCODE_TOKENS,

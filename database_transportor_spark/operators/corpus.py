@@ -36,6 +36,7 @@ __all__ = [
     "corpus_shuffle",
     "upsample_domains",
     "sample_to_token_budget",
+    "zscore_filter",
     "PII_PATTERNS",
 ]
 
@@ -430,3 +431,43 @@ def sample_to_token_budget(
         .drop("__rate")
         .select(*df.columns)
     )
+
+
+def zscore_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    max_z: float = 3.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Distribution-based quality gate: drop rows whose ``value_col``
+    deviates more than ``max_z`` population standard deviations from its
+    group's mean (corpus-wide when ``group_cols`` is None) — the standard
+    "drop perplexity/length outliers per source" filter.  NULL values and
+    zero-variance groups pass (nothing to judge).  ``out_col`` keeps the
+    computed z-score as a column instead of just filtering.
+
+    Shape: one tiny per-group aggregate (mean + population stddev,
+    map-side combined) broadcast back, then a zero-shuffle filter — the
+    corpus is scanned twice but never shuffled.
+    """
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.groupBy(*gcols) if gcols else df.groupBy()
+    ).agg(
+        F.avg(v).alias("__mu"),
+        F.stddev_pop(v).alias("__sd"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), gcols, "left")
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(
+        F.col("__sd").isNull() | (F.col("__sd") == 0) | v.isNull(), F.lit(None)
+    ).otherwise(F.abs(v - F.col("__mu")) / F.col("__sd"))
+    out = joined.filter(z.isNull() | (z <= F.lit(float(max_z))))
+    if out_col is not None:
+        return out.withColumn(out_col, z).select(*df.columns, out_col)
+    return out.select(*df.columns)

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "build_lsh_index",
     "query_lsh_index",
+    "dedup_keep_best",
     "simhash",
     "simhash_pairs",
 ]
@@ -685,3 +686,38 @@ def query_lsh_index(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster_id",
+    order_col: str | None = None,
+    keep: str = "max",
+) -> DataFrame:
+    """Turn a near-dup cluster map into actual row REMOVAL: keep exactly
+    one document per cluster — the one with the max/min ``order_col``
+    (quality score, length, recency; default: the id itself, giving the
+    deterministic min/max-id representative).  Documents absent from the
+    cluster map are singletons and always survive.
+
+    This is the second half of the dedup story: :func:`minhash_lsh_pairs`
+    / :func:`dedup_clusters` FIND the duplicates; this op applies the
+    keep-policy a pipeline actually wants ("keep the highest-quality copy
+    of each near-dup group").
+
+    Shape: one id-keyed join to attach labels, then the same
+    single-shuffle ``max_by`` aggregation as :func:`exact_dedup` keyed on
+    the cluster — no window, no sort, map-side combined.
+    """
+    labeled = df.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("__cluster")
+        ),
+        id_col,
+        "left",
+    ).withColumn("__cluster", F.coalesce(F.col("__cluster"), F.col(id_col)))
+    order_by = order_col or id_col
+    picked = exact_dedup(labeled, ["__cluster"], order_by, keep=keep)
+    return picked.select(*df.columns)

@@ -294,3 +294,24 @@ def test_json_extract_columns(spark):
 
     with pytest.raises(ValueError, match="descends through|collides"):
         json_extract_columns(df, "props", {"a": ("k.x", "long"), "b": ("k", "long")})
+
+
+def test_zscore_filter(spark):
+    from database_transportor_spark.operators.corpus import zscore_filter
+
+    rows = [(i, "g", 10.0) for i in range(20)] + [
+        (100, "g", 1000.0),          # extreme outlier
+        (101, "h", 5.0), (102, "h", 5.0),  # zero-variance group: all pass
+        (103, "g", None),            # NULL passes
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = zscore_filter(df, "v", ["grp"], max_z=3.0)
+    ids = {r["id"] for r in out.collect()}
+    assert 100 not in ids, "outlier must be dropped"
+    assert {101, 102, 103} <= ids
+    assert len(ids) == 23
+    # out_col keeps the score
+    scored = zscore_filter(df, "v", ["grp"], max_z=3.0, out_col="z")
+    assert "z" in scored.columns
+    z101 = [r["z"] for r in scored.collect() if r["id"] == 101][0]
+    assert z101 is None, "zero-variance group has no defined z"

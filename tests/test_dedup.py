@@ -152,3 +152,28 @@ def test_lsh_index_param_mismatch_raises(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         build_lsh_index(df, "doc_id", "text", n_hashes=16, bands=5)
+
+
+def test_dedup_keep_best(spark):
+    from database_transportor_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "a2", 99), (3, "b", 50), (4, "c", 7)],
+        ["doc_id", "text", "quality"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], ["doc_id", "cluster_id"]
+    )
+    kept = dedup_keep_best(
+        docs, clusters, "doc_id", order_col="quality", keep="max"
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # cluster {1,2}: doc 2 wins on quality; 3 is its own cluster; 4 is a
+    # singleton absent from the map — survives
+    assert ids == [2, 3, 4]
+    assert kept.columns == docs.columns
+    # keep="min" flips the winner
+    worst = dedup_keep_best(
+        docs, clusters, "doc_id", order_col="quality", keep="min"
+    )
+    assert sorted(r["doc_id"] for r in worst.collect()) == [1, 3, 4]
