@@ -1160,6 +1160,60 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table ANN join — BOTH sides large: every third vector is a
+    query (a query TABLE, not a bounded probe list) matched against the
+    full corpus through the IVF bucket equi-join; per-query scan stays
+    ~nprobe/C of the corpus and the only shuffle is on the bucket id.
+    Same bounded deterministic centroid rule as q_ann_ivf, so bucket
+    assignment, candidates, and ranks replay exactly in SQL."""
+    from database_transportor_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 3 == 0)
+    out = ivf_topk(emb, queries, "vec_id", "embedding", k=5, stride=37, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_ANN_JOIN = """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 64
+), assign AS (
+    SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+), qa AS (
+    SELECT query_id, bucket FROM (
+        SELECT e.vec_id AS query_id, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 3 = 0
+    ) WHERE rn <= 3
+), cand AS (
+    SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+    FROM qa q JOIN assign a USING (bucket)
+    WHERE a.vec_id <> q.query_id
+), scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_cosine_similarity(qe.embedding, ne.embedding) AS cos
+    FROM cand c
+    JOIN embeddings qe ON qe.vec_id = c.query_id
+    JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed near-dup pairs, oracle-checked on pair membership:
     the bounded centroid rule and bucket-local join are both SQL-
@@ -2983,6 +3037,7 @@ _EXTENSION_QUERIES = {
     "json_extract": q_json_extract,
     "dedup_best": q_dedup_best,
     "zscore_gate": q_zscore_gate,
+    "ann_join": q_ann_join,
     "tfidf_terms": q_tfidf_terms,
     "lsh_index": q_lsh_index,
     "encode_tokens": q_encode_tokens,
@@ -3047,6 +3102,7 @@ _EXTENSION_ORACLES = {
     "json_extract": SQL_JSON_EXTRACT,
     "dedup_best": SQL_DEDUP_BEST,
     "zscore_gate": SQL_ZSCORE_GATE,
+    "ann_join": SQL_ANN_JOIN,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "lsh_index": SQL_LSH_INDEX,
     "encode_tokens": SQL_ENCODE_TOKENS,
