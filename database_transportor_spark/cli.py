@@ -358,6 +358,28 @@ def _cmd_diff(args: argparse.Namespace) -> int:
     return 1 if drift else 0
 
 
+def _cmd_lineage(args: argparse.Namespace) -> int:
+    """Column-level lineage straight from the spec — NO SparkSession, no
+    reads: the declarative map already is the lineage graph, so the
+    report is available before anything runs (code review, docs,
+    impact analysis)."""
+    import json as _json
+
+    from .plans.lineage import column_lineage, format_lineage
+    from .spec import parse_maps
+
+    for path in args.spec:
+        mod = _load_module(path)
+        records = column_lineage(parse_maps(mod.MAPS))
+        if args.json:
+            for r in records:
+                print(_json.dumps(r))
+        else:
+            print(f"# {path}")
+            print(format_lineage(records))
+    return 0
+
+
 def _cmd_compact(args: argparse.Namespace) -> int:
     from .operators.maintenance import compact_table
     from .session import build_session
@@ -455,6 +477,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="print up to N drifted rows per table")
     d.add_argument("--master", default=None)
     d.set_defaults(fn=_cmd_diff)
+
+    ln = sub.add_parser(
+        "lineage",
+        help="column-level lineage from the spec (no Spark, no reads)",
+    )
+    ln.add_argument("--spec", action="append", required=True)
+    ln.add_argument("--json", action="store_true",
+                    help="one JSON record per column instead of text")
+    ln.set_defaults(fn=_cmd_lineage)
 
     c = sub.add_parser("compact", help="rewrite a table into size-targeted files")
     c.add_argument("--root", required=True, help="catalog root directory")

@@ -523,6 +523,13 @@ def simhash_pairs(
     we cut into ``bands`` > max_hamming byte-bands, at least one band is
     identical — so candidates meet on an equi-join of (band, band_bits),
     and the exact ``bit_count(xor)`` check never runs on unrelated rows.
+
+    Scale note: band selectivity is ``2^(bits/bands)`` distinct values —
+    at ``bits=32, bands=4`` that is 256 buckets, plenty for fixture-sized
+    corpora but a collision magnet at billions of documents.  At large
+    scale raise ``bits`` to 64 (16-bit bands ⇒ 65k buckets) and re-tune
+    ``max_hamming`` upward proportionally (expected Hamming distance for
+    a given similarity doubles with the bit width).
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for pigeonhole recall")

@@ -282,3 +282,62 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
              timeout=900)
     assert r.returncode == 1, "drift must exit nonzero\n" + r.stdout
     assert "missing=1" in r.stdout and "DRIFT" in r.stdout
+
+
+def test_lineage_cli_no_spark(tmp_path):
+    """lineage is pure metadata: runs without a SparkSession and maps
+    every output column to its upstream source."""
+    spec = tmp_path / "spec.py"
+    spec.write_text(
+        f'''
+MAPS = {{
+    "dim": {{"original_table": "nation",
+             "columns": {{"nk": "n_nationkey", "nname": "n_name"}}}},
+    "fact": {{
+        "original_table": "customer",
+        "transport_after": "dim",
+        "columns": {{
+            "id": "c_custkey",
+            "uname": {{"original": "c_name", "function": "upper(c_name)"}},
+            "bal": {{"original": "c_acctbal", "default": 0.0}},
+            "tmp_nk": {{"original": "c_nationkey", "delete_after_transport": True}},
+            "nation": {{"refer": {{"search_source": "target",
+                                   "search_table": "dim",
+                                   "search_column": "nk",
+                                   "according_column": "tmp_nk",
+                                   "wanted_column": "nname"}},
+                        "default": "?"}},
+            "n_orders": {{"refers": {{"search_source": "original",
+                                      "search_table": "orders",
+                                      "search_column": "o_custkey",
+                                      "according_column": "id",
+                                      "processor": "count(*)"}},
+                          "default": 0}},
+        }},
+    }},
+}}
+ORIGINAL = {{"kind": "parquet", "root": "{SF}"}}
+TARGET = {{"kind": "parquet", "root": "/tmp/never-used"}}
+'''
+    )
+    import time
+
+    t0 = time.monotonic()
+    r = _run(["lineage", "--spec", str(spec)])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert time.monotonic() - t0 < 30, "lineage must not start Spark"
+    assert "renamed from 'c_custkey'" in r.stdout
+    assert "upper(c_name)" in r.stdout
+    assert "lookup nname from target.dim" in r.stdout
+    assert "aggregate 'count(*)' over original.orders" in r.stdout
+    assert "[staging]" in r.stdout
+
+    rj = _run(["lineage", "--spec", str(spec), "--json"])
+    import json
+
+    recs = [json.loads(l) for l in rj.stdout.splitlines() if l.strip()]
+    by_col = {(x["map"], x["column"]): x for x in recs}
+    assert by_col[("fact", "nation")]["kind"] == "refer"
+    assert "target.dim.nname" in by_col[("fact", "nation")]["sources"]
+    assert by_col[("fact", "tmp_nk")]["staging"] is True
+    assert by_col[("dim", "nk")]["sources"] == ["original.nation.n_nationkey"]
