@@ -2799,7 +2799,7 @@ WITH stats AS (
     FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value
-FROM events e JOIN stats s ON e.event_type = s.event_type
+FROM events e LEFT JOIN stats s ON e.event_type = s.event_type
 WHERE e.value IS NULL OR s.sd IS NULL OR s.sd = 0
    OR abs(e.value - s.mu) / s.sd <= 2.5
 """
@@ -2863,8 +2863,9 @@ WITH totals AS (
     FROM totals
 )
 SELECT d.doc_id, d.lang, d.n_chars
-FROM documents d JOIN rates t ON d.lang = t.lang
-WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < t.r * 1000000
+FROM documents d LEFT JOIN rates t ON d.lang = t.lang
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000
+      < COALESCE(t.r, 1.0) * 1000000
 """
 
 

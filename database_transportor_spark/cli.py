@@ -317,8 +317,17 @@ def _cmd_diff(args: argparse.Namespace) -> int:
     drift = 0
     for mod, path in zip(mods, args.spec):
         keys_by_map = dict(getattr(mod, "DIFF_KEYS", None) or {})
-        if args.map and args.keys:
-            keys_by_map = {args.map: args.keys.split(",")}
+        if args.map:
+            if args.keys:
+                override = {args.map: args.keys.split(",")}
+            elif args.map in keys_by_map:
+                override = {args.map: keys_by_map[args.map]}
+            else:
+                # scoped restriction, not an error: with several --spec
+                # modules the named map may live in another one
+                print(f"{path}: map {args.map!r} not in DIFF_KEYS — skipped")
+                continue
+            keys_by_map = override
         if not keys_by_map:
             print(f"{path}: no DIFF_KEYS declared (or pass --map/--keys)")
             continue
@@ -327,6 +336,9 @@ def _cmd_diff(args: argparse.Namespace) -> int:
             target=_build_catalog(spark, mod.TARGET),
             original=_build_catalog(spark, mod.ORIGINAL),
         )
+        if args.map and args.map not in eng.specs:
+            print(f"{path}: map {args.map!r} not in this spec — skipped")
+            continue
         outputs = eng.transform()
         for key, ks in keys_by_map.items():
             if key not in eng.specs:

@@ -239,8 +239,11 @@ class DBT:
         """Watermark-based incremental run: for every map in ``cursors``
         (map key → monotonically increasing target column, e.g. an id or
         ingest timestamp), read the live target's ``max(cursor)`` and
-        transport only source rows with ``cursor > watermark``; writes are
-        appends.  Maps not named in ``cursors`` run in full.
+        transport only source rows with ``cursor > watermark``; the delta
+        is APPENDED.  Maps not named in ``cursors`` (and cursor maps with
+        no usable watermark — empty target or all-NULL cursor) run in
+        full and are OVERWRITTEN: appending a full recompute would
+        duplicate their rows on every rerun.
 
         Scale shape: the watermark probe is one ``max()`` over the target
         (cheap on parquet statistics or an indexed RDBMS column), and the
@@ -263,6 +266,13 @@ class DBT:
         swapping would silently drop every pre-watermark row.  The live
         read is lazy and the live table stays untouched until the final
         commit, so the union never reads its own output.
+
+        ``validate`` checks the rows being INGESTED this run (the delta
+        for cursor-filtered maps — in both staged and append mode — and
+        the full frame for full-run maps): re-validating the whole live
+        table every run would cost O(live) per increment and would
+        permanently block ingestion on one bad historical row.  FK
+        references still resolve against the table's post-commit state.
         """
         self._incremental_filters = {}
         # fresh plan + fresh reads: the previous run's cached outputs were
@@ -285,8 +295,20 @@ class DBT:
             if wm is not None:
                 self._incremental_filters[key] = (src_col, wm)
         try:
+            self.check_seed()
+            outputs = self.transform()
             if not staged:
-                return self.do_transport(mode="append", staged=False, validate=validate)
+                # cursor-filtered maps append their delta; everything else
+                # is a full recompute and must OVERWRITE (appending it
+                # would duplicate those tables' rows on every rerun)
+                self._write_all(
+                    outputs, mode="append", staged=False, validate=validate,
+                    mode_for=lambda k: (
+                        "append" if k in self._incremental_filters
+                        else "overwrite"
+                    ),
+                )
+                return outputs
 
             # Staged swap replaces the live table wholesale, so the staged
             # frame for a cursor-filtered map must be live ∪ delta — the
@@ -297,11 +319,9 @@ class DBT:
                 live = self.target.read(self.specs[key].target_table)
                 return live.unionByName(out)
 
-            self.check_seed()
-            outputs = self.transform()
             self._write_all(
                 outputs, mode="overwrite", staged=True, mutate=_union_live,
-                validate=validate,
+                validate=validate, validate_pre_mutate=True,
             )
             return outputs
         finally:
@@ -470,10 +490,18 @@ class DBT:
         staged: bool,
         mutate: Any = None,
         validate: Optional[dict[str, list]] = None,
+        mode_for: Any = None,
+        validate_pre_mutate: bool = False,
     ) -> None:
         """Write every map output in topo order; ``mutate(key, df)`` lets a
         caller rewrite a table's final frame (e.g. merge with the live
-        target) after staging-column drop but before ordering/write."""
+        target) after staging-column drop but before ordering/write.
+        ``mode_for(key)`` overrides the write mode per map (incremental
+        runs append cursor-filtered deltas but OVERWRITE full-run maps —
+        appending a full recompute would duplicate).  ``validate_pre_mutate``
+        checks rules against the pre-mutate frame (the rows ingested this
+        run) instead of the mutated full table — O(delta), and one bad
+        historical row can't block every future increment."""
         from .operators.validate import check as check_rules
 
         hooks = []
@@ -483,9 +511,8 @@ class DBT:
             for key in topo_order(self.specs):
                 m = self.specs[key]
                 df = outputs[key]
-                out = df.select(*self.write_columns(key))
-                if mutate is not None:
-                    out = mutate(key, out)
+                base = df.select(*self.write_columns(key))
+                out = mutate(key, base) if mutate is not None else base
                 # post-mutate frame IS the table's committed state (merge /
                 # live∪delta applied); record it so later maps' FK rules
                 # check against what the target will actually hold.  An
@@ -497,7 +524,10 @@ class DBT:
                 final_frames[key] = fin
                 final_frames[m.target_table] = fin
                 if validate and key in validate:
-                    check_rules(out, self._resolve_rules(validate[key], final_frames))
+                    check_rules(
+                        base if validate_pre_mutate else out,
+                        self._resolve_rules(validate[key], final_frames),
+                    )
                 if m.order is not None:
                     c = F.col(m.order.order_by)
                     out = out.orderBy(
@@ -509,7 +539,10 @@ class DBT:
                     written.append(m.target_table)
                     self.target.write_staged(out, m.target_table)
                 else:
-                    self.target.write(out, m.target_table, mode=mode)
+                    self.target.write(
+                        out, m.target_table,
+                        mode=mode_for(key) if mode_for is not None else mode,
+                    )
                 if m.run_after_transport is not None:
                     hooks.append(m.run_after_transport)
         except Exception:

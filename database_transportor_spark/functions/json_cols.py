@@ -44,7 +44,16 @@ def _schema_from_paths(fields: dict[str, tuple[str, str]]) -> StructType:
                 f"json_extract_columns: leaf {path!r} collides with a "
                 "nested path"
             )
-        node[leaf] = _parse_datatype_string(dtype)
+        t = _parse_datatype_string(dtype)
+        if leaf in node and node[leaf] != t:
+            # silently letting the last spec win would make the earlier
+            # output extract through the wrong type (all-NULL, no error)
+            raise ValueError(
+                f"json_extract_columns: path {path!r} requested with "
+                f"conflicting types {node[leaf].simpleString()!r} and "
+                f"{t.simpleString()!r}"
+            )
+        node[leaf] = t
 
     def build(d: dict) -> StructType:
         out = []
@@ -82,6 +91,14 @@ def json_extract_columns(
     reserved = set(df.columns)
     if parsed_alias in reserved:
         raise ValueError(f"json_extract_columns reserves column {parsed_alias!r}")
+    clashes = sorted(set(norm) & reserved)
+    if clashes:
+        # a duplicate-named output column would surface later as an
+        # AMBIGUOUS_REFERENCE far from this call — fail here instead
+        raise ValueError(
+            f"json_extract_columns: output names {clashes} already exist "
+            "on the input; alias them differently"
+        )
     parsed = df.withColumn(parsed_alias, F.from_json(F.col(json_col), schema))
     cols: list[Column] = [F.col(c) for c in df.columns]
     for out, (path, _) in norm.items():

@@ -400,7 +400,8 @@ def sample_to_token_budget(
     Expected kept tokens per domain = ``r_d * total_d`` ≈ the budget
     (exact in expectation; variance shrinks with corpus size — at 100 TB
     the relative error is negligible, and the alternative exact cut would
-    need a global sort).
+    need a global sort).  Rows with a NULL domain never match a rate (SQL
+    join semantics) and pass through whole, like unbudgeted domains.
 
     Shape: one tiny per-domain aggregation (map-side combined) joined back
     by BROADCAST, then a zero-shuffle hash filter.  The corpus is scanned
@@ -443,9 +444,11 @@ def zscore_filter(
     """Distribution-based quality gate: drop rows whose ``value_col``
     deviates more than ``max_z`` population standard deviations from its
     group's mean (corpus-wide when ``group_cols`` is None) — the standard
-    "drop perplexity/length outliers per source" filter.  NULL values and
-    zero-variance groups pass (nothing to judge).  ``out_col`` keeps the
-    computed z-score as a column instead of just filtering.
+    "drop perplexity/length outliers per source" filter.  NULL values,
+    zero-variance groups, and rows whose group key is NULL (a NULL key
+    never equi-joins its own group's stats — SQL join semantics) all
+    pass: nothing to judge.  ``out_col`` keeps the computed z-score as a
+    column instead of just filtering.
 
     Shape: one tiny per-group aggregate (mean + population stddev,
     map-side combined) broadcast back, then a zero-shuffle filter — the

@@ -191,12 +191,15 @@ def cdc_apply(
         if c not in changes.columns:
             raise ValueError(f"cdc_apply: changes lack required column {c!r}")
 
+    # persisted: both the upsert branch and the anti-join's key projection
+    # read this — without it the feed scan + aggregation runs twice per
+    # action (feed-sized, so the cache is bounded by the CDC contract)
     latest = changes.groupBy(*keys).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in payload], F.col(op_col).alias("__op")),
             F.col(seq_col),
         ).alias("__c")
-    )
+    ).persist()
     op = F.col("__c.__op")
     # every `latest` row has a non-null op (it came from the feed), so the
     # CaseWhen's otherwise-branch fires exactly on unknown ops — no

@@ -136,8 +136,28 @@ def asof_join(
     )
     # deterministic tiebreak among right rows sharing (key, ts): hash of the
     # carried payload — the SAME total order drives the window sort and the
-    # bucketed path's max_by, so both paths pick the same winner on exact ties
-    r = r.withColumn("__tb", F.xxhash64(F.col("__r")))
+    # bucketed path's max_by, so both paths pick the same winner on exact
+    # ties.  xxhash64 rejects MapType anywhere in its input (Spark 3+), so
+    # the hash covers only the hashable payload fields; rows that tie on
+    # (key, ts) AND on every hashable field fall back to engine order.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        return True
+
+    rtype = r.schema["__r"].dataType
+    tb_fields = [f.name for f in rtype.fields if _hashable(f.dataType)]
+    r = r.withColumn(
+        "__tb",
+        F.xxhash64(*[F.col(f"__r.{n}") for n in tb_fields])
+        if tb_fields else F.lit(0).cast("long"),
+    )
     l = left.select(
         "*",
         F.col(left_ts).alias("__ts"),

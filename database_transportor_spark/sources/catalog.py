@@ -326,7 +326,11 @@ class JDBCCatalog(Catalog):
         - **mysql/mariadb**: ``RENAME TABLE live TO old, staging TO live``
           is a single ATOMIC multi-rename (MySQL DDL is otherwise
           non-transactional) — readers switch tables instantaneously; the
-          old copy drops afterwards.
+          old copy drops afterwards.  The transient name
+          ``<table>__dbt_swap_old`` is RESERVED by this tool (like
+          ``__staging``): the pre-clean drop removes only leftovers of a
+          previously crashed swap, never a user table — do not name your
+          own tables with this suffix.
         - **postgres**: DDL is transactional — ``DROP`` + ``ALTER TABLE
           RENAME`` commit as one unit (``transactional=True``), rollback
           restores the live table on any failure.
@@ -339,7 +343,7 @@ class JDBCCatalog(Catalog):
         d = self.dialect()
         if d == "mysql":
             if exists:
-                old = f"{table}__old"
+                old = f"{table}__dbt_swap_old"
                 return (
                     [
                         f"DROP TABLE IF EXISTS {old}",

@@ -315,3 +315,23 @@ def test_zscore_filter(spark):
     assert "z" in scored.columns
     z101 = [r["z"] for r in scored.collect() if r["id"] == 101][0]
     assert z101 is None, "zero-variance group has no defined z"
+
+
+def test_json_extract_rejects_conflicts(spark):
+    from database_transportor_spark.functions.json_cols import (
+        json_extract_columns,
+    )
+
+    df = spark.createDataFrame([(1, '{"k": 5}')], ["id", "props"])
+    with pytest.raises(ValueError, match="conflicting types"):
+        json_extract_columns(
+            df, "props", {"a": ("k", "long"), "b": ("k", "string")}
+        )
+    with pytest.raises(ValueError, match="already exist"):
+        json_extract_columns(df, "props", {"id": "long"})
+    # same path, same type twice is fine (two aliases)
+    out = json_extract_columns(
+        df, "props", {"a": ("k", "long"), "b": ("k", "long")}
+    )
+    r = out.collect()[0]
+    assert r["a"] == 5 and r["b"] == 5

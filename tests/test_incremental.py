@@ -300,3 +300,60 @@ def test_incremental_fk_validates_against_final_not_delta(spark, tmp_path):
         eng().do_incremental_transport(
             {"dim": "dkey", "fact": "fid"}, validate=fk
         )
+
+
+def test_incremental_full_run_maps_not_duplicated(spark, tmp_path):
+    """Maps NOT named in cursors are full recomputes: a rerun must
+    OVERWRITE them, never append a second copy of every row."""
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    spark.createDataFrame([(1, "x"), (2, "y")], ["k", "n"]).write.parquet(
+        f"{src}/dsrc.parquet"
+    )
+    spark.createDataFrame([(10, 1)], ["id", "dk"]).write.parquet(
+        f"{src}/fsrc.parquet"
+    )
+
+    def eng():
+        return DBT(_dim_fact_maps(), target=ParquetCatalog(spark, str(tgt)),
+                   original=ParquetCatalog(spark, str(src)))
+
+    # only the FACT has a cursor; dim is a full-run map
+    eng().do_incremental_transport({"fact": "fid"})
+    eng().do_incremental_transport({"fact": "fid"})
+    dim = spark.read.parquet(f"{tgt}/dim.parquet")
+    assert dim.count() == 2, "full-run map duplicated by incremental rerun"
+    fact = spark.read.parquet(f"{tgt}/fact.parquet")
+    assert fact.count() == 1
+
+
+def test_staged_incremental_validates_delta_only(spark, tmp_path):
+    """A pre-existing live row violating a rule must NOT block future
+    staged incremental runs — validation covers the ingested delta."""
+    from database_transportor_spark.operators.validate import ValidationError
+
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    # first load contains a NULL v (historically tolerated)
+    spark.createDataFrame([(1, None), (2, "b")], ["id", "v"]).write.parquet(
+        f"{src}/src.parquet"
+    )
+    _eng(spark, src, tgt).do_incremental_transport(
+        {"evts": "event_id"}, staged=True
+    )
+    rules = {"evts": [{"rule": "not_null", "column": "val"}]}
+    # new clean row: must pass even though live row 1 violates not_null
+    spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c")], ["id", "v"]
+    ).write.mode("overwrite").parquet(f"{src}/src.parquet")
+    _eng(spark, src, tgt).do_incremental_transport(
+        {"evts": "event_id"}, staged=True, validate=rules
+    )
+    out = spark.read.parquet(f"{tgt}/evts.parquet")
+    assert out.count() == 3
+    # a dirty DELTA row still aborts
+    spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c"), (4, None)], ["id", "v"]
+    ).write.mode("overwrite").parquet(f"{src}/src.parquet")
+    with pytest.raises(ValidationError):
+        _eng(spark, src, tgt).do_incremental_transport(
+            {"evts": "event_id"}, staged=True, validate=rules
+        )

@@ -152,9 +152,9 @@ def test_swap_ddl_mysql_atomic_multirename():
     cat = _jdbc("jdbc:mysql://host/db")
     stmts, txn = cat.swap_ddl("t", exists=True)
     assert stmts == [
-        "DROP TABLE IF EXISTS t__old",
-        "RENAME TABLE t TO t__old, t__staging TO t",
-        "DROP TABLE t__old",
+        "DROP TABLE IF EXISTS t__dbt_swap_old",
+        "RENAME TABLE t TO t__dbt_swap_old, t__staging TO t",
+        "DROP TABLE t__dbt_swap_old",
     ]
     assert txn is False
     stmts, txn = cat.swap_ddl("t", exists=False)

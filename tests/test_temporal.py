@@ -383,3 +383,15 @@ def test_asof_join_bucketed_tie_matches_plain(spark):
     # repeated runs stay deterministic
     p2 = [(r["lts"], r["payload"]) for r in plain.collect()]
     assert p == p2
+
+
+def test_asof_join_map_typed_payload(spark):
+    """Map-typed right payloads can't participate in the hash tiebreak
+    (xxhash64 rejects MapType) but must still join fine."""
+    left = spark.createDataFrame([("k", 10)], ["key", "lts"])
+    right = spark.createDataFrame(
+        [("k", 5, {"a": "1"}), ("k", 7, {"b": "2"})],
+        ["key", "rts", "attrs"],
+    )
+    out = asof_join(left, right, "key", "lts", "rts").collect()
+    assert len(out) == 1 and out[0]["attrs"] == {"b": "2"}
