@@ -2610,6 +2610,36 @@ SELECT 'foreign_key', 'l_orderkey',
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals with pinned bounds (the
+    one-pass mode): width_bucket semantics replay exactly in DuckDB."""
+    from database_transportor_spark.operators.maintenance import (
+        column_histogram,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return column_histogram(
+        orders, "o_totalprice", bins=8, lo=0.0, hi=600_000.0
+    )
+
+
+# DuckDB has no width_bucket; the oracle replays Spark's formula exactly:
+# floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1 outside
+SQL_HISTOGRAM = """
+WITH b AS (
+    SELECT CAST(CASE WHEN v < 0.0 THEN 0
+                     WHEN v >= 600000.0 THEN 9
+                     ELSE FLOOR(v / 75000.0) + 1 END AS BIGINT) AS bucket
+    FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+          WHERE o_totalprice IS NOT NULL)
+)
+SELECT bucket, count(*) AS n,
+       round((bucket - 1) * 75000.0, 6) AS bucket_lo,
+       round(bucket * 75000.0, 6) AS bucket_hi
+FROM b GROUP BY 1
+"""
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column stats over orders (exact-distinct audit
     mode so the oracle can hash it; production default is HLL++)."""
@@ -3039,6 +3069,7 @@ _EXTENSION_QUERIES = {
     "dedup_best": q_dedup_best,
     "zscore_gate": q_zscore_gate,
     "ann_join": q_ann_join,
+    "histogram": q_histogram,
     "tfidf_terms": q_tfidf_terms,
     "lsh_index": q_lsh_index,
     "encode_tokens": q_encode_tokens,
@@ -3104,6 +3135,7 @@ _EXTENSION_ORACLES = {
     "dedup_best": SQL_DEDUP_BEST,
     "zscore_gate": SQL_ZSCORE_GATE,
     "ann_join": SQL_ANN_JOIN,
+    "histogram": SQL_HISTOGRAM,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "lsh_index": SQL_LSH_INDEX,
     "encode_tokens": SQL_ENCODE_TOKENS,

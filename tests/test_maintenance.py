@@ -86,3 +86,28 @@ def test_compact_rejects_remote_scheme(spark):
     cat = ParquetCatalog(spark, "s3://bucket/tables")
     with pytest.raises(ValueError, match="only local paths"):
         compact_table(cat, "t")
+
+
+def test_column_histogram(spark):
+    from database_transportor_spark.operators.maintenance import (
+        column_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,), (-5.0,), (1000.0,)],
+        ["v"],
+    )
+    out = {r["bucket"]: r for r in
+           column_histogram(df, "v", bins=4, lo=0.0, hi=100.0).collect()}
+    # 0..99 in 4 buckets of 25; -5 underflows to 0; 1000 overflows to 5
+    assert out[0]["n"] == 1 and out[5]["n"] == 1
+    assert all(out[b]["n"] == 25 for b in (1, 2, 3, 4))
+    assert out[1]["bucket_lo"] == 0.0 and out[1]["bucket_hi"] == 25.0
+    assert 101 + 2 == sum(r["n"] for r in out.values()) + 1  # NULL excluded
+    # inferred bounds path
+    auto = column_histogram(df, "v", bins=2)
+    assert sum(r["n"] for r in auto.collect()) == 102
+    import pytest
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        column_histogram(df, "v", bins=4, lo=5.0, hi=5.0)
