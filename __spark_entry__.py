@@ -2634,8 +2634,8 @@ WITH b AS (
           WHERE o_totalprice IS NOT NULL)
 )
 SELECT bucket, count(*) AS n,
-       round((bucket - 1) * 75000.0, 6) AS bucket_lo,
-       round(bucket * 75000.0, 6) AS bucket_hi
+       round(CAST((bucket - 1) * 75000.0 AS DOUBLE), 6) AS bucket_lo,
+       round(CAST(bucket * 75000.0 AS DOUBLE), 6) AS bucket_hi
 FROM b GROUP BY 1
 """
 
