@@ -3014,6 +3014,85 @@ WHERE i.i / (sa.n + sb.n - i.i) >= 0.2
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (`operators/text.py:normalize_text`):
+    lowercase + whitespace-collapse + trim as a zero-shuffle projection."""
+    from database_transportor_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return normalize_text(docs).select(
+        "doc_id", "norm_text", F.length("norm_text").cast("long").alias("norm_len")
+    )
+
+
+SQL_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS norm_text,
+       len(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking
+    (`operators/text.py:chunk_documents`): size 200 / stride 150 — 50-char
+    overlap; zero-shuffle posexplode(sequence) fan-out."""
+    from database_transportor_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, size=200, stride=150).select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_len"
+    )
+
+
+SQL_CHUNK_DOCS = r"""
+WITH s AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text), 1), 150)) AS start
+    FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) // 150 AS BIGINT) AS chunk_idx,
+       substr(text, CAST(start AS BIGINT), 200) AS chunk_text,
+       CAST(len(substr(text, CAST(start AS BIGINT), 200)) AS BIGINT) AS chunk_len
+FROM s
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM quality score (`operators/text.py:lm_score`):
+    add-1-smoothed mean token log-probability per document; counts are
+    exact, the mean is rounded to 4 decimals for cross-engine stability."""
+    from database_transportor_spark.operators.text import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score(docs).select("doc_id", "avg_logprob", "n_scored")
+
+
+SQL_LM_SCORE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents
+    WHERE trim(text) <> ''
+), toks2 AS (
+    SELECT * FROM toks WHERE token <> ''
+), counts AS (
+    SELECT token, count(*) AS cnt FROM toks2 GROUP BY token
+), tot AS (
+    SELECT sum(cnt) AS total, count(*) AS v FROM counts
+), logp AS (
+    SELECT token,
+           ln((cnt + 1.0) / (total + 1.0 * v)) AS logp
+    FROM counts, tot
+)
+SELECT doc_id,
+       round(avg(logp), 4) AS avg_logprob,
+       count(*) AS n_scored
+FROM toks2 JOIN logp USING (token)
+GROUP BY doc_id
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -3078,9 +3157,15 @@ _EXTENSION_QUERIES = {
     "validate_rules": q_validate_rules,
     "profile_table": q_profile_table,
     "diff_tables": q_diff_tables,
+    "normalize_text": q_normalize_text,
+    "chunk_docs": q_chunk_docs,
+    "lm_score": q_lm_score,
 }
 
 _EXTENSION_ORACLES = {
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "lm_score": SQL_LM_SCORE,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,

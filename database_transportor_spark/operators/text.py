@@ -33,6 +33,9 @@ __all__ = [
     "repetition_stats",
     "token_count",
     "tfidf_top_terms",
+    "normalize_text",
+    "chunk_documents",
+    "lm_score",
     "STOPWORDS",
 ]
 
@@ -269,6 +272,140 @@ def token_count(df: DataFrame, text_col: str = "text",
         r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])",
     )
     return df.withColumn(out_col, F.size(pieces))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Canonical text normalization — the first stage of almost every
+    training-data pipeline (dedup keys, tokenizer input, quality filters
+    all want a canonical form).
+
+    Steps (each toggleable): lowercase → optional punctuation strip →
+    whitespace collapse (any run of space/tab/newline/CR/FF becomes one
+    space) + trim.  The whitespace class is spelled explicitly
+    (``[ \\t\\n\\r\\f]``) rather than ``\\s`` because regex flavors
+    disagree on ``\\s`` membership (Java includes ``\\x0B``, RE2 does
+    not) — explicit classes keep the operator reproducible across
+    engines.
+
+    Scale shape: narrow projection, zero shuffle, whole-stage codegen.
+    """
+    c: Column = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, _PUNCT_CLASS, "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "[ \t\n\r\f]+", " "))
+    return df.withColumn(out_col, c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    stride: int = 150,
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into overlapping character-window chunks — the
+    context-window packing prep step (embedding models and retrieval
+    indexes both want bounded-size pieces with overlap so no boundary
+    sentence is lost).
+
+    One output row per chunk: ``(id_col, chunk_idx, out_col,
+    chunk_len)``; ``chunk_idx`` is 0-based; chunk *i* covers characters
+    ``[i*stride, i*stride + size)``.  ``stride < size`` gives
+    ``size - stride`` characters of overlap.  Empty documents produce a
+    single empty chunk (row-preserving for audits; filter
+    ``chunk_len > 0`` to drop).
+
+    Scale shape: ``posexplode(sequence(...))`` — a narrow per-row
+    fan-out with no shuffle and no Python; the expansion factor is
+    ``ceil(len/stride)``, bounded per-row, so partition sizes grow by a
+    constant factor and executor memory never sees the whole document
+    set.  Token-window chunking is this same shape over
+    ``tokens(text)`` + ``slice``.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("chunk_documents: size and stride must be >= 1")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.col(text_col).substr(F.col("__start"), F.lit(size))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias(out_col),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram distribution — the cheap perplexity-style quality signal
+    (CCNet-style pipelines use an LM score to rank crawl text; a corpus
+    self-model needs no external artifact and already separates
+    natural-language from boilerplate/noise).
+
+    Model: ``p(t) = (count(t) + s) / (total + s·V)`` (add-``s``
+    smoothing over the corpus vocabulary); score = mean ``ln p(t)`` over
+    the document's tokens.  Documents with no tokens are excluded.
+    Scores are rounded (default 4 decimals) so results are reproducible
+    across engines — ``ln`` can differ in the last ulp between libm
+    implementations, and an unrounded mean would leak that dust.
+
+    Scale shape: explode → one ``groupBy(token)`` for exact counts (hash
+    shuffle, map-side combined); the total/vocab-size scalars come from a
+    1-row aggregate cross-joined back (no driver collect); the
+    vocabulary-sized logprob table broadcast-joins to the token stream;
+    one final ``groupBy(doc)``.  Two shuffles total on the token stream,
+    both map-side combinable.  At 100 TB cap the vocabulary with a
+    ``min_count`` filter + OOV bucket if the broadcast outgrows
+    executors.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("__cnt"))
+    totals = counts.agg(
+        F.sum("__cnt").alias("__total"), F.count("*").alias("__v")
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            (F.col("__cnt").cast("double") + F.lit(float(smoothing)))
+            / (
+                F.col("__total").cast("double")
+                + F.lit(float(smoothing)) * F.col("__v").cast("double")
+            )
+        ).alias("__logp"),
+    )
+    return (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("__logp"), round_digits).alias("avg_logprob"),
+            F.count("*").alias("n_scored"),
+        )
+    )
 
 
 def tfidf_top_terms(

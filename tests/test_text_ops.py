@@ -1,0 +1,100 @@
+"""Tests for normalize_text / chunk_documents / lm_score."""
+
+import math
+
+from conftest import rows
+
+from database_transportor_spark.operators.text import (
+    chunk_documents,
+    lm_score,
+    normalize_text,
+)
+
+
+def _docs(spark, data):
+    return spark.createDataFrame(data, ["doc_id", "text"])
+
+
+def test_normalize_text_defaults(spark):
+    df = _docs(spark, [(1, "  Hello\t\tWorld \n"), (2, "A  B"), (3, "")])
+    out = rows(normalize_text(df).select("doc_id", "norm_text"), "doc_id")
+    assert out == [(1, "hello world"), (2, "a b"), (3, "")]
+
+
+def test_normalize_text_strip_punct(spark):
+    df = _docs(spark, [(1, "Hi, there! (ok)")])
+    out = rows(
+        normalize_text(df, strip_punct=True).select("norm_text"), "norm_text"
+    )
+    assert out == [("hi there ok",)]
+
+
+def test_normalize_text_toggles_off(spark):
+    df = _docs(spark, [(1, " Keep CASE  and   gaps ")])
+    out = rows(
+        normalize_text(df, lowercase=False, collapse_whitespace=False).select(
+            "norm_text"
+        )
+    )
+    assert out == [(" Keep CASE  and   gaps ",)]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    df = _docs(spark, [(1, "abcdefghij")])  # len 10
+    out = rows(
+        chunk_documents(df, size=4, stride=3).select(
+            "doc_id", "chunk_idx", "chunk_text", "chunk_len"
+        ),
+        "chunk_idx",
+    )
+    # starts 1,4,7,10 -> abcd, defg, ghij, j
+    assert out == [
+        (1, 0, "abcd", 4),
+        (1, 1, "defg", 4),
+        (1, 2, "ghij", 4),
+        (1, 3, "j", 1),
+    ]
+
+
+def test_chunk_documents_empty_doc_yields_one_empty_chunk(spark):
+    df = _docs(spark, [(7, "")])
+    out = rows(chunk_documents(df, size=5, stride=5))
+    assert out == [(7, 0, "", 0)]
+
+
+def test_chunk_documents_exact_cover_no_tail(spark):
+    df = _docs(spark, [(1, "abcdef")])  # len 6, size=stride=3
+    out = rows(chunk_documents(df, size=3, stride=3), "chunk_idx")
+    assert out == [(1, 0, "abc", 3), (1, 1, "def", 3)]
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
+
+
+def test_lm_score_matches_hand_model(spark):
+    # corpus: "a a b" and "a c"; counts a=3 b=1 c=1, total=5, V=3
+    df = _docs(spark, [(1, "a a b"), (2, "a c")])
+    out = dict(
+        (r["doc_id"], (r["avg_logprob"], r["n_scored"]))
+        for r in lm_score(df).collect()
+    )
+    total, v, s = 5, 3, 1.0
+    lp = {t: math.log((c + s) / (total + s * v)) for t, c in
+          {"a": 3, "b": 1, "c": 1}.items()}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 4)
+    exp2 = round((lp["a"] + lp["c"]) / 2, 4)
+    assert out[1] == (exp1, 3)
+    assert out[2] == (exp2, 2)
+
+
+def test_lm_score_excludes_empty_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, "   ")])
+    got = lm_score(df).select("doc_id").collect()
+    assert [r["doc_id"] for r in got] == [1]

@@ -51,7 +51,7 @@ def df_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
@@ -73,6 +73,12 @@ def main(sf_dir: str) -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)
@@ -119,4 +125,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
