@@ -3093,6 +3093,120 @@ GROUP BY doc_id
 """
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user window features
+    (`operators/temporal.py:rolling_agg`): RANGE frame over exact integer
+    microseconds; one shuffle shared by count/sum/avg."""
+    from database_transportor_spark.operators.temporal import rolling_agg
+
+    events = _read_events(spark, sf_dir)
+    return rolling_agg(events, "user_id", "ts", "value", window_sec=3600).select(
+        "event_id", "user_id", "rolling_count", "rolling_sum", "rolling_avg"
+    )
+
+
+SQL_ROLLING_AGG = r"""
+SELECT event_id, user_id,
+       count(value) OVER w AS rolling_count,
+       round(sum(value) OVER w, 4) AS rolling_sum,
+       round(avg(value) OVER w, 4) AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix
+    (`operators/funnel.py:transition_matrix`): lead window per user
+    (event_id tiebreak), |types|²-sized count + conditional probability."""
+    from database_transportor_spark.operators.funnel import transition_matrix
+
+    events = _read_events(spark, sf_dir)
+    return transition_matrix(
+        events, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).select("from_type", "to_type", "n_transitions", "prob")
+
+
+SQL_TRANSITIONS = r"""
+WITH pairs AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+), counts AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / (sum(n_transitions)
+             OVER (PARTITION BY from_type)), 6) AS prob
+FROM counts
+"""
+
+
+#: the event-type vocabulary is part of the pipeline contract (an explicit
+#: pivot column list keeps the output schema stable and skips Spark's
+#: distinct-discovery job)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type count matrix
+    (`operators/rollup.py:pivot_table`): one shuffle, explicit category
+    list, absent cells filled with 0."""
+    from database_transportor_spark.operators.rollup import pivot_table
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pivot_table(events, ["user_id"], "event_type", _EVENT_TYPES)
+
+
+SQL_PIVOT_EVENTS = r"""
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot → unpivot round trip (`operators/rollup.py:unpivot_table`):
+    melt the wide count matrix back to (user_id, metric, value) long form
+    via Spark's native Expand — zero extra shuffle beyond the pivot's."""
+    from database_transportor_spark.operators.rollup import (
+        pivot_table,
+        unpivot_table,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wide = pivot_table(events, ["user_id"], "event_type", _EVENT_TYPES)
+    return unpivot_table(wide, ["user_id"], _EVENT_TYPES)
+
+
+SQL_UNPIVOT_EVENTS = r"""
+WITH p AS (
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id, 'click' AS metric, click AS value FROM p
+UNION ALL SELECT user_id, 'error', error FROM p
+UNION ALL SELECT user_id, 'purchase', purchase FROM p
+UNION ALL SELECT user_id, 'signup', signup FROM p
+UNION ALL SELECT user_id, 'view', view FROM p
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -3160,12 +3274,20 @@ _EXTENSION_QUERIES = {
     "normalize_text": q_normalize_text,
     "chunk_docs": q_chunk_docs,
     "lm_score": q_lm_score,
+    "rolling_agg": q_rolling_agg,
+    "transitions": q_transitions,
+    "pivot_events": q_pivot_events,
+    "unpivot_events": q_unpivot_events,
 }
 
 _EXTENSION_ORACLES = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "chunk_docs": SQL_CHUNK_DOCS,
     "lm_score": SQL_LM_SCORE,
+    "rolling_agg": SQL_ROLLING_AGG,
+    "transitions": SQL_TRANSITIONS,
+    "pivot_events": SQL_PIVOT_EVENTS,
+    "unpivot_events": SQL_UNPIVOT_EVENTS,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,

@@ -21,10 +21,62 @@ Scale shapes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "sessionize"]
+__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix"]
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order event-transition matrix: for each ordered pair of
+    consecutive events per entity, count ``from_type → to_type``
+    occurrences and the conditional probability
+    ``P(to | from) = n / Σ_to n`` — the Markov-chain view of user
+    behavior (next-event prediction baselines, anomaly detection on
+    improbable transitions, UX flow maps).
+
+    ``tiebreak_col`` pins the order of same-timestamp events (without
+    it, ``lead`` over a tied sort is nondeterministic — pass the event
+    id).  Entities' last events have no successor and are excluded.
+
+    Scale shape: one shuffle on ``entity_col`` for the ``lead`` window,
+    then a ``groupBy`` on the (tiny, |types|²-sized) pair space with
+    map-side combine; the probability normalization is a window over
+    ``from_type`` on that already-aggregated frame — negligible.  The
+    division is exact-integer / exact-integer (both engines produce the
+    identically-rounded IEEE double), rounded anyway for safety.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(entity_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "prob",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wf),
+            round_digits,
+        ),
+    )
 
 
 def sessionize(

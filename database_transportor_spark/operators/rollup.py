@@ -23,7 +23,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "MERGEABLE"]
+__all__ = ["time_rollup", "MERGEABLE", "pivot_table", "unpivot_table"]
+
+
+def pivot_table(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    values: list[str],
+    agg: str = "count",
+    value_col: str | None = None,
+    fill: int | float | None = 0,
+) -> DataFrame:
+    """Wide-format pivot: one row per ``group_cols``, one column per
+    category in ``values`` (the ClickHouse/pandas ``pivot_table``
+    reshape Spark exposes via ``groupBy().pivot()``).
+
+    ``values`` is REQUIRED, not discovered: an explicit category list
+    skips the extra distinct-collection job Spark otherwise runs, keeps
+    the output schema stable across runs (a new category can't silently
+    add a column mid-pipeline), and bounds the width.  ``agg`` is one of
+    count/sum/min/max/avg (``value_col`` required for all but count).
+    Absent (group, category) cells are ``fill`` (default 0; ``None``
+    keeps NULL).
+
+    Scale shape: exactly one hash shuffle on ``group_cols`` with
+    map-side partial aggregation — the pivot is column fan-out inside
+    the aggregate, not a join per category.
+    """
+    aggs = {
+        # count(lit(1)), not count("*"): Spark disallows star inside Pivot
+        "count": lambda: F.count(F.lit(1)),
+        "sum": lambda: F.sum(value_col),
+        "min": lambda: F.min(value_col),
+        "max": lambda: F.max(value_col),
+        "avg": lambda: F.avg(value_col),
+    }
+    if agg not in aggs:
+        raise ValueError(f"pivot_table: unsupported agg {agg!r}")
+    if agg != "count" and value_col is None:
+        raise ValueError(f"pivot_table: agg {agg!r} requires value_col")
+    out = df.groupBy(*group_cols).pivot(pivot_col, values).agg(aggs[agg]())
+    for v in values:
+        c = F.col(f"`{v}`")
+        if fill is not None:
+            c = F.coalesce(c, F.lit(fill))
+        if agg == "count":
+            c = c.cast("long")
+        out = out.withColumn(v, c)
+    return out
+
+
+def unpivot_table(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Long-format melt: fold ``value_cols`` into (``var_name``,
+    ``value_name``) rows — the inverse of :func:`pivot_table` and the
+    normalizer for metrics-wide tables before grouped analysis.
+
+    Scale shape: narrow per-row fan-out (|value_cols| rows per input
+    row), zero shuffle — Spark's native ``unpivot`` (Expand node), no
+    join, no Python.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
 
 MERGEABLE = {
     "count": (lambda c: F.count("*"), F.sum),

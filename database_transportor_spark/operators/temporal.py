@@ -22,7 +22,63 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "build_scd2"]
+__all__ = ["asof_join", "range_join", "build_scd2", "rolling_agg"]
+
+
+def rolling_agg(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    aggs: tuple[str, ...] = ("count", "sum", "avg"),
+    round_digits: int = 4,
+    prefix: str = "rolling_",
+) -> DataFrame:
+    """Trailing time-window features per row — for each event, aggregate
+    ``value_col`` over that entity's events in the preceding
+    ``window_sec`` seconds (inclusive of the current row and its exact
+    time peers).  The feature-engineering primitive behind rate limits,
+    per-user velocity signals, and sliding health metrics where every
+    row needs its own trailing window (a grouped tumbling window can't
+    express this).
+
+    Implemented as a RANGE window frame over *exact integer
+    microseconds* (``unix_micros``) — range frames on a float time axis
+    invite cross-engine boundary drift; integer bounds are exact.
+    Float aggregates (sum/avg) are rounded (default 4 decimals): a
+    range frame's internal accumulation order is engine-specific and
+    can differ in the last ulp.
+
+    Scale shape: ONE shuffle on ``partition_col`` and one per-key sort,
+    shared by every requested aggregate (same window spec).  State per
+    key is the frame, bounded by ``window_sec`` × event rate — the same
+    bound a streaming watermark would enforce.  Hot entities are the
+    usual per-entity skew problem; pre-salt if one key dominates.
+    """
+    allowed = {"count", "sum", "avg", "min", "max"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"rolling_agg: unsupported aggs {sorted(bad)}")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-int(window_sec) * 1_000_000, 0)
+    )
+    out = df
+    for a in aggs:
+        if a == "count":
+            c = F.count(F.col(value_col)).over(w).cast("long")
+        elif a == "sum":
+            c = F.round(F.sum(value_col).over(w), round_digits)
+        elif a == "avg":
+            c = F.round(F.avg(value_col).over(w), round_digits)
+        elif a == "min":
+            c = F.min(value_col).over(w)
+        else:
+            c = F.max(value_col).over(w)
+        out = out.withColumn(f"{prefix}{a}", c)
+    return out
 
 
 def build_scd2(
