@@ -47,31 +47,32 @@ def pivot_table(
     Absent (group, category) cells are ``fill`` (default 0; ``None``
     keeps NULL).
 
-    Scale shape: exactly one hash shuffle on ``group_cols`` with
-    map-side partial aggregation — the pivot is column fan-out inside
-    the aggregate, not a join per category.
+    Scale shape: compiled to conditional aggregation
+    (``agg(when(pivot = v, x))`` per category) rather than Spark's
+    native ``groupBy().pivot()``: the built-in plans TWO exchanges (a
+    pre-aggregate on (group, pivot) then a second shuffle to pivot);
+    conditional aggregation is exactly ONE hash shuffle on
+    ``group_cols`` with map-side partial aggregation — the fact table
+    crosses the network once, already reduced (plan-asserted in
+    tests/test_plan_audit.py).
     """
-    aggs = {
-        # count(lit(1)), not count("*"): Spark disallows star inside Pivot
-        "count": lambda: F.count(F.lit(1)),
-        "sum": lambda: F.sum(value_col),
-        "min": lambda: F.min(value_col),
-        "max": lambda: F.max(value_col),
-        "avg": lambda: F.avg(value_col),
-    }
-    if agg not in aggs:
+    if agg not in ("count", "sum", "min", "max", "avg"):
         raise ValueError(f"pivot_table: unsupported agg {agg!r}")
     if agg != "count" and value_col is None:
         raise ValueError(f"pivot_table: agg {agg!r} requires value_col")
-    out = df.groupBy(*group_cols).pivot(pivot_col, values).agg(aggs[agg]())
+    exprs = []
     for v in values:
-        c = F.col(f"`{v}`")
-        if fill is not None:
-            c = F.coalesce(c, F.lit(fill))
+        cell = F.when(
+            F.col(pivot_col) == v,
+            F.lit(1) if value_col is None else F.col(value_col),
+        )
+        e = getattr(F, agg)(cell)
         if agg == "count":
-            c = c.cast("long")
-        out = out.withColumn(v, c)
-    return out
+            e = e.cast("long")  # count(when(...)) counts only matches
+        elif fill is not None:
+            e = F.coalesce(e, F.lit(fill))
+        exprs.append(e.alias(v))
+    return df.groupBy(*group_cols).agg(*exprs)
 
 
 def unpivot_table(

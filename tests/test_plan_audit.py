@@ -17,6 +17,10 @@ ALLOWED_NESTED_LOOP = {
     # the corpus side streams once — the point of these ops is exact
     # scoring, the scale path is ann_ivf/cosine_pairs' bucketed variants
     "ann_cosine": "bounded probe set vs corpus, exact-scoring baseline",
+    # the unigram-LM scalar totals (corpus token count + vocab size) are a
+    # literal 1-row aggregate cross-joined onto the vocabulary — build side
+    # is one row by construction, and joining it avoids a driver collect
+    "lm_score": "1-row scalar-totals frame broadcast onto the vocabulary",
 }
 
 STREAMING = {
@@ -46,7 +50,10 @@ def test_no_cartesian_or_nested_loop(spark, name):
         )
 
 
-@pytest.mark.parametrize("name", ["upsample_domains", "quantize_embeddings"])
+@pytest.mark.parametrize(
+    "name",
+    ["upsample_domains", "quantize_embeddings", "normalize_text", "chunk_docs"],
+)
 def test_zero_shuffle_ops_have_no_exchange(spark, name):
     """Ops documented as zero-shuffle must compile to Exchange-free plans."""
     df = _queries()[name](spark, SF)
@@ -67,6 +74,30 @@ def test_corpus_shuffle_single_exchange(spark):
     import re
 
     assert not re.search(r"Sort \[[^\]]*\], true", plan), f"global sort:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # one hash exchange on user_id feeds the window; AQE may add a
+        # coalesce read but never a second hash partitioning
+        ("rolling_agg", 1),
+        # one hash exchange on user_id for the grouped pivot
+        ("pivot_events", 1),
+        # unpivot adds only an Expand over the pivot's single exchange
+        ("unpivot_events", 1),
+    ],
+)
+def test_single_shuffle_ops(spark, name, max_exchanges):
+    """Ops documented as single-shuffle must not add hidden exchanges."""
+    df = _queries()[name](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_exchanges, (
+        f"{name}: {n} hash exchanges (expected <= {max_exchanges})\n{plan}"
+    )
 
 
 # Dimension-sized lookup joins must BROADCAST — a silent fallback to
