@@ -3207,6 +3207,89 @@ UNION ALL SELECT user_id, 'view', view FROM p
 """
 
 
+def q_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (`operators/funnel.py:growth_accounting`):
+    active/new/returning/cumulative users — the cumulative count is the
+    running sum of first-seen counts (exact, no distinct-over-growing-
+    window)."""
+    from database_transportor_spark.operators.funnel import growth_accounting
+
+    return growth_accounting(_read_events(spark, sf_dir), "user_id", "ts", "day")
+
+
+SQL_GROWTH = r"""
+WITH active AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+           count(DISTINCT user_id) AS n_active
+    FROM events GROUP BY 1
+), fs AS (
+    SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+), nw AS (
+    SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS period, count(*) AS n_new
+    FROM fs GROUP BY 1
+), merged AS (
+    SELECT a.period, a.n_active, coalesce(n.n_new, 0) AS n_new
+    FROM active a LEFT JOIN nw n USING (period)
+)
+SELECT period, n_active, n_new,
+       n_active - n_new AS n_returning,
+       sum(n_new) OVER (ORDER BY period
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_entities
+FROM merged
+"""
+
+
+def q_mad_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate (`operators/corpus.py:mad_filter`): per-source
+    median/MAD deviation on document length; zero-MAD and NULL pass.  All
+    arithmetic is exact-integer-derived, rounded 6 for belt-and-braces."""
+    from database_transportor_spark.operators.corpus import mad_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mad_filter(docs, "n_chars", ["source"], max_dev=3.0, out_col="dev")
+    return out.select("doc_id", "source", F.round("dev", 6).alias("dev"))
+
+
+SQL_MAD_GATE = r"""
+WITH med AS (
+    SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+), mad AS (
+    SELECT d.source, median(abs(d.n_chars - m.med)) AS mad
+    FROM documents d JOIN med m USING (source) GROUP BY d.source
+), scored AS (
+    SELECT d.doc_id, d.source,
+           CASE WHEN a.mad = 0 THEN NULL
+                ELSE abs(d.n_chars - m.med) / (1.4826 * a.mad) END AS dev
+    FROM documents d
+    JOIN med m USING (source)
+    JOIN mad a ON a.source = d.source
+)
+SELECT doc_id, source, round(dev, 6) AS dev
+FROM scored
+WHERE dev IS NULL OR dev <= 3.0
+"""
+
+
+def q_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization (`operators/corpus.py:rank_normalize`):
+    per-language percent_rank of document length — exact-integer rank
+    division, deterministic under ties, one window shuffle."""
+    from database_transportor_spark.operators.corpus import rank_normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rank_normalize(docs, "n_chars", ["lang"]).select(
+        "doc_id", "lang", "pct_rank"
+    )
+
+
+SQL_RANK_NORM = r"""
+SELECT doc_id, lang,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 _EXTENSION_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -3278,6 +3361,9 @@ _EXTENSION_QUERIES = {
     "transitions": q_transitions,
     "pivot_events": q_pivot_events,
     "unpivot_events": q_unpivot_events,
+    "growth": q_growth,
+    "mad_gate": q_mad_gate,
+    "rank_norm": q_rank_norm,
 }
 
 _EXTENSION_ORACLES = {
@@ -3288,6 +3374,9 @@ _EXTENSION_ORACLES = {
     "transitions": SQL_TRANSITIONS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "unpivot_events": SQL_UNPIVOT_EVENTS,
+    "growth": SQL_GROWTH,
+    "mad_gate": SQL_MAD_GATE,
+    "rank_norm": SQL_RANK_NORM,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,

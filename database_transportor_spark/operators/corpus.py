@@ -37,6 +37,8 @@ __all__ = [
     "upsample_domains",
     "sample_to_token_budget",
     "zscore_filter",
+    "mad_filter",
+    "rank_normalize",
     "PII_PATTERNS",
 ]
 
@@ -474,3 +476,85 @@ def zscore_filter(
     if out_col is not None:
         return out.withColumn(out_col, z).select(*df.columns, out_col)
     return out.select(*df.columns)
+
+
+def mad_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    max_dev: float = 3.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Robust (median/MAD) outlier gate — :func:`zscore_filter`'s
+    heavy-tail-safe sibling.  Mean/stddev are themselves dragged by the
+    outliers they are supposed to catch; the median and the median
+    absolute deviation are not, which is why robust gates are preferred
+    for length/perplexity distributions with a long tail.
+
+    Keeps rows where ``|x − median| / (1.4826·MAD) ≤ max_dev`` (1.4826
+    scales MAD to σ under normality).  NULL values, zero-MAD groups
+    (over half the group identical), and NULL group keys all pass —
+    nothing to judge.  ``out_col`` keeps the robust deviation score.
+
+    Shape: two tiny per-group aggregates (exact ``percentile`` — the
+    median needs the group's sorted values, but the *output* is
+    group-count sized) broadcast back, then a zero-shuffle filter.  The
+    corpus is scanned three times and shuffled never; at 100 TB swap
+    ``percentile`` for ``approx_percentile`` if the per-group sort of
+    values inside the aggregate becomes the bottleneck (the gate's
+    semantics tolerate an approximate center).
+    """
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+
+    def _grp(frame: DataFrame):
+        return frame.groupBy(*gcols) if gcols else frame.groupBy()
+
+    def _join(frame: DataFrame, stats: DataFrame) -> DataFrame:
+        return (
+            frame.join(F.broadcast(stats), gcols, "left")
+            if gcols
+            else frame.crossJoin(F.broadcast(stats))
+        )
+
+    med = _grp(df).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+    with_med = _join(df, med)
+    mad = _grp(with_med).agg(
+        F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
+    )
+    joined = _join(with_med, mad)
+    dev = F.when(
+        F.col("__mad").isNull() | (F.col("__mad") == 0) | v.isNull(),
+        F.lit(None),
+    ).otherwise(F.abs(v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")))
+    out = joined.filter(dev.isNull() | (dev <= F.lit(float(max_dev))))
+    if out_col is not None:
+        return out.withColumn(out_col, dev).select(*df.columns, out_col)
+    return out.select(*df.columns)
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Percentile-rank normalization: map ``value_col`` onto [0, 1] by its
+    rank within each group — ``(rank − 1) / (n − 1)`` (``percent_rank``).
+    The mixture-curation primitive: raw quality scores from different
+    sources/scorers aren't comparable, their ranks are; a corpus-wide
+    "keep the top 30% per source" cut is a filter on this column.
+
+    Ties share a rank (and thus a normalized value) — no tiebreak
+    needed, output is fully deterministic.  Single-row groups map to
+    0.0.  The arithmetic is exact-integer division: identical across
+    engines, no rounding required.
+
+    Shape: ONE shuffle (window partitioned by the group), the same cost
+    as any per-group sort.  Groups should be coarse (source, language);
+    for corpus-wide normalization over 100 TB prefer grouping by a
+    bucketed key + merging rank offsets, or an approx-quantile cut.
+    """
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))

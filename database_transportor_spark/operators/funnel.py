@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix"]
+__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix", "growth_accounting"]
 
 
 def transition_matrix(
@@ -234,3 +234,48 @@ def cohort_retention(
         .groupBy("cohort", "offset")
         .agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_active"))
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-period growth accounting over an event stream: for each time
+    bucket, how many entities were active, how many were NEW (first ever
+    seen in that bucket), how many were returning, and the cumulative
+    distinct-entity count — the DAU/WAU "growth ledger" every product
+    analytics stack reports.  Cumulative distinct users is NOT the sum of
+    per-period actives (entities repeat); it IS the running sum of
+    first-seen counts, which is how this computes it exactly without a
+    giant distinct-over-growing-window.
+
+    Output: ``(period, n_active, n_new, n_returning, cum_entities)``.
+    Periods with activity but no new entities report ``n_new = 0``.
+
+    Scale shape: two aggregations over the events — ``min(ts) per
+    entity`` (one shuffle on the entity key, map-side combined) and
+    ``count_distinct(entity) per period`` (one shuffle on the period) —
+    then all remaining work (first-seen rollup, join, running sum) runs
+    on period-count-sized frames; the running-sum window over an
+    unpartitioned ORDER BY is bounded by the number of periods, not the
+    corpus.
+    """
+    period = F.date_trunc(bucket, F.col(ts_col))
+    active = df.groupBy(period.alias("period")).agg(
+        F.count_distinct(F.col(entity_col)).alias("n_active")
+    )
+    first_seen = df.groupBy(entity_col).agg(F.min(ts_col).alias("__first"))
+    new = first_seen.groupBy(
+        F.date_trunc(bucket, F.col("__first")).alias("period")
+    ).agg(F.count("*").alias("n_new"))
+    merged = (
+        active.join(new, "period", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)).cast("long"))
+        .withColumn("n_returning", (F.col("n_active") - F.col("n_new")).cast("long"))
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.withColumn(
+        "cum_entities", F.sum("n_new").over(w).cast("long")
+    ).select("period", "n_active", "n_new", "n_returning", "cum_entities")

@@ -122,3 +122,78 @@ def test_unpivot_roundtrip(spark):
         (10, "click", 1), (10, "view", 2),
         (20, "click", 0), (20, "view", 1),
     ]
+
+
+def test_growth_accounting(spark):
+    from database_transportor_spark.operators.funnel import growth_accounting
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2026, 1, 1, 9), 1, "a", 0.0),
+            (2, datetime.datetime(2026, 1, 1, 10), 2, "a", 0.0),
+            (3, datetime.datetime(2026, 1, 2, 9), 1, "a", 0.0),   # returning
+            (4, datetime.datetime(2026, 1, 2, 10), 3, "a", 0.0),  # new
+            (5, datetime.datetime(2026, 1, 3, 9), 1, "a", 0.0),   # no new
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["period"].day: (r["n_active"], r["n_new"], r["n_returning"],
+                             r["cum_entities"])
+           for r in growth_accounting(df).collect()}
+    assert out[1] == (2, 2, 0, 2)
+    assert out[2] == (2, 1, 1, 3)
+    assert out[3] == (1, 0, 1, 3)
+
+
+def test_mad_filter_robust_to_outlier(spark):
+    from database_transportor_spark.operators.corpus import mad_filter
+
+    # values 10..14 plus a huge outlier; median=12, MAD=1 -> 1000 is out
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])],
+        "id long, v double",
+    )
+    kept = sorted(r["id"] for r in mad_filter(df, "v").collect())
+    assert kept == [0, 1, 2, 3, 4]
+
+
+def test_mad_filter_zero_mad_group_passes(spark):
+    from database_transportor_spark.operators.corpus import mad_filter
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 5.0), (3, "g", 5.0), (4, "g", 99.0)],
+        "id long, grp string, v double",
+    )
+    # median=5, MAD=0 -> whole group passes (nothing to judge)
+    kept = sorted(r["id"] for r in mad_filter(df, "v", ["grp"]).collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_mad_filter_out_col_and_nulls(spark):
+    from database_transportor_spark.operators.corpus import mad_filter
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 11.0), (3, 12.0), (4, 13.0), (5, 14.0), (6, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["dev"] for r in
+           mad_filter(df, "v", out_col="dev").collect()}
+    assert out[6] is None            # NULL passes with NULL score
+    assert out[3] == 0.0             # the median itself
+    assert len(out) == 6
+
+
+def test_rank_normalize_grouped_and_ties(spark):
+    from database_transportor_spark.operators.corpus import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 2.0), (4, "a", 5.0),
+         (5, "b", 7.0)],
+        "id long, grp string, v double",
+    )
+    out = {r["id"]: r["pct_rank"] for r in
+           rank_normalize(df, "v", ["grp"]).collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == 1 / 3          # ties share a rank
+    assert out[4] == 1.0
+    assert out[5] == 0.0                      # singleton group
