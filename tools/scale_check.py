@@ -70,6 +70,14 @@ QUERIES = [
     "build_vocab",
     "validate_rules",
     "diff_tables",
+    "chunk_docs",
+    "lm_score",
+    "rolling_agg",
+    "transitions",
+    "pivot_events",
+    "growth",
+    "mad_gate",
+    "rank_norm",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
