@@ -3441,3 +3441,382 @@ _EXTENSION_ORACLES = {
     "profile_table": SQL_PROFILE_TABLE,
     "diff_tables": SQL_DIFF_TABLES,
 }
+
+
+# ===========================================================================
+# Round-3 additions: OLAP cube, graph PageRank, boilerplate detection,
+# weighted sampling, and classic TPC-H-style analytics rollups.
+# ===========================================================================
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE over (event_type, day)
+    (`operators/rollup.py:cube_agg`): one Expand + ONE hash-aggregate
+    shuffle for all four grouping sets; `gid` disambiguates aggregated
+    NULLs.  The money sum goes through exact integer cents so every cell
+    — including the grand total — is bit-stable across engines."""
+    from database_transportor_spark.operators.rollup import cube_agg
+
+    ev = _read_events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = cube_agg(
+        ev.withColumn("cents", cents),
+        ["event_type", "day"],
+        [
+            F.count("*").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        ],
+    )
+    return out.select("event_type", "day", "gid", "n_events", "sum_value")
+
+
+SQL_EVENTS_CUBE = r"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_type, day,
+       GROUPING(event_type, day) AS gid,
+       count(*) AS n_events,
+       sum(cents) / 100.0 AS sum_value
+FROM ev
+GROUP BY CUBE (event_type, day)
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (`operators/graph.py:pagerank`) over the
+    symmetrized customer<->supplier trade graph (edge when a customer's
+    order has a line item from that supplier).  Symmetrization makes the
+    graph provably dangling-free, so the harness run skips the
+    per-iteration dangling-mass scalar job.  3 iterations: each is one
+    rank-table shuffle join against the src-partitioned cached edge
+    table + one map-side-combined aggregation."""
+    from database_transportor_spark.operators.graph import pagerank, symmetrize
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    pr = pagerank(
+        symmetrize(e), iterations=3, handle_dangling=False, checkpoint_every=10
+    )
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+SQL_PAGERANK = r"""
+WITH e0 AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+    SELECT src, dst FROM e0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+    SELECT DISTINCT src AS node FROM e
+), nn AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+    SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), r0 AS (
+    SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+), r1 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0.0) + 0.0 AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS s
+        FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ) c ON nodes.node = c.node
+), r2 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0.0) + 0.0 AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS s
+        FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ) c ON nodes.node = c.node
+), r3 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0.0) + 0.0 AS rank
+    FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS s
+        FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ) c ON nodes.node = c.node
+)
+SELECT node, round(rank, 9) AS rank FROM r3
+"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal
+    (`operators/text.py:boilerplate_ratio`): per-doc fraction of distinct
+    3-gram shingles occurring in >= 2 documents.  Shingles travel as
+    8-byte xxhash64 values on the Spark side (the oracle uses the raw
+    strings — identical structure when the hash is collision-free at
+    fixture scale)."""
+    from database_transportor_spark.operators.text import boilerplate_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_ratio(docs, "doc_id", "text", n=3, min_df=2)
+
+
+SQL_BOILERPLATE = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM t
+), ex AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfreq AS (
+    SELECT s, count(*) AS df FROM ex GROUP BY s
+)
+SELECT ex.doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_common,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+           AS boilerplate_ratio
+FROM ex JOIN dfreq USING (s)
+GROUP BY ex.doc_id
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling
+    (`operators/corpus.py:weighted_sample`): keep probability grows with
+    document length (p = n_chars/256 clamped to 1).  Multiplicative hash
+    so the assignment is ANSI-SQL-reproducible; zero shuffle, filter
+    directly above the scan."""
+    from database_transportor_spark.operators.corpus import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample(
+        docs,
+        "doc_id",
+        F.col("n_chars") / F.lit(256.0),
+        hash_fn="multiplicative",
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = r"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE (((doc_id * 2654435761) % 4294967296) % 1000000) / 1000000.0
+      < least(1.0, greatest(n_chars / 256.0, 0.0))
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-filter-aggregate with the
+    date predicate pushed to the parquet scan and 4-wide grouping.  All
+    money math in exact integer cents (cent*percent for the discount /
+    tax compounds), divided back out only at presentation — bit-stable
+    sums at any scale and no float accumulation drift.  Single shuffle,
+    map-side partial aggregation."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    f = l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    f = (
+        f.withColumn("cents", cents)
+        .withColumn("qty", qty)
+        .withColumn("rev_cp", cents * (F.lit(100) - disc))
+        .withColumn("chg_cp2", cents * (F.lit(100) - disc) * (F.lit(100) + tax))
+    )
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum("rev_cp") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum("chg_cp2") / F.lit(1000000.0)).alias("sum_charge"),
+            F.round(F.sum("qty") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = r"""
+WITH f AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc,
+           CAST(round(l_tax * 100) AS BIGINT) AS tax
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty) AS sum_qty,
+       sum(cents) / 100.0 AS sum_base_price,
+       sum(cents * (100 - disc)) / 10000.0 AS sum_disc_price,
+       sum(cents * (100 - disc) * (100 + tax)) / 1000000.0 AS sum_charge,
+       round(sum(qty) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM f
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered
+    customers BROADCAST into orders, lineitem shuffle-joined on
+    orderkey, top-10 by exact-integer revenue with a deterministic
+    orderkey tiebreak (TakeOrdered — no global sort materialization)."""
+    d = F.lit("1998-06-30").cast("timestamp")
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < d
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > d
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("rev_cp").alias("rev_cp")
+    )
+    return (
+        g.orderBy(F.col("rev_cp").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("rev_cp") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+SQL_TOP_UNSHIPPED = r"""
+WITH j AS (
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_cp
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-30'
+      AND l.l_shipdate > TIMESTAMP '1998-06-30'
+), g AS (
+    SELECT l_orderkey, o_orderdate, o_orderpriority, sum(rev_cp) AS rev_cp
+    FROM j GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       rev_cp / 10000.0 AS revenue
+FROM g
+ORDER BY rev_cp DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue: six-table join where
+    every dimension (supplier, nation, region) is BROADCAST — the only
+    shuffles are the two fact-side equi-joins (orders⋈customer on
+    custkey, lineitem⋈orders on orderkey) plus the final small
+    aggregation.  Exact-integer revenue."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l.withColumn("rev_cp", cents * (F.lit(100) - disc)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        (F.sum("rev_cp") / F.lit(10000.0)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_REVENUE_BY_NATION = r"""
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue,
+       count(*) AS n_items
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+_EXTENSION_QUERIES.update(
+    {
+        "events_cube": q_events_cube,
+        "pagerank": q_pagerank,
+        "boilerplate": q_boilerplate,
+        "weighted_sample": q_weighted_sample,
+        "pricing_summary": q_pricing_summary,
+        "top_unshipped": q_top_unshipped,
+        "revenue_by_nation": q_revenue_by_nation,
+    }
+)
+
+_EXTENSION_ORACLES.update(
+    {
+        "events_cube": SQL_EVENTS_CUBE,
+        "pagerank": SQL_PAGERANK,
+        "boilerplate": SQL_BOILERPLATE,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_unshipped": SQL_TOP_UNSHIPPED,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    }
+)

@@ -39,6 +39,7 @@ __all__ = [
     "zscore_filter",
     "mad_filter",
     "rank_normalize",
+    "weighted_sample",
     "PII_PATTERNS",
 ]
 
@@ -558,3 +559,31 @@ def rank_normalize(
     gcols = list(group_cols or [])
     w = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc())
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    prob: Column,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a *row-dependent*
+    keep probability — the importance-sampling primitive for training
+    mixes (keep high-quality docs with p≈1, down-weight boilerplate with
+    p≈0.1, …).  ``prob`` is any Column expression in [0,1]; values are
+    clamped.
+
+    Unlike ``DataFrame.sample`` this is a pure deterministic projection:
+    the same id keeps the same fate across reruns, backfills, cluster
+    sizes and partitionings (``sample`` draws per-partition RNG streams,
+    so output changes whenever partitioning does).  Zero shuffle; the
+    filter sits directly above the scan, so column pruning and partition
+    pruning still apply.
+    """
+    p = F.least(F.greatest(prob.cast("double"), F.lit(0.0)), F.lit(1.0))
+    u = bucket_column(id_col, n_buckets, salt, hash_fn).cast("double") / F.lit(
+        float(n_buckets)
+    )
+    return df.filter(u < p)

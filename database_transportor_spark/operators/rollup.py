@@ -23,7 +23,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "MERGEABLE", "pivot_table", "unpivot_table"]
+__all__ = [
+    "time_rollup",
+    "MERGEABLE",
+    "pivot_table",
+    "unpivot_table",
+    "cube_agg",
+]
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: list[str],
+    measures: list,
+    mode: str = "cube",
+    sets: list[list[str]] | None = None,
+    gid_col: str = "gid",
+) -> DataFrame:
+    """Multi-dimensional OLAP aggregation over ``dims`` — CUBE (every
+    dim subset), ROLLUP (hierarchical prefixes), or explicit GROUPING
+    SETS — with a ``grouping_id`` disambiguator column.
+
+    ``measures`` are pre-built aggregate Columns (``F.count('*')
+    .alias(...)`` etc.).  ``gid_col`` carries ``F.grouping_id()`` (first
+    dim = most significant bit, matching ANSI ``GROUPING(dims...)``), so
+    a NULL dim value from aggregation is distinguishable from a NULL in
+    the data — without it the cube output is ambiguous.
+
+    Scale shape: Spark plans one Expand node (each input row fans out to
+    the matching grouping sets) feeding ONE hash aggregate with map-side
+    partial aggregation — a single shuffle regardless of how many sets,
+    never one scan per set.  At 100 TB prefer ROLLUP or explicit sets to
+    a full CUBE: Expand multiplies shuffle input by the number of sets
+    (2^|dims| for cube, |dims|+1 for rollup).
+    """
+    if mode == "cube":
+        gb = df.cube(*dims)
+    elif mode == "rollup":
+        gb = df.rollup(*dims)
+    elif mode == "sets":
+        if sets is None:
+            raise ValueError("cube_agg: mode='sets' requires sets=[...]")
+        gb = df.groupingSets([[c for c in s] for s in sets], *dims)
+    else:
+        raise ValueError(f"cube_agg: unknown mode {mode!r}")
+    return gb.agg(F.grouping_id().alias(gid_col), *measures)
 
 
 def pivot_table(

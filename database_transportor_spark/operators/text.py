@@ -33,6 +33,7 @@ __all__ = [
     "repetition_stats",
     "token_count",
     "tfidf_top_terms",
+    "boilerplate_ratio",
     "normalize_text",
     "chunk_documents",
     "lm_score",
@@ -462,4 +463,49 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(id_col, "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detection: for every document, the
+    fraction of its distinct word ``n``-gram shingles that occur in at
+    least ``min_df`` documents corpus-wide (headers, footers, nav bars,
+    license blurbs score high).  Returns ``(id, n_shingles, n_common,
+    boilerplate_ratio)``; documents shorter than ``n`` tokens are absent.
+
+    The C4/RefinedWeb-style curation signal: filter or down-weight rows
+    with a high ratio before training.
+
+    Scale shape: the shingle never leaves an executor as a string — the
+    corpus-wide document-frequency table is built over 8-byte
+    ``xxhash64`` shingle hashes (explode → ONE hash-partial-aggregated
+    shuffle), rejoined on the same 8-byte key, and folded back to one
+    row per document (one further shuffle on the id).  No self-join, no
+    pair blow-up: cost is linear in total shingle count.
+    """
+    from .dedup import ngram_shingle_hashes
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(ngram_shingle_hashes(text_col, n)).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_common"),
+            F.round(
+                F.sum((F.col("df") >= min_df).cast("long"))
+                / F.count("*"),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
     )

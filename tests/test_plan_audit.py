@@ -114,7 +114,14 @@ BROADCAST_EXPECTED = {
     "refer_hooks": 1,
     "refer_salted": 1,     # salted variant still broadcasts the salted dim
     "cdc_apply": 1,        # feed keys broadcast into the anti join
+    # TPC-H-shaped analytics: every dimension join must broadcast
+    "top_unshipped": 1,        # segment-filtered customer keys
+    "revenue_by_nation": 3,    # region->nation, supplier, nation
 }
+
+#: queries whose FACT-side joins legitimately sort-merge at scale (the
+#: dimension joins above must still broadcast)
+_FACT_JOIN_OK = {"flagship", "top_unshipped", "revenue_by_nation"}
 
 
 @pytest.mark.parametrize("name", sorted(BROADCAST_EXPECTED))
@@ -131,6 +138,19 @@ def test_dimension_lookups_broadcast(spark, name):
         f"{name}: expected >= {BROADCAST_EXPECTED[name]} BroadcastHashJoin, "
         f"found {n}\n{plan}"
     )
-    assert "SortMergeJoin" not in plan or name == "flagship", (
+    assert "SortMergeJoin" not in plan or name in _FACT_JOIN_OK, (
         f"{name}: dimension lookup degraded to sort-merge\n{plan}"
     )
+
+
+def test_pricing_summary_pushes_date_filter_to_scan(spark):
+    """The Q1-shaped scan must push the shipdate predicate into the
+    parquet reader — a full-table scan for a date-sliced rollup is the
+    first thing that breaks at 100 TB."""
+    df = _queries()["pricing_summary"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], f"shipdate not pushed:\n{plan}"
