@@ -3820,3 +3820,99 @@ _EXTENSION_ORACLES.update(
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
     }
 )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k frequent values (`operators/sketches.py:heavy_hitters`):
+    map-side-combined count over the value domain, then TakeOrdered of
+    the k winners with a deterministic (count desc, value asc) tiebreak
+    — the frequency table, not the input, is what gets ranked."""
+    from database_transportor_spark.operators.sketches import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(events, "user_id", k=10)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH c AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), ranked AS (
+    SELECT user_id, n,
+           row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+    FROM c
+)
+SELECT user_id, n, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per user (`operators/temporal.py:gap_fill`):
+    per-key date spine from a (min,max) aggregate + sequence() explode —
+    no global calendar cross join; absent days filled with 0."""
+    from database_transportor_spark.operators.temporal import gap_fill
+
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return gap_fill(daily, ["user_id"], "day", "1 day", value_cols=["n_events"])
+
+
+SQL_GAP_FILL = r"""
+WITH d AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY user_id
+), spine AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day
+    FROM span
+)
+SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events
+FROM spine s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def q_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-group sampling
+    (`operators/corpus.py:sample_per_group`): 20 docs per source by
+    multiplicative-hash order — one window shuffle, reproducible by any
+    ANSI SQL engine."""
+    from database_transportor_spark.operators.corpus import sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_per_group(
+        docs, "doc_id", ["source"], k=20, hash_fn="multiplicative"
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_SAMPLE_GROUP = r"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id * 2654435761) % 4294967296) % 2147483648,
+                        doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 20
+"""
+
+
+_EXTENSION_QUERIES.update(
+    {
+        "heavy_hitters": q_heavy_hitters,
+        "gap_fill": q_gap_fill,
+        "sample_group": q_sample_group,
+    }
+)
+
+_EXTENSION_ORACLES.update(
+    {
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "gap_fill": SQL_GAP_FILL,
+        "sample_group": SQL_SAMPLE_GROUP,
+    }
+)

@@ -40,6 +40,7 @@ __all__ = [
     "mad_filter",
     "rank_normalize",
     "weighted_sample",
+    "sample_per_group",
     "PII_PATTERNS",
 ]
 
@@ -587,3 +588,33 @@ def weighted_sample(
         float(n_buckets)
     )
     return df.filter(u < p)
+
+
+def sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    k: int,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact ``k`` rows per group, chosen deterministically by hash
+    order of the id (a reservoir-sample replacement that is stable
+    across reruns, partitionings, and cluster sizes — per-partition RNG
+    reservoirs are not).  Groups smaller than ``k`` keep all rows.
+
+    Scale shape: one window shuffle keyed on the group; the sort key is
+    the 8-byte hash, so the shuffle payload is the input rows once —
+    no pre-aggregation pass, no collect.  With ``hash_fn=
+    "multiplicative"`` the selection is ANSI-SQL-reproducible by
+    external engines.
+    """
+    from pyspark.sql import Window
+
+    u = bucket_column(id_col, 2**31, salt, hash_fn)
+    w = Window.partitionBy(*group_cols).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

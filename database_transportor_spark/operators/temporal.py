@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "build_scd2", "rolling_agg"]
+__all__ = ["asof_join", "range_join", "build_scd2", "rolling_agg", "gap_fill"]
 
 
 def rolling_agg(
@@ -374,3 +374,43 @@ def range_join(
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
     return matched.unionByName(missing.select(*matched.columns))
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    step: str = "1 day",
+    value_cols: list[str] | None = None,
+    fill: int | float | None = 0,
+) -> DataFrame:
+    """Time-series gap filling (date spine): emit one row per ``step``
+    between each key's first and last bucket, filling absent buckets'
+    ``value_cols`` with ``fill`` (None keeps NULL).  Input must already
+    be bucketed — one row per (keys, ts) — e.g. the output of
+    ``time_rollup``; downstream window functions (lag/lead, moving
+    averages) then see a dense, regular series.
+
+    Scale shape: the spine is built per key from a (min, max) aggregate
+    — one map-side-combined shuffle producing ONE row per key — then a
+    ``sequence()`` explode fans it out to the buckets (narrow, no
+    shuffle, no cross join against a global calendar frame).  The final
+    left join is keyed on (keys, bucket), the same partitioning the
+    aggregate just produced.  Spine size is bounded per key by the
+    key's own active range, never the global min/max — a key active for
+    a week doesn't get ten years of empty rows.
+    """
+    span = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    spine = span.select(
+        *keys,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+        ).alias(ts_col),
+    )
+    out = spine.join(df, [*keys, ts_col], "left")
+    if fill is not None:
+        for c in value_cols or []:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
+    return out

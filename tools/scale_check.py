@@ -78,6 +78,13 @@ QUERIES = [
     "growth",
     "mad_gate",
     "rank_norm",
+    "events_cube",
+    "pagerank",
+    "boilerplate",
+    "weighted_sample",
+    "pricing_summary",
+    "top_unshipped",
+    "revenue_by_nation",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
