@@ -25,6 +25,12 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "check", "rules": [...]}      # data-quality gate, raises on fail
     {"op": "filter", "condition": "<sql expr>"}
     {"op": "select", "columns": [...]}
+    {"op": "weighted_sample", "id_col": ..., "prob": "<sql expr>"}
+    {"op": "sample_per_group", "id_col": ..., "group_cols": [...], "k": N}
+    {"op": "gap_fill", "keys": [...], "ts_col": ..., "step": "1 day",
+     "value_cols": [...]}
+    {"op": "heavy_hitters", "value_col": ..., "k": N}
+    {"op": "boilerplate_ratio", "id_col": ..., "text_col": ...}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -249,3 +255,71 @@ def _check(df: DataFrame, p: dict) -> DataFrame:
 
     check(df, p["rules"])
     return df
+
+
+@register_post_op("weighted_sample")
+def _weighted_sample(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import weighted_sample
+
+    return weighted_sample(
+        df,
+        p["id_col"],
+        F.expr(p["prob"]),
+        salt=p.get("salt", 0),
+        hash_fn=p.get("hash_fn", "xxhash64"),
+    )
+
+
+@register_post_op("sample_per_group")
+def _sample_per_group(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import sample_per_group
+
+    return sample_per_group(
+        df,
+        p["id_col"],
+        p["group_cols"],
+        p["k"],
+        salt=p.get("salt", 0),
+        hash_fn=p.get("hash_fn", "xxhash64"),
+    )
+
+
+@register_post_op("gap_fill")
+def _gap_fill(df: DataFrame, p: dict) -> DataFrame:
+    from .temporal import gap_fill
+
+    return gap_fill(
+        df,
+        p["keys"],
+        p["ts_col"],
+        p.get("step", "1 day"),
+        value_cols=p.get("value_cols"),
+        fill=p.get("fill", 0),
+    )
+
+
+@register_post_op("heavy_hitters")
+def _heavy_hitters(df: DataFrame, p: dict) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        df,
+        p["value_col"],
+        group_cols=p.get("group_cols"),
+        k=p.get("k", 10),
+        exact=p.get("exact", True),
+        support=p.get("support", 0.01),
+    )
+
+
+@register_post_op("boilerplate_ratio")
+def _boilerplate(df: DataFrame, p: dict) -> DataFrame:
+    from .text import boilerplate_ratio
+
+    return boilerplate_ratio(
+        df,
+        p.get("id_col", "doc_id"),
+        p.get("text_col", "text"),
+        n=p.get("n", 3),
+        min_df=p.get("min_df", 2),
+    )

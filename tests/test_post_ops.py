@@ -193,3 +193,67 @@ def test_post_op_scd2(spark):
         feed, ({"op": "scd2", "keys": ["k"], "ts_col": "ts"},), "test"
     )
     assert sorted(r["valid_to"] is None for r in out.collect()) == [False, True]
+
+
+def test_round3_sampling_and_hitters_post_ops(spark):
+    docs = spark.createDataFrame(
+        [(i, "src%d" % (i % 2), "tok tok tok") for i in range(40)],
+        ["doc_id", "source", "text"],
+    )
+    maps = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "source": "source"},
+            "post_ops": [
+                {"op": "sample_per_group", "id_col": "doc_id",
+                 "group_cols": ["source"], "k": 5},
+            ],
+        },
+        "hot": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "source": "source"},
+            "post_ops": [
+                {"op": "heavy_hitters", "value_col": "source", "k": 1},
+            ],
+        },
+        "kept": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id"},
+            "post_ops": [
+                # doc_id < 20 -> p=0 dropped; >= 20 -> p=1 kept
+                {"op": "weighted_sample", "id_col": "doc_id",
+                 "prob": "case when doc_id >= 20 then 1.0 else 0.0 end"},
+            ],
+        },
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"docs": docs}))
+    out = eng.transform()
+    per_src = out["out"].groupBy("source").count().collect()
+    assert {r["count"] for r in per_src} == {5}
+    hot = out["hot"].collect()
+    assert len(hot) == 1 and hot[0]["n"] == 20
+    assert sorted(r["doc_id"] for r in out["kept"].collect()) == list(range(20, 40))
+
+
+def test_gap_fill_post_op(spark):
+    import datetime
+
+    rows = [("u", datetime.datetime(2026, 1, 1), 3),
+            ("u", datetime.datetime(2026, 1, 3), 9)]
+    daily = spark.createDataFrame(rows, "k string, day timestamp, n long")
+    maps = {
+        "dense": {
+            "original_table": "daily",
+            "columns": {"k": "k", "day": "day", "n": "n"},
+            "post_ops": [
+                {"op": "gap_fill", "keys": ["k"], "ts_col": "day",
+                 "value_cols": ["n"]},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"daily": daily}))
+    out = eng.transform()["dense"]
+    got = {r["day"].day: r["n"] for r in out.collect()}
+    assert got == {1: 3, 2: 0, 3: 9}

@@ -85,6 +85,9 @@ QUERIES = [
     "pricing_summary",
     "top_unshipped",
     "revenue_by_nation",
+    "heavy_hitters",
+    "gap_fill",
+    "sample_group",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
