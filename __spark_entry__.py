@@ -3916,3 +3916,143 @@ _EXTENSION_ORACLES.update(
         "sample_group": SQL_SAMPLE_GROUP,
     }
 )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (`operators/corpus.py:winsorize`): exact
+    [p05, p95] percentile bounds per language — one group-count-sized
+    aggregate broadcast back, clip is a narrow projection."""
+    from database_transportor_spark.operators.corpus import winsorize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = winsorize(docs, "n_chars", ["lang"], p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "doc_id", "lang", F.round("n_chars_wins", 6).alias("n_chars_wins")
+    )
+
+
+SQL_WINSORIZE = r"""
+WITH b AS (
+    SELECT lang,
+           quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang,
+       round(least(greatest(CAST(n_chars AS DOUBLE), b.lo), b.hi), 6)
+           AS n_chars_wins
+FROM documents d JOIN b ON d.lang = b.lang
+"""
+
+
+#: Z-order harness parameters — shared by the Spark query and the
+#: generated oracle so the bit-interleave expressions stay in lockstep.
+_Z_BITS = 8
+
+
+def _z_terms_sql(var: str, idx: int, ncols: int, bits: int) -> str:
+    return " + ".join(
+        f"((({var} >> {b}) & 1) << {b * ncols + idx})" for b in range(bits)
+    )
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve layout key (`operators/layout.py:zorder_key`) over
+    (user_id, value-cents): min/max bucketing to 8 bits each, bit planes
+    interleaved — the clustering key a layout rewrite sorts by so file
+    min/max stats prune scans on either column.  Key computation is a
+    narrow projection; only the (min,max) bounds aggregate runs ahead."""
+    from database_transportor_spark.operators.layout import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = zorder_key(ev, ["user_id", "cents"], bits=_Z_BITS)
+    return out.select("event_id", "zkey")
+
+
+SQL_ZORDER = f"""
+WITH src AS (
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), mm AS (
+    SELECT CAST(min(user_id) AS DOUBLE) AS ulo, CAST(max(user_id) AS DOUBLE) AS uhi,
+           CAST(min(cents) AS DOUBLE) AS clo, CAST(max(cents) AS DOUBLE) AS chi
+    FROM src
+), b AS (
+    SELECT event_id,
+           least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - ulo) * 255.0
+                                     / (uhi - ulo)) AS BIGINT), 0), 255) AS bu,
+           least(greatest(CAST(floor((CAST(cents AS DOUBLE) - clo) * 255.0
+                                     / (chi - clo)) AS BIGINT), 0), 255) AS bc
+    FROM src, mm
+)
+SELECT event_id,
+       {_z_terms_sql('bu', 0, 2, _Z_BITS)}
+     + {_z_terms_sql('bc', 1, 2, _Z_BITS)} AS zkey
+FROM b
+"""
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clustering — operator composition: IVF-bucketed
+    cosine pairs (`similarity.py:cosine_pairs`) feed connected components
+    (`dedup.py:dedup_clusters`); every vector gets cluster_id = min
+    reachable vec_id.  The pair graph, not the corpus, is what the
+    clustering step touches."""
+    from database_transportor_spark.operators.dedup import dedup_clusters
+    from database_transportor_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.3, stride=37)
+    return dedup_clusters(
+        emb.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+
+
+SQL_SEMANTIC_CLUSTERS = """
+WITH RECURSIVE cent AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 64
+), assign AS (
+    SELECT vec_id, embedding, bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assign a JOIN assign b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT vec_id AS id, vec_id AS r FROM embeddings
+    UNION
+    SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+_EXTENSION_QUERIES.update(
+    {
+        "winsorize": q_winsorize,
+        "zorder": q_zorder,
+        "semantic_clusters": q_semantic_clusters,
+    }
+)
+
+_EXTENSION_ORACLES.update(
+    {
+        "winsorize": SQL_WINSORIZE,
+        "zorder": SQL_ZORDER,
+        "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
+    }
+)

@@ -41,6 +41,7 @@ __all__ = [
     "rank_normalize",
     "weighted_sample",
     "sample_per_group",
+    "winsorize",
     "PII_PATTERNS",
 ]
 
@@ -618,3 +619,38 @@ def sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its exact per-group
+    [``p_lo``, ``p_hi``] percentile band — the standard tail-taming
+    step before z-scoring or regression-weighting features whose
+    outliers are data errors rather than signal.
+
+    Scale shape: the percentile bounds are ONE sort-based aggregate
+    producing one row per group (map-side partial; group count rows
+    total), broadcast-joined back; the clip itself is a narrow
+    projection.  The measured column shuffles once for the percentile
+    sort, the table itself never shuffles.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"winsorize: need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    out_col = out_col or f"{value_col}_wins"
+    gcols = list(group_cols or [])
+    bounds = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("__lo"),
+        F.percentile(value_col, F.lit(p_hi)).alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bounds), gcols) if gcols else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
+                      F.col("__hi"))
+    return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
