@@ -400,8 +400,13 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     cat = _build_catalog(
         spark, {"kind": args.format, "root": args.root, "format": args.format}
     )
-    n = compact_table(cat, args.table, target_file_bytes=args.target_mb << 20)
-    print(f"compacted {args.root}/{args.table} into {n} file(s)")
+    zcols = [c.strip() for c in args.zorder.split(",")] if args.zorder else None
+    n = compact_table(
+        cat, args.table, target_file_bytes=args.target_mb << 20,
+        zorder_cols=zcols,
+    )
+    layout = f" (z-ordered by {','.join(zcols)})" if zcols else ""
+    print(f"compacted {args.root}/{args.table} into {n} file(s){layout}")
     return 0
 
 
@@ -505,6 +510,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--format", default="parquet")
     c.add_argument("--target-mb", type=int, default=128,
                    help="target file size in MB (default 128)")
+    c.add_argument("--zorder", default=None,
+                   help="comma-separated numeric columns: cluster the "
+                        "rewrite along their Z-order curve so file-level "
+                        "min/max stats prune scans on any of them")
     c.add_argument("--master", default=None)
     c.set_defaults(fn=_cmd_compact)
 

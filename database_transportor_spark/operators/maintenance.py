@@ -29,6 +29,8 @@ def compact_table(
     catalog,
     table: str,
     target_file_bytes: int = 128 << 20,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 10,
 ) -> int:
     """Rewrite ``table`` into ``ceil(current_bytes / target_file_bytes)``
     files (min 1) via the catalog's staged swap; returns the file count
@@ -36,6 +38,12 @@ def compact_table(
     a non-local path (``s3://``, ``hdfs://``...) raises rather than
     silently sizing to one file; on object stores pre-repartition
     explicitly or extend with the Hadoop FileSystem API.
+
+    ``zorder_cols`` additionally clusters the rewrite along the Morton
+    curve of those columns (``operators/layout.py:zorder_sort``): files
+    then cover disjoint key ranges and per-file min/max stats prune
+    scans filtering on ANY of the clustered columns — compaction and
+    layout optimization in the same single rewrite.
     """
     path = catalog.path(table)
     scheme = path.split("://", 1)[0] if "://" in path else ""
@@ -58,9 +66,14 @@ def compact_table(
                     total += os.path.getsize(os.path.join(dirpath, f))
     n = max(1, math.ceil(total / target_file_bytes))
     df = catalog.read(table)
-    # coalesce when shrinking (no shuffle); repartition only if growing
-    current = df.rdd.getNumPartitions()
-    out = df.coalesce(n) if n <= current else df.repartition(n)
+    if zorder_cols:
+        from .layout import zorder_sort
+
+        out = zorder_sort(df, zorder_cols, bits=zorder_bits, num_partitions=n)
+    else:
+        # coalesce when shrinking (no shuffle); repartition only if growing
+        current = df.rdd.getNumPartitions()
+        out = df.coalesce(n) if n <= current else df.repartition(n)
     catalog.write_staged(out, table)
     catalog.commit_staged(table)
     return n

@@ -341,3 +341,22 @@ TARGET = {{"kind": "parquet", "root": "/tmp/never-used"}}
     assert "target.dim.nname" in by_col[("fact", "nation")]["sources"]
     assert by_col[("fact", "tmp_nk")]["staging"] is True
     assert by_col[("dim", "nk")]["sources"] == ["original.nation.n_nationkey"]
+
+
+def test_compact_zorder_cli(tmp_path):
+    """compact --zorder clusters the rewrite along the given columns."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT range AS k, range % 97 AS x, (range * 13) % 89 AS y"
+        f" FROM range(4000)) TO '{tmp_path}/t.parquet' (FORMAT PARQUET)"
+    )
+    r = _run(["compact", "--root", str(tmp_path), "--table", "t",
+              "--zorder", "x,y", "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "z-ordered by x,y" in r.stdout
+    n = duckdb.sql(f"SELECT count(*) FROM '{tmp_path}/t.parquet/*.parquet'"
+                   if (tmp_path / "t.parquet").is_dir()
+                   else f"SELECT count(*) FROM '{tmp_path}/t.parquet'").fetchone()[0]
+    assert n == 4000

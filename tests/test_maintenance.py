@@ -111,3 +111,34 @@ def test_column_histogram(spark):
 
     with pytest.raises(ValueError, match="hi > lo"):
         column_histogram(df, "v", bins=4, lo=5.0, hi=5.0)
+
+
+def test_compact_zorder_preserves_rows_and_clusters_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = (
+        spark.range(8_000)
+        .withColumnRenamed("id", "k")
+        .selectExpr("k", "k % 97 AS x", "(k * 13) % 89 AS y")
+    )
+    cat.write(df.repartition(16), "t", mode="overwrite")
+    rows_before = sorted(r["k"] for r in cat.read("t").collect())
+
+    n = compact_table(cat, "t", target_file_bytes=16 << 10,
+                      zorder_cols=["x", "y"], zorder_bits=8)
+    assert n >= 2  # sized to multiple files so clustering is observable
+    assert sorted(r["k"] for r in cat.read("t").collect()) == rows_before
+
+    # files must cover narrow, mostly-disjoint x-ranges: with Z-order, the
+    # sum of per-file x-spans is well below files x global span (a random
+    # layout gives every file the full span)
+    files = glob.glob(f"{tmp_path}/t.parquet/part-*.parquet")
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["x"])
+        xs = t.column("x").to_pylist()
+        if xs:
+            spans.append(max(xs) - min(xs))
+    assert len(spans) >= 2
+    assert sum(spans) < len(spans) * 96 * 0.9, spans
