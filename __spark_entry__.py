@@ -4056,3 +4056,59 @@ _EXTENSION_ORACLES.update(
         "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
     }
 )
+
+
+def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count continuous aggregate
+    (`operators/rollup.py:time_rollup` with the `hll` mergeable): daily
+    distinct users computed by MERGING hour-level DataSketches HLL
+    sketches, never re-scanning raw events.  Oracle = accuracy contract:
+    exact distinct plus a Spark-computed flag that (a) the merged
+    estimate is within 5% and (b) it equals the estimate from a direct
+    one-level sketch over raw data (sketch-union exactness)."""
+    from database_transportor_spark.operators.rollup import (
+        hll_estimates,
+        time_rollup,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    levels = time_rollup(
+        ev, "ts", [], {"users": ("hll", "user_id"), "n_events": ("count", None)},
+        ["1 hour", "1 day"],
+    )
+    day = hll_estimates(levels["1 day"], ["users"]).withColumnRenamed(
+        "users", "merged_est"
+    )
+    direct = (
+        ev.groupBy(F.window("ts", "1 day").getField("start").alias("bucket_start"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("direct_est"),
+        )
+    )
+    return day.join(direct, "bucket_start").select(
+        "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            (F.abs(F.col("merged_est") - F.col("exact_users"))
+             <= F.col("exact_users") * 0.05)
+            & (F.col("merged_est") == F.col("direct_est"))
+        ).alias("within_bound"),
+    )
+
+
+SQL_ROLLUP_DISTINCT = r"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY 1
+"""
+
+
+_EXTENSION_QUERIES.update({"rollup_distinct": q_rollup_distinct})
+_EXTENSION_ORACLES.update({"rollup_distinct": SQL_ROLLUP_DISTINCT})

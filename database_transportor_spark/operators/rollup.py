@@ -14,8 +14,13 @@ output measure to a (leaf aggregate, merge aggregate) pair:
     sum    → sum(x)      at leaf, sum(col)  to merge
     min    → min(x)      at leaf, min(col)  to merge
     max    → max(x)      at leaf, max(col)  to merge
+    hll    → hll_sketch_agg at leaf, hll_union_agg to merge (binary
+             DataSketches HLL; estimates via hll_estimates())
 
-(avg is derived as sum/count at read time — never merged directly.)
+(avg is derived as sum/count at read time — never merged directly.
+Distinct counts are only mergeable as sketches — "hll" carries the sketch
+through the hierarchy so the day level's estimate equals the one computed
+straight from raw data, which re-aggregated approximate counts cannot.)
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ __all__ = [
     "pivot_table",
     "unpivot_table",
     "cube_agg",
+    "hll_estimates",
 ]
 
 
@@ -146,7 +152,23 @@ MERGEABLE = {
     "sum": (F.sum, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # Apache DataSketches HLL: the leaf aggregates raw values into a binary
+    # sketch; coarser levels MERGE sketches (hll_union_agg) — this is what
+    # makes approximate distinct counts roll up exactly like sums do, the
+    # thing plain approx_count_distinct results can never do (distinct
+    # counts are not additive).  Read estimates out with hll_estimates().
+    "hll": (F.hll_sketch_agg, F.hll_union_agg),
 }
+
+
+def hll_estimates(df: DataFrame, sketch_cols: list[str]) -> DataFrame:
+    """Materialize HLL sketch columns into long estimates (replacing the
+    binary sketch) — the presentation step after a ``time_rollup`` with
+    ``"hll"`` measures.  Narrow projection, zero shuffle."""
+    out = df
+    for c in sketch_cols:
+        out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)).cast("long"))
+    return out
 
 
 def time_rollup(

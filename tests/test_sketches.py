@@ -76,3 +76,42 @@ def test_approx_quantiles_rank_error(spark):
     for k in e:
         for ev, av in zip(e[k], a[k]):
             assert abs(av - ev) / max(abs(ev), 1e-9) < 0.02, (k, ev, av)
+
+
+def test_time_rollup_hll_merges_across_levels(spark):
+    """Day-level distinct estimates merged FROM hour sketches must match
+    estimates computed directly from the raw data: sketch union is exact
+    (same final sketch), unlike re-aggregating approx counts."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.rollup import (
+        hll_estimates,
+        time_rollup,
+    )
+
+    rows = []
+    for h in range(6):
+        for u in range(40):
+            rows.append(
+                (datetime.datetime(2026, 1, 1, h, u % 60), (u + h * 7) % 90)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    levels = time_rollup(
+        df, "ts", [], {"users": ("hll", "user_id"), "n": ("count", None)},
+        ["1 hour", "1 day"],
+    )
+    day = hll_estimates(levels["1 day"], ["users"]).collect()
+    assert len(day) == 1
+    exact = df.select("user_id").distinct().count()
+    est = day[0]["users"]
+    assert abs(est - exact) <= max(2, exact * 0.05), (est, exact)
+    assert day[0]["n"] == len(rows)
+
+    # direct one-level sketch over raw data must equal the merged estimate:
+    # union of hour sketches is the same sketch as aggregating raw values
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e")
+    ).collect()[0]["e"]
+    assert est == direct
