@@ -4112,3 +4112,25 @@ GROUP BY 1
 
 _EXTENSION_QUERIES.update({"rollup_distinct": q_rollup_distinct})
 _EXTENSION_ORACLES.update({"rollup_distinct": SQL_ROLLUP_DISTINCT})
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (`operators/validate.py:k_anonymity`): (lang,
+    source) combinations covering fewer than 15 documents — one
+    map-side-combined groupBy, output bounded by the rare combos."""
+    from database_transportor_spark.operators.validate import k_anonymity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return k_anonymity(docs, ["lang", "source"], k=15)
+
+
+SQL_K_ANONYMITY = r"""
+SELECT lang, source, count(*) AS group_size
+FROM documents
+GROUP BY lang, source
+HAVING count(*) < 15
+"""
+
+
+_EXTENSION_QUERIES.update({"k_anonymity": q_k_anonymity})
+_EXTENSION_ORACLES.update({"k_anonymity": SQL_K_ANONYMITY})

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compact_table", "profile_table", "column_histogram"]
+__all__ = ["compact_table", "profile_table", "column_histogram", "expire_rows"]
 
 
 def compact_table(
@@ -172,3 +172,33 @@ def column_histogram(
             "bucket_hi", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6)
         )
     )
+
+
+def expire_rows(
+    catalog,
+    table: str,
+    condition: str,
+) -> int:
+    """Retention/TTL enforcement: atomically rewrite ``table`` WITHOUT
+    the rows matching ``condition`` (a SQL boolean expression, e.g.
+    ``"ts < timestamp'2025-01-01'"`` or ``"is_deleted"``) through the
+    same staged swap every other write uses — readers never observe a
+    half-expired table.  Returns the number of rows removed (one count
+    on the small expired side; the surviving side is never counted).
+
+    Scale shape: a pushdown-eligible anti-filter scan plus the rewrite
+    any retention pass must pay; no shuffle beyond the write layout.
+    """
+    df = catalog.read(table)
+    expired = df.filter(condition)
+    n = expired.count()
+    if n == 0:
+        return 0
+    # NULL-condition rows must be KEPT, matching the expired side's
+    # three-valued logic (filter(cond) skips NULLs) — a bare NOT(cond)
+    # would silently drop them
+    catalog.write_staged(
+        df.filter(f"NOT coalesce(({condition}), false)"), table
+    )
+    catalog.commit_staged(table)
+    return n

@@ -33,7 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "check", "ValidationError"]
+__all__ = ["validate", "check", "ValidationError", "k_anonymity"]
 
 
 class ValidationError(Exception):
@@ -181,3 +181,27 @@ def check(df: DataFrame, rules: list[dict[str, Any]]) -> None:
     ]
     if failures:
         raise ValidationError(failures)
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit for training-data release: every combination of the
+    quasi-identifier columns must cover at least ``k`` rows, else the
+    combination re-identifies a small group.  Returns the VIOLATING
+    combinations ``(quasi_cols..., group_size)`` — empty output means the
+    table is k-anonymous over those columns.
+
+    Scale shape: one map-side-combined groupBy over the quasi columns and
+    a count filter — the output is bounded by the number of rare
+    combinations, which is what a reviewer actually reads.
+    """
+    if k < 1:
+        raise ValueError("k_anonymity: k must be >= 1")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

@@ -142,3 +142,26 @@ def test_compact_zorder_preserves_rows_and_clusters_files(spark, tmp_path):
             spans.append(max(xs) - min(xs))
     assert len(spans) >= 2
     assert sum(spans) < len(spans) * 96 * 0.9, spans
+
+
+def test_expire_rows_removes_matching_keeps_null_condition(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 5)], "k long, age int"
+    )
+    cat.write(df, "t", mode="overwrite")
+    from database_transportor_spark.operators.maintenance import expire_rows
+
+    n = expire_rows(cat, "t", "age > 50")
+    assert n == 1
+    kept = sorted(r["k"] for r in cat.read("t").collect())
+    assert kept == [1, 3, 4]  # NULL-age row kept, not silently dropped
+
+
+def test_expire_rows_noop_when_nothing_matches(spark, tmp_path):
+    from database_transportor_spark.operators.maintenance import expire_rows
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(spark.range(10), "t", mode="overwrite")
+    assert expire_rows(cat, "t", "id > 100") == 0
+    assert cat.read("t").count() == 10

@@ -135,3 +135,26 @@ def test_transport_fk_rule_resolves_in_flight_dim(spark, tmp_path):
             validate={"fact": [{"rule": "foreign_key", "column": "dfk",
                                 "ref_table": "dim", "ref_column": "dk"}]},
         )
+
+
+def test_k_anonymity_reports_rare_combinations(spark):
+    from database_transportor_spark.operators.validate import k_anonymity
+
+    df = spark.createDataFrame(
+        [("1980", "10001")] * 5 + [("1990", "10002")] * 2 + [("2000", "99999")],
+        "birth_year string, zip string",
+    )
+    out = k_anonymity(df, ["birth_year", "zip"], k=3)
+    got = {(r["birth_year"], r["zip"]): r["group_size"] for r in out.collect()}
+    assert got == {("1990", "10002"): 2, ("2000", "99999"): 1}
+
+
+def test_k_anonymity_empty_when_anonymous(spark):
+    from database_transportor_spark.operators.validate import k_anonymity
+
+    df = spark.createDataFrame([("a",)] * 4 + [("b",)] * 4, "g string")
+    assert k_anonymity(df, ["g"], k=4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity(df, ["g"], k=0)
