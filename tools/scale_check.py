@@ -88,6 +88,11 @@ QUERIES = [
     "heavy_hitters",
     "gap_fill",
     "sample_group",
+    "winsorize",
+    "zorder",
+    "semantic_clusters",
+    "rollup_distinct",
+    "k_anonymity",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
@@ -133,6 +138,21 @@ def build_scale(spark, k: int) -> str:
                 # replica-salt every token: replicas share no shingles
                 p = p.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", r"$1_" + str(rep))
+                )
+            if t == "embeddings" and rep > 0:
+                # cyclic-shift each replica's vector by `rep` positions:
+                # intra-replica cosines are EXACTLY preserved (both sides
+                # shift), cross-replica cosines decorrelate — without this,
+                # replicas are identical copies and every near-dup group
+                # gains k² duplicate pairs (a quadratic workload, not a
+                # scale-up; same reason documents are token-salted)
+                p = p.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {rep} + 1, "
+                        f"size(embedding) - {rep}), "
+                        f"slice(embedding, 1, {rep}))"
+                    ),
                 )
             parts.append(p)
         u = parts[0]
