@@ -369,3 +369,94 @@ def test_scd2_intervals_tile_timeline(spark, feed):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"], "gap/overlap"
             assert a["v"] != b["v"], "uncollapsed no-op change"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500),
+                  st.floats(min_value=-2.0, max_value=3.0,
+                            allow_nan=False, allow_infinity=False)),
+        min_size=0, max_size=30, unique_by=lambda t: t[0],
+    ),
+    salt=st.integers(min_value=0, max_value=3),
+)
+@SET
+def test_weighted_sample_monotone_in_probability(spark, rows, salt):
+    """For fixed ids, raising every row's keep probability can only ADD
+    rows to the sample (the uniform draw is a pure function of the id),
+    and p>=1 keeps everything, p<=0 nothing."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.corpus import weighted_sample
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, p double")
+    low = {r["id"] for r in weighted_sample(
+        df, "id", F.col("p"), salt=salt).collect()}
+    high = {r["id"] for r in weighted_sample(
+        df, "id", F.col("p") + 0.3, salt=salt).collect()}
+    assert low <= high
+    assert {r["id"] for r in weighted_sample(df, "id", F.lit(1.0), salt=salt)
+            .collect()} == {r[0] for r in rows}
+    assert weighted_sample(df, "id", F.lit(0.0), salt=salt).count() == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=25,
+    )
+)
+@SET
+def test_winsorize_bounds_and_interior_identity(spark, rows):
+    """Clipped values stay inside the group's [min, max]; clipping only
+    moves values toward the group median, never across it."""
+    import statistics
+
+    from database_transportor_spark.operators.corpus import winsorize
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = winsorize(df, "v", ["g"], p_lo=0.1, p_hi=0.9).collect()
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, v in rows:
+        by_g[g].append(v)
+    for r in out:
+        lo, hi = min(by_g[r["g"]]), max(by_g[r["g"]])
+        assert lo <= r["v_wins"] <= hi
+        med = statistics.median(by_g[r["g"]])
+        if r["v_wins"] != r["v"]:
+            # a clip moves toward the median and never overshoots it
+            assert abs(r["v_wins"] - med) <= abs(r["v"] - med)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.sampled_from(["p", "q", None]),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=1, max_size=20,
+    )
+)
+@SET
+def test_cube_totals_consistent(spark, rows):
+    """CUBE invariant: summing the finest cells (gid=0) reproduces every
+    coarser cell, including the grand total — for any input with NULLs
+    in the dims (gid disambiguates data-NULL from aggregated-NULL)."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.rollup import cube_agg
+
+    df = spark.createDataFrame(rows, "d1 string, d2 string, m long")
+    out = cube_agg(df, ["d1", "d2"], [F.sum("m").alias("s")]).collect()
+    fine = {(r["d1"], r["d2"]): r["s"] for r in out if r["gid"] == 0}
+    for r in out:
+        if r["gid"] == 3:
+            assert r["s"] == sum(fine.values())
+        elif r["gid"] == 1:  # d2 aggregated
+            assert r["s"] == sum(v for (a, _), v in fine.items() if a == r["d1"])
+        elif r["gid"] == 2:  # d1 aggregated
+            assert r["s"] == sum(v for (_, b), v in fine.items() if b == r["d2"])
