@@ -3500,22 +3500,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # LONG node ids (customer 2k, supplier 2k+1), not decorated strings:
+    # 8-byte keys halve the shuffle payload of every distinct/join/agg in
+    # the walk.  Dedup BEFORE symmetrizing (the reversed copies are
+    # distinct by parity construction), then skip the operator's re-dedup.
     e = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
+        .distinct()
     )
     pr = pagerank(
-        symmetrize(e), iterations=3, handle_dangling=False, checkpoint_every=10
+        symmetrize(e), iterations=3, handle_dangling=False,
+        checkpoint_every=10, dedup_edges=False,
     )
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
 SQL_PAGERANK = r"""
 WITH e0 AS (
-    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), e AS (
     SELECT src, dst FROM e0

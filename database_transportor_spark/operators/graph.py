@@ -85,6 +85,10 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedup_edges:
         e = e.distinct()
+    # materialize the edge set ONCE: nodes, degrees, and the join table all
+    # derive from it — without this the upstream edge expression (often a
+    # join itself) re-executes three times before the first iteration
+    e = e.localCheckpoint(eager=True)
 
     nodes = (
         e.select(F.col("src").alias("node"))
