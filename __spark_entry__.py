@@ -4140,3 +4140,49 @@ HAVING count(*) < 15
 
 _EXTENSION_QUERIES.update({"k_anonymity": q_k_anonymity})
 _EXTENSION_ORACLES.update({"k_anonymity": SQL_K_ANONYMITY})
+
+
+def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy catalog dedup (`operators/fuzzy.py:fuzzy_pairs`): distinct
+    part names (exact dups canonicalized FIRST — fuzzy work runs on the
+    value domain, not the row count) trigram-paired at Jaccard ≥ 0.4.
+    The inverted gram-hash index means only names sharing a gram ever
+    meet — never an N² name cross join."""
+    from database_transportor_spark.operators.fuzzy import fuzzy_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = part.groupBy(
+        F.lower(F.trim(F.col("p_name"))).alias("nm")
+    ).agg(F.min("p_partkey").alias("id"))
+    return fuzzy_pairs(names, "id", "nm", threshold=0.4)
+
+
+SQL_FUZZY_PARTS = r"""
+WITH names AS (
+    SELECT lower(trim(p_name)) AS nm, min(p_partkey) AS id
+    FROM part GROUP BY 1
+), g0 AS (
+    SELECT id,
+           list_distinct(list_transform(range(1, greatest(length(nm) - 2, 0) + 1),
+                                        i -> nm[i:i+2])) AS gs
+    FROM names
+), ex AS (
+    SELECT id, unnest(gs) AS g FROM g0
+), sizes AS (
+    SELECT id, count(*) AS ng FROM ex GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS intersection
+    FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.intersection,
+       sa.ng + sb.ng - i.intersection AS union_size
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.intersection >= 0.4 * (sa.ng + sb.ng - i.intersection)
+"""
+
+
+_EXTENSION_QUERIES.update({"fuzzy_parts": q_fuzzy_parts})
+_EXTENSION_ORACLES.update({"fuzzy_parts": SQL_FUZZY_PARTS})

@@ -1,0 +1,135 @@
+"""Fuzzy string matching: trigram-blocked approximate joins.
+
+The migration problem the reference's exact ``refer`` cannot solve:
+reconciling dimension values that *almost* match ("Acme Corp." vs
+"ACME Corp") across source and target.  Exact equality misses them; a
+similarity cross join is N×M.  The scalable middle path is the same
+inverted-index shape as the word-level near-dup dedup
+(``operators/dedup.py``), applied to CHARACTER n-grams:
+
+    normalize (lower/trim) → distinct char n-grams → 8-byte hashes →
+    explode → candidates meet on a gram-hash EQUI-join → count
+    intersections per pair → Jaccard filter.
+
+Only strings sharing at least one (non-capped) gram ever meet, so cost
+is Σ posting-list² per gram, never N×M.  ``max_df`` caps degenerate
+grams ("  a" in every row) exactly like the word-level ``max_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngram_hashes", "fuzzy_join", "fuzzy_pairs"]
+
+
+def char_ngram_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct ``xxhash64`` character n-grams of ``lower(trim(col))``
+    (array<long>).  Strings shorter than ``n`` yield an empty array
+    (they can never clear a gram-overlap threshold anyway)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(F.trim(c))
+    ln = F.length(s)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - F.lit(n - 1)),
+        lambda i: F.xxhash64(s.substr(i, F.lit(n))),
+    )
+    return F.array_distinct(
+        F.when(ln < n, F.array().cast("array<long>")).otherwise(grams)
+    )
+
+
+def _gram_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, side: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"id_{side}"),
+        F.explode(char_ngram_hashes(text_col, n)).alias("g"),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    threshold: float = 0.4,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Approximate string join: all (left, right) pairs whose character
+    ``n``-gram Jaccard similarity ≥ ``threshold``.  Returns ``(id_a,
+    id_b, intersection, union_size)`` — exact integers, so the
+    threshold decision is engine-portable.
+
+    Scale shape: two explodes (narrow), one gram-hash equi-join (the
+    only place candidates meet), one (id_a, id_b) count shuffle, two
+    broadcastable size joins.  ``max_df`` drops grams whose posting
+    list exceeds the cap ON BOTH SIDES SYMMETRICALLY (sizes count the
+    surviving grams), preserving exact Jaccard over the capped gram
+    space."""
+    lg = _gram_table(left, left_id, left_col, n, "a")
+    rg = _gram_table(right, right_id, right_col, n, "b")
+    if max_df is not None:
+        hot = (
+            lg.select("g").unionAll(rg.select("g"))
+            .groupBy("g").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        lg = lg.join(F.broadcast(hot), "g", "left_anti")
+        rg = rg.join(F.broadcast(hot), "g", "left_anti")
+    sa = lg.groupBy("id_a").agg(F.count("*").alias("n_a"))
+    sb = rg.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    inter = (
+        lg.join(rg, "g")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_size", F.col("n_a") + F.col("n_b") - F.col("intersection"))
+        .filter(F.col("intersection") >= F.lit(threshold) * F.col("union_size"))
+    )
+    return out.select("id_a", "id_b", "intersection", "union_size")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Self-join variant: near-duplicate string values within one table
+    (catalog/name dedup), ``id_a < id_b``.  Same inverted-index shape;
+    the identity pair and both orientations are excluded before the
+    count, so the pair shuffle carries each candidate once."""
+    g = _gram_table(df, id_col, text_col, n, "a")
+    if max_df is not None:
+        hot = (
+            g.groupBy("g").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df).select("g")
+        )
+        g = g.join(F.broadcast(hot), "g", "left_anti")
+    sizes = g.groupBy("id_a").agg(F.count("*").alias("n_g"))
+    b = g.select(F.col("id_a").alias("id_b"), "g")
+    inter = (
+        g.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sb = sizes.select(F.col("id_a").alias("id_b"), F.col("n_g").alias("n_b"))
+    out = (
+        inter.join(sizes, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_size", F.col("n_g") + F.col("n_b") - F.col("intersection"))
+        .filter(F.col("intersection") >= F.lit(threshold) * F.col("union_size"))
+    )
+    return out.select("id_a", "id_b", "intersection", "union_size")

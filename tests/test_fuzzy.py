@@ -1,0 +1,74 @@
+"""Tests for trigram fuzzy joins (operators/fuzzy.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.fuzzy import (
+    char_ngram_hashes,
+    fuzzy_join,
+    fuzzy_pairs,
+)
+
+
+def _grams(spark, s, n=3):
+    df = spark.createDataFrame([(s,)], "s string")
+    return df.select(char_ngram_hashes("s", n).alias("g")).collect()[0]["g"]
+
+
+def test_char_ngram_hashes_count_and_normalization(spark):
+    # "abcd" -> "abc","bcd"; case/whitespace normalized away
+    assert len(_grams(spark, "abcd")) == 2
+    assert _grams(spark, "  ABCD ") == _grams(spark, "abcd")
+    assert _grams(spark, "ab") == []  # shorter than n
+
+
+def _py_jaccard(a, b, n=3):
+    ga = {a[i:i + n] for i in range(len(a) - n + 1)}
+    gb = {b[i:i + n] for i in range(len(b) - n + 1)}
+    return len(ga & gb), len(ga | gb)
+
+
+def test_fuzzy_join_matches_python_reference(spark):
+    left = spark.createDataFrame(
+        [(1, "Acme Corp."), (2, "Widget Works"), (3, "zz")],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "ACME corp"), (20, "widget workshop"), (30, "unrelated inc")],
+        "rid long, name string",
+    )
+    out = fuzzy_join(left, right, "lid", "name", "rid", "name", threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): (r["intersection"], r["union_size"])
+           for r in out.collect()}
+    exp = {}
+    for lid, ln in [(1, "acme corp."), (2, "widget works")]:
+        for rid, rn in [(10, "acme corp"), (20, "widget workshop"),
+                        (30, "unrelated inc")]:
+            i, u = _py_jaccard(ln, rn)
+            if u and i >= 0.3 * u:
+                exp[(lid, rid)] = (i, u)
+    assert got == exp
+    assert (1, 10) in got and (2, 20) in got  # the intended matches
+    assert all(a != 3 for a, _ in got)  # sub-n string never matches
+
+
+def test_fuzzy_pairs_self_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "blue bolt"), (2, "blue bolts"), (3, "red gear")],
+        "id long, name string",
+    )
+    out = fuzzy_pairs(df, "id", "name", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_fuzzy_pairs_max_df_drops_universal_gram(spark):
+    # every name shares "aaa…" filler; cap kills those grams so only the
+    # genuinely-similar tail survives
+    rows = [(i, "aaaaaa x%d" % i) for i in range(20)] + [
+        (100, "aaaaaa same tail"), (101, "aaaaaa same tail!")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = fuzzy_pairs(df, "id", "name", threshold=0.5, max_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)

@@ -93,6 +93,7 @@ QUERIES = [
     "semantic_clusters",
     "rollup_distinct",
     "k_anonymity",
+    "fuzzy_parts",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
