@@ -4186,3 +4186,50 @@ WHERE i.intersection >= 0.4 * (sa.ng + sb.ng - i.intersection)
 
 _EXTENSION_QUERIES.update({"fuzzy_parts": q_fuzzy_parts})
 _EXTENSION_ORACLES.update({"fuzzy_parts": SQL_FUZZY_PARTS})
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift report (`operators/validate.py:psi_drift`):
+    PSI of document length between two sources — per-bucket exact
+    counts, proportions, and log-term; the table PSI is the sum.  Each
+    side is scanned once into a bins+2-row bucket table."""
+    from database_transportor_spark.operators.validate import psi_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    return psi_drift(a, b, "n_chars", bins=12, lo=0.0, hi=600.0)
+
+
+SQL_PSI_DRIFT = r"""
+WITH bk AS (
+    SELECT source,
+           CAST(CASE WHEN v < 0.0 THEN 0
+                     WHEN v >= 600.0 THEN 13
+                     ELSE FLOOR(v / 50.0) + 1 END AS BIGINT) AS bucket
+    FROM (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+          WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1'))
+), a AS (
+    SELECT bucket, count(*) AS n_a FROM bk WHERE source = 'src0' GROUP BY 1
+), b AS (
+    SELECT bucket, count(*) AS n_b FROM bk WHERE source = 'src1' GROUP BY 1
+), j AS (
+    SELECT coalesce(a.bucket, b.bucket) AS bucket,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+), p AS (
+    SELECT bucket, n_a, n_b,
+           greatest(n_a / (SELECT sum(n_a) FROM j), 1e-6) AS pa,
+           greatest(n_b / (SELECT sum(n_b) FROM j), 1e-6) AS pb
+    FROM j
+)
+SELECT bucket, n_a, n_b,
+       round(pa, 6) AS pct_a,
+       round(pb, 6) AS pct_b,
+       round((pa - pb) * ln(pa / pb), 6) AS psi_term
+FROM p
+"""
+
+
+_EXTENSION_QUERIES.update({"psi_drift": q_psi_drift})
+_EXTENSION_ORACLES.update({"psi_drift": SQL_PSI_DRIFT})

@@ -33,7 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "check", "ValidationError", "k_anonymity"]
+__all__ = ["validate", "check", "ValidationError", "k_anonymity", "psi_drift"]
 
 
 class ValidationError(Exception):
@@ -204,4 +204,73 @@ def k_anonymity(
         df.groupBy(*quasi_cols)
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < k)
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two tables' distributions of
+    ``value_col`` — the post-migration / epoch-over-epoch drift check
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate).
+
+    Returns one row per equi-width bucket: ``(bucket, n_a, n_b, pct_a,
+    pct_b, psi_term)``; the table PSI is ``sum(psi_term)``.  Bucket 0 /
+    ``bins+1`` catch out-of-range values (``width_bucket`` semantics);
+    empty-bucket proportions are floored at ``eps`` so the log term is
+    defined.
+
+    Scale shape: one map-side-combined groupBy per side (``bins + 2``
+    groups each), a full-outer join of two tiny bucket tables, pure
+    expressions after — the two tables are each scanned exactly once.
+    Pass ``lo``/``hi`` to skip the bounds aggregate (the 100 TB mode).
+    """
+    va = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df_a.agg(F.min(va).alias("lo"), F.max(va).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"psi_drift: need hi > lo, got [{lo}, {hi}]")
+
+    def counts(df, name):
+        return (
+            df.filter(va.isNotNull())
+            .groupBy(
+                F.width_bucket(va, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
+                .cast("long")
+                .alias("bucket")
+            )
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    a = counts(df_a, "n_a")
+    b = counts(df_b, "n_b")
+    j = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    # totals via a window over the <= bins+2-row bucket table — no second scan
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    pa = F.greatest(F.col("n_a") / F.sum("n_a").over(w), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.sum("n_b").over(w), F.lit(eps))
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("pct_a"),
+        F.round(pb, 6).alias("pct_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )

@@ -158,3 +158,30 @@ def test_k_anonymity_empty_when_anonymous(spark):
 
     with _pytest.raises(ValueError):
         k_anonymity(df, ["g"], k=0)
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from database_transportor_spark.operators.validate import psi_drift
+
+    a = spark.createDataFrame([(float(v % 100),) for v in range(500)], "v double")
+    same = psi_drift(a, a, "v", bins=10, lo=0.0, hi=100.0).collect()
+    assert sum(r["psi_term"] for r in same) == 0.0
+    assert all(r["n_a"] == r["n_b"] for r in same)
+
+    b = spark.createDataFrame([(float(v % 100) + 40,) for v in range(500)], "v double")
+    shifted = psi_drift(a, b, "v", bins=10, lo=0.0, hi=100.0).collect()
+    assert sum(r["psi_term"] for r in shifted) > 0.25  # major shift flagged
+    # out-of-range mass lands in the overflow bucket, not dropped
+    assert any(r["bucket"] == 11 and r["n_b"] > 0 for r in shifted)
+
+
+def test_psi_drift_validation_and_null_excluded(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.validate import psi_drift
+
+    a = spark.createDataFrame([(1.0,), (None,)], "v double")
+    out = psi_drift(a, a, "v", bins=2, lo=0.0, hi=2.0).collect()
+    assert sum(r["n_a"] for r in out) == 1  # NULL excluded
+    with _pytest.raises(ValueError):
+        psi_drift(a, a, "v", lo=5.0, hi=1.0)

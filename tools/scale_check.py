@@ -94,6 +94,7 @@ QUERIES = [
     "rollup_distinct",
     "k_anonymity",
     "fuzzy_parts",
+    "psi_drift",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
