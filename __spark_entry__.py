@@ -4233,3 +4233,38 @@ FROM p
 
 _EXTENSION_QUERIES.update({"psi_drift": q_psi_drift})
 _EXTENSION_ORACLES.update({"psi_drift": SQL_PSI_DRIFT})
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 5-step user journeys
+    (`operators/funnel.py:top_paths`): per-user sorted-array fold (one
+    shuffle, no window), journey-frequency count, TakeOrdered top-20
+    with deterministic tiebreak."""
+    from database_transportor_spark.operators.funnel import top_paths
+
+    ev = _read_events(spark, sf_dir)
+    return top_paths(
+        ev, "user_id", "event_type", "ts", max_len=5, k=20,
+        tiebreak_col="event_id",
+    )
+
+
+SQL_TOP_PATHS = r"""
+WITH j AS (
+    SELECT user_id,
+           array_to_string(list_slice(
+               list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+    FROM events GROUP BY user_id
+), c AS (
+    SELECT path, count(*) AS n_users FROM j GROUP BY path
+), r AS (
+    SELECT path, n_users,
+           row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank
+    FROM c
+)
+SELECT path, n_users, rank FROM r WHERE rank <= 20
+"""
+
+
+_EXTENSION_QUERIES.update({"top_paths": q_top_paths})
+_EXTENSION_ORACLES.update({"top_paths": SQL_TOP_PATHS})

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix", "growth_accounting"]
+__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix", "growth_accounting", "top_paths"]
 
 
 def transition_matrix(
@@ -279,3 +279,52 @@ def growth_accounting(
     return merged.withColumn(
         "cum_entities", F.sum("n_new").over(w).cast("long")
     ).select("period", "n_active", "n_new", "n_returning", "cum_entities")
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    max_len: int = 5,
+    k: int = 20,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Path mining: the ``k`` most common event-type journeys, where a
+    journey is each entity's first ``max_len`` events in time order
+    joined with ``sep`` ("view>click>purchase").  The product-analytics
+    view :func:`transition_matrix` can't give — transitions are
+    memoryless, paths are not.
+
+    Returns ``(path, n_users, rank)`` with a deterministic (count desc,
+    path asc) order.
+
+    Scale shape: ONE shuffle on the entity key builds each journey as a
+    sorted-array fold JVM-side (``sort_array`` of (ts, tiebreak, type)
+    structs — same shape as :func:`funnel`, no window, no Python, state
+    bounded by ``max_len`` after the slice); the path frequency table is
+    then a map-side-combined count whose cardinality is the number of
+    distinct journeys, and the final top-k is a TakeOrdered."""
+    from pyspark.sql import Window
+
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    ev = F.struct(
+        F.col(ts_col).alias("t"), tb.alias("b"), F.col(type_col).alias("e")
+    )
+    paths = (
+        events.groupBy(user_col)
+        .agg(F.sort_array(F.collect_list(ev)).alias("__evs"))
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("__evs"), 1, max_len), lambda s: s["e"]
+                ),
+                sep,
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(k)
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w))

@@ -177,3 +177,39 @@ def test_sessionize_matches_session_count(spark):
         | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES"))
     )
     assert n_sessions == starts.count() > 0
+
+
+def test_top_paths_orders_truncates_and_ranks(spark):
+    import datetime
+
+    from database_transportor_spark.operators.funnel import top_paths
+
+    def t(m):
+        return datetime.datetime(2026, 1, 1, 10, m)
+
+    rows = [
+        (1, t(0), "view", 1), (1, t(1), "click", 2), (1, t(2), "buy", 3),
+        (2, t(0), "view", 4), (2, t(5), "click", 5), (2, t(9), "buy", 6),
+        (3, t(0), "view", 7),
+        # user 4: 4 events but max_len=3 truncates to the first three
+        (4, t(0), "view", 8), (4, t(1), "click", 9), (4, t(2), "buy", 10),
+        (4, t(3), "view", 11),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e string, i long")
+    out = top_paths(df, "u", "e", "ts", max_len=3, k=5, tiebreak_col="i")
+    got = [(r["path"], r["n_users"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [("view>click>buy", 3, 1), ("view", 1, 2)]
+
+
+def test_top_paths_tiebreak_is_deterministic(spark):
+    import datetime
+
+    from database_transportor_spark.operators.funnel import top_paths
+
+    ts = datetime.datetime(2026, 1, 1)
+    # two same-timestamp events: tiebreak column pins the order
+    df = spark.createDataFrame(
+        [(1, ts, "b", 2), (1, ts, "a", 1)], "u long, ts timestamp, e string, i long"
+    )
+    out = top_paths(df, "u", "e", "ts", tiebreak_col="i").collect()
+    assert out[0]["path"] == "a>b"

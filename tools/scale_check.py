@@ -95,6 +95,7 @@ QUERIES = [
     "k_anonymity",
     "fuzzy_parts",
     "psi_drift",
+    "top_paths",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
