@@ -31,6 +31,8 @@ Built-in stages (each a thin adapter over ``operators/``):
      "value_cols": [...]}
     {"op": "heavy_hitters", "value_col": ..., "k": N}
     {"op": "boilerplate_ratio", "id_col": ..., "text_col": ...}
+    {"op": "winsorize", "value_col": ..., "group_cols": [...]}
+    {"op": "k_anonymity_gate", "quasi_cols": [...], "k": N}  # raises
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -323,3 +325,39 @@ def _boilerplate(df: DataFrame, p: dict) -> DataFrame:
         n=p.get("n", 3),
         min_df=p.get("min_df", 2),
     )
+
+
+@register_post_op("winsorize")
+def _winsorize(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import winsorize
+
+    return winsorize(
+        df,
+        p["value_col"],
+        p.get("group_cols"),
+        p_lo=p.get("p_lo", 0.01),
+        p_hi=p.get("p_hi", 0.99),
+        out_col=p.get("out_col"),
+    )
+
+
+@register_post_op("k_anonymity_gate")
+def _k_anonymity_gate(df: DataFrame, p: dict) -> DataFrame:
+    # gate stage: pass-through when k-anonymous, raise naming the worst
+    # offenders otherwise (mirrors the "check" stage's eager contract)
+    from .validate import ValidationError, k_anonymity
+
+    k = p.get("k", 5)
+    bad = k_anonymity(df, p["quasi_cols"], k=k).orderBy("group_size").limit(5).collect()
+    if bad:
+        raise ValidationError(
+            [
+                (
+                    f"k_anonymity<{k}",
+                    "(" + ", ".join(str(r[c]) for c in p["quasi_cols"]) + ")",
+                    int(r["group_size"]),
+                )
+                for r in bad
+            ]
+        )
+    return df

@@ -257,3 +257,42 @@ def test_gap_fill_post_op(spark):
     out = eng.transform()["dense"]
     got = {r["day"].day: r["n"] for r in out.collect()}
     assert got == {1: 3, 2: 0, 3: 9}
+
+
+def test_winsorize_and_k_anonymity_gate_post_ops(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.validate import ValidationError
+
+    docs = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(20)] + [(99, "g", 1e6)],
+        ["doc_id", "grp", "score"],
+    )
+    maps = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "grp": "grp", "score": "score"},
+            "post_ops": [
+                {"op": "winsorize", "value_col": "score",
+                 "group_cols": ["grp"], "p_lo": 0.05, "p_hi": 0.95},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"docs": docs}))
+    out = eng.transform()["out"]
+    assert max(r["score_wins"] for r in out.collect()) < 1e6
+
+    gate = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "grp": "grp"},
+            "post_ops": [
+                {"op": "k_anonymity_gate", "quasi_cols": ["doc_id"], "k": 2},
+            ],
+        }
+    }
+    eng2 = DBT(gate, target=MemoryCatalog(),
+               original=MemoryCatalog({"docs": docs}))
+    with _pytest.raises(ValidationError):
+        eng2.transform()  # the gate is eager: raises during planning
