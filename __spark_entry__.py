@@ -4089,7 +4089,7 @@ def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").getField("start").alias("bucket_start"))
         .agg(
             F.count_distinct("user_id").alias("exact_users"),
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
             .cast("long")
             .alias("direct_est"),
         )

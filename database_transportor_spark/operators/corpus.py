@@ -551,7 +551,10 @@ def rank_normalize(
     Ties share a rank (and thus a normalized value) — no tiebreak
     needed, output is fully deterministic.  Single-row groups map to
     0.0.  The arithmetic is exact-integer division: identical across
-    engines, no rounding required.
+    engines, no rounding required.  NULL scores keep a NULL rank and do
+    NOT occupy rank positions ("nothing to judge", matching the
+    zscore/mad gates) — a blind window would rank them below every real
+    score and a top-N% cut would silently misjudge unscored rows.
 
     Shape: ONE shuffle (window partitioned by the group), the same cost
     as any per-group sort.  Groups should be coarse (source, language);
@@ -560,7 +563,14 @@ def rank_normalize(
     """
     gcols = list(group_cols or [])
     w = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc())
-    return df.withColumn(out_col, F.percent_rank().over(w))
+    v = F.col(value_col)
+    scored = df.filter(v.isNotNull()).withColumn(
+        out_col, F.percent_rank().over(w)
+    )
+    unscored = df.filter(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return scored.unionByName(unscored)
 
 
 def weighted_sample(
@@ -639,6 +649,12 @@ def winsorize(
     total), broadcast-joined back; the clip itself is a narrow
     projection.  The measured column shuffles once for the percentile
     sort, the table itself never shuffles.
+
+    Row-preserving by contract: the bounds join is a LEFT join, so rows
+    whose group key is NULL (which a plain equi-join would drop) pass
+    through unclipped, and a NULL value stays NULL — it is never
+    fabricated into the lower bound (matching the zscore/mad gates'
+    NULL-passes convention).
     """
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError(f"winsorize: need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
@@ -648,9 +664,12 @@ def winsorize(
         F.percentile(value_col, F.lit(p_lo)).alias("__lo"),
         F.percentile(value_col, F.lit(p_hi)).alias("__hi"),
     )
-    joined = df.join(F.broadcast(bounds), gcols) if gcols else df.crossJoin(
-        F.broadcast(bounds)
+    joined = (
+        df.join(F.broadcast(bounds), gcols, "left")
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
     )
-    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
-                      F.col("__hi"))
-    return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi"))
+    guarded = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(clipped)
+    return joined.withColumn(out_col, guarded).drop("__lo", "__hi")

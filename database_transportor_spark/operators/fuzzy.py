@@ -27,16 +27,22 @@ __all__ = ["char_ngram_hashes", "fuzzy_join", "fuzzy_pairs"]
 def char_ngram_hashes(col: Column | str, n: int = 3) -> Column:
     """Distinct ``xxhash64`` character n-grams of ``lower(trim(col))``
     (array<long>).  Strings shorter than ``n`` yield an empty array
-    (they can never clear a gram-overlap threshold anyway)."""
+    (they can never clear a gram-overlap threshold anyway).
+
+    Same ``arrays_zip``-of-shifted-slices formulation as the word-level
+    ``dedup.ngram_shingles``: the normalized string is split into a char
+    array ONCE per row; a ``transform`` lambda that called ``substr`` on
+    the string expression would re-evaluate the normalization per
+    element — O(len²) string work per row."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.lower(F.trim(c))
-    ln = F.length(s)
+    chars = F.split(F.lower(F.trim(c)), "")
+    n0 = F.size(chars) - (n - 1)
+    z = F.arrays_zip(*[F.slice(chars, i + 1, n0) for i in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), ln - F.lit(n - 1)),
-        lambda i: F.xxhash64(s.substr(i, F.lit(n))),
+        z, lambda s: F.xxhash64(F.concat(*[s[str(i)] for i in range(n)]))
     )
     return F.array_distinct(
-        F.when(ln < n, F.array().cast("array<long>")).otherwise(grams)
+        F.when(F.size(chars) < n, F.array().cast("array<long>")).otherwise(grams)
     )
 
 

@@ -118,6 +118,12 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iterations):
+        if handle_dangling and i > 0:
+            # the dangling-mass collect below forces this iteration's
+            # rank plan; without materializing it, iteration i+1's
+            # collect would REPLAY iterations 1..i (quadratic work
+            # between checkpoint_every boundaries)
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             edeg.join(ranks, edeg.src == ranks.node)
             .groupBy("dst")

@@ -56,6 +56,13 @@ def zorder_key(
         raise ValueError(
             f"zorder_key: {bits} bits x {len(cols)} cols exceeds a long"
         )
+    if out_col in df.columns:
+        # silently overwriting (and, in zorder_sort, later DROPPING) a
+        # user column of the same name would commit a rewrite missing
+        # that column's data
+        raise ValueError(
+            f"zorder_key: column {out_col!r} already exists; pass out_col"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
@@ -88,10 +95,13 @@ def zorder_sort(
     (so files cover disjoint key ranges) and sort within partitions.
     Pair with ``Catalog.write`` to materialize a scan-prunable layout.
     """
-    keyed = zorder_key(df, cols, bits)
+    key = "__zorder_key"
+    while key in df.columns:  # never collide with user data
+        key += "_"
+    keyed = zorder_key(df, cols, bits, out_col=key)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
-        keyed.repartitionByRange(parts, "zkey")
-        .sortWithinPartitions("zkey")
-        .drop("zkey")
+        keyed.repartitionByRange(parts, key)
+        .sortWithinPartitions(key)
+        .drop(key)
     )

@@ -154,6 +154,11 @@ def column_histogram(
     v = F.col(value_col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"column_histogram: {value_col!r} is empty or all-NULL — "
+                "no bounds to infer (pass lo/hi explicitly)"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not hi > lo:

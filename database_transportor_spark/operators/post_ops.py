@@ -302,7 +302,7 @@ def _gap_fill(df: DataFrame, p: dict) -> DataFrame:
 
 @register_post_op("heavy_hitters")
 def _heavy_hitters(df: DataFrame, p: dict) -> DataFrame:
-    from ..operators.sketches import heavy_hitters
+    from .sketches import heavy_hitters
 
     return heavy_hitters(
         df,

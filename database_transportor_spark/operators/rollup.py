@@ -167,7 +167,11 @@ def hll_estimates(df: DataFrame, sketch_cols: list[str]) -> DataFrame:
     ``"hll"`` measures.  Narrow projection, zero shuffle."""
     out = df
     for c in sketch_cols:
-        out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)).cast("long"))
+        # round, don't truncate: a raw cast would bias every estimate
+        # downward by up to 1
+        out = out.withColumn(
+            c, F.round(F.hll_sketch_estimate(F.col(c))).cast("long")
+        )
     return out
 
 

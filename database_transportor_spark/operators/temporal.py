@@ -408,8 +408,24 @@ def gap_fill(
         F.explode(
             F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
         ).alias(ts_col),
+    ).alias("__spine")
+    right = df.alias("__src")
+    # NULL-SAFE key equality: groupBy puts NULL-key rows in their own
+    # spine group, and a plain equi-join would then never match them —
+    # their real values would come back NULL and be overwritten by
+    # ``fill`` (silent corruption).  eqNullSafe keeps NULL-key series
+    # intact.
+    cond = F.col(f"__spine.{ts_col}") == F.col(f"__src.{ts_col}")
+    for k in keys:
+        cond = cond & F.col(f"__spine.{k}").eqNullSafe(F.col(f"__src.{k}"))
+    value_out = [
+        c for c in df.columns if c not in (*keys, ts_col)
+    ]
+    out = spine.join(right, cond, "left").select(
+        *[F.col(f"__spine.{k}") for k in keys],
+        F.col(f"__spine.{ts_col}"),
+        *[F.col(f"__src.{c}") for c in value_out],
     )
-    out = spine.join(df, [*keys, ts_col], "left")
     if fill is not None:
         for c in value_cols or []:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))

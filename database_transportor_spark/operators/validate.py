@@ -234,20 +234,23 @@ def psi_drift(
     va = F.col(value_col).cast("double")
     if lo is None or hi is None:
         row = df_a.agg(F.min(va).alias("lo"), F.max(va).alias("hi")).first()
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"psi_drift: {value_col!r} is empty or all-NULL in the "
+                "baseline table — no bounds to infer (pass lo/hi)"
+            )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not hi > lo:
         raise ValueError(f"psi_drift: need hi > lo, got [{lo}, {hi}]")
 
+    # one shared width_bucket implementation — maintenance.column_histogram
+    # owns the bucket semantics (out-of-range rows in buckets 0 / bins+1)
+    from .maintenance import column_histogram
+
     def counts(df, name):
-        return (
-            df.filter(va.isNotNull())
-            .groupBy(
-                F.width_bucket(va, F.lit(float(lo)), F.lit(float(hi)), F.lit(bins))
-                .cast("long")
-                .alias("bucket")
-            )
-            .agg(F.count("*").cast("long").alias(name))
+        return column_histogram(df, value_col, bins, lo, hi).select(
+            "bucket", F.col("n").alias(name)
         )
 
     a = counts(df_a, "n_a")

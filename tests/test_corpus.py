@@ -335,3 +335,17 @@ def test_json_extract_rejects_conflicts(spark):
     )
     r = out.collect()[0]
     assert r["a"] == 5 and r["b"] == 5
+
+
+def test_rank_normalize_null_scores_stay_null(spark):
+    from database_transportor_spark.operators.corpus import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", None), (4, "a", 30)],
+        "id long, g string, v int",
+    )
+    out = {r["id"]: r["pct_rank"] for r in
+           rank_normalize(df, "v", ["g"]).collect()}
+    assert out[3] is None
+    # non-null ranks computed over the 3 scored rows only
+    assert out[1] == 0.0 and out[4] == 1.0 and out[2] == 0.5

@@ -107,3 +107,14 @@ def test_sample_per_group_deterministic_across_partitioning(spark):
         for r in sample_per_group(df.repartition(13), "id", ["g"], 7).collect()
     )
     assert a == b and len(a) == 21
+
+
+def test_gap_fill_null_key_series_not_corrupted(spark):
+    df = spark.createDataFrame(
+        [(None, _day(1), 5), (None, _day(3), 7), ("u", _day(2), 1)],
+        "k string, ts timestamp, n long",
+    )
+    out = gap_fill(df, ["k"], "ts", "1 day", value_cols=["n"])
+    got = {(r["k"], r["ts"].day): r["n"] for r in out.collect()}
+    # NULL-key group keeps its real values; only the genuine gap fills 0
+    assert got == {(None, 1): 5, (None, 2): 0, (None, 3): 7, ("u", 2): 1}

@@ -97,3 +97,28 @@ def test_zorder_sort_clusters_key_ranges(spark):
         assert prev["hi"] <= cur["lo"]
     # the public API drops the key again
     assert "zkey" not in zorder_sort(df, ["x", "y"], bits=8).columns
+
+
+# ---------------------------------------------- review-fix regressions
+
+
+def test_winsorize_keeps_null_group_and_null_value_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 500.0), (3, None, 7.0), (4, "a", None)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r["v_wins"] for r in
+           winsorize(df, "v", ["g"], p_lo=0.0, p_hi=0.5).collect()}
+    assert set(out) == {1, 2, 3, 4}          # no row loss on NULL group
+    assert out[3] == 7.0                      # NULL group passes unclipped
+    assert out[4] is None                     # NULL value stays NULL
+
+
+def test_zorder_key_refuses_to_overwrite_existing_column(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, zkey long")
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "b"], bits=4)
+    # zorder_sort must work anyway (reserved internal name)
+    out = zorder_sort(df, ["a", "b"], bits=4)
+    assert set(out.columns) == {"a", "b", "zkey"}
+    assert out.collect()[0]["zkey"] == 3      # user column untouched

@@ -112,6 +112,8 @@ def test_time_rollup_hll_merges_across_levels(spark):
     # direct one-level sketch over raw data must equal the merged estimate:
     # union of hour sketches is the same sketch as aggregating raw values
     direct = df.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("e")
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .cast("long")
+        .alias("e")
     ).collect()[0]["e"]
     assert est == direct
