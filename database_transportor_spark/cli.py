@@ -392,6 +392,40 @@ def _cmd_lineage(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over a catalog root: every table in the directory is
+    registered as a temp view named after its file stem, then the query
+    runs through ordinary Catalyst planning (pushdown, pruning, AQE).
+    ``--explain`` prints the physical plan instead of rows; ``--limit``
+    caps the rows fetched to the driver (0 = no cap — use for counts)."""
+    import os as _os
+
+    from .session import build_session
+
+    spark = build_session(master=args.master)
+    cat = _build_catalog(
+        spark, {"kind": args.format, "root": args.root, "format": args.format}
+    )
+    suffix = getattr(cat, "suffix", ".parquet") or ""
+    for entry in sorted(_os.listdir(args.root)):
+        name = entry[: -len(suffix)] if suffix and entry.endswith(suffix) else None
+        if not name or name.startswith(("_", ".")):
+            continue
+        cat.read(name).createOrReplaceTempView(name)
+    df = spark.sql(args.query)
+    if args.explain:
+        print(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ))
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join("" if r[c] is None else str(r[c]) for c in cols))
+    return 0
+
+
 def _cmd_compact(args: argparse.Namespace) -> int:
     from .operators.maintenance import compact_table
     from .session import build_session
@@ -503,6 +537,17 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--json", action="store_true",
                     help="one JSON record per column instead of text")
     ln.set_defaults(fn=_cmd_lineage)
+
+    q = sub.add_parser("sql", help="run ad-hoc SQL over a catalog root")
+    q.add_argument("--root", required=True, help="catalog root directory")
+    q.add_argument("--format", default="parquet")
+    q.add_argument("--query", required=True, help="SQL text; tables = file stems")
+    q.add_argument("--limit", type=int, default=1000,
+                   help="max rows fetched to the driver (default 1000; 0 = all)")
+    q.add_argument("--explain", action="store_true",
+                   help="print the physical plan instead of rows")
+    q.add_argument("--master", default=None)
+    q.set_defaults(fn=_cmd_sql)
 
     c = sub.add_parser("compact", help="rewrite a table into size-targeted files")
     c.add_argument("--root", required=True, help="catalog root directory")

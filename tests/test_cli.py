@@ -360,3 +360,27 @@ def test_compact_zorder_cli(tmp_path):
                    if (tmp_path / "t.parquet").is_dir()
                    else f"SELECT count(*) FROM '{tmp_path}/t.parquet'").fetchone()[0]
     assert n == 4000
+
+
+def test_sql_cli_queries_and_explains(tmp_path):
+    """`sql` runs ad-hoc Catalyst-planned SQL over a catalog root."""
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT range AS k, range % 3 AS g FROM range(100))"
+        f" TO '{tmp_path}/t.parquet' (FORMAT PARQUET)"
+    )
+    r = _run(["sql", "--root", str(tmp_path),
+              "--query", "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY g",
+              "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l and "\t" in l]
+    assert lines[0].split("\t") == ["g", "n"]
+    assert [l.split("\t") for l in lines[1:]] == [
+        ["0", "34"], ["1", "33"], ["2", "33"]]
+
+    r = _run(["sql", "--root", str(tmp_path),
+              "--query", "SELECT k FROM t WHERE k = 5",
+              "--explain", "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PushedFilters" in r.stdout  # the filter reached the scan
