@@ -4268,3 +4268,173 @@ SELECT path, n_users, rank FROM r WHERE rank <= 20
 
 _EXTENSION_QUERIES.update({"top_paths": q_top_paths})
 _EXTENSION_ORACLES.update({"top_paths": SQL_TOP_PATHS})
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of daily event counts
+    (`operators/temporal.py:ewma`): the recurrence runs as a JVM-side
+    sorted-array fold (each output depends on the previous OUTPUT — no
+    SQL window frame can express it); alpha=0.25 is binary-exact, so the
+    fold is bit-reproducible across engines."""
+    from database_transportor_spark.operators.temporal import ewma
+
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n_events"))
+    out = ewma(daily, ["user_id"], "day", "n_events", alpha=0.25)
+    return out.select(
+        "user_id", "day", "n_events", F.round("ewma", 6).alias("ewma")
+    )
+
+
+SQL_EWMA = r"""
+WITH RECURSIVE d AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT user_id, day, x,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM d
+), r AS (
+    SELECT user_id, day, x, rn, x AS ewma FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.day, s.x, s.rn, 0.25 * s.x + 0.75 * r.ewma
+    FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, day, x AS n_events, round(ewma, 6) AS ewma FROM r
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (`operators/funnel.py:attribute_conversions`): every purchase
+    credits the latest view/click of the same user in the trailing day —
+    computed as a struct max inside a RANGE window over exact integer
+    microseconds, so there is NO touches-to-conversions join at all."""
+    from database_transportor_spark.operators.funnel import attribute_conversions
+
+    ev = _read_events(spark, sf_dir)
+    return attribute_conversions(
+        ev, "user_id", "event_type", "ts",
+        touch_types=["view", "click"], conversion_type="purchase",
+        value_col="value", model="last", lookback_sec=86400,
+        tiebreak_col="event_id",
+    )
+
+
+SQL_ATTRIBUTION = r"""
+SELECT user_id, ts AS conversion_ts,
+       tch.e AS attributed_type, tch.t AS touch_ts,
+       n_touches, value
+FROM (
+    SELECT user_id, ts, event_type, value,
+           max(CASE WHEN event_type IN ('view', 'click')
+                    THEN {'t': ts, 'b': event_id, 'e': event_type} END)
+               OVER w AS tch,
+           count(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+               OVER w AS n_touches
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+)
+WHERE event_type = 'purchase'
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (`operators/skew.py:skew_report`): the
+    10 heaviest order keys in lineitem with share and uniform-multiple —
+    one combined count, two scalar aggregates, TakeOrdered."""
+    from database_transportor_spark.operators.skew import skew_report
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew_report(l, ["l_orderkey"], top_k=10)
+
+
+SQL_SKEW_REPORT = r"""
+WITH c AS (
+    SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+), t AS (
+    SELECT CAST(sum(n) AS BIGINT) AS rows_, count(*) AS keys_ FROM c
+), ranked AS (
+    SELECT l_orderkey, n,
+           round(n / (SELECT rows_ FROM t), 6) AS share,
+           round(n * (SELECT keys_ FROM t) / (SELECT rows_ FROM t), 2) AS skew_x,
+           row_number() OVER (ORDER BY n DESC, l_orderkey ASC) AS rank
+    FROM c
+)
+SELECT l_orderkey, n, share, skew_x, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (`operators/validate.py:discover_keys`):
+    four candidate column sets over lineitem checked in ONE aggregation
+    pass — the uniqueness question every migration starts with.  (The
+    synthetic fixture's (l_orderkey, l_linenumber) is deliberately NOT
+    unique, unlike real TPC-H — the report shows it.)"""
+    from database_transportor_spark.operators.validate import discover_keys
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return discover_keys(
+        l,
+        [
+            ["l_orderkey"],
+            ["l_orderkey", "l_linenumber"],
+            ["l_orderkey", "l_linenumber", "l_partkey"],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ],
+    )
+
+
+SQL_KEY_DISCOVERY = r"""
+SELECT c AS candidate, n_rows, n_distinct, n_with_nulls,
+       (n_distinct = n_rows AND n_with_nulls = 0) AS is_key
+FROM (
+    SELECT 'l_orderkey' AS c, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_nulls
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey,l_linenumber', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber)),
+           CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey,l_linenumber,l_partkey', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber, l_partkey)),
+           CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                         OR l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey,l_partkey,l_suppkey,l_linenumber', count(*),
+           count(DISTINCT (l_orderkey, l_partkey, l_suppkey, l_linenumber)),
+           CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                         OR l_suppkey IS NULL OR l_linenumber IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+)
+"""
+
+
+_EXTENSION_QUERIES.update(
+    {
+        "ewma": q_ewma,
+        "attribution": q_attribution,
+        "skew_report": q_skew_report,
+        "key_discovery": q_key_discovery,
+    }
+)
+
+_EXTENSION_ORACLES.update(
+    {
+        "ewma": SQL_EWMA,
+        "attribution": SQL_ATTRIBUTION,
+        "skew_report": SQL_SKEW_REPORT,
+        "key_discovery": SQL_KEY_DISCOVERY,
+    }
+)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix", "growth_accounting", "top_paths"]
+__all__ = ["funnel", "cohort_retention", "sessionize", "transition_matrix", "growth_accounting", "top_paths", "attribute_conversions"]
 
 
 def transition_matrix(
@@ -328,3 +328,62 @@ def top_paths(
     top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(k)
     w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def attribute_conversions(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+    value_col: str | None = None,
+    model: str = "last",
+    lookback_sec: int = 7 * 86400,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Marketing attribution: for every conversion event, credit the
+    first or last touch event (``model``) of the same entity within the
+    trailing ``lookback_sec`` window.  Returns one row per conversion:
+    ``(user, conversion_ts, attributed_type, touch_ts, n_touches
+    [, value])`` — conversions with no in-window touch report NULLs
+    (directly measurable unattributed share).
+
+    Scale shape: one RANGE window over exact integer microseconds per
+    entity (the :func:`~database_transportor_spark.operators.temporal.
+    rolling_agg` pattern) — the touch candidates are min/max'd INSIDE
+    the frame as (ts, tiebreak, type) structs, so there is no
+    touches-to-conversions join at all, no fan-out, one shuffle on the
+    entity key.
+    """
+    if model not in ("first", "last"):
+        raise ValueError(f"attribute_conversions: model must be first|last, got {model!r}")
+    from pyspark.sql import Window
+
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch = F.when(
+        is_touch,
+        F.struct(F.col(ts_col).alias("t"), tb.alias("b"),
+                 F.col(type_col).alias("e")),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-int(lookback_sec) * 1_000_000, 0)
+    )
+    pick = F.min(touch).over(w) if model == "first" else F.max(touch).over(w)
+    scored = (
+        events.withColumn("__touch", pick)
+        .withColumn("__n_touches", F.count(touch).over(w).cast("long"))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    out = scored.select(
+        F.col(user_col),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col(f"__touch.e").alias("attributed_type"),
+        F.col(f"__touch.t").alias("touch_ts"),
+        F.col("__n_touches").alias("n_touches"),
+        *([F.col(value_col).alias("value")] if value_col else []),
+    )
+    return out

@@ -23,10 +23,10 @@ plain lane for the long tail, unioned after.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hot_key_sample", "salted_left_join"]
+__all__ = ["hot_key_sample", "salted_left_join", "skew_report"]
 
 
 def hot_key_sample(
@@ -82,3 +82,37 @@ def salted_left_join(
         build, on=key, how="left"
     )
     return hot.unionByName(tail)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostic before a join/groupBy on ``key_cols``: the
+    ``top_k`` heaviest keys with their row counts and share of the
+    table, plus each key's multiple of a perfectly uniform share
+    (``skew_x``; 1.0 = balanced, 1000 = that key alone is 1000 tasks'
+    worth of work).  The number a human checks before deciding between
+    a plain join, :func:`salted_left_join`, or AQE skew splitting.
+
+    Scale shape: one map-side-combined count per key, two tiny scalar
+    aggregates over the count table (row total, key total), TakeOrdered
+    of ``top_k`` — never a collect of the key domain.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__rows"), F.count("*").alias("__keys")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+    return top.select(
+        *key_cols,
+        F.col("n"),
+        F.round(F.col("n") / F.col("__rows"), 6).alias("share"),
+        F.round(F.col("n") * F.col("__keys") / F.col("__rows"), 2).alias("skew_x"),
+    ).withColumn("rank", F.row_number().over(w))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "build_scd2", "rolling_agg", "gap_fill"]
+__all__ = ["asof_join", "range_join", "build_scd2", "rolling_agg", "gap_fill", "ewma"]
 
 
 def rolling_agg(
@@ -429,4 +429,70 @@ def gap_fill(
     if fill is not None:
         for c in value_cols or []:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``ema_1 = x_1``, ``ema_i = alpha·x_i + (1−alpha)·ema_{i−1}`` in
+    (ts, tiebreak) order — the smoothing no plain SQL window frame can
+    express (each output depends on the previous OUTPUT, not a fixed
+    frame of inputs).
+
+    Scale shape: ONE shuffle on the key; the recurrence runs as a
+    JVM-side array fold (``aggregate`` over the sorted event array —
+    same shape as the funnel fold, no Python, no per-row window), then
+    explodes back to one row per input.  Per-key state is the key's own
+    event array — keys must fit an executor (same contract as any
+    per-key sort); for million-event keys pre-aggregate to coarser
+    buckets first.
+
+    ``alpha`` values exactly representable in binary (0.5, 0.25, 0.125,
+    0.75…) make the fold bit-reproducible across engines.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    ev = F.struct(
+        F.col(ts_col).alias("t"), tb.alias("b"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    folded = (
+        df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(ev)).alias("__evs"))
+        .withColumn(
+            "__emas",
+            F.aggregate(
+                "__evs",
+                F.array().cast("array<double>"),
+                lambda acc, e: F.concat(
+                    acc,
+                    F.array(
+                        F.coalesce(
+                            F.lit(alpha) * e["x"]
+                            + F.lit(1.0 - alpha) * F.try_element_at(acc, F.lit(-1)),
+                            e["x"],  # first element: ema = x
+                        )
+                    ),
+                ),
+            ),
+        )
+    )
+    pair = F.arrays_zip("__evs", "__emas")
+    out = folded.select(
+        *key_cols, F.explode(pair).alias("__p")
+    ).select(
+        *key_cols,
+        F.col("__p.__evs.t").alias(ts_col),
+        F.col("__p.__evs.x").alias(value_col),
+        F.col("__p.__emas").alias(out_col),
+    )
     return out

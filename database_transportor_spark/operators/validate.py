@@ -33,7 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "check", "ValidationError", "k_anonymity", "psi_drift"]
+__all__ = ["validate", "check", "ValidationError", "k_anonymity", "psi_drift", "discover_keys"]
 
 
 class ValidationError(Exception):
@@ -277,3 +277,52 @@ def psi_drift(
         F.round(pb, 6).alias("pct_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+def discover_keys(
+    df: DataFrame,
+    candidates: list[list[str]],
+) -> DataFrame:
+    """Candidate-key discovery — the question every migration starts
+    with: which column combination uniquely identifies a row?  For each
+    candidate column set, reports ``(candidate, n_rows, n_distinct,
+    n_with_nulls, is_key)``; a candidate is a key when every row has a
+    distinct, fully-non-NULL combination.
+
+    Scale shape: ALL candidates are evaluated in ONE aggregation pass
+    (one ``count_distinct`` expression per candidate in a single agg —
+    Spark plans a shared scan with one expand), never a scan per
+    candidate.
+    """
+    if not candidates:
+        raise ValueError("discover_keys: need at least one candidate")
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for i, cols in enumerate(candidates):
+        combo = F.struct(*[F.col(c) for c in cols])
+        any_null = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in cols]
+        )
+        aggs += [
+            F.count_distinct(combo).cast("long").alias(f"__d{i}"),
+            F.sum(any_null.cast("long")).cast("long").alias(f"__u{i}"),
+        ]
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(",".join(cols)).alias("candidate"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__d{i}").alias("n_distinct"),
+                        F.col(f"__u{i}").alias("n_with_nulls"),
+                        (
+                            (F.col(f"__d{i}") == F.col("__n"))
+                            & (F.col(f"__u{i}") == 0)
+                        ).alias("is_key"),
+                    )
+                    for i, cols in enumerate(candidates)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

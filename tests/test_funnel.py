@@ -213,3 +213,44 @@ def test_top_paths_tiebreak_is_deterministic(spark):
     )
     out = top_paths(df, "u", "e", "ts", tiebreak_col="i").collect()
     assert out[0]["path"] == "a>b"
+
+
+def test_attribute_conversions_first_vs_last_touch(spark):
+    import datetime
+
+    from database_transportor_spark.operators.funnel import attribute_conversions
+
+    def t(m):
+        return datetime.datetime(2026, 1, 1, 10, 0) + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, t(0), "ad", 1, 0.0), (1, t(5), "email", 2, 0.0),
+        (1, t(9), "purchase", 3, 30.0),
+        (2, t(0), "purchase", 4, 5.0),            # no touch -> unattributed
+        (3, t(0), "ad", 5, 0.0), (3, t(90), "purchase", 6, 9.0),  # stale touch
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e string, i long, v double")
+    last = {r["u"]: r for r in attribute_conversions(
+        df, "u", "e", "ts", ["ad", "email"], "purchase",
+        value_col="v", model="last", lookback_sec=3600, tiebreak_col="i",
+    ).collect()}
+    assert last[1]["attributed_type"] == "email" and last[1]["n_touches"] == 2
+    assert last[1]["value"] == 30.0
+    assert last[2]["attributed_type"] is None and last[2]["n_touches"] == 0
+    assert last[3]["attributed_type"] is None  # 90m > 60m lookback
+
+    first = {r["u"]: r for r in attribute_conversions(
+        df, "u", "e", "ts", ["ad", "email"], "purchase",
+        model="first", lookback_sec=3600, tiebreak_col="i",
+    ).collect()}
+    assert first[1]["attributed_type"] == "ad"
+
+
+def test_attribute_conversions_validation(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.funnel import attribute_conversions
+
+    df = spark.createDataFrame([(1,)], "u long")
+    with _pytest.raises(ValueError):
+        attribute_conversions(df, "u", "e", "ts", ["a"], "c", model="linear")

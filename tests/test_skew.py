@@ -101,3 +101,18 @@ def test_salt_rejected_on_multi_key_refer():
             "search_column": ["a", "b"], "according_column": ["a", "b"],
             "salt": 8,
         }, "col 'x'")
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 5, "k string"
+    )
+    out = skew_report(df, ["k"], top_k=2).orderBy("rank").collect()
+    assert out[0]["k"] == "hot" and out[0]["n"] == 90
+    assert out[0]["share"] == 0.9
+    assert out[0]["skew_x"] == 2.7  # 90 * 3 keys / 100 rows
+    assert len(out) == 2 and out[1]["rank"] == 2

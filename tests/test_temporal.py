@@ -395,3 +395,47 @@ def test_asof_join_map_typed_payload(spark):
     )
     out = asof_join(left, right, "key", "lts", "rts").collect()
     assert len(out) == 1 and out[0]["attrs"] == {"b": "2"}
+
+
+def test_ewma_matches_python_reference(spark):
+    import datetime
+
+    from database_transportor_spark.operators.temporal import ewma
+
+    def t(m):
+        return datetime.datetime(2026, 1, 1, 10, m)
+
+    rows = [("u", t(0), 10.0, 1), ("u", t(1), 20.0, 2), ("u", t(2), 0.0, 3),
+            ("v", t(0), 4.0, 4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double, i long")
+    out = ewma(df, ["k"], "ts", "x", alpha=0.25, tiebreak_col="i")
+    got = {(r["k"], r["ts"].minute): r["ewma"] for r in out.collect()}
+    # reference fold
+    ref = {}
+    for k in ("u", "v"):
+        seq = [(ts, x) for kk, ts, x, _ in rows if kk == k]
+        e = None
+        for ts, x in seq:
+            e = x if e is None else 0.25 * x + 0.75 * e
+            ref[(k, ts.minute)] = e
+    assert got == ref
+    assert got[("v", 0)] == 4.0  # single-event key: ema = x
+
+
+def test_ewma_tiebreak_and_validation(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.temporal import ewma
+
+    ts = datetime.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("k", ts, 100.0, 2), ("k", ts, 0.0, 1)],
+        "k string, ts timestamp, x double, i long",
+    )
+    out = ewma(df, ["k"], "ts", "x", alpha=0.5, tiebreak_col="i").collect()
+    emas = sorted(r["ewma"] for r in out)
+    assert emas == [0.0, 50.0]  # i=1 first (ema=0), then i=2 (0.5*100+0.5*0)
+    with _pytest.raises(ValueError):
+        ewma(df, ["k"], "ts", "x", alpha=0.0)

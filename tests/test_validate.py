@@ -185,3 +185,24 @@ def test_psi_drift_validation_and_null_excluded(spark):
     assert sum(r["n_a"] for r in out) == 1  # NULL excluded
     with _pytest.raises(ValueError):
         psi_drift(a, a, "v", lo=5.0, hi=1.0)
+
+
+def test_discover_keys_single_pass(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.validate import discover_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 10), (None, "c", 30)],
+        "id long, g string, v int",
+    )
+    got = {r["candidate"]: r for r in discover_keys(
+        df, [["id"], ["g"], ["g", "v"], ["id", "g"]]
+    ).collect()}
+    assert not got["id"]["is_key"]          # NULL disqualifies
+    assert got["id"]["n_with_nulls"] == 1
+    assert not got["g"]["is_key"]           # duplicates
+    assert got["g,v"]["is_key"]
+    assert not got["id,g"]["is_key"]        # NULL in combo
+    with _pytest.raises(ValueError):
+        discover_keys(df, [])

@@ -96,6 +96,10 @@ QUERIES = [
     "fuzzy_parts",
     "psi_drift",
     "top_paths",
+    "ewma",
+    "attribution",
+    "skew_report",
+    "key_discovery",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
