@@ -115,6 +115,12 @@ def _build_catalog(spark, conf: dict[str, Any]):
     kind = conf.get("kind", "parquet")
     if kind == "parquet":
         return ParquetCatalog(spark, conf["root"], suffix=conf.get("suffix", ".parquet"))
+    if kind == "versioned":
+        from .sources.versioned import VersionedCatalog
+
+        return VersionedCatalog(
+            spark, conf["root"], format=conf.get("format", "parquet")
+        )
     if kind in ("csv", "json", "orc", "file"):
         from .sources.catalog import FileCatalog
 
@@ -392,6 +398,34 @@ def _cmd_lineage(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_history(args: argparse.Namespace) -> int:
+    from .session import build_session
+    from .sources.versioned import VersionedCatalog
+
+    spark = build_session(master=args.master)
+    cat = VersionedCatalog(spark, args.root)
+    head = cat.current_version(args.table)
+    vs = cat.versions(args.table)
+    if not vs:
+        print(f"no versions for {args.root}/{args.table}")
+        return 1
+    for v in vs:
+        mark = "  <- HEAD" if v == head else ""
+        print(f"v{v:08d}{mark}")
+    return 0
+
+
+def _cmd_rollback(args: argparse.Namespace) -> int:
+    from .session import build_session
+    from .sources.versioned import VersionedCatalog
+
+    spark = build_session(master=args.master)
+    cat = VersionedCatalog(spark, args.root)
+    cat.rollback(args.table, args.version)
+    print(f"{args.root}/{args.table} -> v{args.version:08d}")
+    return 0
+
+
 def _cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc SQL over a catalog root: every table in the directory is
     registered as a temp view named after its file stem, then the query
@@ -537,6 +571,19 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--json", action="store_true",
                     help="one JSON record per column instead of text")
     ln.set_defaults(fn=_cmd_lineage)
+
+    h = sub.add_parser("history", help="list a versioned table's versions")
+    h.add_argument("--root", required=True)
+    h.add_argument("--table", required=True)
+    h.add_argument("--master", default=None)
+    h.set_defaults(fn=_cmd_history)
+
+    rb = sub.add_parser("rollback", help="point a versioned table at an older version")
+    rb.add_argument("--root", required=True)
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--version", type=int, required=True)
+    rb.add_argument("--master", default=None)
+    rb.set_defaults(fn=_cmd_rollback)
 
     q = sub.add_parser("sql", help="run ad-hoc SQL over a catalog root")
     q.add_argument("--root", required=True, help="catalog root directory")

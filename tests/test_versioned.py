@@ -1,0 +1,98 @@
+"""Tests for VersionedCatalog: time travel, rollback, staged commits,
+vacuum, and use as a transport target."""
+
+import pytest
+
+from database_transportor_spark import DBT, MemoryCatalog
+from database_transportor_spark.sources.versioned import VersionedCatalog
+
+
+def _cat(spark, tmp_path):
+    return VersionedCatalog(spark, str(tmp_path), format="parquet")
+
+
+def test_write_read_versions_and_time_travel(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write(spark.range(5), "t", mode="overwrite")
+    assert cat.versions("t") == [1, 2]
+    assert cat.current_version("t") == 2
+    assert cat.read("t").count() == 5
+    assert cat.read("t", version=1).count() == 3  # time travel
+
+
+def test_append_is_copy_on_write(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write(spark.range(3, 5), "t", mode="append")
+    assert cat.read("t").count() == 5
+    assert cat.read("t", version=1).count() == 3  # history immutable
+
+
+def test_rollback_is_pointer_move(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write(spark.range(99), "t", mode="overwrite")  # the "bad" transport
+    cat.rollback("t", 1)
+    assert cat.read("t").count() == 3
+    assert cat.versions("t") == [1, 2]  # data retained until vacuum
+    with pytest.raises(ValueError):
+        cat.rollback("t", 7)
+
+
+def test_staged_commit_and_abort(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write_staged(spark.range(10), "t")
+    assert cat.read("t").count() == 3  # not visible before commit
+    cat.commit_staged("t")
+    assert cat.read("t").count() == 10
+    cat.write_staged(spark.range(1), "t")
+    cat.abort_staged("t")
+    assert cat.read("t").count() == 10
+    assert cat.versions("t") == [1, 2]  # aborted version dir removed
+    with pytest.raises(RuntimeError):
+        cat.commit_staged("t")
+
+
+def test_vacuum_keeps_head_and_newest(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for i in range(1, 6):
+        cat.write(spark.range(i), "t", mode="overwrite")
+    cat.rollback("t", 2)
+    removed = cat.vacuum("t", keep=2)
+    assert removed == [1, 3]  # head (2) kept despite not being newest
+    assert sorted(cat.versions("t")) == [2, 4, 5]
+    assert cat.read("t").count() == 2
+
+
+def test_transport_into_versioned_target(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    cat = _cat(spark, tmp_path)
+    maps = {"users": {"original_table": "src",
+                      "columns": {"user_id": "id", "username": "name"}}}
+    eng = DBT(maps, target=cat, original=MemoryCatalog({"src": src}))
+    eng.do_transport(mode="overwrite")
+    eng.do_transport(mode="overwrite")
+    assert cat.versions("users") == [1, 2]
+    got = cat.read("users")
+    assert sorted(r["user_id"] for r in got.collect()) == [1, 2]
+    assert set(got.columns) == {"user_id", "username"}
+
+
+def test_history_and_rollback_cli(spark, tmp_path):
+    from test_cli import _run
+
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write(spark.range(7), "t", mode="overwrite")
+
+    r = _run(["history", "--root", str(tmp_path), "--table", "t",
+              "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "v00000002  <- HEAD" in r.stdout
+
+    r = _run(["rollback", "--root", str(tmp_path), "--table", "t",
+              "--version", "1", "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert cat.read("t").count() == 3
