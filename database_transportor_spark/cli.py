@@ -178,7 +178,10 @@ def _cmd_transport(args: argparse.Namespace) -> int:
             )
         else:
             mode = args.mode or getattr(mod, "MODE", "append")
-            outputs = eng.do_transport(mode=mode, staged=staged, validate=validate)
+            outputs = eng.do_transport(
+                mode=mode, staged=staged, validate=validate,
+                parallelism=args.parallel,
+            )
         print(f"{path}: transported {len(outputs)} table(s): {sorted(outputs)}")
     return 0
 
@@ -525,6 +528,9 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--master", default=None, help="Spark master override")
     t.add_argument("--staged", action="store_true",
                    help="stage every table and swap only after all writes")
+    t.add_argument("--parallel", type=int, default=1,
+                   help="write independent maps (same dependency level) "
+                        "concurrently with this many threads")
     t.set_defaults(fn=_cmd_transport)
 
     e = sub.add_parser(

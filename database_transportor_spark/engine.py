@@ -403,6 +403,7 @@ class DBT:
         mode: str = "append",
         staged: bool = False,
         validate: Optional[dict[str, list]] = None,
+        parallelism: int = 1,
     ) -> dict[str, DataFrame]:
         """Execute: seed check, plan, write each table in dependency order
         (X1), drop staging columns pre-write (X5), run post hooks (X6).
@@ -426,7 +427,10 @@ class DBT:
         produced moments earlier in the same run."""
         self.check_seed()
         outputs = self.transform()
-        self._write_all(outputs, mode=mode, staged=staged, validate=validate)
+        self._write_all(
+            outputs, mode=mode, staged=staged, validate=validate,
+            parallelism=parallelism,
+        )
         return outputs
 
     def _producing_key(self, table: str) -> Optional[str]:
@@ -492,6 +496,7 @@ class DBT:
         validate: Optional[dict[str, list]] = None,
         mode_for: Any = None,
         validate_pre_mutate: bool = False,
+        parallelism: int = 1,
     ) -> None:
         """Write every map output in topo order; ``mutate(key, df)`` lets a
         caller rewrite a table's final frame (e.g. merge with the live
@@ -501,50 +506,93 @@ class DBT:
         appending a full recompute would duplicate).  ``validate_pre_mutate``
         checks rules against the pre-mutate frame (the rows ingested this
         run) instead of the mutated full table — O(delta), and one bad
-        historical row can't block every future increment."""
+        historical row can't block every future increment.
+
+        ``parallelism > 1`` writes INDEPENDENT maps (same dependency
+        level) concurrently from a thread pool — Spark's scheduler
+        interleaves the jobs, so a wide spec keeps the cluster busy
+        instead of draining between sequential table writes.  Dependency
+        order is still honored level-by-level; a failure in any thread
+        aborts all staged tables exactly as in sequential mode.  Post
+        hooks preserve level order (order WITHIN a level is unspecified,
+        as is the dependency graph's own intent)."""
         from .operators.validate import check as check_rules
 
         hooks = []
         written: list[str] = []
         final_frames: dict[str, DataFrame] = {}
+
+        def write_one(key: str) -> None:
+            m = self.specs[key]
+            df = outputs[key]
+            base = df.select(*self.write_columns(key))
+            out = mutate(key, base) if mutate is not None else base
+            # post-mutate frame IS the table's committed state (merge /
+            # live∪delta applied); record it so later maps' FK rules
+            # check against what the target will actually hold.  An
+            # append-mode cursor-filtered map (no mutate) commits
+            # live ∪ delta, not the delta being written.
+            fin = out
+            if mutate is None and key in self._incremental_filters:
+                fin = self.target.read(m.target_table).unionByName(out)
+            final_frames[key] = fin
+            final_frames[m.target_table] = fin
+            if validate and key in validate:
+                check_rules(
+                    base if validate_pre_mutate else out,
+                    self._resolve_rules(validate[key], final_frames),
+                )
+            if m.order is not None:
+                c = F.col(m.order.order_by)
+                out = out.orderBy(
+                    c.asc() if m.order.direction == "asc" else c.desc()
+                )
+            if staged:
+                # append first so a mid-write failure (partial staging
+                # output) is aborted along with the completed ones
+                written.append(m.target_table)
+                self.target.write_staged(out, m.target_table)
+            else:
+                self.target.write(
+                    out, m.target_table,
+                    mode=mode_for(key) if mode_for is not None else mode,
+                )
+            if m.run_after_transport is not None:
+                hooks.append(m.run_after_transport)
+
+        order = topo_order(self.specs)
         try:
-            for key in topo_order(self.specs):
-                m = self.specs[key]
-                df = outputs[key]
-                base = df.select(*self.write_columns(key))
-                out = mutate(key, base) if mutate is not None else base
-                # post-mutate frame IS the table's committed state (merge /
-                # live∪delta applied); record it so later maps' FK rules
-                # check against what the target will actually hold.  An
-                # append-mode cursor-filtered map (no mutate) commits
-                # live ∪ delta, not the delta being written.
-                fin = out
-                if mutate is None and key in self._incremental_filters:
-                    fin = self.target.read(m.target_table).unionByName(out)
-                final_frames[key] = fin
-                final_frames[m.target_table] = fin
-                if validate and key in validate:
-                    check_rules(
-                        base if validate_pre_mutate else out,
-                        self._resolve_rules(validate[key], final_frames),
+            if parallelism <= 1:
+                for key in order:
+                    write_one(key)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from .plans.planner import dependency_edges
+
+                deps = dependency_edges(self.specs)
+                level: dict[str, int] = {}
+                for key in order:
+                    level[key] = 1 + max(
+                        (level[d] for d in deps[key] if d in level), default=-1
                     )
-                if m.order is not None:
-                    c = F.col(m.order.order_by)
-                    out = out.orderBy(
-                        c.asc() if m.order.direction == "asc" else c.desc()
-                    )
-                if staged:
-                    # append first so a mid-write failure (partial staging
-                    # output) is aborted along with the completed ones
-                    written.append(m.target_table)
-                    self.target.write_staged(out, m.target_table)
-                else:
-                    self.target.write(
-                        out, m.target_table,
-                        mode=mode_for(key) if mode_for is not None else mode,
-                    )
-                if m.run_after_transport is not None:
-                    hooks.append(m.run_after_transport)
+                by_level: dict[int, list[str]] = {}
+                for key in order:
+                    by_level.setdefault(level[key], []).append(key)
+                for lv in sorted(by_level):
+                    group = by_level[lv]
+                    if len(group) == 1 or parallelism == 1:
+                        for key in group:
+                            write_one(key)
+                        continue
+                    with ThreadPoolExecutor(
+                        max_workers=min(parallelism, len(group))
+                    ) as pool:
+                        futures = [pool.submit(write_one, k) for k in group]
+                        errs = [f.exception() for f in futures]
+                    for e in errs:
+                        if e is not None:
+                            raise e
         except Exception:
             for table in written:
                 self.target.abort_staged(table)

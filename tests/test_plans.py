@@ -121,3 +121,57 @@ def test_preloaded_lookup_broadcasts(spark):
     df = eng.transform()["out"]
     plan = _plan(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_parallel_transport_matches_sequential(spark, tmp_path):
+    from database_transportor_spark import DBT, MemoryCatalog, ParquetCatalog
+
+    src = MemoryCatalog({
+        "a": spark.range(100).withColumnRenamed("id", "k"),
+        "b": spark.range(50).withColumnRenamed("id", "k"),
+        "c": spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"),
+    })
+    maps = {
+        "ta": {"original_table": "a", "columns": {"k": "k"}},
+        "tb": {"original_table": "b", "columns": {"k": "k"}},
+        # dependent map: must still run AFTER ta despite parallelism
+        "tc": {"original_table": "c", "columns": {"k": "k", "v": "v"},
+               "transport_after": ["ta", "tb"]},
+    }
+    seq = ParquetCatalog(spark, str(tmp_path / "seq"))
+    par = ParquetCatalog(spark, str(tmp_path / "par"))
+    DBT(maps, target=seq, original=src).do_transport(mode="overwrite")
+    DBT(maps, target=par, original=src).do_transport(
+        mode="overwrite", parallelism=4
+    )
+    for t in ("ta", "tb", "tc"):
+        a = sorted(map(tuple, seq.read(t).collect()))
+        b = sorted(map(tuple, par.read(t).collect()))
+        assert a == b, t
+
+
+def test_parallel_staged_failure_aborts_all(spark, tmp_path):
+    import pytest as _pytest
+
+    from database_transportor_spark import DBT, MemoryCatalog, ParquetCatalog
+    from database_transportor_spark.operators.validate import ValidationError
+
+    src = MemoryCatalog({
+        "a": spark.range(10).withColumnRenamed("id", "k"),
+        "b": spark.createDataFrame([(None,)], "k long"),  # violates not_null
+    })
+    maps = {
+        "ta": {"original_table": "a", "columns": {"k": "k"}},
+        "tb": {"original_table": "b", "columns": {"k": "k"}},
+    }
+    tgt = ParquetCatalog(spark, str(tmp_path))
+    eng = DBT(maps, target=tgt, original=src)
+    with _pytest.raises(ValidationError):
+        eng.do_transport(
+            mode="overwrite", staged=True, parallelism=2,
+            validate={"tb": [{"rule": "not_null", "column": "k"}]},
+        )
+    import glob as _glob
+
+    # nothing committed, no staging leftovers
+    assert _glob.glob(str(tmp_path / "*")) == []
