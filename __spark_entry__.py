@@ -4438,3 +4438,167 @@ _EXTENSION_ORACLES.update(
         "key_discovery": SQL_KEY_DISCOVERY,
     }
 )
+
+
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine flow (`operators/validate.py:split_valid`): rule
+    violations are ROUTED with machine-readable reason labels instead of
+    aborting the batch — one projection computes every rule flag, two
+    filter branches over the same scan, zero shuffle."""
+    from database_transportor_spark.operators.validate import split_valid
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _clean, quar = split_valid(
+        orders,
+        [
+            {"rule": "range", "column": "o_totalprice", "max": 400000.0},
+            {"rule": "accepted_values", "column": "o_orderstatus",
+             "values": ["F", "O"]},
+            {"rule": "expression", "name": "dated",
+             "sql": "o_orderdate < timestamp'2001-06-01'"},
+        ],
+    )
+    return quar.select(
+        "o_orderkey",
+        F.col("__violations").alias("violations"),
+    )
+
+
+SQL_QUARANTINE = r"""
+SELECT o_orderkey, violations FROM (
+    SELECT o_orderkey,
+           list_filter(
+               [CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 400000.0
+                     THEN 'range:o_totalprice' END,
+                CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O')
+                     THEN 'accepted_values:o_orderstatus' END,
+                CASE WHEN NOT coalesce(o_orderdate < TIMESTAMP '2001-06-01',
+                                       FALSE)
+                     THEN 'expression:dated' END],
+               x -> x IS NOT NULL) AS violations
+    FROM orders
+) WHERE len(violations) > 0
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure audit (`operators/corpus.py:detect_pii`): every
+    (string column, pattern) pair counted in ONE conditional-aggregation
+    scan.  The fixture corpus is PII-free, so a synthetic contact column
+    (one email per 10 docs) proves the regexes fire and the clean
+    columns prove the zero-hit report."""
+    from database_transportor_spark.operators.corpus import detect_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "contact",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("no contact on file")),
+    )
+    return detect_pii(aug, columns=["text", "contact"])
+
+
+SQL_PII_SCAN = r"""
+WITH aug AS (
+    SELECT text,
+           CASE WHEN doc_id % 10 = 0
+                THEN 'user' || doc_id || '@example.com'
+                ELSE 'no contact on file' END AS contact
+    FROM documents
+), n AS (SELECT count(*) AS n_rows FROM aug)
+SELECT col AS "column", pattern, (SELECT n_rows FROM n) AS n_rows,
+       n_hits, round(n_hits / (SELECT n_rows FROM n), 6) AS hit_rate
+FROM (
+    SELECT 'text' AS col, 'email' AS pattern,
+           CAST(sum(CASE WHEN regexp_matches(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM aug
+    UNION ALL
+    SELECT 'text', 'ipv4',
+           CAST(sum(CASE WHEN regexp_matches(text,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM aug
+    UNION ALL
+    SELECT 'text', 'phone',
+           CAST(sum(CASE WHEN regexp_matches(text,
+               '\+\d[\d()\- ]{7,}\d') THEN 1 ELSE 0 END) AS BIGINT) FROM aug
+    UNION ALL
+    SELECT 'contact', 'email',
+           CAST(sum(CASE WHEN regexp_matches(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+               THEN 1 ELSE 0 END) AS BIGINT) FROM aug
+    UNION ALL
+    SELECT 'contact', 'ipv4',
+           CAST(sum(CASE WHEN regexp_matches(contact,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM aug
+    UNION ALL
+    SELECT 'contact', 'phone',
+           CAST(sum(CASE WHEN regexp_matches(contact,
+               '\+\d[\d()\- ]{7,}\d') THEN 1 ELSE 0 END) AS BIGINT) FROM aug
+)
+"""
+
+
+def q_evolve_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving MERGE (`operators/mutations.py:align_schemas` +
+    `merge_upsert`): the feed carries a NEW column the live table lacks;
+    alignment adds it as a typed NULL on the live side, the single-
+    shuffle MERGE then upserts — additive evolution with no rewrite of
+    untouched history."""
+    from database_transportor_spark.operators.mutations import (
+        align_schemas,
+        merge_upsert,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    live = part.select("p_partkey", "p_name", "p_retailprice")
+    feed = (
+        part.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey", "p_name",
+            (F.round(F.col("p_retailprice") * 100).cast("long") + 100)
+            .alias("price_cents"),
+        )
+        .withColumn("p_retailprice",
+                    F.col("price_cents") / F.lit(100.0))
+        .select("p_partkey", "p_name", "p_retailprice", "price_cents")
+    )
+    t, s = align_schemas(live, feed)
+    return merge_upsert(t, s, "p_partkey")
+
+
+SQL_EVOLVE_MERGE = r"""
+WITH feed AS (
+    SELECT p_partkey, p_name,
+           (CAST(round(p_retailprice * 100) AS BIGINT) + 100) / 100.0
+               AS p_retailprice,
+           CAST(round(p_retailprice * 100) AS BIGINT) + 100 AS price_cents
+    FROM part WHERE p_partkey % 3 = 0
+)
+SELECT p.p_partkey, p.p_name,
+       coalesce(f.p_retailprice, p.p_retailprice) AS p_retailprice,
+       f.price_cents
+FROM part p LEFT JOIN feed f ON p.p_partkey = f.p_partkey
+"""
+
+
+_EXTENSION_QUERIES.update(
+    {
+        "quarantine": q_quarantine,
+        "pii_scan": q_pii_scan,
+        "evolve_merge": q_evolve_merge,
+    }
+)
+
+_EXTENSION_ORACLES.update(
+    {
+        "quarantine": SQL_QUARANTINE,
+        "pii_scan": SQL_PII_SCAN,
+        "evolve_merge": SQL_EVOLVE_MERGE,
+    }
+)

@@ -42,6 +42,7 @@ __all__ = [
     "weighted_sample",
     "sample_per_group",
     "winsorize",
+    "detect_pii",
     "PII_PATTERNS",
 ]
 
@@ -673,3 +674,61 @@ def winsorize(
     clipped = F.least(F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi"))
     guarded = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(clipped)
     return joined.withColumn(out_col, guarded).drop("__lo", "__hi")
+
+
+def detect_pii(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII exposure profile: for every (string column, pattern) pair, the
+    count and rate of rows containing a match — the audit that decides
+    WHERE :func:`redact_pii` must run before a corpus or migrated table
+    is shared.  Returns ``(column, pattern, n_rows, n_hits, hit_rate)``;
+    zero-hit pairs are included (the clean report is the contract).
+
+    Scale shape: ALL (column, pattern) flags fold into ONE conditional
+    aggregation over a single scan — never a scan per column or per
+    pattern; the regexes run inside whole-stage codegen.
+    """
+    pats = patterns or PII_PATTERNS
+    string_cols = [
+        c for c, t in df.dtypes if t == "string"
+        and (columns is None or c in columns)
+    ]
+    if columns:
+        missing = [c for c in columns if c not in string_cols]
+        if missing:
+            raise ValueError(
+                f"detect_pii: not string columns (or absent): {missing}"
+            )
+    if not string_cols or not pats:
+        raise ValueError("detect_pii: need >=1 string column and pattern")
+    aggs = [F.count("*").cast("long").alias("__n")]
+    meta = []
+    for i, c in enumerate(string_cols):
+        for j, (name, rx) in enumerate(sorted(pats.items())):
+            hit = F.col(c).rlike(rx)
+            aggs.append(
+                F.sum(F.coalesce(hit, F.lit(False)).cast("long"))
+                .cast("long")
+                .alias(f"__h{i}_{j}")
+            )
+            meta.append((c, name, f"__h{i}_{j}"))
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit(p).alias("pattern"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(h).alias("n_hits"),
+                        F.round(F.col(h) / F.col("__n"), 6).alias("hit_rate"),
+                    )
+                    for c, p, h in meta
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "cdc_apply", "diff_tables"]
+__all__ = ["merge_upsert", "cdc_apply", "diff_tables", "align_schemas"]
 
 
 def diff_tables(
@@ -222,3 +222,54 @@ def cdc_apply(
     return kept.select(*target.columns).unionByName(
         upserts.select(*target.columns)
     )
+
+
+def align_schemas(
+    target: DataFrame,
+    source: DataFrame,
+    strict_types: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for merges: return (target', source') sharing the
+    UNION of both column sets — columns absent on one side are added as
+    typed NULLs (type taken from the side that has them).  The standard
+    additive-evolution contract (Delta's ``mergeSchema``): new columns
+    appear, old rows read NULL for them; nothing is ever dropped or
+    silently retyped.
+
+    ``strict_types=True`` raises when a shared column's type differs
+    between the sides — silent cross-type unions are how corrupt merges
+    are born; pass ``False`` to let Spark's ``unionByName`` coercion
+    handle it when you know the widening is safe.
+
+    Zero-cost projection on both sides; pair with :func:`merge_upsert`::
+
+        t, s = align_schemas(live, feed)
+        merged = merge_upsert(t, s, keys, seq_col)
+    """
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    s_types = {f.name: f.dataType for f in source.schema.fields}
+    if strict_types:
+        clash = {
+            c: (t_types[c], s_types[c])
+            for c in set(t_types) & set(s_types)
+            if t_types[c] != s_types[c]
+        }
+        if clash:
+            raise ValueError(
+                f"align_schemas: type mismatch on shared columns {clash}; "
+                "resolve explicitly or pass strict_types=False"
+            )
+    ordered = list(target.columns) + [
+        c for c in source.columns if c not in t_types
+    ]
+    def project(df, have):
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(
+                    t_types.get(c) or s_types[c]
+                ).alias(c)
+                for c in ordered
+            ]
+        )
+    return project(target, t_types), project(source, s_types)

@@ -33,7 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "check", "ValidationError", "k_anonymity", "psi_drift", "discover_keys"]
+__all__ = ["validate", "check", "ValidationError", "k_anonymity", "psi_drift", "discover_keys", "split_valid"]
 
 
 class ValidationError(Exception):
@@ -326,3 +326,60 @@ def discover_keys(
             )
         ).alias("r")
     ).select("r.*")
+
+
+def split_valid(
+    df: DataFrame,
+    rules: list[dict[str, Any]],
+    reason_col: str = "__violations",
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine flow: instead of aborting the whole batch on a rule
+    violation (:func:`check`), SPLIT it — returns ``(clean, quarantined)``
+    where quarantined rows carry an array of the rule labels they break.
+    The load-what's-good pattern: commit the clean side, route the
+    quarantine side to a review table, and one bad row no longer blocks
+    a 100 TB batch.
+
+    Supports the ROW-LEVEL rule vocabulary (not_null / accepted_values /
+    range / expression) — set-level rules (unique, foreign_key) are not
+    row-attributable without a join and belong in :func:`check`; passing
+    one raises.
+
+    Scale shape: one pure projection computing every rule's violation
+    flag, two filter branches over the same scan — no shuffle, no
+    collect; Spark reads the source once per written branch.
+    """
+    flags: list[tuple[str, Any]] = []
+    for rule in rules:
+        kind = rule["rule"]
+        label = f"{kind}:{_rule_label(rule)}"
+        if kind == "not_null":
+            cond = F.col(rule["column"]).isNull()
+        elif kind == "accepted_values":
+            c = F.col(rule["column"])
+            cond = c.isNotNull() & ~c.isin(list(rule["values"]))
+        elif kind == "range":
+            c = F.col(rule["column"])
+            cond = F.lit(False)
+            if "min" in rule:
+                cond = cond | (c < F.lit(rule["min"]))
+            if "max" in rule:
+                cond = cond | (c > F.lit(rule["max"]))
+            cond = c.isNotNull() & cond
+        elif kind == "expression":
+            cond = ~F.coalesce(F.expr(rule["sql"]), F.lit(False))
+        else:
+            raise ValueError(
+                f"split_valid: rule {kind!r} is not row-attributable "
+                "(use check() for set-level rules)"
+            )
+        flags.append((label, cond))
+
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(label)) for label, cond in flags]),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn(reason_col, reasons)
+    clean = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
+    quarantined = tagged.filter(F.size(reason_col) > 0)
+    return clean, quarantined

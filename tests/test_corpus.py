@@ -349,3 +349,33 @@ def test_rank_normalize_null_scores_stay_null(spark):
     assert out[3] is None
     # non-null ranks computed over the 3 scored rows only
     assert out[1] == 0.0 and out[4] == 1.0 and out[2] == 0.5
+
+
+def test_detect_pii_single_pass_report(spark):
+    from database_transportor_spark.operators.corpus import detect_pii
+
+    df = spark.createDataFrame(
+        [("contact bob@x.io now", "clean"),
+         ("nothing here", "call +1 (555) 123-4567"),
+         (None, "also clean")],
+        "a string, b string",
+    )
+    got = {(r["column"], r["pattern"]): r for r in detect_pii(df).collect()}
+    assert got[("a", "email")]["n_hits"] == 1
+    assert got[("a", "email")]["hit_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[("b", "phone")]["n_hits"] == 1
+    assert got[("a", "phone")]["n_hits"] == 0  # zero-hit pairs reported
+    assert all(r["n_rows"] == 3 for r in got.values())
+
+
+def test_detect_pii_validation(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.corpus import detect_pii
+
+    df = spark.createDataFrame([(1,)], "n long")
+    with _pytest.raises(ValueError):
+        detect_pii(df)  # no string columns
+    df2 = spark.createDataFrame([("x", 1)], "s string, n long")
+    with _pytest.raises(ValueError):
+        detect_pii(df2, columns=["n"])

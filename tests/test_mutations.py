@@ -185,3 +185,33 @@ def test_cdc_apply_unknown_op_raises_even_when_filtered(spark):
     changes = spark.createDataFrame([(2, "b", "X", 1)], ["k", "v", "op", "seq"])
     with pytest.raises(Exception, match="unknown op"):
         cdc_apply(target, changes, "k").collect()
+
+
+def test_align_schemas_adds_typed_nulls_and_merges(spark):
+    from database_transportor_spark.operators.mutations import (
+        align_schemas,
+        merge_upsert,
+    )
+
+    live = spark.createDataFrame([(1, "a")], "k long, v string")
+    feed = spark.createDataFrame([(1, "a2", 9.5), (2, "b", 1.0)],
+                                 "k long, v string, score double")
+    t, s = align_schemas(live, feed)
+    assert t.columns == s.columns == ["k", "v", "score"]
+    assert dict(t.dtypes)["score"] == "double"  # typed NULL, not string
+    merged = {r["k"]: r for r in merge_upsert(t, s, "k").collect()}
+    assert merged[1]["v"] == "a2" and merged[1]["score"] == 9.5
+    assert merged[2]["score"] == 1.0
+
+
+def test_align_schemas_strict_type_clash(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.mutations import align_schemas
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([("1",)], "k string")
+    with _pytest.raises(ValueError):
+        align_schemas(a, b)
+    t, s = align_schemas(a, b, strict_types=False)
+    assert t.columns == s.columns == ["k"]

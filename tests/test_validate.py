@@ -206,3 +206,34 @@ def test_discover_keys_single_pass(spark):
     assert not got["id,g"]["is_key"]        # NULL in combo
     with _pytest.raises(ValueError):
         discover_keys(df, [])
+
+
+def test_split_valid_routes_and_labels_violations(spark):
+    from database_transportor_spark.operators.validate import split_valid
+
+    df = spark.createDataFrame(
+        [(1, "A", 5), (2, None, 5), (3, "Z", 5), (4, "A", -1), (5, None, -9)],
+        "id long, status string, qty int",
+    )
+    rules = [
+        {"rule": "not_null", "column": "status"},
+        {"rule": "accepted_values", "column": "status", "values": ["A", "B"]},
+        {"rule": "range", "column": "qty", "min": 0},
+    ]
+    clean, quar = split_valid(df, rules)
+    assert sorted(r["id"] for r in clean.collect()) == [1]
+    got = {r["id"]: set(r["__violations"]) for r in quar.collect()}
+    assert got[2] == {"not_null:status"}
+    assert got[3] == {"accepted_values:status"}
+    assert got[4] == {"range:qty"}
+    assert got[5] == {"not_null:status", "range:qty"}
+
+
+def test_split_valid_rejects_set_level_rules(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.validate import split_valid
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        split_valid(df, [{"rule": "unique", "columns": ["id"]}])

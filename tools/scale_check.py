@@ -100,6 +100,9 @@ QUERIES = [
     "attribution",
     "skew_report",
     "key_discovery",
+    "quarantine",
+    "pii_scan",
+    "evolve_merge",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
