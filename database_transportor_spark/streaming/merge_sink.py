@@ -42,15 +42,25 @@ def stream_merge_sink(
     seq_col: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
+    op_col: str | None = None,
 ) -> int:
     """Stream files from ``source_dir`` and MERGE each micro-batch into
     ``target``/``table`` by ``keys`` (latest ``seq_col`` wins).
+
+    ``op_col``: switches the per-batch apply from plain upsert MERGE to
+    full CDC semantics (``operators/mutations.py:cdc_apply``) — feed
+    rows carry I/U/D ops, deletes REMOVE target keys.  ``seq_col``
+    becomes required (CDC needs a change order).  Replay safety holds:
+    re-applying the same change set is idempotent because the highest
+    sequence per key wins again.
 
     ``available_now=True`` drains everything currently unprocessed and
     returns (incremental batch job — rerun to pick up new files, the
     checkpoint remembers progress); ``False`` runs until the stream is
     stopped externally.  Returns the number of micro-batches merged.
     """
+    if op_col is not None and seq_col is None:
+        raise ValueError("stream_merge_sink: op_col requires seq_col")
     batch_df = spark.read.parquet(source_dir)
     stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
     if checkpoint is None:
@@ -74,14 +84,27 @@ def stream_merge_sink(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        live = (
-            target.read(table)
-            if target.is_nonempty(table)
-            else batch.limit(0).select(*batch.columns)
-        )
-        # the live side lacks feed-only columns (seq may be feed-only);
-        # merge on the live schema, seq resolves within the batch side
-        merged = merge_upsert(live, batch, keys, seq_col=seq_col)
+        if op_col is not None:
+            from ..operators.mutations import cdc_apply
+
+            data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
+            live = (
+                target.read(table)
+                if target.is_nonempty(table)
+                else batch.limit(0).select(*data_cols)
+            )
+            merged = cdc_apply(
+                live, batch, keys, op_col=op_col, seq_col=seq_col
+            )
+        else:
+            live = (
+                target.read(table)
+                if target.is_nonempty(table)
+                else batch.limit(0).select(*batch.columns)
+            )
+            # the live side lacks feed-only columns (seq may be feed-only);
+            # merge on the live schema, seq resolves within the batch side
+            merged = merge_upsert(live, batch, keys, seq_col=seq_col)
         target.write_staged(merged, table)
         target.commit_staged(table)
         merged_batches["n"] += 1

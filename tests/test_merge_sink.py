@@ -64,3 +64,37 @@ def test_merge_sink_default_checkpoint_unique_per_source_target(spark, tmp_path)
     assert n1 >= 1 and n2 >= 1, "second sink must not reuse first's checkpoint"
     assert [r["v"] for r in t1.read("tab").collect()] == ["v1"]
     assert [r["v"] for r in t2.read("tab").collect()] == ["v2"]
+
+
+def test_merge_sink_cdc_mode_applies_deletes(spark, tmp_path):
+    src = str(tmp_path / "cdc_feed")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    tgt = ParquetCatalog(spark, str(tmp_path / "cdc_tgt"))
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, ["k", "val", "op", "seq"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    feed([(1, "a", "I", 1), (2, "b", "I", 2)])
+    n = stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                          checkpoint=ckpt, op_col="op")
+    assert n >= 1
+    assert {r["k"]: r["val"] for r in tgt.read("t").collect()} == {1: "a", 2: "b"}
+
+    # second run: update 1, DELETE 2, insert 3
+    feed([(1, "A", "U", 3), (2, None, "D", 4), (3, "c", "I", 5)])
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt, op_col="op")
+    got = {r["k"]: r["val"] for r in tgt.read("t").collect()}
+    assert got == {1: "A", 3: "c"}  # key 2 deleted
+    # op/seq are feed metadata, not target columns
+    assert set(tgt.read("t").columns) == {"k", "val"}
+
+
+def test_merge_sink_cdc_requires_seq(spark, tmp_path):
+    import pytest as _pytest
+
+    tgt = ParquetCatalog(spark, str(tmp_path))
+    with _pytest.raises(ValueError):
+        stream_merge_sink(spark, str(tmp_path), tgt, "t", "k", op_col="op")
