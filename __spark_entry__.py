@@ -4602,3 +4602,95 @@ _EXTENSION_ORACLES.update(
         "evolve_merge": SQL_EVOLVE_MERGE,
     }
 )
+
+
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC sink (streaming/merge_sink.py with ``op_col``):
+    an op-tagged parquet feed drains through availableNow — updates
+    (U, keys %4==0), deletes (D, keys %5==0 among the live), inserts
+    (I, keys beyond the live range).  The oracle replays the same
+    change set as batch SQL; a hash match proves the streaming CDC path
+    lands the exact batch answer, including the removals."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+    from database_transportor_spark.streaming.merge_sink import stream_merge_sink
+
+    work = tempfile.mkdtemp(prefix=f"scdc_{uuid.uuid4().hex[:8]}_")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    live = cust.filter(F.col("c_custkey") % 3 != 0)
+    updates = (
+        cust.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 500, 2))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        cust.filter((F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 3 != 0))
+        .withColumn("op", F.lit("D"))
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+        .withColumn("op", F.lit("I"))
+    )
+    # seq must order SAME-KEY changes deterministically: a key hit by both
+    # U (%4) and D (%5) resolves delete-last — encode op rank into seq
+    feed = (
+        updates.unionByName(deletes).unionByName(inserts)
+        .withColumn(
+            "seq",
+            F.col("c_custkey") * 10
+            + F.when(F.col("op") == "D", 2).otherwise(1),
+        )
+    )
+    tgt = ParquetCatalog(spark, f"{work}/tgt")
+    tgt.write(live, "sc", mode="overwrite")
+    feed.coalesce(4).write.mode("overwrite").parquet(f"{work}/feed")
+    stream_merge_sink(
+        spark, f"{work}/feed", tgt, "sc", "c_custkey",
+        seq_col="seq", checkpoint=f"{work}/ckpt", op_col="op",
+    )
+    return tgt.read("sc")
+
+
+SQL_STREAM_CDC = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+), live AS (
+    SELECT * FROM base WHERE c_custkey % 3 <> 0
+), feed AS (
+    SELECT c_custkey, c_name,
+           round(c_acctbal + 500, 2) AS c_acctbal, 'U' AS op
+    FROM base WHERE c_custkey % 4 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, 'D'
+    FROM base WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_acctbal, 'I'
+    FROM base WHERE c_custkey % 7 = 0
+), latest AS (
+    -- highest seq per key wins; seq encodes op rank so a key hit by both
+    -- U and D resolves delete-last (matching the Spark feed's seq)
+    SELECT c_custkey, c_name, c_acctbal, op FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey
+            ORDER BY CASE WHEN op = 'D' THEN 2 ELSE 1 END DESC
+        ) AS rn
+        FROM feed
+    ) WHERE rn = 1
+)
+SELECT COALESCE(f.c_custkey, l.c_custkey) AS c_custkey,
+       CASE WHEN f.c_custkey IS NOT NULL THEN f.c_name ELSE l.c_name END
+           AS c_name,
+       CASE WHEN f.c_custkey IS NOT NULL THEN f.c_acctbal
+            ELSE l.c_acctbal END AS c_acctbal
+FROM live l FULL OUTER JOIN latest f ON l.c_custkey = f.c_custkey
+WHERE COALESCE(f.op, '') <> 'D'
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_cdc": q_stream_cdc})
+_EXTENSION_ORACLES.update({"stream_cdc": SQL_STREAM_CDC})
