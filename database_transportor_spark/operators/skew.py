@@ -104,10 +104,12 @@ def skew_report(
     totals = counts.agg(
         F.sum("n").alias("__rows"), F.count("*").alias("__keys")
     )
+    # TakeOrdered FIRST: the 1-row totals frame joins onto k rows, never
+    # onto the key domain
     top = (
-        counts.crossJoin(F.broadcast(totals))
-        .orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+        counts.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(top_k)
+        .crossJoin(F.broadcast(totals))
     )
     w = Window.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
     return top.select(

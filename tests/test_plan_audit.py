@@ -21,6 +21,9 @@ ALLOWED_NESTED_LOOP = {
     # literal 1-row aggregate cross-joined onto the vocabulary — build side
     # is one row by construction, and joining it avoids a driver collect
     "lm_score": "1-row scalar-totals frame broadcast onto the vocabulary",
+    # same shape: the (total rows, total keys) scalars are one broadcast
+    # row joined onto the TakeOrdered top-k — never onto the key domain
+    "skew_report": "1-row totals frame broadcast onto the top-k keys",
 }
 
 STREAMING = {
