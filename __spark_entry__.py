@@ -4610,7 +4610,8 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (U, keys %4==0), deletes (D, keys %5==0 among the live), inserts
     (I, keys beyond the live range).  The oracle replays the same
     change set as batch SQL; a hash match proves the streaming CDC path
-    lands the exact batch answer, including the removals."""
+    lands the exact batch answer, including the removals; the
+    retained seq column (NULL for untouched live rows) is hashed too."""
     import tempfile
     import uuid
 
@@ -4674,7 +4675,9 @@ WITH base AS (
 ), latest AS (
     -- highest seq per key wins; seq encodes op rank so a key hit by both
     -- U and D resolves delete-last (matching the Spark feed's seq)
-    SELECT c_custkey, c_name, c_acctbal, op FROM (
+    SELECT c_custkey, c_name, c_acctbal, op,
+           c_custkey * 10 + CASE WHEN op = 'D' THEN 2 ELSE 1 END AS seq
+    FROM (
         SELECT *, row_number() OVER (
             PARTITION BY c_custkey
             ORDER BY CASE WHEN op = 'D' THEN 2 ELSE 1 END DESC
@@ -4686,7 +4689,8 @@ SELECT COALESCE(f.c_custkey, l.c_custkey) AS c_custkey,
        CASE WHEN f.c_custkey IS NOT NULL THEN f.c_name ELSE l.c_name END
            AS c_name,
        CASE WHEN f.c_custkey IS NOT NULL THEN f.c_acctbal
-            ELSE l.c_acctbal END AS c_acctbal
+            ELSE l.c_acctbal END AS c_acctbal,
+       f.seq AS seq
 FROM live l FULL OUTER JOIN latest f ON l.c_custkey = f.c_custkey
 WHERE COALESCE(f.op, '') <> 'D'
 """

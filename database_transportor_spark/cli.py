@@ -402,11 +402,10 @@ def _cmd_lineage(args: argparse.Namespace) -> int:
 
 
 def _cmd_history(args: argparse.Namespace) -> int:
-    from .session import build_session
+    # pure pointer/directory metadata — no SparkSession needed (or built)
     from .sources.versioned import VersionedCatalog
 
-    spark = build_session(master=args.master)
-    cat = VersionedCatalog(spark, args.root)
+    cat = VersionedCatalog(None, args.root)
     head = cat.current_version(args.table)
     vs = cat.versions(args.table)
     if not vs:
@@ -419,11 +418,10 @@ def _cmd_history(args: argparse.Namespace) -> int:
 
 
 def _cmd_rollback(args: argparse.Namespace) -> int:
-    from .session import build_session
+    # pure pointer move — no SparkSession needed (or built)
     from .sources.versioned import VersionedCatalog
 
-    spark = build_session(master=args.master)
-    cat = VersionedCatalog(spark, args.root)
+    cat = VersionedCatalog(None, args.root)
     cat.rollback(args.table, args.version)
     print(f"{args.root}/{args.table} -> v{args.version:08d}")
     return 0
@@ -440,10 +438,10 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     from .session import build_session
 
     spark = build_session(master=args.master)
-    cat = _build_catalog(
-        spark, {"kind": args.format, "root": args.root, "format": args.format}
+    cat = _build_catalog(spark, _file_catalog_conf(args))
+    suffix = ".versions" if args.format == "versioned" else (
+        getattr(cat, "suffix", ".parquet") or ""
     )
-    suffix = getattr(cat, "suffix", ".parquet") or ""
     for entry in sorted(_os.listdir(args.root)):
         name = entry[: -len(suffix)] if suffix and entry.endswith(suffix) else None
         if not name or name.startswith(("_", ".")):
@@ -451,9 +449,7 @@ def _cmd_sql(args: argparse.Namespace) -> int:
         cat.read(name).createOrReplaceTempView(name)
     df = spark.sql(args.query)
     if args.explain:
-        print(df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        ))
+        print(_explain_string(df))
         return 0
     rows = df.limit(args.limit).collect() if args.limit else df.collect()
     cols = df.columns
@@ -463,14 +459,19 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _file_catalog_conf(args: argparse.Namespace) -> dict:
+    """CLI --format names the catalog KIND; "versioned" is a layout over
+    parquet, not a Spark data-source format — never pass it as one."""
+    fmt = "parquet" if args.format == "versioned" else args.format
+    return {"kind": args.format, "root": args.root, "format": fmt}
+
+
 def _cmd_compact(args: argparse.Namespace) -> int:
     from .operators.maintenance import compact_table
     from .session import build_session
 
     spark = build_session(master=args.master)
-    cat = _build_catalog(
-        spark, {"kind": args.format, "root": args.root, "format": args.format}
-    )
+    cat = _build_catalog(spark, _file_catalog_conf(args))
     zcols = [c.strip() for c in args.zorder.split(",")] if args.zorder else None
     n = compact_table(
         cat, args.table, target_file_bytes=args.target_mb << 20,
@@ -486,9 +487,7 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     from .session import build_session
 
     spark = build_session(master=args.master)
-    cat = _build_catalog(
-        spark, {"kind": args.format, "root": args.root, "format": args.format}
-    )
+    cat = _build_catalog(spark, _file_catalog_conf(args))
     rows = profile_table(
         cat.read(args.table), exact_distinct=args.exact
     ).collect()

@@ -579,6 +579,30 @@ class DBT:
                 by_level: dict[int, list[str]] = {}
                 for key in order:
                     by_level.setdefault(level[key], []).append(key)
+                if validate:
+                    # an FK rule referencing a table produced by a SAME-level
+                    # map is an undeclared dependency: sequentially it read
+                    # committed-or-earlier data, in parallel it would race a
+                    # concurrent overwrite of that very table — demand the
+                    # dependency be declared instead of corrupting quietly
+                    produced = {}
+                    for k2, m2 in self.specs.items():
+                        produced[k2] = k2
+                        produced[m2.target_table] = k2
+                    for group in by_level.values():
+                        gset = set(group)
+                        for key in group:
+                            for r in validate.get(key, []):
+                                rt = r.get("ref_table")
+                                pk = produced.get(rt) if rt else None
+                                if pk and pk != key and pk in gset:
+                                    raise SpecError(
+                                        f"map {key!r}: foreign_key rule "
+                                        f"references {rt!r}, produced by "
+                                        f"same-level map {pk!r} — declare "
+                                        f"transport_after: [{pk!r}] to run "
+                                        "it under parallelism"
+                                    )
                 for lv in sorted(by_level):
                     group = by_level[lv]
                     if len(group) == 1 or parallelism == 1:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "cdc_apply", "diff_tables", "align_schemas"]
+__all__ = ["merge_upsert", "cdc_apply", "diff_tables", "align_schemas", "cdc_merge"]
 
 
 def diff_tables(
@@ -159,6 +159,7 @@ def cdc_apply(
     upsert_ops: tuple[str, ...] = ("I", "U"),
     delete_op: str = "D",
     broadcast_feed: bool = True,
+    persist_feed: bool = True,
 ) -> DataFrame:
     """Apply a CDC change feed (full row images + op + sequence) to a
     snapshot: for each key, the change with the highest ``seq_col`` wins —
@@ -191,15 +192,22 @@ def cdc_apply(
         if c not in changes.columns:
             raise ValueError(f"cdc_apply: changes lack required column {c!r}")
 
-    # persisted: both the upsert branch and the anti-join's key projection
-    # read this — without it the feed scan + aggregation runs twice per
-    # action (feed-sized, so the cache is bounded by the CDC contract)
+    # persisted by default: both the upsert branch and the anti-join's key
+    # projection read this — without it the feed scan + aggregation runs
+    # twice per action (feed-sized, so the cache is bounded by the CDC
+    # contract).  Long-lived repeated callers (e.g. the streaming merge
+    # sink applying one batch per trigger, forever) pass
+    # ``persist_feed=False``: a never-unpersisted cache per micro-batch
+    # accumulates in executor storage without bound, and recomputing a
+    # tiny feed twice is cheaper than leaking it.
     latest = changes.groupBy(*keys).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in payload], F.col(op_col).alias("__op")),
             F.col(seq_col),
         ).alias("__c")
-    ).persist()
+    )
+    if persist_feed:
+        latest = latest.persist()
     op = F.col("__c.__op")
     # every `latest` row has a non-null op (it came from the feed), so the
     # CaseWhen's otherwise-branch fires exactly on unknown ops — no
@@ -273,3 +281,79 @@ def align_schemas(
             ]
         )
     return project(target, t_types), project(source, s_types)
+
+
+def cdc_merge(
+    live: DataFrame,
+    changes: DataFrame,
+    keys: str | list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Sequence-durable CDC apply: like :func:`cdc_apply`, but the
+    OUTPUT RETAINS ``seq_col`` and the live side's stored sequence
+    competes against the feed's — so a change only lands if its sequence
+    beats what the table already holds.  This is the variant a
+    long-running / out-of-order feed needs: with :func:`cdc_apply` the
+    target forgets sequences, and a stale change arriving in a LATER
+    micro-batch would overwrite or delete newer data.
+
+    ``live`` may lack ``seq_col`` (first contact): it joins the race
+    with a typed-NULL sequence, which loses to any real change.
+
+    Known limitation (standard without tombstone retention): once a
+    delete wins, the key's sequence is forgotten — a stale upsert in an
+    even later batch can resurrect it.  Feeds needing delete-then-stale
+    protection must retain tombstones upstream.
+
+    Shape: union + ONE max_by aggregation keyed on ``keys`` (map-side
+    combine) — the live table shuffles once, the price of consulting its
+    stored sequence; when the feed is totally ordered across batches
+    prefer :func:`cdc_apply`'s broadcast-anti shape, which never
+    shuffles the snapshot.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    data_cols = [c for c in changes.columns if c != op_col]
+    if seq_col not in data_cols:
+        raise ValueError(f"cdc_merge: changes lack required column {seq_col!r}")
+    if op_col not in changes.columns:
+        raise ValueError(f"cdc_merge: changes lack required column {op_col!r}")
+    if seq_col not in live.columns:
+        dt = changes.schema[seq_col].dataType
+        live = live.withColumn(seq_col, F.lit(None).cast(dt))
+    missing = [c for c in data_cols if c not in live.columns]
+    if missing:
+        raise ValueError(f"cdc_merge: live lacks feed columns {missing}")
+
+    baseline = live.select(*data_cols).withColumn(
+        op_col, F.lit(upsert_ops[0])
+    )
+    allc = baseline.unionByName(changes.select(*data_cols, op_col))
+    payload = [c for c in data_cols if c not in keys]
+    # NULL-safe ordering: max_by IGNORES rows whose ordering key is NULL,
+    # which would silently DROP live-only keys carrying the typed-NULL
+    # first-contact sequence; wrapping seq in (isNotNull, seq) keeps them
+    # in the race while still losing to any real sequence
+    ord_ = F.struct(
+        F.col(seq_col).isNotNull().alias("p"), F.col(seq_col).alias("s")
+    )
+    picked = allc.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col(op_col).alias("__op")),
+            ord_,
+        ).alias("__c")
+    )
+    op = F.col("__c.__op")
+    is_upsert = (
+        F.when(op.isin(*upsert_ops), F.lit(True))
+        .when(op == F.lit(delete_op), F.lit(False))
+        .otherwise(
+            F.raise_error(F.concat(F.lit("cdc_merge: unknown op "), op))
+        )
+    )
+    return picked.filter(is_upsert).select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"__c.{c}").alias(c) for c in payload],
+    ).select(*data_cols)

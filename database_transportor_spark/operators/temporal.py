@@ -457,6 +457,10 @@ def ewma(
 
     ``alpha`` values exactly representable in binary (0.5, 0.25, 0.125,
     0.75…) make the fold bit-reproducible across engines.
+
+    NULL values carry the state: their output ema equals the previous
+    element's (NULL before the first real value), and the recurrence
+    resumes from that state — never a silent restart.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
@@ -473,13 +477,22 @@ def ewma(
             F.aggregate(
                 "__evs",
                 F.array().cast("array<double>"),
+                # NULL handling: a NULL value CARRIES the state (its output
+                # ema = the previous ema, possibly NULL at the head) — a
+                # naive coalesce would silently RESTART the recurrence at
+                # the next real value, discarding all accumulated smoothing
                 lambda acc, e: F.concat(
                     acc,
                     F.array(
-                        F.coalesce(
-                            F.lit(alpha) * e["x"]
-                            + F.lit(1.0 - alpha) * F.try_element_at(acc, F.lit(-1)),
-                            e["x"],  # first element: ema = x
+                        F.when(
+                            e["x"].isNull(), F.try_element_at(acc, F.lit(-1))
+                        ).otherwise(
+                            F.coalesce(
+                                F.lit(alpha) * e["x"]
+                                + F.lit(1.0 - alpha)
+                                * F.try_element_at(acc, F.lit(-1)),
+                                e["x"],  # first real element: ema = x
+                            )
                         )
                     ),
                 ),

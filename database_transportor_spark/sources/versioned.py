@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,6 +47,10 @@ class VersionedCatalog(FileCatalog):
         **kwargs,
     ):
         super().__init__(spark, root, format=format, **kwargs)
+        # staged-version bookkeeping must survive concurrent use (the
+        # engine's parallel transport stages several tables at once)
+        self._pending: dict[str, int] = {}
+        self._plock = threading.Lock()
 
     # ---------------------------------------------------------- layout
 
@@ -65,8 +70,26 @@ class VersionedCatalog(FileCatalog):
         except (FileNotFoundError, ValueError):
             return None
 
+    def _marker(self, table: str, version: int) -> str:
+        return self._version_dir(table, version) + ".__committed"
+
     def versions(self, table: str) -> list[int]:
-        """All retained version numbers, ascending."""
+        """All COMMITTED version numbers, ascending.  Staged-but-never-
+        committed or crash-orphaned version directories are excluded —
+        `history` must not list them and `rollback` must never point HEAD
+        at possibly-partial data."""
+        try:
+            entries = os.listdir(self._table_root(table))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(e[1:])
+            for e in entries
+            if e.startswith("v") and e[1:].isdigit()
+            and os.path.exists(self._marker(table, int(e[1:])))
+        )
+
+    def _all_version_dirs(self, table: str) -> list[int]:
         try:
             entries = os.listdir(self._table_root(table))
         except FileNotFoundError:
@@ -105,38 +128,47 @@ class VersionedCatalog(FileCatalog):
             .load(p)
         )
 
+    def _next_version(self, table: str) -> int:
+        # max over ALL retained dirs (committed or orphaned), NOT HEAD+1:
+        # after a rollback HEAD points at an older version, and HEAD+1
+        # would destroy a committed historical directory
+        return max(self._all_version_dirs(table), default=0) + 1
+
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         cur = self.current_version(table)
         if mode == "append" and cur is not None:
             # copy-on-write: history versions stay immutable
             df = self.read(table).unionByName(df)
-        nxt = (cur or 0) + 1
         os.makedirs(self._table_root(table), exist_ok=True)
+        nxt = self._next_version(table)
         target = self._version_dir(table, nxt)
-        shutil.rmtree(target, ignore_errors=True)  # crashed prior attempt
         self._save(df, target, "overwrite")
+        open(self._marker(table, nxt), "w").close()
         self._set_head(table, nxt)
 
     # staged writes: the version directory IS the staging area — commit
     # is the pointer move, abort deletes the never-pointed-at directory
     def write_staged(self, df: DataFrame, table: str) -> None:
-        cur = self.current_version(table)
-        nxt = (cur or 0) + 1
         os.makedirs(self._table_root(table), exist_ok=True)
+        with self._plock:
+            nxt = self._next_version(table)
+            # reserve the number under the lock so concurrent stagings of
+            # DIFFERENT tables (or a racing re-stage) never collide
+            self._pending[table] = nxt
         target = self._version_dir(table, nxt)
-        shutil.rmtree(target, ignore_errors=True)
         self._save(df, target, "overwrite")
-        self._pending = getattr(self, "_pending", {})
-        self._pending[table] = nxt
 
     def commit_staged(self, table: str) -> None:
-        nxt = getattr(self, "_pending", {}).pop(table, None)
+        with self._plock:
+            nxt = self._pending.pop(table, None)
         if nxt is None:
             raise RuntimeError(f"no staged write pending for {table!r}")
+        open(self._marker(table, nxt), "w").close()
         self._set_head(table, nxt)
 
     def abort_staged(self, table: str) -> None:
-        nxt = getattr(self, "_pending", {}).pop(table, None)
+        with self._plock:
+            nxt = self._pending.pop(table, None)
         if nxt is not None:
             shutil.rmtree(self._version_dir(table, nxt), ignore_errors=True)
 
@@ -165,6 +197,15 @@ class VersionedCatalog(FileCatalog):
         removed = []
         for v in vs:
             if v not in to_keep:
+                shutil.rmtree(self._version_dir(table, v), ignore_errors=True)
+                try:
+                    os.remove(self._marker(table, v))
+                except FileNotFoundError:
+                    pass
+                removed.append(v)
+        # orphaned staged dirs (crashed runs) are garbage too
+        for v in self._all_version_dirs(table):
+            if v not in set(self.versions(table)) and v not in self._pending.values():
                 shutil.rmtree(self._version_dir(table, v), ignore_errors=True)
                 removed.append(v)
         return removed

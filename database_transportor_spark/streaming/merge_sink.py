@@ -48,8 +48,11 @@ def stream_merge_sink(
     ``target``/``table`` by ``keys`` (latest ``seq_col`` wins).
 
     ``op_col``: switches the per-batch apply from plain upsert MERGE to
-    full CDC semantics (``operators/mutations.py:cdc_apply``) — feed
-    rows carry I/U/D ops, deletes REMOVE target keys.  ``seq_col``
+    full CDC semantics (``operators/mutations.py:cdc_merge``) — feed
+    rows carry I/U/D ops, deletes REMOVE target keys, and the TARGET
+    RETAINS ``seq_col`` so sequences are durable ACROSS micro-batches: a
+    stale change in a later batch (out-of-order files) loses to the
+    stored sequence instead of clobbering newer data.  ``seq_col``
     becomes required (CDC needs a change order).  Replay safety holds:
     re-applying the same change set is idempotent because the highest
     sequence per key wins again.
@@ -85,15 +88,20 @@ def stream_merge_sink(
         if batch.isEmpty():
             return
         if op_col is not None:
-            from ..operators.mutations import cdc_apply
+            # cdc_merge, NOT cdc_apply: the target RETAINS the sequence
+            # column, so a stale change arriving in a LATER micro-batch
+            # (out-of-order files) loses against the stored sequence —
+            # cdc_apply's within-batch comparison would let it overwrite
+            # or delete newer data
+            from ..operators.mutations import cdc_merge
 
-            data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
+            data_cols = [c for c in batch.columns if c != op_col]
             live = (
                 target.read(table)
                 if target.is_nonempty(table)
                 else batch.limit(0).select(*data_cols)
             )
-            merged = cdc_apply(
+            merged = cdc_merge(
                 live, batch, keys, op_col=op_col, seq_col=seq_col
             )
         else:

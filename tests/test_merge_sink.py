@@ -88,8 +88,8 @@ def test_merge_sink_cdc_mode_applies_deletes(spark, tmp_path):
                       checkpoint=ckpt, op_col="op")
     got = {r["k"]: r["val"] for r in tgt.read("t").collect()}
     assert got == {1: "A", 3: "c"}  # key 2 deleted
-    # op/seq are feed metadata, not target columns
-    assert set(tgt.read("t").columns) == {"k", "val"}
+    # op is feed metadata; seq is RETAINED for cross-batch ordering
+    assert set(tgt.read("t").columns) == {"k", "val", "seq"}
 
 
 def test_merge_sink_cdc_requires_seq(spark, tmp_path):
@@ -98,3 +98,45 @@ def test_merge_sink_cdc_requires_seq(spark, tmp_path):
     tgt = ParquetCatalog(spark, str(tmp_path))
     with _pytest.raises(ValueError):
         stream_merge_sink(spark, str(tmp_path), tgt, "t", "k", op_col="op")
+
+
+def test_merge_sink_cdc_stale_later_batch_loses(spark, tmp_path):
+    """Out-of-order files: a LATER micro-batch carrying an OLDER sequence
+    must not overwrite or delete newer data — the target's retained seq
+    wins (the cdc_merge-vs-cdc_apply distinction)."""
+    src = str(tmp_path / "ooo_feed")
+    ckpt = str(tmp_path / "ooo_ckpt")
+    tgt = ParquetCatalog(spark, str(tmp_path / "ooo_tgt"))
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, ["k", "val", "op", "seq"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    feed([(1, "new", "U", 9), (2, "keep", "I", 9)])
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt, op_col="op")
+    # straggler file: stale delete of 1 and stale update of 2
+    feed([(1, None, "D", 5), (2, "stale", "U", 4)])
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt, op_col="op")
+    got = {r["k"]: r["val"] for r in tgt.read("t").collect()}
+    assert got == {1: "new", 2: "keep"}  # both stale changes lost
+
+
+def test_merge_sink_cdc_first_contact_live_without_seq(spark, tmp_path):
+    """A pre-existing live table WITHOUT a sequence column joins the race
+    with a typed-NULL seq: untouched live keys must survive (max_by would
+    silently drop NULL-ordered rows without the null-safe ordering)."""
+    src = str(tmp_path / "fc_feed")
+    ckpt = str(tmp_path / "fc_ckpt")
+    tgt = ParquetCatalog(spark, str(tmp_path / "fc_tgt"))
+    tgt.write(spark.createDataFrame([(1, "old"), (9, "untouched")],
+                                    ["k", "val"]), "t", mode="overwrite")
+    spark.createDataFrame(
+        [(1, "new", "U", 5), (2, "ins", "I", 6)], ["k", "val", "op", "seq"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt, op_col="op")
+    got = {r["k"]: (r["val"], r["seq"]) for r in tgt.read("t").collect()}
+    assert got == {1: ("new", 5), 2: ("ins", 6), 9: ("untouched", None)}

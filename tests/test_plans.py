@@ -175,3 +175,26 @@ def test_parallel_staged_failure_aborts_all(spark, tmp_path):
 
     # nothing committed, no staging leftovers
     assert _glob.glob(str(tmp_path / "*")) == []
+
+
+def test_parallel_rejects_undeclared_same_level_fk(spark, tmp_path):
+    import pytest as _pytest
+
+    from database_transportor_spark import DBT, MemoryCatalog, ParquetCatalog
+    from database_transportor_spark.spec import SpecError
+
+    src = MemoryCatalog({
+        "a": spark.range(5).withColumnRenamed("id", "k"),
+        "b": spark.range(5).withColumnRenamed("id", "k"),
+    })
+    maps = {
+        "ta": {"original_table": "a", "columns": {"k": "k"}},
+        "tb": {"original_table": "b", "columns": {"k": "k"}},
+    }
+    eng = DBT(maps, target=ParquetCatalog(spark, str(tmp_path)), original=src)
+    with _pytest.raises(SpecError, match="transport_after"):
+        eng.do_transport(
+            mode="overwrite", parallelism=2,
+            validate={"tb": [{"rule": "foreign_key", "column": "k",
+                              "ref_table": "ta", "ref_column": "k"}]},
+        )

@@ -439,3 +439,26 @@ def test_ewma_tiebreak_and_validation(spark):
     assert emas == [0.0, 50.0]  # i=1 first (ema=0), then i=2 (0.5*100+0.5*0)
     with _pytest.raises(ValueError):
         ewma(df, ["k"], "ts", "x", alpha=0.0)
+
+
+def test_ewma_null_carries_state_instead_of_restarting(spark):
+    import datetime
+
+    from database_transportor_spark.operators.temporal import ewma
+
+    def t(m):
+        return datetime.datetime(2026, 1, 1, 10, m)
+
+    df = spark.createDataFrame(
+        [("k", t(0), 10.0, 1), ("k", t(1), None, 2), ("k", t(2), 30.0, 3),
+         ("j", t(0), None, 4), ("j", t(1), 8.0, 5)],
+        "k string, ts timestamp, x double, i long",
+    )
+    got = {(r["k"], r["ts"].minute): r["ewma"] for r in ewma(
+        df, ["k"], "ts", "x", alpha=0.25, tiebreak_col="i"
+    ).collect()}
+    assert got[("k", 0)] == 10.0
+    assert got[("k", 1)] == 10.0            # NULL carries the state
+    assert got[("k", 2)] == 0.25 * 30.0 + 0.75 * 10.0  # resumes, no restart
+    assert got[("j", 0)] is None            # NULL before any real value
+    assert got[("j", 1)] == 8.0             # series starts at first real x

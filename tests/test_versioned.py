@@ -96,3 +96,41 @@ def test_history_and_rollback_cli(spark, tmp_path):
               "--version", "1", "--master", "local[2]"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert cat.read("t").count() == 3
+
+
+def test_write_after_rollback_never_destroys_history(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    for n in (3, 5, 7):
+        cat.write(spark.range(n), "t", mode="overwrite")
+    cat.rollback("t", 1)
+    cat.write(spark.range(9), "t", mode="overwrite")  # must become v4
+    assert cat.versions("t") == [1, 2, 3, 4]
+    assert cat.read("t", version=2).count() == 5  # history intact
+    assert cat.read("t", version=3).count() == 7
+    assert cat.read("t").count() == 9
+
+
+def test_uncommitted_staged_version_is_invisible(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write_staged(spark.range(50), "t")  # simulate a crashed run: never
+    # committed, never aborted
+    cat2 = _cat(spark, tmp_path)  # fresh process view
+    assert cat2.versions("t") == [1]  # phantom v2 not listed
+    with pytest.raises(ValueError):
+        cat2.rollback("t", 2)  # and not a rollback target
+    cat2.write(spark.range(4), "t", mode="overwrite")
+    assert cat2.read("t").count() == 4  # next write skips the orphan slot
+
+
+def test_sql_cli_over_versioned_root(spark, tmp_path):
+    from test_cli import _run
+
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(6).withColumnRenamed("id", "k"), "t",
+              mode="overwrite")
+    r = _run(["sql", "--root", str(tmp_path), "--format", "versioned",
+              "--query", "SELECT count(*) AS n FROM t",
+              "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "6" in r.stdout
