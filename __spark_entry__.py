@@ -4698,3 +4698,63 @@ WHERE COALESCE(f.op, '') <> 'D'
 
 _EXTENSION_QUERIES.update({"stream_cdc": q_stream_cdc})
 _EXTENSION_ORACLES.update({"stream_cdc": SQL_STREAM_CDC})
+
+
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup refresh
+    (`operators/rollup.py:refresh_rollup`): build the daily rollup from
+    the first half of the stream, then refresh with the full stream —
+    only tail buckets recompute (pushdown ts filter), yet the committed
+    table must hash-equal the full recompute (the oracle)."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark.operators.rollup import refresh_rollup
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+
+    work = tempfile.mkdtemp(prefix=f"rrq_{uuid.uuid4().hex[:8]}_")
+    ev = _read_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cat = ParquetCatalog(spark, work)
+    measures = {"n_events": ("count", None), "n_users": ("hll", "user_id")}
+    refresh_rollup(
+        cat, "daily", ev.filter(F.col("ts") < cutoff), "ts",
+        ["event_type"], measures, "1 day",
+    )
+    out = refresh_rollup(
+        cat, "daily", ev, "ts", ["event_type"], measures, "1 day",
+    )
+    from database_transportor_spark.operators.rollup import hll_estimates
+
+    exact = ev.groupBy(
+        F.window("ts", "1 day").getField("start").alias("bucket_start"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    est = hll_estimates(out, ["n_users"]).withColumnRenamed(
+        "n_users", "est_users"
+    )
+    return est.join(exact, ["bucket_start", "event_type"]).select(
+        "bucket_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(2.0))
+        ).alias("within_bound"),
+    )
+
+
+SQL_ROLLUP_REFRESH = r"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY 1, 2
+"""
+
+
+_EXTENSION_QUERIES.update({"rollup_refresh": q_rollup_refresh})
+_EXTENSION_ORACLES.update({"rollup_refresh": SQL_ROLLUP_REFRESH})

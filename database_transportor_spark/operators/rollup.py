@@ -35,6 +35,7 @@ __all__ = [
     "unpivot_table",
     "cube_agg",
     "hll_estimates",
+    "refresh_rollup",
 ]
 
 
@@ -225,3 +226,60 @@ def time_rollup(
         prev = cur
         prev_ts = "bucket_start"
     return out
+
+
+def refresh_rollup(
+    catalog,
+    rollup_table: str,
+    events: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+    level: str,
+    lookback_buckets: int = 1,
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance — the continuous-
+    aggregate REFRESH: recompute only the TAIL buckets new events can
+    touch and MERGE them into the stored rollup, instead of rescanning
+    all history.
+
+    The refresh window starts ``lookback_buckets - 1`` buckets before
+    the stored rollup's newest ``bucket_start`` (the open bucket always
+    recomputes; raise ``lookback_buckets`` to absorb late data older
+    than one bucket — events later than that are missed, the same
+    contract as a streaming watermark).  The events filter is a plain
+    ``ts >= start`` predicate, so it pushes into the scan: a daily
+    refresh over years of history reads days, not years.  First call
+    (no stored rollup) builds the whole thing.
+
+    Returns the merged frame AFTER committing it through the catalog's
+    staged swap.  Measures use the :data:`MERGEABLE` vocabulary; the
+    recomputed tail buckets are exact (re-aggregated from raw events in
+    the window), so replacing them wholesale by key is exact too.
+    """
+    fresh_src = events
+    try:
+        existing = catalog.read(rollup_table)
+        has_existing = True
+    except Exception:  # noqa: BLE001 — first build: any read failure
+        existing = None
+        has_existing = False
+    if has_existing:
+        row = existing.agg(F.max("bucket_start").alias("m")).first()
+        cur_max = row["m"]
+    else:
+        cur_max = None
+    if cur_max is not None:
+        n_back = max(0, int(lookback_buckets) - 1)
+        start = F.lit(cur_max) - F.expr(f"{n_back} * interval {level}")
+        fresh_src = events.filter(F.col(ts_col) >= start)
+    tail = time_rollup(fresh_src, ts_col, keys, measures, [level])[level]
+    if cur_max is None:
+        merged = tail
+    else:
+        from .mutations import merge_upsert
+
+        merged = merge_upsert(existing, tail, ["bucket_start", *keys])
+    catalog.write_staged(merged, rollup_table)
+    catalog.commit_staged(rollup_table)
+    return catalog.read(rollup_table)

@@ -117,3 +117,44 @@ def test_time_rollup_hll_merges_across_levels(spark):
         .alias("e")
     ).collect()[0]["e"]
     assert est == direct
+
+
+def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
+    """Appending new events and refreshing must equal a full recompute;
+    the refresh only re-reads the tail window."""
+    import datetime
+
+    from database_transportor_spark.operators.rollup import refresh_rollup
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+
+    def ev(day, hour, n):
+        base = datetime.datetime(2026, 1, day, hour)
+        return [(base + datetime.timedelta(minutes=i), 1.0) for i in range(n)]
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    measures = {"n": ("count", None), "s": ("sum", "v")}
+
+    batch1 = spark.createDataFrame(ev(1, 9, 5) + ev(2, 10, 3),
+                                   "ts timestamp, v double")
+    out1 = refresh_rollup(cat, "daily", batch1, "ts", [], measures, "1 day")
+    assert {r["bucket_start"].day: r["n"] for r in out1.collect()} == {1: 5, 2: 3}
+
+    # new events: more in the OPEN bucket (day 2) and a new day 3
+    batch2 = batch1.unionByName(
+        spark.createDataFrame(ev(2, 11, 4) + ev(3, 8, 2),
+                              "ts timestamp, v double")
+    )
+    out2 = refresh_rollup(cat, "daily", batch2, "ts", [], measures, "1 day")
+    got = {r["bucket_start"].day: (r["n"], r["s"]) for r in out2.collect()}
+    assert got == {1: (5, 5.0), 2: (7, 7.0), 3: (2, 2.0)}
+
+    # late event in day 1 is MISSED with lookback 1 (watermark contract)…
+    batch3 = batch2.unionByName(
+        spark.createDataFrame(ev(1, 23, 1), "ts timestamp, v double")
+    )
+    out3 = refresh_rollup(cat, "daily", batch3, "ts", [], measures, "1 day")
+    assert {r["bucket_start"].day: r["n"] for r in out3.collect()}[1] == 5
+    # …but a wider lookback absorbs it
+    out4 = refresh_rollup(cat, "daily", batch3, "ts", [], measures,
+                          "1 day", lookback_buckets=3)
+    assert {r["bucket_start"].day: r["n"] for r in out4.collect()}[1] == 6

@@ -103,6 +103,7 @@ QUERIES = [
     "quarantine",
     "pii_scan",
     "evolve_merge",
+    "rollup_refresh",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
