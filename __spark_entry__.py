@@ -4758,3 +4758,58 @@ GROUP BY 1, 2
 
 _EXTENSION_QUERIES.update({"rollup_refresh": q_rollup_refresh})
 _EXTENSION_ORACLES.update({"rollup_refresh": SQL_ROLLUP_REFRESH})
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations in one pass
+    (`operators/maintenance.py:corr_matrix`): qty / price / discount over
+    lineitem, all sums in exact DECIMAL so r is bit-stable across
+    engines and partitionings."""
+    from database_transportor_spark.operators.maintenance import corr_matrix
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    return corr_matrix(l, ["qty", "price_cents", "disc_pct"])
+
+
+SQL_CORR_MATRIX = r"""
+WITH src AS (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+           CAST(round(l_discount * 100) AS BIGINT) AS d
+    FROM lineitem
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+           CAST(sum(d) AS DOUBLE) AS sd,
+           CAST(sum(q * q) AS DOUBLE) AS sqq,
+           CAST(sum(p * p) AS DOUBLE) AS spp,
+           CAST(sum(d * d) AS DOUBLE) AS sdd,
+           CAST(sum(q * p) AS DOUBLE) AS sqp,
+           CAST(sum(q * d) AS DOUBLE) AS sqd,
+           CAST(sum(p * d) AS DOUBLE) AS spd
+    FROM src
+)
+SELECT 'qty' AS col_a, 'price_cents' AS col_b, cnt AS n,
+       round((n * sqp - sq * sp)
+             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS r
+FROM s
+UNION ALL
+SELECT 'qty', 'disc_pct', cnt,
+       round((n * sqd - sq * sd)
+             / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+FROM s
+UNION ALL
+SELECT 'price_cents', 'disc_pct', cnt,
+       round((n * spd - sp * sd)
+             / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+FROM s
+"""
+
+
+_EXTENSION_QUERIES.update({"corr_matrix": q_corr_matrix})
+_EXTENSION_ORACLES.update({"corr_matrix": SQL_CORR_MATRIX})

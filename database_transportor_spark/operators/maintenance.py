@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compact_table", "profile_table", "column_histogram", "expire_rows"]
+__all__ = ["compact_table", "profile_table", "column_histogram", "expire_rows", "corr_matrix"]
 
 
 def compact_table(
@@ -207,3 +207,72 @@ def expire_rows(
     )
     catalog.commit_staged(table)
     return n
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairwise Pearson correlations of ``cols`` in ONE aggregation
+    pass: ``(col_a, col_b, n, r)`` for every a < b pair — the numeric-
+    relationship profile next to :func:`profile_table`'s univariate
+    stats, at one table scan for ANY number of columns (k columns =
+    k + k(k+1)/2 sum expressions in a single agg, never a scan per
+    pair like repeated ``df.stat.corr`` calls).
+
+    Sums run in DECIMAL(38,0) over integer-cast inputs — exact and
+    order-independent, so r is bit-stable across partitionings and
+    engines (float sums would drift with accumulation order).  Rows
+    with a NULL in either column of a pair are excluded pairwise.
+    Integer-valued inputs only (cents-ize money first); the correlation
+    of scaled columns equals the unscaled correlation.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            pa = F.when(both, d(a))
+            pb = F.when(both, d(b))
+            tag = f"{i}_{cols.index(b)}"
+            aggs += [
+                F.count(F.when(both, 1)).cast("long").alias(f"__n{tag}"),
+                F.sum(pa).alias(f"__sx{tag}"),
+                F.sum(pb).alias(f"__sy{tag}"),
+                F.sum(pa * pa).alias(f"__sxx{tag}"),
+                F.sum(pb * pb).alias(f"__syy{tag}"),
+                F.sum(pa * pb).alias(f"__sxy{tag}"),
+            ]
+            names.append((a, b, tag))
+    one = df.agg(*aggs)
+
+    def r_expr(tag):
+        n = F.col(f"__n{tag}").cast("double")
+        sx = F.col(f"__sx{tag}").cast("double")
+        sy = F.col(f"__sy{tag}").cast("double")
+        sxx = F.col(f"__sxx{tag}").cast("double")
+        syy = F.col(f"__syy{tag}").cast("double")
+        sxy = F.col(f"__sxy{tag}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.round(F.when(den != 0, num / den), round_digits)
+
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"__n{t}").alias("n"),
+                        r_expr(t).alias("r"),
+                    )
+                    for a, b, t in names
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

@@ -165,3 +165,23 @@ def test_expire_rows_noop_when_nothing_matches(spark, tmp_path):
     cat.write(spark.range(10), "t", mode="overwrite")
     assert expire_rows(cat, "t", "id > 100") == 0
     assert cat.read("t").count() == 10
+
+
+def test_corr_matrix_one_pass_matches_numpy(spark):
+    import numpy as np
+
+    from database_transportor_spark.operators.maintenance import corr_matrix
+
+    rng = [(i, 2 * i + 3, -i + (i % 7), None if i % 10 == 0 else i * i)
+           for i in range(100)]
+    df = spark.createDataFrame(rng, "a long, b long, c long, d long")
+    got = {(r["col_a"], r["col_b"]): (r["n"], r["r"])
+           for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")][1] == 1.0            # perfectly linear
+    a = np.array([t[0] for t in rng]); c = np.array([t[2] for t in rng])
+    assert abs(got[("a", "c")][1] - np.corrcoef(a, c)[0, 1]) < 1e-6
+    assert got[("a", "d")][0] == 90             # pairwise NULL exclusion
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["a"])

@@ -104,6 +104,7 @@ QUERIES = [
     "pii_scan",
     "evolve_merge",
     "rollup_refresh",
+    "corr_matrix",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
