@@ -170,11 +170,13 @@ def _cmd_transport(args: argparse.Namespace) -> int:
         validate = getattr(mod, "VALIDATE", None)
         if incremental and merge_keys:
             outputs = eng.do_merge_transport(
-                incremental, merge_keys, validate=validate
+                incremental, merge_keys, validate=validate,
+                parallelism=args.parallel,
             )
         elif incremental:
             outputs = eng.do_incremental_transport(
-                incremental, staged=staged, validate=validate
+                incremental, staged=staged, validate=validate,
+                parallelism=args.parallel,
             )
         else:
             mode = args.mode or getattr(mod, "MODE", "append")

@@ -235,6 +235,7 @@ class DBT:
         cursors: dict[str, str],
         staged: bool = False,
         validate: Optional[dict[str, list]] = None,
+        parallelism: int = 1,
     ) -> dict[str, DataFrame]:
         """Watermark-based incremental run: for every map in ``cursors``
         (map key → monotonically increasing target column, e.g. an id or
@@ -307,6 +308,7 @@ class DBT:
                         "append" if k in self._incremental_filters
                         else "overwrite"
                     ),
+                    parallelism=parallelism,
                 )
                 return outputs
 
@@ -322,6 +324,7 @@ class DBT:
             self._write_all(
                 outputs, mode="overwrite", staged=True, mutate=_union_live,
                 validate=validate, validate_pre_mutate=True,
+                parallelism=parallelism,
             )
             return outputs
         finally:
@@ -334,6 +337,7 @@ class DBT:
         cursors: dict[str, str],
         keys: dict[str, Any],
         validate: Optional[dict[str, list]] = None,
+        parallelism: int = 1,
     ) -> dict[str, DataFrame]:
         """Incremental UPSERT run: like ``do_incremental_transport``, new
         source rows are found by ``cursor > max(cursor in target)`` with
@@ -390,7 +394,7 @@ class DBT:
             outputs = self.transform()
             self._write_all(
                 outputs, mode="overwrite", staged=True, mutate=_merge,
-                validate=validate,
+                validate=validate, parallelism=parallelism,
             )
             return outputs
         finally:
@@ -605,7 +609,7 @@ class DBT:
                                     )
                 for lv in sorted(by_level):
                     group = by_level[lv]
-                    if len(group) == 1 or parallelism == 1:
+                    if len(group) == 1:
                         for key in group:
                             write_one(key)
                         continue

@@ -400,6 +400,12 @@ def gap_fill(
     key's own active range, never the global min/max — a key active for
     a week doesn't get ten years of empty rows.
     """
+    # Rows with a NULL bucket timestamp can't be placed on a spine: for a
+    # key whose timestamps are ALL NULL, min/max aggregate to NULL and
+    # sequence(NULL, NULL) explodes to nothing — silently dropping the
+    # key.  Split them off and pass them through unfilled instead.
+    null_ts = df.filter(F.col(ts_col).isNull())
+    df = df.filter(F.col(ts_col).isNotNull())
     span = df.groupBy(*keys).agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
@@ -429,7 +435,9 @@ def gap_fill(
     if fill is not None:
         for c in value_cols or []:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
-    return out
+    # NULL-ts rows re-enter verbatim (no fill applied — they were never
+    # absent, just unbucketable); column order matches ``out``.
+    return out.unionByName(null_ts.select(*out.columns))
 
 
 def ewma(

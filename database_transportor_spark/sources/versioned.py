@@ -50,6 +50,10 @@ class VersionedCatalog(FileCatalog):
         # staged-version bookkeeping must survive concurrent use (the
         # engine's parallel transport stages several tables at once)
         self._pending: dict[str, int] = {}
+        # version numbers handed out but not yet visible on disk — holds
+        # plain write()s in flight, so a racing write_staged can't reuse
+        # the number between reservation and the directory appearing
+        self._reserved: dict[str, set[int]] = {}
         self._plock = threading.Lock()
 
     # ---------------------------------------------------------- layout
@@ -117,11 +121,18 @@ class VersionedCatalog(FileCatalog):
         return self._version_dir(table, v)
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
-        p = (
-            self._version_dir(table, version)
-            if version is not None
-            else self.path(table)
-        )
+        if version is not None:
+            # explicit time travel must honor the same commit-marker gate
+            # as versions()/rollback(): a staged or crash-orphaned version
+            # directory may hold partial data and must never be readable
+            if not os.path.exists(self._marker(table, version)):
+                raise ValueError(
+                    f"read: version {version} of {table!r} is not committed "
+                    f"(committed versions: {self.versions(table)})"
+                )
+            p = self._version_dir(table, version)
+        else:
+            p = self.path(table)
         return (
             self.spark.read.options(**self.read_options)
             .format(self.format)
@@ -131,8 +142,13 @@ class VersionedCatalog(FileCatalog):
     def _next_version(self, table: str) -> int:
         # max over ALL retained dirs (committed or orphaned), NOT HEAD+1:
         # after a rollback HEAD points at an older version, and HEAD+1
-        # would destroy a committed historical directory
-        return max(self._all_version_dirs(table), default=0) + 1
+        # would destroy a committed historical directory.  A staged-but-
+        # unwritten version exists only in _pending (no dir on disk yet),
+        # so it must be consulted too or a racing write() would reuse it.
+        pending = self._pending.get(table, 0)
+        reserved = max(self._reserved.get(table, ()), default=0)
+        return max(max(self._all_version_dirs(table), default=0),
+                   pending, reserved) + 1
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         cur = self.current_version(table)
@@ -140,11 +156,17 @@ class VersionedCatalog(FileCatalog):
             # copy-on-write: history versions stay immutable
             df = self.read(table).unionByName(df)
         os.makedirs(self._table_root(table), exist_ok=True)
-        nxt = self._next_version(table)
+        with self._plock:
+            nxt = self._next_version(table)
+            self._reserved.setdefault(table, set()).add(nxt)
         target = self._version_dir(table, nxt)
-        self._save(df, target, "overwrite")
-        open(self._marker(table, nxt), "w").close()
-        self._set_head(table, nxt)
+        try:
+            self._save(df, target, "overwrite")
+            open(self._marker(table, nxt), "w").close()
+            self._set_head(table, nxt)
+        finally:
+            with self._plock:
+                self._reserved.get(table, set()).discard(nxt)
 
     # staged writes: the version directory IS the staging area — commit
     # is the pointer move, abort deletes the never-pointed-at directory

@@ -75,6 +75,22 @@ def test_gap_fill_fill_none_keeps_null(spark):
     assert got == {1: 5, 2: None, 3: 7}
 
 
+def test_gap_fill_all_null_ts_key_passes_through(spark):
+    # a key whose timestamps are ALL NULL used to vanish (sequence(NULL,
+    # NULL) explodes to nothing); now its rows pass through unfilled
+    df = spark.createDataFrame(
+        [("u1", _day(1), 5), ("u1", _day(3), 7),
+         ("u2", None, 9), ("u3", None, 4), ("u1", None, 2)],
+        "k string, ts timestamp, n long",
+    )
+    out = gap_fill(df, ["k"], "ts", "1 day", value_cols=["n"])
+    rows = out.collect()
+    got = {(r["k"], r["ts"].day if r["ts"] else None): r["n"] for r in rows}
+    assert got == {("u1", 1): 5, ("u1", 2): 0, ("u1", 3): 7,
+                   ("u2", None): 9, ("u3", None): 4, ("u1", None): 2}
+    assert len(rows) == 6
+
+
 def test_gap_fill_hourly_step(spark):
     df = spark.createDataFrame(
         [("u1", datetime.datetime(2026, 1, 1, 0), 1),

@@ -123,6 +123,31 @@ def test_uncommitted_staged_version_is_invisible(spark, tmp_path):
     assert cat2.read("t").count() == 4  # next write skips the orphan slot
 
 
+def test_time_travel_refuses_uncommitted_version(spark, tmp_path):
+    # explicit read(version=N) must honor the same commit-marker gate as
+    # versions()/rollback(): a staged/orphaned dir may hold partial data
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write_staged(spark.range(50), "t")  # v2 staged, never committed
+    with pytest.raises(ValueError, match="not committed"):
+        cat.read("t", version=2)
+    cat.commit_staged("t")
+    assert cat.read("t", version=2).count() == 50  # committed → readable
+
+
+def test_staged_then_plain_write_never_collide(spark, tmp_path):
+    # a plain write() racing a pending staged write must not reuse the
+    # staged version number: _next_version consults _pending/_reserved
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")          # v1
+    cat.write_staged(spark.range(10), "t")                    # reserves v2
+    cat.write(spark.range(7), "t", mode="overwrite")          # must take v3
+    cat.commit_staged("t")                                    # commits v2
+    assert cat.versions("t") == [1, 2, 3]
+    assert cat.read("t", version=2).count() == 10
+    assert cat.read("t", version=3).count() == 7
+
+
 def test_sql_cli_over_versioned_root(spark, tmp_path):
     from test_cli import _run
 
