@@ -128,6 +128,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     horizon: str | None = None,
+    max_events_per_entity: int | None = None,
 ) -> DataFrame:
     """Earliest-completion funnel: per user, the earliest time each stage
     was reached IN ORDER — stage *i* counts only strictly after stage
@@ -140,6 +141,17 @@ def funnel(
     Greedy semantics (industry-standard ``windowFunnel`` caveat): the
     EARLIEST stage-1 event anchors the chain; a later stage-1 occurrence
     that would complete more stages within the horizon is not considered.
+
+    ``max_events_per_entity`` is the hot-entity guard: a bot/test user
+    holding a measurable share of the corpus would otherwise concentrate
+    its whole event array into one aggregation buffer.  With the cap set,
+    each entity keeps only its EARLIEST ``max_events_per_entity``
+    stage-typed events (time order, type as tiebreak) via a spillable
+    window sort — bounded task memory regardless of skew.  Semantics for
+    entities under the cap are identical (the greedy funnel anchors at
+    the earliest events anyway); a capped entity that would only have
+    completed a stage after the cap reports fewer stages — the standard
+    bounded-state trade every streaming funnel makes.
     """
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
@@ -149,6 +161,15 @@ def funnel(
     ev = events.filter(F.col(type_col).isin(list(stages))).select(
         F.col(user_col), F.col(ts_col).alias("__ts"), F.col(type_col).alias("__tp")
     )
+    if max_events_per_entity is not None:
+        if max_events_per_entity < 1:
+            raise ValueError("funnel: max_events_per_entity must be >= 1")
+        wg = Window.partitionBy(user_col).orderBy("__ts", "__tp")
+        ev = (
+            ev.withColumn("__rn", F.row_number().over(wg))
+            .filter(F.col("__rn") <= max_events_per_entity)
+            .drop("__rn")
+        )
     per_user = ev.groupBy(user_col).agg(
         F.array_sort(F.collect_list(F.struct("__ts", "__tp"))).alias("__evs")
     )
@@ -300,26 +321,37 @@ def top_paths(
     Returns ``(path, n_users, rank)`` with a deterministic (count desc,
     path asc) order.
 
-    Scale shape: ONE shuffle on the entity key builds each journey as a
-    sorted-array fold JVM-side (``sort_array`` of (ts, tiebreak, type)
-    structs — same shape as :func:`funnel`, no window, no Python, state
-    bounded by ``max_len`` after the slice); the path frequency table is
-    then a map-side-combined count whose cardinality is the number of
-    distinct journeys, and the final top-k is a TakeOrdered."""
+    Scale shape: ONE shuffle on the entity key — a row_number window
+    (spillable sort) keeps only each entity's first ``max_len`` events
+    BEFORE any array is built, so per-entity state is bounded at
+    ``max_len`` by construction even for a pathological hot entity; the
+    journey is then a tiny ``sort_array``/``collect_list`` per entity,
+    the path frequency table a map-side-combined count whose cardinality
+    is the number of distinct journeys, and the final top-k a
+    TakeOrdered."""
     from pyspark.sql import Window
 
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
     ev = F.struct(
         F.col(ts_col).alias("t"), tb.alias("b"), F.col(type_col).alias("e")
     )
+    # Hot-entity guard, by construction: only each entity's first
+    # ``max_len`` events (by the same (t, b, e) order sort_array uses)
+    # can appear in its path, so pre-filtering with a row_number window
+    # — a SPILLABLE sort, unlike a collect_list buffer — bounds the
+    # per-entity array at max_len regardless of how hot one entity is,
+    # with bit-identical output to the slice-after-collect shape.
+    wg = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), tb, F.col(type_col)
+    )
     paths = (
-        events.groupBy(user_col)
+        events.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") <= max_len)
+        .groupBy(user_col)
         .agg(F.sort_array(F.collect_list(ev)).alias("__evs"))
         .select(
             F.array_join(
-                F.transform(
-                    F.slice(F.col("__evs"), 1, max_len), lambda s: s["e"]
-                ),
+                F.transform(F.col("__evs"), lambda s: s["e"]),
                 sep,
             ).alias("path")
         )

@@ -448,6 +448,7 @@ def ewma(
     alpha: float,
     out_col: str = "ewma",
     tiebreak_col: str | None = None,
+    max_points_per_key: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key:
     ``ema_1 = x_1``, ``ema_i = alpha·x_i + (1−alpha)·ema_{i−1}`` in
@@ -461,7 +462,9 @@ def ewma(
     explodes back to one row per input.  Per-key state is the key's own
     event array — keys must fit an executor (same contract as any
     per-key sort); for million-event keys pre-aggregate to coarser
-    buckets first.
+    buckets first, or set ``max_points_per_key`` to keep only each
+    key's earliest N points (spillable-sort pre-filter — bounded task
+    memory under arbitrary skew; later points are dropped).
 
     ``alpha`` values exactly representable in binary (0.5, 0.25, 0.125,
     0.75…) make the fold bit-reproducible across engines.
@@ -473,6 +476,20 @@ def ewma(
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    if max_points_per_key is not None:
+        # hot-key guard: keep only each key's EARLIEST N points via a
+        # spillable row_number sort, so the per-key array (and its fold)
+        # is bounded regardless of skew; later points are dropped — the
+        # recurrence for the retained prefix is unchanged (it only ever
+        # depends on earlier points)
+        if max_points_per_key < 1:
+            raise ValueError("ewma: max_points_per_key must be >= 1")
+        wg = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), tb)
+        df = (
+            df.withColumn("__rn", F.row_number().over(wg))
+            .filter(F.col("__rn") <= max_points_per_key)
+            .drop("__rn")
+        )
     ev = F.struct(
         F.col(ts_col).alias("t"), tb.alias("b"),
         F.col(value_col).cast("double").alias("x"),

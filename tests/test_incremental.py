@@ -1,6 +1,7 @@
 """Watermark-based incremental transport (do_incremental_transport)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_transportor_spark import DBT, ParquetCatalog
 from database_transportor_spark.spec import SpecError
@@ -412,3 +413,47 @@ def test_merge_transport_parallelism(spark, tmp_path):
     )
     out = spark.read.parquet(f"{tgt}/evts.parquet")
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_jdbc_partitioned_parallel_read_derby(spark, tmp_path):
+    """Partitioned JDBC read (sources/catalog.py partition_options): the
+    production knob for parallel fact-table reads off an RDBMS.  Asserts
+    (a) value parity with the unpartitioned read and (b) the scan really
+    splits into numPartitions input tasks (one bound-range query each)."""
+    from database_transportor_spark.sources.catalog import JDBCCatalog
+
+    url = f"jdbc:derby:{tmp_path}/pardb;create=true"
+    plain = JDBCCatalog(spark, url)
+    n = 1000
+    plain.write(
+        spark.range(1, n + 1).select(
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        ),
+        "evts", mode="overwrite",
+    )
+
+    part = JDBCCatalog(
+        spark, url,
+        partition_options={"evts": {
+            "partitionColumn": "event_id",
+            "lowerBound": 1, "upperBound": n + 1, "numPartitions": 4,
+        }},
+    )
+    pdf = part.read("evts")
+    # (b) genuinely parallel: 4 JDBC input partitions, each non-empty
+    assert pdf.rdd.getNumPartitions() == 4
+    sizes = pdf.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert len(sizes) == 4 and all(s > 0 for s in sizes) and sum(sizes) == n
+    # (a) parity with the single-task read — no dropped/duplicated bound rows
+    a = sorted((r["event_id"], r["val"]) for r in pdf.collect())
+    b = sorted((r["event_id"], r["val"]) for r in plain.read("evts").collect())
+    assert a == b and len(a) == n
+
+    # the partitioned catalog drives a real transport identically
+    maps = {"out": {"original_table": "evts",
+                    "columns": {"eid": "event_id", "v": "val"}}}
+    out_root = tmp_path / "out"
+    DBT(maps, target=ParquetCatalog(spark, str(out_root)),
+        original=part).do_transport(mode="overwrite")
+    assert spark.read.parquet(f"{out_root}/out.parquet").count() == n

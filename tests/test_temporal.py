@@ -462,3 +462,20 @@ def test_ewma_null_carries_state_instead_of_restarting(spark):
     assert got[("k", 2)] == 0.25 * 30.0 + 0.75 * 10.0  # resumes, no restart
     assert got[("j", 0)] is None            # NULL before any real value
     assert got[("j", 1)] == 8.0             # series starts at first real x
+
+
+def test_ewma_max_points_per_key_prefix_unchanged(spark):
+    import datetime
+
+    from database_transportor_spark.operators.temporal import ewma
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [("k", base + datetime.timedelta(hours=h), float(h))
+            for h in range(200)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    capped = ewma(df, ["k"], "ts", "v", alpha=0.5, max_points_per_key=10)
+    full = ewma(df, ["k"], "ts", "v", alpha=0.5)
+    # capped output = exactly the first 10 rows of the full recurrence
+    a = sorted((r["ts"], r["ewma"]) for r in capped.collect())
+    b = sorted((r["ts"], r["ewma"]) for r in full.collect())[:10]
+    assert len(a) == 10 and a == b
