@@ -1285,6 +1285,76 @@ WHERE i * 128 < octet_length(encode(text))
 """
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (`operators/multimodal.py:decode_image`):
+    synthesize a genuine PNG per document (dims/channels are deterministic
+    functions of doc_id), run it through the pure-Python PNG codec
+    (zlib inflate + per-filter reconstruction), and report the decoded
+    dimensions plus an exact pixel-sum integrity check.  The oracle
+    computes the same table in closed form — a hash match proves the
+    decoder recovered every byte."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_image, encode_png)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_png(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w, ch = 4 + d % 7, 3 + d % 5, 1 + d % 4
+                arr = ((np.arange(h * w * ch, dtype=np.int64) * 37 + d)
+                       % 251).astype(np.uint8).reshape(h, w, ch)
+                out.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_png, schema)
+    decoded = decode_image(media, "doc_id", "content", with_pixels=True)
+    return decoded.select(
+        "doc_id", "width", "height", "channels",
+        F.aggregate(
+            # binary → byte values via 2-char hex slices (JVM-side, no UDF)
+            F.transform(
+                F.sequence(F.lit(1), (F.length(F.hex("pixels")) / 2).cast("int")),
+                lambda i: F.conv(
+                    F.substring(F.hex("pixels"), (i * 2 - 1).cast("int"), 2),
+                    16, 10,
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pixel_sum"),
+    )
+
+
+SQL_IMAGE_DECODE = """
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS width,
+         4 + doc_id % 7 AS height,
+         1 + doc_id % 4 AS channels
+  FROM documents
+)
+SELECT d.doc_id, d.width, d.height, d.channels,
+       CAST(sum((i * 37 + d.doc_id) % 251) AS BIGINT) AS pixel_sum
+FROM dims d, UNNEST(range(0, 281)) AS r(i)
+WHERE i < d.height * d.width * d.channels
+GROUP BY d.doc_id, d.width, d.height, d.channels
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.streaming.events import tumbling_agg
 
@@ -3305,6 +3375,7 @@ _EXTENSION_QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "image_decode": q_image_decode,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3391,6 +3462,7 @@ _EXTENSION_ORACLES = {
     "cosine_pairs": SQL_COSINE_PAIRS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "image_decode": SQL_IMAGE_DECODE,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

@@ -4,11 +4,11 @@ Media are opaque ``binary`` columns plus a typed metadata struct; all
 decode/feature work runs in Arrow-batched Pandas stages via
 ``mapInPandas`` so bytes never round-trip row-at-a-time through Python.
 
-The image/audio codec libraries are NOT in this container, so the decode
-step is stubbed (clearly marked ``NotImplementedError``) behind a
-deterministic byte-level feature extractor that exercises the REAL Spark
-plumbing: binary schema, Arrow batch transfer, batch-shaped UDF signature,
-and partition-preserving execution.
+Decode tiers: pillow when importable (JPEG/PNG/WebP/…), else a REAL
+pure-Python PNG codec (:func:`decode_png`/:func:`encode_png` — stdlib
+zlib + numpy de-filtering, no fake) for the formats it covers; only
+video frame-grabbing remains a deterministic byte-slicer stand-in
+(:func:`sample_frames` — PyAV/ffmpeg are not in this container).
 """
 
 from __future__ import annotations
@@ -32,6 +32,8 @@ __all__ = [
     "attach_binary",
     "byte_features",
     "decode_image",
+    "decode_png",
+    "encode_png",
     "resize_image",
     "sample_frames",
 ]
@@ -96,18 +98,198 @@ def byte_features(
     return df.select(id_col, content_col).mapInPandas(extract, schema)
 
 
-def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Decode an image binary column to (height, width, channels) tensors.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color_type → channel count (palette images unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-    STUB: pillow/opencv are not available in this container.  The Spark
-    plumbing contract is identical to :func:`byte_features` — swap the
-    extractor body for ``PIL.Image.open(io.BytesIO(b))`` when the codec
-    libraries exist.
-    """
-    raise NotImplementedError(
-        "image codecs not available in this environment; see byte_features() "
-        "for the identical mapInPandas plumbing with a deterministic extractor"
+
+def encode_png(arr) -> bytes:
+    """Encode an ``(h, w)`` or ``(h, w, channels)`` uint8 numpy array as a
+    real PNG (filter 0, zlib stream) — pure stdlib, used by the round-trip
+    tests and available to sinks that need genuine image bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def decode_png(b: bytes):
+    """REAL pure-Python PNG decode (stdlib ``zlib`` + numpy de-filtering):
+    returns an ``(h, w, channels)`` uint8 array.  Supports 8-bit
+    grayscale/RGB/gray+alpha/RGBA, non-interlaced — the shapes every
+    PNG encoder (including :func:`encode_png` and PIL) emits by default.
+    Palette/16-bit/interlaced images need pillow (raises ``ValueError``)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color_type={ctype} "
+                    f"interlace={interlace}); install pillow for full decode"
+                )
+            meta = (w, h, _PNG_CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG (bad decompressed length)")
+    flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, row = flt[y, 0], flt[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = row + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                bb = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                # mask NOW: Average/Paeth predict from reconstructed
+                # BYTES, so deferred masking would feed them values >255
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG (filter {f})")
+        out[y] = cur & 0xFF
+    return out.reshape(h, w, ch)
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    errors: str = "raise",
+    with_pixels: bool = False,
+) -> DataFrame:
+    """Decode an image binary column to real dimensions (and optionally
+    raw pixel bytes): ``(id, width, height, channels[, pixels])``.
+
+    REAL decode, two tiers: pillow when importable (JPEG/PNG/WebP/…);
+    otherwise the built-in pure-Python PNG decoder (:func:`decode_png` —
+    stdlib zlib + numpy, genuinely decompresses and de-filters the pixel
+    data, no fake).  Bytes neither tier can decode follow ``errors``:
+    ``"raise"`` fails the job, ``"skip"`` drops the row, ``"null"``
+    emits NULL dims — the quarantine-friendly mode for web-scraped
+    corpora where a percent of payloads is always garbage.
+
+    Scale shape: ``mapInPandas`` over Arrow batches — partition-
+    preserving, no shuffle; pixel payloads (``with_pixels``) multiply
+    output size, keep it off for stats-only passes.
+    """
+    if errors not in ("raise", "skip", "null"):
+        raise ValueError(f"decode_image: errors must be raise|skip|null, got {errors!r}")
+    try:  # pragma: no cover - pillow absent in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    fields = [
+        StructField(id_col, LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+    ]
+    if with_pixels:
+        fields.append(StructField("pixels", BinaryType()))
+    schema = StructType(fields)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes):
+            if have_pil:  # pragma: no cover - real PIL path
+                import io
+
+                import numpy as np
+                from PIL import Image
+
+                arr = np.asarray(Image.open(io.BytesIO(b)))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                return arr
+            return decode_png(b)
+
+        for pdf in batches:
+            ids, ws, hs, chs, pix = [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    arr = one(bytes(content))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    if errors == "skip":
+                        continue
+                    ids.append(doc_id)
+                    ws.append(None); hs.append(None); chs.append(None)
+                    pix.append(None)
+                    continue
+                h, w, ch = arr.shape
+                ids.append(doc_id)
+                ws.append(w); hs.append(h); chs.append(ch)
+                pix.append(arr.tobytes())
+            cols = {
+                id_col: pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="object"),
+                "height": pd.Series(hs, dtype="object"),
+                "channels": pd.Series(chs, dtype="object"),
+            }
+            if with_pixels:
+                cols["pixels"] = pd.Series(pix, dtype="object")
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema)
 
 
 def resize_image(
@@ -120,14 +302,14 @@ def resize_image(
     """Resize an image binary column to ``target_width × target_height``,
     emitting the resized payload plus an updated metadata struct.
 
-    When pillow is importable the real decoder runs
-    (``Image.open → resize → tobytes``).  In this container it is not, so a
-    clearly-marked deterministic fake stands in: the payload is
-    stride-sampled down to exactly ``target_width * target_height`` bytes
-    (or fewer for tiny payloads).  Either way the Spark side is the real
-    resize shape — ``mapInPandas`` over Arrow batches, binary in / binary
-    out, typed meta struct, no shuffle, partition-preserving — so swapping
-    the body for the codec changes nothing in the plan.
+    Three tiers: pillow when importable (``Image.open → resize →
+    tobytes``); else a REAL resize for PNG payloads (:func:`decode_png`
+    → nearest-neighbor numpy indexing → raw pixel bytes); else — for
+    payloads that are not decodable images at all (e.g. the text-bytes
+    fixtures) — a deterministic stride-sample down to
+    ``target_width * target_height`` bytes.  All tiers share the same
+    Spark shape: ``mapInPandas`` over Arrow batches, binary in / binary
+    out, typed meta struct, no shuffle, partition-preserving.
     """
     try:  # pragma: no cover - pillow absent in this environment
         from PIL import Image  # noqa: F401
@@ -156,8 +338,19 @@ def resize_image(
                 return img.resize((target_width, target_height)).tobytes()
 
         else:
-            # Deterministic fake: stride-sample to n_out bytes.
             def one(b: bytes) -> bytes:
+                try:
+                    # real PNG path: decode + nearest-neighbor resample
+                    import numpy as np
+
+                    arr = decode_png(b)
+                    h, w, _ = arr.shape
+                    ys = (np.arange(target_height) * h) // target_height
+                    xs = (np.arange(target_width) * w) // target_width
+                    return arr[ys][:, xs].tobytes()
+                except ValueError:
+                    pass
+                # non-image payload: deterministic stride-sample
                 if len(b) <= n_out:
                     return b
                 step = len(b) / n_out

@@ -105,6 +105,7 @@ QUERIES = [
     "evolve_merge",
     "rollup_refresh",
     "corr_matrix",
+    "image_decode",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
