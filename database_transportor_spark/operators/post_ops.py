@@ -33,6 +33,17 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "boilerplate_ratio", "id_col": ..., "text_col": ...}
     {"op": "winsorize", "value_col": ..., "group_cols": [...]}
     {"op": "k_anonymity_gate", "quasi_cols": [...], "k": N}  # raises
+    {"op": "funnel", "stages": [...], "user_col": ..., "ts_col": ...,
+     "max_events_per_entity": N}
+    {"op": "cohort_retention", "user_col": ..., "ts_col": ..., "period": ...}
+    {"op": "transition_matrix", "entity_col": ..., "type_col": ...}
+    {"op": "top_paths", "user_col": ..., "type_col": ..., "max_len": N}
+    {"op": "pagerank", "src": ..., "dst": ..., "iterations": N}
+    {"op": "cube_agg", "dims": [...], "measures": ["sum(v) AS s", ...]}
+    {"op": "growth_accounting", "entity_col": ..., "bucket": "day"}
+    {"op": "ewma", "key_cols": [...], "ts_col": ..., "value_col": ...,
+     "alpha": 0.5}
+    {"op": "decode_image", "id_col": ..., "content_col": ..., "errors": ...}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -361,3 +372,133 @@ def _k_anonymity_gate(df: DataFrame, p: dict) -> DataFrame:
             ]
         )
     return df
+
+
+@register_post_op("funnel")
+def _funnel(df: DataFrame, p: dict) -> DataFrame:
+    from .funnel import funnel
+
+    return funnel(
+        df,
+        p["stages"],
+        user_col=p.get("user_col", "user_id"),
+        ts_col=p.get("ts_col", "ts"),
+        type_col=p.get("type_col", "event_type"),
+        horizon=p.get("horizon"),
+        max_events_per_entity=p.get("max_events_per_entity"),
+    )
+
+
+@register_post_op("cohort_retention")
+def _cohort_retention(df: DataFrame, p: dict) -> DataFrame:
+    from .funnel import cohort_retention
+
+    return cohort_retention(
+        df,
+        user_col=p.get("user_col", "user_id"),
+        ts_col=p.get("ts_col", "ts"),
+        period=p.get("period", "week"),
+    )
+
+
+@register_post_op("transition_matrix")
+def _transition_matrix(df: DataFrame, p: dict) -> DataFrame:
+    from .funnel import transition_matrix
+
+    return transition_matrix(
+        df,
+        entity_col=p.get("entity_col", "user_id"),
+        type_col=p.get("type_col", "event_type"),
+        ts_col=p.get("ts_col", "ts"),
+        tiebreak_col=p.get("tiebreak_col"),
+        round_digits=p.get("round_digits", 6),
+    )
+
+
+@register_post_op("top_paths")
+def _top_paths(df: DataFrame, p: dict) -> DataFrame:
+    from .funnel import top_paths
+
+    return top_paths(
+        df,
+        p.get("user_col", "user_id"),
+        p.get("type_col", "event_type"),
+        p.get("ts_col", "ts"),
+        max_len=p.get("max_len", 5),
+        k=p.get("k", 20),
+        tiebreak_col=p.get("tiebreak_col"),
+        sep=p.get("sep", ">"),
+    )
+
+
+@register_post_op("pagerank")
+def _pagerank(df: DataFrame, p: dict) -> DataFrame:
+    from .graph import pagerank
+
+    return pagerank(
+        df,
+        src=p.get("src", "src"),
+        dst=p.get("dst", "dst"),
+        iterations=p.get("iterations", 10),
+        damping=p.get("damping", 0.85),
+        handle_dangling=p.get("handle_dangling", True),
+        checkpoint_every=p.get("checkpoint_every", 5),
+        dedup_edges=p.get("dedup_edges", True),
+    )
+
+
+@register_post_op("cube_agg")
+def _cube_agg(df: DataFrame, p: dict) -> DataFrame:
+    from .rollup import cube_agg
+
+    # measures are SQL aggregate expression strings ("sum(v) AS sum_v") —
+    # the same expression-first contract as the reference's hook surface
+    return cube_agg(
+        df,
+        p["dims"],
+        [F.expr(m) if isinstance(m, str) else m for m in p["measures"]],
+        mode=p.get("mode", "cube"),
+        sets=p.get("sets"),
+        gid_col=p.get("gid_col", "gid"),
+    )
+
+
+@register_post_op("growth_accounting")
+def _growth_accounting(df: DataFrame, p: dict) -> DataFrame:
+    from .funnel import growth_accounting
+
+    return growth_accounting(
+        df,
+        entity_col=p.get("entity_col", "user_id"),
+        ts_col=p.get("ts_col", "ts"),
+        bucket=p.get("bucket", "day"),
+    )
+
+
+@register_post_op("ewma")
+def _ewma(df: DataFrame, p: dict) -> DataFrame:
+    from .temporal import ewma
+
+    return ewma(
+        df,
+        p["key_cols"],
+        p["ts_col"],
+        p["value_col"],
+        p["alpha"],
+        out_col=p.get("out_col", "ewma"),
+        tiebreak_col=p.get("tiebreak_col"),
+        max_points_per_key=p.get("max_points_per_key"),
+    )
+
+
+@register_post_op("decode_image")
+def _decode_image(df: DataFrame, p: dict) -> DataFrame:
+    from .multimodal import decode_image
+
+    return decode_image(
+        df,
+        id_col=p.get("id_col", "doc_id"),
+        content_col=p.get("content_col", "content"),
+        errors=p.get("errors", "raise"),
+        with_pixels=p.get("with_pixels", False),
+    )

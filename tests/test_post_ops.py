@@ -296,3 +296,72 @@ def test_winsorize_and_k_anonymity_gate_post_ops(spark):
                original=MemoryCatalog({"docs": docs}))
     with _pytest.raises(ValidationError):
         eng2.transform()  # the gate is eager: raises during planning
+
+
+def test_analytics_post_ops_funnel_and_transitions(spark):
+    """VERDICT r3 #6: the analytics tier runs as declarative stages."""
+    import datetime
+
+    def t(d):
+        return datetime.datetime(2026, 1, d)
+
+    ev = spark.createDataFrame(
+        [(1, t(1), "view"), (1, t(2), "click"), (1, t(3), "buy"),
+         (2, t(1), "view"), (2, t(2), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    maps = {
+        "fun": {
+            "original_table": "ev",
+            "columns": {"user_id": "user_id", "ts": "ts",
+                        "event_type": "event_type"},
+            "post_ops": [{"op": "funnel",
+                          "stages": ["view", "click", "buy"]}],
+        },
+        "trans": {
+            "original_table": "ev",
+            "columns": {"user_id": "user_id", "ts": "ts",
+                        "event_type": "event_type"},
+            "post_ops": [{"op": "transition_matrix"}],
+        },
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"ev": ev}))
+    out = eng.transform()
+    got = {r["user_id"]: r["stages_completed"] for r in out["fun"].collect()}
+    assert got == {1: 3, 2: 1}
+    trans = {(r["from_type"], r["to_type"]): r["n_transitions"]
+             for r in out["trans"].collect()}
+    assert trans == {("view", "click"): 1, ("click", "buy"): 1,
+                     ("view", "view"): 1}
+
+
+def test_analytics_post_ops_pagerank_and_cube(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    sales = spark.createDataFrame(
+        [("a", "x", 10), ("a", "y", 5), ("b", "x", 1)],
+        "r string, p string, v long",
+    )
+    maps = {
+        "pr": {
+            "original_table": "edges",
+            "columns": {"src": "src", "dst": "dst"},
+            "post_ops": [{"op": "pagerank", "iterations": 3}],
+        },
+        "cube": {
+            "original_table": "sales",
+            "columns": {"r": "r", "p": "p", "v": "v"},
+            "post_ops": [{"op": "cube_agg", "dims": ["r", "p"],
+                          "measures": ["sum(v) AS sum_v"]}],
+        },
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"edges": edges, "sales": sales}))
+    out = eng.transform()
+    pr = out["pr"].collect()
+    assert len(pr) == 3 and abs(sum(r["rank"] for r in pr) - 1.0) < 1e-6
+    cube = {(r["r"], r["p"]): r["sum_v"] for r in out["cube"].collect()}
+    assert cube[(None, None)] == 16 and cube[("a", None)] == 15
+    assert cube[("a", "x")] == 10 and cube[(None, "x")] == 11
