@@ -408,14 +408,19 @@ def _cmd_history(args: argparse.Namespace) -> int:
     from .sources.versioned import VersionedCatalog
 
     cat = VersionedCatalog(None, args.root)
-    head = cat.current_version(args.table)
-    vs = cat.versions(args.table)
-    if not vs:
+    hist = cat.history(args.table)
+    if not hist:
         print(f"no versions for {args.root}/{args.table}")
         return 1
-    for v in vs:
-        mark = "  <- HEAD" if v == head else ""
-        print(f"v{v:08d}{mark}")
+    import datetime as _dt
+
+    for h in hist:
+        mark = "  <- HEAD" if h["is_head"] else ""
+        when = _dt.datetime.fromtimestamp(h["committed_at"]).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        note = f"  [{h['note']}]" if h["note"] else ""
+        print(f"v{h['version']:08d}  {when}{note}{mark}")
     return 0
 
 

@@ -180,13 +180,40 @@ class VersionedCatalog(FileCatalog):
         target = self._version_dir(table, nxt)
         self._save(df, target, "overwrite")
 
-    def commit_staged(self, table: str) -> None:
+    def commit_staged(self, table: str, note: str | None = None) -> None:
+        """Commit the pending staged version — the pointer move.  ``note``
+        (e.g. a streaming sink's batch id) is recorded in the commit
+        marker and surfaces in :meth:`history` — the lineage hook that
+        ties a CDC micro-batch to the version it produced."""
         with self._plock:
             nxt = self._pending.pop(table, None)
         if nxt is None:
             raise RuntimeError(f"no staged write pending for {table!r}")
-        open(self._marker(table, nxt), "w").close()
+        with open(self._marker(table, nxt), "w") as f:
+            if note:
+                f.write(note)
         self._set_head(table, nxt)
+
+    def history(self, table: str) -> list[dict]:
+        """Committed versions, ascending, with commit time, marker note,
+        and HEAD flag — the audit view `cli history` renders."""
+        head = self.current_version(table)
+        out = []
+        for v in self.versions(table):
+            marker = self._marker(table, v)
+            try:
+                with open(marker) as f:
+                    note = f.read().strip() or None
+                committed_at = os.path.getmtime(marker)
+            except FileNotFoundError:  # racing vacuum
+                continue
+            out.append({
+                "version": v,
+                "committed_at": committed_at,
+                "note": note,
+                "is_head": v == head,
+            })
+        return out
 
     def abort_staged(self, table: str) -> None:
         with self._plock:

@@ -114,7 +114,19 @@ def stream_merge_sink(
             # merge on the live schema, seq resolves within the batch side
             merged = merge_upsert(live, batch, keys, seq_col=seq_col)
         target.write_staged(merged, table)
-        target.commit_staged(table)
+        # CDC ↔ versioning convergence: on a VersionedCatalog the commit
+        # IS a version-pointer move, so every micro-batch becomes a
+        # point-in-time snapshot (time travel to any pre-batch state,
+        # rollback = pointer move) and the batch id is recorded in the
+        # commit marker for lineage.  Replay safety carries over: a
+        # checkpoint-replayed batch re-merges idempotently and commits a
+        # version with identical content.
+        from ..sources.versioned import VersionedCatalog
+
+        if isinstance(target, VersionedCatalog):
+            target.commit_staged(table, note=f"stream_batch={batch_id}")
+        else:
+            target.commit_staged(table)
         merged_batches["n"] += 1
 
     writer = (

@@ -140,3 +140,73 @@ def test_merge_sink_cdc_first_contact_live_without_seq(spark, tmp_path):
                       checkpoint=ckpt, op_col="op")
     got = {r["k"]: (r["val"], r["seq"]) for r in tgt.read("t").collect()}
     assert got == {1: ("new", 5), 2: ("ins", 6), 9: ("untouched", None)}
+
+
+def test_merge_sink_into_versioned_catalog_time_travel(spark, tmp_path):
+    """CDC ↔ versioning convergence (VERDICT r3 #8): streaming into a
+    VersionedCatalog commits each micro-batch as a version — history
+    shows exactly-once batches with lineage notes, time travel reads a
+    pre-batch snapshot, and checkpoint replay (restart) creates no
+    phantom versions."""
+    from database_transportor_spark.sources.versioned import VersionedCatalog
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    tgt = VersionedCatalog(spark, str(tmp_path / "tgt"), format="parquet")
+
+    _append_src(spark, src, [(1, "a", 1), (2, "b", 1)])
+    n1 = stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                           checkpoint=ckpt)
+    v_after_1 = tgt.current_version("t")
+
+    _append_src(spark, src, [(1, "A", 2), (3, "c", 2)])
+    n2 = stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                           checkpoint=ckpt)
+
+    # exactly-once: one committed version per merged batch, no more
+    hist = tgt.history("t")
+    assert len(hist) == n1 + n2
+    assert all(h["note"].startswith("stream_batch=") for h in hist)
+    assert hist[-1]["is_head"]
+
+    # live = post-batch-2; time travel = the pre-batch-2 snapshot
+    assert {r["k"]: r["val"] for r in tgt.read("t").collect()} == \
+        {1: "A", 2: "b", 3: "c"}
+    assert {r["k"]: r["val"] for r in
+            tgt.read("t", version=v_after_1).collect()} == {1: "a", 2: "b"}
+
+    # restart with nothing new (checkpoint replay): no phantom versions
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt)
+    assert len(tgt.history("t")) == n1 + n2
+
+    # rollback is a pointer move; the rolled-back state reads correctly
+    tgt.rollback("t", v_after_1)
+    assert {r["k"]: r["val"] for r in tgt.read("t").collect()} == \
+        {1: "a", 2: "b"}
+
+
+def test_merge_sink_versioned_cdc_deletes_with_history(spark, tmp_path):
+    """CDC op feed into a VersionedCatalog: a delete batch becomes its own
+    version; the deleted key is still present in the prior snapshot."""
+    from database_transportor_spark.sources.versioned import VersionedCatalog
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    tgt = VersionedCatalog(spark, str(tmp_path / "tgt"), format="parquet")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "k long, val string, seq long, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    feed([(1, "a", 1, "I"), (2, "b", 1, "I")])
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt, op_col="op")
+    v1 = tgt.current_version("t")
+    feed([(2, None, 2, "D")])
+    stream_merge_sink(spark, src, tgt, "t", "k", seq_col="seq",
+                      checkpoint=ckpt, op_col="op")
+    assert sorted(r["k"] for r in tgt.read("t").collect()) == [1]
+    assert sorted(r["k"] for r in
+                  tgt.read("t", version=v1).collect()) == [1, 2]

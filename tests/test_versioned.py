@@ -90,7 +90,10 @@ def test_history_and_rollback_cli(spark, tmp_path):
     r = _run(["history", "--root", str(tmp_path), "--table", "t",
               "--master", "local[2]"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "v00000002  <- HEAD" in r.stdout
+    # history now prints "vNNNNNNNN  <time>  [<note>]  <- HEAD"
+    assert "v00000002" in r.stdout
+    head_line = [ln for ln in r.stdout.splitlines() if "<- HEAD" in ln]
+    assert len(head_line) == 1 and head_line[0].startswith("v00000002")
 
     r = _run(["rollback", "--root", str(tmp_path), "--table", "t",
               "--version", "1", "--master", "local[2]"], timeout=900)

@@ -180,11 +180,18 @@ def main(scales: list[int]) -> None:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # spill experiments: raise partition count past core count so each
+    # sort run fits memory (SPARK_GRAFT_SHUFFLE_PARTITIONS=128), and/or
+    # enable AQE skew-join splitting (SPARK_GRAFT_SKEWJOIN=1)
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    skew = os.environ.get("SPARK_GRAFT_SKEWJOIN", "false")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("dbt-spark-scale-check")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled",
+                "true" if skew in ("1", "true") else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
