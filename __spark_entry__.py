@@ -1355,6 +1355,63 @@ GROUP BY d.doc_id, d.width, d.height, d.channels
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (`operators/multimodal.py:decode_audio`):
+    synthesize a genuine PCM-16 WAV per document (sample count and sample
+    values are closed-form functions of doc_id), decode it through the
+    pure-Python RIFF/WAVE parser, and report exact signal statistics.
+    The oracle computes the same table in closed form — a hash match
+    proves every sample was recovered."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_audio, encode_wav)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_wav(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 500 + d % 300
+                s = (((np.arange(n, dtype=np.int64) * 37 + d) % 251) - 125
+                     ).astype(np.int16)
+                out.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_wav, schema)
+    return decode_audio(media, "doc_id", "content")
+
+
+SQL_AUDIO_DECODE = """
+WITH sig AS (
+  SELECT d.doc_id, 500 + d.doc_id % 300 AS n,
+         ((i * 37 + d.doc_id) % 251) - 125 AS s
+  FROM documents d, UNNEST(range(0, 800)) AS r(i)
+  WHERE i < 500 + d.doc_id % 300
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(s) AS BIGINT) AS sum_samples,
+       CAST(sum(s * s) AS BIGINT) AS sum_squares
+FROM sig
+GROUP BY doc_id, n
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.streaming.events import tumbling_agg
 
@@ -3398,6 +3455,7 @@ _EXTENSION_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "image_decode": q_image_decode,
+    "audio_decode": q_audio_decode,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3486,6 +3544,7 @@ _EXTENSION_ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "image_decode": SQL_IMAGE_DECODE,
+    "audio_decode": SQL_AUDIO_DECODE,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

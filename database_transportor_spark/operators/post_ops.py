@@ -44,6 +44,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "ewma", "key_cols": [...], "ts_col": ..., "value_col": ...,
      "alpha": 0.5}
     {"op": "decode_image", "id_col": ..., "content_col": ..., "errors": ...}
+    {"op": "decode_audio", "id_col": ..., "content_col": ..., "errors": ...}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -501,4 +502,16 @@ def _decode_image(df: DataFrame, p: dict) -> DataFrame:
         content_col=p.get("content_col", "content"),
         errors=p.get("errors", "raise"),
         with_pixels=p.get("with_pixels", False),
+    )
+
+
+@register_post_op("decode_audio")
+def _decode_audio(df: DataFrame, p: dict) -> DataFrame:
+    from .multimodal import decode_audio
+
+    return decode_audio(
+        df,
+        id_col=p.get("id_col", "doc_id"),
+        content_col=p.get("content_col", "content"),
+        errors=p.get("errors", "raise"),
     )

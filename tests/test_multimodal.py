@@ -10,9 +10,12 @@ import pytest
 
 from database_transportor_spark.operators.multimodal import (
     attach_binary,
+    decode_audio,
     decode_image,
     decode_png,
+    decode_wav,
     encode_png,
+    encode_wav,
     resize_image,
 )
 
@@ -151,3 +154,59 @@ def test_resize_image_text_fixture_still_stride_samples(spark):
     out = resize_image(attach_binary(docs), "doc_id", "content", 8, 4)
     for r in out.collect():
         assert len(r["content"]) <= 32
+
+
+# ----------------------------------------------------------- audio (WAV)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = (((np.arange(1000) * 37) % 251) - 125).astype(np.int16)
+    rate, s = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (1000, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = (((np.arange(600).reshape(300, 2) * 7) % 200) - 100).astype(
+        np.int16)
+    rate, s = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and s.shape == (300, 2)
+    assert np.array_equal(s, stereo)
+
+
+def test_wav_rejects_garbage_and_compressed():
+    with pytest.raises(ValueError, match="signature"):
+        decode_wav(b"ID3\x03... an mp3, not a wav")
+    b = bytearray(encode_wav(np.zeros(10, np.int16), 8000))
+    b[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(b))
+
+
+def test_decode_audio_through_spark(spark):
+    sigs = {i: (((np.arange(200 + i) * 13 + i) % 241) - 120).astype(np.int16)
+            for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(s, 16000))) for i, s in sigs.items()],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    for i, s in sigs.items():
+        r = rows[i]
+        s64 = s.astype(np.int64)
+        assert r["sample_rate"] == 16000 and r["n_channels"] == 1
+        assert r["n_samples"] == len(s)
+        assert r["duration_ms"] == len(s) * 1000 // 16000
+        assert r["peak"] == int(np.abs(s64).max())
+        assert r["sum_samples"] == int(s64.sum())
+        assert r["sum_squares"] == int((s64 * s64).sum())
+
+
+def test_decode_audio_error_modes(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.ones(8, np.int16), 8000))),
+         (2, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    )
+    assert sorted(r["doc_id"] for r in
+                  decode_audio(df, errors="skip").collect()) == [1]
+    got = {r["doc_id"]: r["n_samples"] for r in
+           decode_audio(df, errors="null").collect()}
+    assert got == {1: 8, 2: None}

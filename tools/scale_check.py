@@ -106,6 +106,7 @@ QUERIES = [
     "rollup_refresh",
     "corr_matrix",
     "image_decode",
+    "audio_decode",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
