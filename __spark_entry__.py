@@ -3782,6 +3782,187 @@ WHERE (((doc_id * 2654435761) % 4294967296) % 1000000) / 1000000.0
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+    lost to returns in 1996.  Fact-side joins (lineitem⋈orders on
+    orderkey, ⋈customer on custkey) shuffle; nation is BROADCAST.
+    Exact-integer cents; deterministic (revenue desc, custkey asc) rank."""
+    from pyspark.sql import Window
+
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum("rev_cp").alias("__rev_cp"),
+        F.count("*").alias("n_items"),
+    )
+    w = Window.orderBy(F.col("__rev_cp").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank", "c_custkey", "c_name", "n_name",
+            (F.col("__rev_cp") / F.lit(10000.0)).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+SQL_RETURNED_ITEMS = """
+WITH agg AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_cp,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(row_number() OVER (ORDER BY rev_cp DESC, c_custkey ASC) AS INT)
+         AS rank,
+       c_custkey, c_name, n_name,
+       rev_cp / 10000.0 AS revenue,
+       CAST(n_items AS BIGINT) AS n_items
+FROM agg
+ORDER BY rank
+LIMIT 20
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: for one brand, the yearly
+    revenue of lineitems whose quantity is below 20% of that part's
+    average quantity.  The per-part average is a pre-aggregation joined
+    back BROADCAST (parts of one brand ≪ lineitem) — no correlated
+    subquery re-scan.  The threshold compare is exact integer algebra:
+    qty < 0.2·(sum/n)  ⇔  5·qty·n < sum  (quantities are integral)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lq = F.round(F.col("l_quantity")).cast("long")
+    lp = l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    stats = lp.groupBy("p_partkey").agg(
+        F.sum(lq).alias("__sum_q"), F.count("*").alias("__n")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    j = lp.join(F.broadcast(stats), "p_partkey").filter(
+        F.lit(5) * lq * F.col("__n") < F.col("__sum_q")
+    )
+    return j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
+        (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH lp AS (
+  SELECT l.*, p.p_partkey AS pk
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#13'
+), stats AS (
+  SELECT pk, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_q,
+         count(*) AS n
+  FROM lp GROUP BY pk
+)
+SELECT CAST(year(lp.l_shipdate) AS BIGINT) AS ship_year,
+       sum(CAST(round(lp.l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lp JOIN stats ON lp.pk = stats.pk
+WHERE 5 * CAST(round(lp.l_quantity) AS BIGINT) * stats.n < stats.sum_q
+GROUP BY 1
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-part relationship count: distinct
+    suppliers able to supply each (brand, type, size) bucket, excluding
+    one brand and the PROMO type family.  The part dimension filter is
+    BROADCAST into the (l_partkey, l_suppkey) distinct-pair scan — the
+    only shuffle is the final count_distinct aggregation."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").startswith("PROMO"))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    j = pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")).agg(
+        F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT lp.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) lp
+JOIN part p ON lp.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9' AND p.p_type NOT LIKE 'PROMO%'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders placed in 1996 that
+    had at least one lineitem shipped after the order date, counted per
+    priority.  The EXISTS is a LEFT SEMI join — Spark never materializes
+    the match fan-out, and the date predicate prunes the orders scan."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    sem = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+SQL_ORDER_PRIORITY_COUNTS = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: scan-filter-aggregate with the
     date predicate pushed to the parquet scan and 4-wide grouping.  All
@@ -3965,6 +4146,10 @@ _EXTENSION_QUERIES.update(
         "boilerplate": q_boilerplate,
         "weighted_sample": q_weighted_sample,
         "pricing_summary": q_pricing_summary,
+        "returned_items": q_returned_items,
+        "small_qty_revenue": q_small_qty_revenue,
+        "supplier_part_counts": q_supplier_part_counts,
+        "order_priority_counts": q_order_priority_counts,
         "top_unshipped": q_top_unshipped,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -3977,6 +4162,10 @@ _EXTENSION_ORACLES.update(
         "boilerplate": SQL_BOILERPLATE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "returned_items": SQL_RETURNED_ITEMS,
+        "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+        "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
+        "order_priority_counts": SQL_ORDER_PRIORITY_COUNTS,
         "top_unshipped": SQL_TOP_UNSHIPPED,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
     }

@@ -120,11 +120,16 @@ BROADCAST_EXPECTED = {
     # TPC-H-shaped analytics: every dimension join must broadcast
     "top_unshipped": 1,        # segment-filtered customer keys
     "revenue_by_nation": 3,    # region->nation, supplier, nation
+    "returned_items": 1,       # nation dim
+    "small_qty_revenue": 2,    # brand-filtered part keys + per-part stats
+    "supplier_part_counts": 1, # filtered part dim into the pair scan
 }
 
 #: queries whose FACT-side joins legitimately sort-merge at scale (the
 #: dimension joins above must still broadcast)
-_FACT_JOIN_OK = {"flagship", "top_unshipped", "revenue_by_nation"}
+_FACT_JOIN_OK = {"flagship", "top_unshipped", "revenue_by_nation",
+                 "returned_items", "small_qty_revenue",
+                 "supplier_part_counts"}
 
 
 @pytest.mark.parametrize("name", sorted(BROADCAST_EXPECTED))
@@ -157,3 +162,17 @@ def test_pricing_summary_pushes_date_filter_to_scan(spark):
     assert "PushedFilters" in plan and "l_shipdate" in plan.split(
         "PushedFilters"
     )[1].split("]")[0], f"shipdate not pushed:\n{plan}"
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    """The Q4-shaped EXISTS must plan as a LeftSemi join (no match
+    fan-out materialized) with the order-date range pushed to the
+    orders scan."""
+    df = _queries()["order_priority_counts"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan, f"EXISTS not a semi join:\n{plan}"
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], f"order date not pushed:\n{plan}"

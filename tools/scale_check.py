@@ -107,6 +107,10 @@ QUERIES = [
     "corr_matrix",
     "image_decode",
     "audio_decode",
+    "returned_items",
+    "small_qty_revenue",
+    "supplier_part_counts",
+    "order_priority_counts",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
