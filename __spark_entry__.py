@@ -1412,6 +1412,102 @@ GROUP BY doc_id, n
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (`operators/graph.py:triangle_count`) over the
+    part co-purchase graph (parts linked when bought in the same order),
+    with degree orientation bounding every node's wedge fan-out by O(√m)
+    — the hub-part guard a 100 TB co-occurrence graph needs.  Oracle: the
+    textbook a<b<c triple-join over the same canonical edge set."""
+    from database_transportor_spark.operators.graph import triangle_count
+
+    lp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = (
+        x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+               & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .select(F.col("x.l_partkey").alias("src"),
+                F.col("y.l_partkey").alias("dst"))
+    )
+    return triangle_count(edges, orient="degree")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio frame features (`operators/multimodal.py:
+    audio_frames`): real WAV decode then a 200-sample window hopping by
+    100 — per-frame exact energy / zero-crossing / peak integers, one
+    output row per frame (fan-out mapInPandas).  Oracle recomputes every
+    frame in closed form over the same synthesized signal."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        audio_frames, encode_wav)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_wav(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 500 + d % 300
+                s = (((np.arange(n, dtype=np.int64) * 37 + d) % 251) - 125
+                     ).astype(np.int16)
+                out.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_wav, schema)
+    return audio_frames(media, "doc_id", "content", frame_len=200, hop=100)
+
+
+SQL_AUDIO_FRAMES = """
+WITH sig AS (
+  SELECT d.doc_id, 500 + d.doc_id % 300 AS len, i,
+         ((i * 37 + d.doc_id) % 251) - 125 AS s
+  FROM documents d, UNNEST(range(0, 800)) AS r(i)
+  WHERE i < 500 + d.doc_id % 300
+), sig2 AS (
+  SELECT *, lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s_next
+  FROM sig
+), fr AS (SELECT f FROM UNNEST(range(0, 8)) AS t(f))
+SELECT s.doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 100 AS BIGINT) AS frame_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s.s * s.s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN s.i < f * 100 + 199 AND s.i < s.len - 1
+                      AND s.s * s.s_next < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings,
+       CAST(max(abs(s.s)) AS BIGINT) AS peak
+FROM sig2 s JOIN fr ON s.i >= f * 100 AND s.i < f * 100 + 200
+WHERE f * 100 < s.len
+GROUP BY s.doc_id, f
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.streaming.events import tumbling_agg
 
@@ -3456,6 +3552,8 @@ _EXTENSION_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "image_decode": q_image_decode,
     "audio_decode": q_audio_decode,
+    "audio_frames": q_audio_frames,
+    "triangle_count": q_triangle_count,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3545,6 +3643,8 @@ _EXTENSION_ORACLES = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "image_decode": SQL_IMAGE_DECODE,
     "audio_decode": SQL_AUDIO_DECODE,
+    "audio_frames": SQL_AUDIO_FRAMES,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "symmetrize", "pagerank"]
+__all__ = ["degrees", "symmetrize", "pagerank", "triangle_count"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -151,3 +151,76 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Exact triangle count over an undirected view of the edge list —
+    one row ``(n_triangles,)``.  Self-loops dropped, edges deduped to
+    canonical ``(a < b)`` pairs, so parallel/reversed duplicates never
+    inflate the count.
+
+    Scale shape: the classic wedge-closing join with DEGREE ORIENTATION
+    (``orient="degree"``): every canonical edge is directed from its
+    lower-(degree, id) endpoint to the higher one, which bounds each
+    node's out-adjacency by O(√m) even on power-law graphs — so the
+    wedge self-join generates O(m^1.5) candidates worst-case instead of
+    Σ deg² (a single celebrity hub would otherwise create a quadratic
+    wedge explosion).  Three shuffles total: canonical dedup, the wedge
+    self-join on the pivot node, and the closing-edge equi-join.
+    ``orient="id"`` skips the degree table for small/uniform graphs.
+    Each triangle is counted exactly once (at its smallest vertex in
+    the orientation's total order).
+    """
+    if orient not in ("degree", "id"):
+        raise ValueError(f"triangle_count: orient must be degree|id, got {orient!r}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    if orient == "degree":
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        # total order = (degree, id); orient each edge low -> high
+        ea = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+        eb = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+        ranked = (
+            e.join(ea, "a").join(eb, "b")
+            .select(
+                "a", "b",
+                F.struct(F.col("__da").alias("d"), F.col("a").alias("n")).alias("ka"),
+                F.struct(F.col("__db").alias("d"), F.col("b").alias("n")).alias("kb"),
+            )
+        )
+        oriented = ranked.select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+        )
+    else:
+        oriented = e.select(
+            F.col("a").alias("u"), F.col("b").alias("v"),
+            F.struct(F.lit(0).alias("d"), F.col("b").alias("n")).alias("kv"),
+        )
+    # wedges at the pivot u: (u -> y), (u -> z) with y before z in the
+    # total order; close with the oriented edge y -> z
+    w1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("kv").alias("kz"))
+    wedges = w1.join(w2, "u").filter(F.col("ky") < F.col("kz")).select("y", "z")
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    return wedges.join(closing, ["y", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

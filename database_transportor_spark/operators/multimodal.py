@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_binary",
+    "audio_frames",
     "byte_features",
     "decode_audio",
     "decode_image",
@@ -559,3 +560,78 @@ def decode_audio(
             ])
 
     return df.select(id_col, content_col).mapInPandas(decode, schema)
+
+
+def audio_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_len: int = 256,
+    hop: int = 128,
+    max_frames: int | None = None,
+    errors: str = "raise",
+) -> DataFrame:
+    """Windowed audio frame features — the real STFT-prep shape: decode
+    (:func:`decode_wav`), slide a ``frame_len`` window by ``hop`` over
+    channel 0, and emit one row per frame with exact integer statistics:
+    ``(id, frame_idx, frame_start, n, energy, zero_crossings, peak)``
+    where ``energy = Σ s²`` and ``zero_crossings`` counts strict sign
+    flips (``s_k · s_{k+1} < 0``) within the frame.  The trailing
+    partial frame is kept (``n < frame_len``); ``max_frames`` caps
+    per-row fan-out (a 3-hour podcast shouldn't explode one task).
+
+    Scale shape: ``mapInPandas`` with per-row FAN-OUT (one input row →
+    many frame rows), Arrow-batched, no shuffle — the same plumbing
+    :func:`sample_frames` uses, but over genuinely decoded samples.
+    """
+    if errors not in ("raise", "skip", "null"):
+        raise ValueError(f"audio_frames: errors must be raise|skip|null, got {errors!r}")
+    if frame_len < 2 or hop < 1:
+        raise ValueError("audio_frames: frame_len must be >= 2 and hop >= 1")
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame_start", LongType()),
+            StructField("n", LongType()),
+            StructField("energy", LongType()),
+            StructField("zero_crossings", LongType()),
+            StructField("peak", LongType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    _rate, samples = decode_wav(bytes(content))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    if errors == "skip":
+                        continue
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                s = samples[:, 0].astype(np.int64)
+                f = 0
+                while f * hop < len(s):
+                    if max_frames is not None and f >= max_frames:
+                        break
+                    start = f * hop
+                    w = s[start : start + frame_len]
+                    rows.append((
+                        doc_id, f, start, len(w),
+                        int((w * w).sum()),
+                        int(((w[:-1] * w[1:]) < 0).sum()),
+                        int(np.abs(w).max(initial=0)),
+                    ))
+                    f += 1
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "frame_start", "n", "energy",
+                "zero_crossings", "peak",
+            ])
+
+    return df.select(id_col, content_col).mapInPandas(frames, schema)

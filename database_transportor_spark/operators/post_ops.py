@@ -39,6 +39,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "transition_matrix", "entity_col": ..., "type_col": ...}
     {"op": "top_paths", "user_col": ..., "type_col": ..., "max_len": N}
     {"op": "pagerank", "src": ..., "dst": ..., "iterations": N}
+    {"op": "triangle_count", "src": ..., "dst": ..., "orient": "degree"}
     {"op": "cube_agg", "dims": [...], "measures": ["sum(v) AS s", ...]}
     {"op": "growth_accounting", "entity_col": ..., "bucket": "day"}
     {"op": "ewma", "key_cols": [...], "ts_col": ..., "value_col": ...,
@@ -514,4 +515,16 @@ def _decode_audio(df: DataFrame, p: dict) -> DataFrame:
         id_col=p.get("id_col", "doc_id"),
         content_col=p.get("content_col", "content"),
         errors=p.get("errors", "raise"),
+    )
+
+
+@register_post_op("triangle_count")
+def _triangle_count(df: DataFrame, p: dict) -> DataFrame:
+    from .graph import triangle_count
+
+    return triangle_count(
+        df,
+        src=p.get("src", "src"),
+        dst=p.get("dst", "dst"),
+        orient=p.get("orient", "degree"),
     )

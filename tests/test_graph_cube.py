@@ -199,3 +199,35 @@ def test_weighted_sample_rate_roughly_matches_p(spark):
     df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
     kept = weighted_sample(df, "id", F.lit(0.5)).count()
     assert 0.4 < kept / 2000 < 0.6
+
+
+def test_triangle_count_k4_with_noise(spark):
+    from database_transportor_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4: 4 triangles
+         (4, 5),                                            # pendant
+         (2, 1), (3, 3), (1, 2)],                           # reverse/loop/dup
+        "src long, dst long",
+    )
+    for orient in ("degree", "id"):
+        got = triangle_count(edges, orient=orient).collect()[0]["n_triangles"]
+        assert got == 4, orient
+
+
+def test_triangle_count_hub_graph_orientations_agree(spark):
+    """A star hub plus a ring: degree orientation and id orientation must
+    count identically (the orientation only changes WHERE each triangle
+    is counted, never whether)."""
+    from database_transportor_spark.operators.graph import triangle_count
+
+    ring = [(i, (i + 1) % 20) for i in range(20)]
+    star = [(99, i) for i in range(20)]
+    edges = spark.createDataFrame(ring + star, "src long, dst long")
+    # each ring edge forms one triangle with the hub: 20 triangles
+    a = triangle_count(edges, orient="degree").collect()[0]["n_triangles"]
+    b = triangle_count(edges, orient="id").collect()[0]["n_triangles"]
+    assert a == b == 20
+
+    with pytest.raises(ValueError):
+        triangle_count(edges, orient="random")

@@ -210,3 +210,44 @@ def test_decode_audio_error_modes(spark):
     got = {r["doc_id"]: r["n_samples"] for r in
            decode_audio(df, errors="null").collect()}
     assert got == {1: 8, 2: None}
+
+
+def test_audio_frames_exact_windows(spark):
+    s = np.array([3, -2, 5, -5, 1, 0, -1, 4], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, 8000)))], "doc_id long, content binary"
+    )
+    from database_transportor_spark.operators.multimodal import audio_frames
+
+    rows = {r["frame_idx"]: r for r in
+            audio_frames(df, frame_len=4, hop=2).collect()}
+    # frames: [3,-2,5,-5] [5,-5,1,0] [1,0,-1,4] [-1,4]
+    assert len(rows) == 4
+    f0 = rows[0]
+    assert (f0["n"], f0["energy"], f0["peak"]) == (4, 9 + 4 + 25 + 25, 5)
+    assert f0["zero_crossings"] == 3          # 3→-2, -2→5, 5→-5
+    f1 = rows[1]
+    assert f1["zero_crossings"] == 2          # 5→-5, -5→1 (1→0 not strict)
+    f3 = rows[3]
+    assert (f3["frame_start"], f3["n"], f3["zero_crossings"]) == (6, 2, 1)
+
+    capped = audio_frames(df, frame_len=4, hop=2, max_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in capped) == [0, 1]
+
+
+def test_audio_frames_error_modes(spark):
+    from database_transportor_spark.operators.multimodal import audio_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.ones(4, np.int16), 8000))),
+         (2, bytearray(b"nope"))],
+        "doc_id long, content binary",
+    )
+    assert {r["doc_id"] for r in
+            audio_frames(df, frame_len=4, hop=4, errors="skip").collect()} == {1}
+    got = [r for r in audio_frames(df, frame_len=4, hop=4,
+                                   errors="null").collect()
+           if r["doc_id"] == 2]
+    assert len(got) == 1 and got[0]["n"] is None
+    with pytest.raises(ValueError):
+        audio_frames(df, frame_len=1, hop=0)

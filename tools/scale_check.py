@@ -111,6 +111,8 @@ QUERIES = [
     "small_qty_revenue",
     "supplier_part_counts",
     "order_priority_counts",
+    "audio_frames",
+    "triangle_count",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
