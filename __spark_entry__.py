@@ -1412,6 +1412,40 @@ GROUP BY doc_id, n
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection 64→8 dims (`operators/similarity.py:
+    random_projection`): zero-shuffle JL sketch whose projection matrix
+    is a Knuth-multiplicative hash, with components quantized to exact
+    integers so the signed sums are order-independent.  Oracle recomputes
+    every projected component in pure SQL."""
+    from database_transportor_spark.operators.similarity import (
+        random_projection)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = random_projection(emb, "embedding", out_dim=8, seed=7)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("dim_idx", "proj")
+    ).select("vec_id", F.col("dim_idx").cast("long").alias("dim_idx"), "proj")
+
+
+SQL_RANDOM_PROJECTION = """
+WITH v AS (
+  SELECT vec_id, k,
+         CAST(round(CAST(embedding[k + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS vi
+  FROM embeddings, UNNEST(range(0, 64)) AS r(k)
+)
+SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
+       CAST(sum(vi * (CASE WHEN
+             (((j + 8) * 2654435761 % 4294967296)
+              + 1 - ((j + 8) * 2654435761 % 4294967296 % 2))
+             * (k + 1) % 4294967296 // 65536 % 2 = 0
+                           THEN 1 ELSE -1 END)) AS BIGINT) AS proj
+FROM v, UNNEST(range(0, 8)) AS r(j)
+GROUP BY vec_id, j
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (`operators/graph.py:triangle_count`) over the
     part co-purchase graph (parts linked when bought in the same order),
@@ -3554,6 +3588,7 @@ _EXTENSION_QUERIES = {
     "audio_decode": q_audio_decode,
     "audio_frames": q_audio_frames,
     "triangle_count": q_triangle_count,
+    "random_projection": q_random_projection,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3645,6 +3680,7 @@ _EXTENSION_ORACLES = {
     "audio_decode": SQL_AUDIO_DECODE,
     "audio_frames": SQL_AUDIO_FRAMES,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "random_projection": SQL_RANDOM_PROJECTION,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

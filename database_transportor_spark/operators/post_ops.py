@@ -46,6 +46,7 @@ Built-in stages (each a thin adapter over ``operators/``):
      "alpha": 0.5}
     {"op": "decode_image", "id_col": ..., "content_col": ..., "errors": ...}
     {"op": "decode_audio", "id_col": ..., "content_col": ..., "errors": ...}
+    {"op": "random_projection", "vec_col": ..., "out_dim": N, "seed": 0}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -527,4 +528,18 @@ def _triangle_count(df: DataFrame, p: dict) -> DataFrame:
         src=p.get("src", "src"),
         dst=p.get("dst", "dst"),
         orient=p.get("orient", "degree"),
+    )
+
+
+@register_post_op("random_projection")
+def _random_projection(df: DataFrame, p: dict) -> DataFrame:
+    from .similarity import random_projection
+
+    return random_projection(
+        df,
+        p["vec_col"],
+        p["out_dim"],
+        seed=p.get("seed", 0),
+        out_col=p.get("out_col", "proj"),
+        scale=p.get("scale", 1_000_000),
     )

@@ -144,3 +144,56 @@ def test_ivf_table_to_table_join(spark):
     a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exhaustive.collect()}
     b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
     assert a == b, "exhaustive IVF must equal brute force"
+
+
+def test_random_projection_deterministic_and_angle_preserving(spark):
+    import numpy as np
+
+    from database_transportor_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = random_projection(emb, "embedding", out_dim=32, seed=3)
+    rows = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),
+                          np.array(r["proj"], dtype=np.float64))
+            for r in out.collect()}
+    # determinism under different partitioning
+    again = {r["vec_id"]: list(r["proj"]) for r in
+             random_projection(emb.repartition(7), "embedding",
+                               out_dim=32, seed=3).collect()}
+    for vid, (_, p) in rows.items():
+        assert list(p.astype(np.int64)) == again[vid]
+
+    # JL: projected cosine tracks original cosine over ALL pairs of a
+    # sample (32-dim projection → per-pair cosine error std ≈ 1/√32)
+    ids = sorted(rows)[:24]
+    orig, proj = [], []
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = rows[ids[i]], rows[ids[j]]
+            orig.append(cos(a[0], b[0]))
+            proj.append(cos(a[1], b[1]))
+    err = np.abs(np.array(orig) - np.array(proj))
+    assert err.mean() < 0.2, f"mean cosine distortion {err.mean():.3f}"
+    r = np.corrcoef(orig, proj)[0, 1]
+    assert r > 0.5, f"projection destroyed angular structure (corr={r})"
+
+
+def test_random_projection_zero_shuffle_plan(spark):
+    from database_transportor_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = random_projection(emb, "embedding", out_dim=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        random_projection(emb, "embedding", out_dim=0)

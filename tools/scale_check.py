@@ -113,6 +113,7 @@ QUERIES = [
     "order_priority_counts",
     "audio_frames",
     "triangle_count",
+    "random_projection",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
