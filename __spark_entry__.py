@@ -1412,6 +1412,44 @@ GROUP BY doc_id, n
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE: train 60 merges on the corpus word-frequency dict
+    (`operators/text.py:train_bpe`), encode every document distributed
+    (`bpe_encode`, Arrow-batched with per-batch word memoization).
+    ORACLE CONTRACT (BPE itself is iterative and not SQL-expressible):
+    BPE segmentation is lossless, so concatenating each document's
+    tokens and mapping `</w>`→space must rebuild the whitespace-
+    normalized lowercased text exactly — the oracle computes that
+    normalization directly; a hash match proves the distributed encode
+    corrupted no character of any document.  Token-count invariants and
+    merge-table exactness are pinned separately in tests/test_bpe.py."""
+    from database_transportor_spark.operators.text import (bpe_encode,
+                                                           train_bpe)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    merges = train_bpe(docs, "text", num_merges=60)
+    enc = bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.md5(
+            F.rtrim(
+                F.regexp_replace(
+                    F.array_join(F.col("bpe_tokens"), ""), "</w>", " "
+                )
+            )
+        ).alias("rebuilt_md5"),
+    )
+
+
+SQL_BPE_TOKENS = r"""
+SELECT doc_id,
+       md5(rtrim(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+         AS rebuilt_md5
+FROM documents
+"""
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed random projection 64→8 dims (`operators/similarity.py:
     random_projection`): zero-shuffle JL sketch whose projection matrix
@@ -3589,6 +3627,7 @@ _EXTENSION_QUERIES = {
     "audio_frames": q_audio_frames,
     "triangle_count": q_triangle_count,
     "random_projection": q_random_projection,
+    "bpe_tokens": q_bpe_tokens,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3681,6 +3720,7 @@ _EXTENSION_ORACLES = {
     "audio_frames": SQL_AUDIO_FRAMES,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "random_projection": SQL_RANDOM_PROJECTION,
+    "bpe_tokens": SQL_BPE_TOKENS,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

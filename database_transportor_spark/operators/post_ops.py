@@ -47,6 +47,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "decode_image", "id_col": ..., "content_col": ..., "errors": ...}
     {"op": "decode_audio", "id_col": ..., "content_col": ..., "errors": ...}
     {"op": "random_projection", "vec_col": ..., "out_dim": N, "seed": 0}
+    {"op": "bpe_encode", "text_col": ..., "merges": [[rank, l, r], ...]}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -542,4 +543,19 @@ def _random_projection(df: DataFrame, p: dict) -> DataFrame:
         seed=p.get("seed", 0),
         out_col=p.get("out_col", "proj"),
         scale=p.get("scale", 1_000_000),
+    )
+
+
+@register_post_op("bpe_encode")
+def _bpe_encode(df: DataFrame, p: dict) -> DataFrame:
+    # merges as a literal [[rank, left, right], ...] list — specs are
+    # declarative data, so the trained table is inlined, not a DataFrame
+    from .text import bpe_encode
+
+    return bpe_encode(
+        df,
+        text_col=p.get("text_col", "text"),
+        merges=[tuple(m) for m in p["merges"]],
+        out_col=p.get("out_col", "bpe_tokens"),
+        end_of_word=p.get("end_of_word", "</w>"),
     )

@@ -37,6 +37,8 @@ __all__ = [
     "normalize_text",
     "chunk_documents",
     "lm_score",
+    "train_bpe",
+    "bpe_encode",
     "STOPWORDS",
 ]
 
@@ -509,3 +511,177 @@ def boilerplate_ratio(
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_words: int = 100_000,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Train a byte-pair-encoding merge table on the corpus — the real
+    subword-tokenizer training loop, not a stub.  Returns
+    ``(rank, left, right)``: the ordered merge rules ``bpe_encode``
+    applies.
+
+    Distribution shape (the standard one every BPE trainer uses): the
+    CORPUS-sized work — tokenize + word-frequency count — is one Spark
+    shuffle producing the word-frequency dictionary, which is
+    vocabulary-sized, NOT corpus-sized; training then iterates over that
+    dictionary on the driver (bounded by ``max_words``, kept by
+    frequency with a deterministic tie-break).  At 100 TB the corpus
+    scan dominates and distributes; the merge loop's input is the same
+    few-hundred-k-row dict it would be at 1 GB.
+
+    Determinism: pair selection breaks count ties lexicographically, so
+    the merge table is identical across runs/partitionings.
+    """
+    if num_merges < 1:
+        raise ValueError("train_bpe: num_merges must be >= 1")
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(max_words)
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in words.collect():
+        vocab[tuple(r["w"]) + (end_of_word,)] = int(r["freq"])
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+        if not pair_counts:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break  # nothing repeats: further merges are memorization
+        merges.append((rank, best[0], best[1]))
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2  # left-to-right, non-overlapping
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+
+    spark = df.sparkSession
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("rank", IntegerType()),
+        StructField("left", StringType()),
+        StructField("right", StringType()),
+    ])
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: "DataFrame | list[tuple[int, str, str]]" = None,
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Encode text with a trained BPE merge table: appends ``out_col``
+    (the subword token array) and ``n_bpe_tokens``.
+
+    Scale shape: the merge table is tiny and ships to every task inside
+    the Arrow-batched ``mapInPandas`` closure (broadcast-by-construction,
+    no join, no shuffle); within a batch, word → tokens results are
+    memoized, so the per-row cost is driven by DISTINCT words per batch
+    (Zipf makes that a fraction of the token count).  Encoding is the
+    standard greedy loop: repeatedly apply the lowest-rank applicable
+    merge, left-to-right non-overlapping — byte-identical to the
+    training-side segmentation.
+    """
+    if merges is None:
+        raise ValueError("bpe_encode: merges table required")
+    if isinstance(merges, DataFrame):
+        rules = [(int(r["rank"]), r["left"], r["right"])
+                 for r in merges.collect()]
+    else:
+        rules = [(int(a), b, c) for a, b, c in merges]
+    rank_of = {(l, r): k for k, l, r in sorted(rules)}
+
+    import pandas as pd
+
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_fields = df.schema.fields + [
+        StructField(out_col, ArrayType(StringType())),
+        StructField("n_bpe_tokens", LongType()),
+    ]
+    schema = StructType(out_fields)
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [end_of_word]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                rk = rank_of.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_rank is None:
+                break
+            l, r = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def encode(batches):
+        import re
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            cache: dict = {}
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    toks.append(None)
+                    counts.append(None)
+                    continue
+                words = [w for w in ws.split(str(text).strip().lower()) if w]
+                enc = []
+                for w in words:
+                    enc.extend(encode_word(w, cache))
+                toks.append(enc)
+                counts.append(len(enc))
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(toks, index=pdf.index, dtype="object")
+            pdf["n_bpe_tokens"] = pd.Series(counts, index=pdf.index,
+                                            dtype="object")
+            yield pdf
+
+    return df.mapInPandas(encode, schema)

@@ -114,6 +114,7 @@ QUERIES = [
     "audio_frames",
     "triangle_count",
     "random_projection",
+    "bpe_tokens",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
