@@ -36,8 +36,11 @@ __all__ = [
     "byte_features",
     "decode_audio",
     "decode_image",
+    "decode_apng",
     "decode_png",
+    "decode_video_frames",
     "decode_wav",
+    "encode_apng",
     "encode_png",
     "encode_wav",
     "resize_image",
@@ -635,3 +638,207 @@ def audio_frames(
             ])
 
     return df.select(id_col, content_col).mapInPandas(frames, schema)
+
+
+def encode_apng(frames, delays=None) -> bytes:
+    """Encode a list of same-shaped uint8 arrays as a real APNG
+    (animated PNG: acTL/fcTL/fdAT chunks per the spec) — full-canvas
+    frames, blend SOURCE, dispose NONE.  Pure stdlib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_apng: at least one frame required")
+    arrs = [np.ascontiguousarray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    arrs = [a[:, :, None] if a.ndim == 2 else a for a in arrs]
+    h, w, ch = arrs[0].shape
+    if any(a.shape != (h, w, ch) for a in arrs):
+        raise ValueError("encode_apng: all frames must share one shape")
+    delays = delays or [(1, 10)] * len(arrs)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def raw(a) -> bytes:
+        return zlib.compress(
+            b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+        )
+
+    seq = 0
+    out = [_PNG_SIG,
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)),
+           chunk(b"acTL", struct.pack(">II", len(arrs), 0))]
+    for i, a in enumerate(arrs):
+        dn, dd = delays[i]
+        out.append(chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, dn, dd, 0, 0)))
+        seq += 1
+        data = raw(a)
+        if i == 0:
+            out.append(chunk(b"IDAT", data))
+        else:
+            out.append(chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode_apng(b: bytes):
+    """REAL APNG frame extraction: walks acTL/fcTL/IDAT/fdAT chunks and
+    inflates + de-filters every frame through the same PNG
+    reconstruction as :func:`decode_png`.  Returns
+    ``[(array, delay_num, delay_den), ...]`` — per-frame REGION pixels
+    (full images for full-canvas frames, the shape :func:`encode_apng`
+    writes); dispose/blend compositing of partial-canvas frames is out
+    of scope (use pillow for that).  A plain (non-animated) PNG raises
+    ``ValueError`` — use :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, meta = 8, None
+    frames = []  # [(w, h, delay_num, delay_den, [data...])]
+    has_actl = False
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise ValueError("unsupported APNG (depth/type/interlace)")
+            meta = _PNG_CHANNELS[ctype]
+        elif tag == b"acTL":
+            has_actl = True
+        elif tag == b"fcTL":
+            _seq, fw, fh, _x, _y, dn, dd, _disp, _blend = struct.unpack(
+                ">IIIIIHHBB", data)
+            frames.append((fw, fh, dn, dd, []))
+        elif tag == b"IDAT":
+            if frames:  # IDAT belongs to frame 0 when an fcTL precedes it
+                frames[-1][4].append(data)
+        elif tag == b"fdAT":
+            if not frames:
+                raise ValueError("corrupt APNG (fdAT before fcTL)")
+            frames[-1][4].append(data[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if not has_actl or not frames:
+        raise ValueError("not an APNG (no acTL/fcTL) — use decode_png")
+    ch = meta
+    out = []
+    for fw, fh, dn, dd, datas in frames:
+        raw = zlib.decompress(b"".join(datas))
+        stride = fw * ch
+        if len(raw) != fh * (stride + 1):
+            raise ValueError("corrupt APNG frame (bad length)")
+        flt = np.frombuffer(raw, dtype=np.uint8).reshape(fh, stride + 1)
+        arr = np.zeros((fh, stride), dtype=np.uint8)
+        for y in range(fh):
+            f, row = flt[y, 0], flt[y, 1:].astype(np.int32)
+            prev = arr[y - 1].astype(np.int32) if y else np.zeros(
+                stride, np.int32)
+            if f == 0:
+                cur = row
+            elif f == 2:
+                cur = row + prev
+            elif f in (1, 3, 4):
+                cur = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = cur[x - ch] if x >= ch else 0
+                    bb = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + bb) // 2
+                    else:
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pred = (a if pa <= pb and pa <= pc
+                                else (bb if pb <= pc else c))
+                    cur[x] = (row[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"corrupt APNG frame (filter {f})")
+            arr[y] = cur & 0xFF
+        out.append((arr.reshape(fh, fw, ch), dn, dd))
+    return out
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    stride: int = 1,
+    max_frames: int | None = None,
+    errors: str = "raise",
+) -> DataFrame:
+    """REAL video-style frame sampling over an animation binary column
+    (APNG via :func:`decode_apng`): one output row per sampled frame —
+    ``(id, frame_idx, width, height, channels, delay_num, delay_den,
+    pixel_sum)`` with ``pixel_sum`` the exact integer sum of the frame's
+    decoded bytes.  ``stride`` keeps every Nth frame and ``max_frames``
+    caps the fan-out — the same knobs an ffmpeg frame sampler exposes.
+    ``errors`` as in :func:`decode_image`.
+
+    Scale shape: ``mapInPandas`` fan-out, Arrow-batched, no shuffle —
+    identical plumbing to :func:`sample_frames`, but over genuinely
+    decoded animation frames.
+    """
+    if errors not in ("raise", "skip", "null"):
+        raise ValueError(f"decode_video_frames: errors must be raise|skip|null, got {errors!r}")
+    if stride < 1:
+        raise ValueError("decode_video_frames: stride must be >= 1")
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("delay_num", LongType()),
+        StructField("delay_den", LongType()),
+        StructField("pixel_sum", LongType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames = decode_apng(bytes(content))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    if errors == "skip":
+                        continue
+                    rows.append((doc_id, None, None, None, None, None,
+                                 None, None))
+                    continue
+                kept = 0
+                for idx in range(0, len(frames), stride):
+                    if max_frames is not None and kept >= max_frames:
+                        break
+                    arr, dn, dd = frames[idx]
+                    h, w, ch = arr.shape
+                    rows.append((
+                        doc_id, idx, w, h, ch, dn, dd,
+                        int(arr.astype(np.int64).sum()),
+                    ))
+                    kept += 1
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "width", "height", "channels",
+                "delay_num", "delay_den", "pixel_sum",
+            ])
+
+    return df.select(id_col, content_col).mapInPandas(sample, schema)

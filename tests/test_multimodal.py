@@ -251,3 +251,70 @@ def test_audio_frames_error_modes(spark):
     assert len(got) == 1 and got[0]["n"] is None
     with pytest.raises(ValueError):
         audio_frames(df, frame_len=1, hop=0)
+
+
+# ------------------------------------------------------ animation (APNG)
+
+
+def test_apng_roundtrip_and_filters():
+    from database_transportor_spark.operators.multimodal import (
+        decode_apng, encode_apng)
+
+    frames = [_grad(6, 5, 3), (_grad(6, 5, 3) + 40) % 251]
+    out = decode_apng(encode_apng(frames, delays=[(1, 30), (2, 30)]))
+    assert len(out) == 2
+    for (arr, dn, dd), src, want_dn in zip(out, frames, (1, 2)):
+        assert np.array_equal(arr, src) and (dn, dd) == (want_dn, 30)
+
+
+def test_apng_rejects_plain_png_and_garbage():
+    from database_transportor_spark.operators.multimodal import (
+        decode_apng, encode_apng)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_apng(b"mp4? certainly not a png")
+    with pytest.raises(ValueError, match="acTL"):
+        decode_apng(encode_png(_grad(4, 4, 3)))  # static PNG, not animated
+    with pytest.raises(ValueError):
+        encode_apng([])
+    with pytest.raises(ValueError, match="one shape"):
+        encode_apng([_grad(4, 4, 1), _grad(5, 4, 1)])
+
+
+def test_decode_video_frames_stride_and_cap(spark):
+    from database_transportor_spark.operators.multimodal import (
+        decode_video_frames, encode_apng)
+
+    frames = [((_grad(4, 4, 1).astype(np.int64) + i) % 251).astype(np.uint8)
+              for i in range(6)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_apng(frames)))], "doc_id long, content binary"
+    )
+    all_rows = decode_video_frames(df).collect()
+    assert sorted(r["frame_idx"] for r in all_rows) == [0, 1, 2, 3, 4, 5]
+    for r in all_rows:
+        src = frames[r["frame_idx"]].astype(np.int64)
+        assert r["pixel_sum"] == int(src.sum())
+        assert (r["height"], r["width"], r["channels"]) == (4, 4, 1)
+    strided = decode_video_frames(df, stride=2).collect()
+    assert sorted(r["frame_idx"] for r in strided) == [0, 2, 4]
+    capped = decode_video_frames(df, stride=2, max_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in capped) == [0, 2]
+
+
+def test_decode_video_frames_error_modes(spark):
+    from database_transportor_spark.operators.multimodal import (
+        decode_video_frames, encode_apng)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_apng([_grad(3, 3, 1)]))),
+         (2, bytearray(b"not a video"))],
+        "doc_id long, content binary",
+    )
+    assert {r["doc_id"] for r in
+            decode_video_frames(df, errors="skip").collect()} == {1}
+    nulls = [r for r in decode_video_frames(df, errors="null").collect()
+             if r["doc_id"] == 2]
+    assert len(nulls) == 1 and nulls[0]["frame_idx"] is None
+    with pytest.raises(ValueError):
+        decode_video_frames(df, stride=0)

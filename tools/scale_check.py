@@ -115,6 +115,7 @@ QUERIES = [
     "triangle_count",
     "random_projection",
     "bpe_tokens",
+    "video_frames",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
