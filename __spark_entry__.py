@@ -1412,6 +1412,34 @@ GROUP BY doc_id, n
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document first-occurrence dedup (`operators/text.py:
+    dedup_lines`) applied at word granularity (the fixture docs are
+    single-line): every repeated token after its first occurrence is
+    dropped, order preserved, zero shuffle.  Oracle: DuckDB's indexed
+    list lambda recomputes the same first-occurrence filter."""
+    from database_transportor_spark.operators.text import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    out = dedup_lines(docs, "text", sep=" ", out_col="deduped")
+    return out.select("doc_id", "deduped", "n_lines_removed")
+
+
+SQL_DEDUP_LINES = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+SELECT doc_id,
+       array_to_string(
+         list_filter(arr, (x, i) ->
+           coalesce(list_position(arr[1:i-1], x), 0) = 0), ' ')
+         AS deduped,
+       CAST(len(arr) - len(list_filter(arr, (x, i) ->
+           coalesce(list_position(arr[1:i-1], x), 0) = 0)) AS BIGINT)
+         AS n_lines_removed
+FROM t
+"""
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animation frame sampling (`operators/multimodal.py:
     decode_video_frames`): synthesize a genuine APNG per document
@@ -3693,6 +3721,7 @@ _EXTENSION_QUERIES = {
     "random_projection": q_random_projection,
     "bpe_tokens": q_bpe_tokens,
     "video_frames": q_video_frames,
+    "dedup_lines": q_dedup_lines,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3787,6 +3816,7 @@ _EXTENSION_ORACLES = {
     "random_projection": SQL_RANDOM_PROJECTION,
     "bpe_tokens": SQL_BPE_TOKENS,
     "video_frames": SQL_VIDEO_FRAMES,
+    "dedup_lines": SQL_DEDUP_LINES,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

@@ -48,6 +48,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "decode_audio", "id_col": ..., "content_col": ..., "errors": ...}
     {"op": "random_projection", "vec_col": ..., "out_dim": N, "seed": 0}
     {"op": "bpe_encode", "text_col": ..., "merges": [[rank, l, r], ...]}
+    {"op": "dedup_lines", "text_col": ..., "sep": "\\n"}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -558,4 +559,17 @@ def _bpe_encode(df: DataFrame, p: dict) -> DataFrame:
         merges=[tuple(m) for m in p["merges"]],
         out_col=p.get("out_col", "bpe_tokens"),
         end_of_word=p.get("end_of_word", "</w>"),
+    )
+
+
+@register_post_op("dedup_lines")
+def _dedup_lines(df: DataFrame, p: dict) -> DataFrame:
+    from .text import dedup_lines
+
+    return dedup_lines(
+        df,
+        text_col=p.get("text_col", "text"),
+        sep=p.get("sep", "\n"),
+        out_col=p.get("out_col"),
+        count_col=p.get("count_col", "n_lines_removed"),
     )

@@ -39,6 +39,7 @@ __all__ = [
     "lm_score",
     "train_bpe",
     "bpe_encode",
+    "dedup_lines",
     "STOPWORDS",
 ]
 
@@ -685,3 +686,33 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(encode, schema)
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str | None = None,
+    count_col: str = "n_lines_removed",
+) -> DataFrame:
+    """Within-document duplicate-line removal (the Gopher/RefinedWeb
+    repetition rule): split on ``sep``, keep only the FIRST occurrence
+    of each exact line (order preserved), rejoin, and report how many
+    lines were dropped.  Boilerplate headers/footers repeated inside one
+    page vanish without touching cross-document content.
+
+    Scale shape: ZERO shuffle — a pure higher-order-function projection
+    (``filter`` with the index lambda over the split array), JVM-side.
+    Cost is O(lines²) per document on exact string compares — fine for
+    the  ≤10³-line documents this rule targets; chunk pathological
+    multi-MB docs first (``chunk_documents``).
+    """
+    out_col = out_col or text_col
+    arr = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        arr,
+        lambda x, i: ~F.array_contains(F.slice(arr, F.lit(1), i), x),
+    )
+    return df.withColumn(
+        count_col, (F.size(arr) - F.size(kept)).cast("long")
+    ).withColumn(out_col, F.array_join(kept, sep))

@@ -98,3 +98,38 @@ def test_lm_score_excludes_empty_docs(spark):
     df = _docs(spark, [(1, "a b"), (2, "   ")])
     got = lm_score(df).select("doc_id").collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_dedup_lines_first_occurrence_order_preserved(spark):
+    from database_transportor_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "header\nbody one\nheader\nbody two\nheader"),
+         (2, "only\nunique\nlines"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
+           for r in dedup_lines(df).collect()}
+    assert got[1] == ("header\nbody one\nbody two", 2)
+    assert got[2] == ("only\nunique\nlines", 0)
+    assert got[3] == ("", 0)
+
+
+def test_dedup_lines_custom_sep_and_out_col(spark):
+    from database_transportor_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame([(1, "a b a c b a")], ["doc_id", "text"])
+    r = dedup_lines(df, "text", sep=" ", out_col="clean").collect()[0]
+    assert r["clean"] == "a b c" and r["n_lines_removed"] == 3
+    assert r["text"] == "a b a c b a"  # original kept when out_col differs
+
+
+def test_dedup_lines_zero_shuffle(spark):
+    from database_transportor_spark.operators.text import dedup_lines
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup_lines(df, "text", sep=" ")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple")
+    assert "Exchange" not in plan

@@ -116,6 +116,7 @@ QUERIES = [
     "random_projection",
     "bpe_tokens",
     "video_frames",
+    "dedup_lines",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
