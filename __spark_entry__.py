@@ -1412,6 +1412,35 @@ GROUP BY doc_id, n
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights at T=2 (`operators/
+    corpus.py:temperature_weights`): one count aggregation over the
+    corpus, then domain-count-sized arithmetic; `weight` feeds straight
+    into `upsample_domains`."""
+    from database_transportor_spark.operators.corpus import (
+        temperature_weights)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_weights(docs, "source", temperature=2.0)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1
+), t AS (
+  SELECT domain, n_docs,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share,
+         pow(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 0.5) AS raw
+  FROM c
+)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       round(share, 6) AS share,
+       round(raw / sum(raw) OVER (), 6) AS q,
+       round(raw / sum(raw) OVER () / share, 6) AS weight
+FROM t
+"""
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document first-occurrence dedup (`operators/text.py:
     dedup_lines`) applied at word granularity (the fixture docs are
@@ -3722,6 +3751,7 @@ _EXTENSION_QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "video_frames": q_video_frames,
     "dedup_lines": q_dedup_lines,
+    "temperature_mix": q_temperature_mix,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3817,6 +3847,7 @@ _EXTENSION_ORACLES = {
     "bpe_tokens": SQL_BPE_TOKENS,
     "video_frames": SQL_VIDEO_FRAMES,
     "dedup_lines": SQL_DEDUP_LINES,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

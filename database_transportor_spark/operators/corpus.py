@@ -35,6 +35,7 @@ __all__ = [
     "redact_pii",
     "corpus_shuffle",
     "upsample_domains",
+    "temperature_weights",
     "sample_to_token_budget",
     "zscore_filter",
     "mad_filter",
@@ -732,3 +733,51 @@ def detect_pii(
             )
         ).alias("r")
     ).select("r.*")
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the standard
+    multilingual/multi-source rebalancing rule (mT5/XLM-R style):
+    sampling share ``q_d ∝ p_d^(1/T)`` where ``p_d`` is the domain's
+    natural share.  ``T = 1`` keeps natural proportions; ``T → ∞``
+    approaches uniform; ``T < 1`` sharpens toward head domains.
+
+    Returns one row per domain: ``(domain, n_docs, share, q, weight)``
+    where ``q`` is the temperature-scaled sampling share and ``weight =
+    q / share`` is the repetition factor to feed straight into
+    :func:`upsample_domains` (weight > 1 = upsample, < 1 = subsample).
+
+    Scale shape: ONE map-side-combined count aggregation over the corpus;
+    everything after runs on the domain-count-sized frame (a window over
+    at most |domains| rows).  Shares are exact-integer ratios; the only
+    float op is the ``pow``, rounded for cross-engine stability.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature_weights: temperature must be > 0, got {temperature}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    raw = F.pow(F.col("n_docs") / total, F.lit(1.0 / temperature))
+    out = counts.withColumn("share", F.col("n_docs") / total).withColumn(
+        "__raw", raw
+    )
+    zsum = F.sum("__raw").over(w)
+    return (
+        out.withColumn("q", F.col("__raw") / zsum)
+        .withColumn("weight", F.col("q") / F.col("share"))
+        .select(
+            "domain", "n_docs",
+            F.round("share", round_digits).alias("share"),
+            F.round("q", round_digits).alias("q"),
+            F.round("weight", round_digits).alias("weight"),
+        )
+    )

@@ -49,6 +49,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "random_projection", "vec_col": ..., "out_dim": N, "seed": 0}
     {"op": "bpe_encode", "text_col": ..., "merges": [[rank, l, r], ...]}
     {"op": "dedup_lines", "text_col": ..., "sep": "\\n"}
+    {"op": "temperature_weights", "domain_col": ..., "temperature": T}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -572,4 +573,16 @@ def _dedup_lines(df: DataFrame, p: dict) -> DataFrame:
         sep=p.get("sep", "\n"),
         out_col=p.get("out_col"),
         count_col=p.get("count_col", "n_lines_removed"),
+    )
+
+
+@register_post_op("temperature_weights")
+def _temperature_weights(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import temperature_weights
+
+    return temperature_weights(
+        df,
+        p["domain_col"],
+        temperature=p.get("temperature", 1.0),
+        round_digits=p.get("round_digits", 6),
     )

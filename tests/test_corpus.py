@@ -379,3 +379,36 @@ def test_detect_pii_validation(spark):
     df2 = spark.createDataFrame([("x", 1)], "s string, n long")
     with _pytest.raises(ValueError):
         detect_pii(df2, columns=["n"])
+
+
+def test_temperature_weights_limits_and_composition(spark):
+    from database_transportor_spark.operators.corpus import (
+        temperature_weights, upsample_domains)
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(80)] + [("b", i + 100) for i in range(19)]
+        + [("c", 200)], ["d", "id"])
+    # T=1: natural shares, all weights exactly 1
+    t1 = {r["domain"]: r["weight"] for r in
+          temperature_weights(df, "d", 1.0).collect()}
+    assert t1 == {"a": 1.0, "b": 1.0, "c": 1.0}
+    # T large: q approaches uniform -> tail upsampled, head downsampled
+    t100 = {r["domain"]: r for r in
+            temperature_weights(df, "d", 100.0).collect()}
+    assert t100["c"]["weight"] > 10 and t100["a"]["weight"] < 1
+    assert abs(sum(r["q"] for r in t100.values()) - 1.0) < 1e-4
+    # weights feed upsample_domains: post-mix counts track q
+    w = {r["domain"]: r["weight"] for r in
+         temperature_weights(df, "d", 2.0).collect()}
+    mixed = upsample_domains(df, "d", w, "id")
+    counts = {r["d"]: r["n"] for r in
+              mixed.groupBy("d").agg(F.count("*").alias("n")).collect()}
+    q = {r["domain"]: r["q"] for r in
+         temperature_weights(df, "d", 2.0).collect()}
+    total = sum(counts.values())
+    for dom in counts:
+        assert abs(counts[dom] / total - q[dom]) < 0.05, (dom, counts, q)
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        temperature_weights(df, "d", 0.0)

@@ -117,6 +117,7 @@ QUERIES = [
     "bpe_tokens",
     "video_frames",
     "dedup_lines",
+    "temperature_mix",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
