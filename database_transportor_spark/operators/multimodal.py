@@ -287,7 +287,8 @@ def decode_image(
                 h, w, ch = arr.shape
                 ids.append(doc_id)
                 ws.append(w); hs.append(h); chs.append(ch)
-                pix.append(arr.tobytes())
+                if with_pixels:  # stats-only mode must not copy pixels
+                    pix.append(arr.tobytes())
             cols = {
                 id_col: pd.Series(ids, dtype="int64"),
                 "width": pd.Series(ws, dtype="object"),
@@ -357,7 +358,12 @@ def resize_image(
                     ys = (np.arange(target_height) * h) // target_height
                     xs = (np.arange(target_width) * w) // target_width
                     return arr[ys][:, xs].tobytes()
-                except ValueError:
+                except Exception:
+                    # not only ValueError: a truncated signature-bearing
+                    # payload raises struct.error, a corrupt IDAT raises
+                    # zlib.error — ANY decode failure falls back to the
+                    # deterministic stride-sample tier instead of failing
+                    # the job on one bad web-scraped row
                     pass
                 # non-image payload: deterministic stride-sample
                 if len(b) <= n_out:

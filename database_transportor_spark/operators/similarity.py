@@ -354,6 +354,11 @@ def random_projection(
     """
     if out_dim < 1:
         raise ValueError("random_projection: out_dim must be >= 1")
+    if seed < 0:
+        # Spark's % keeps the dividend's sign: a negative multiplier
+        # breaks the "bit 16 of a_j*(k+1) mod 2^32" math silently
+        # (correlated rows), so reject rather than degrade
+        raise ValueError("random_projection: seed must be >= 0")
     dim_expr = F.size(F.col(vec_col))
     vi = F.zip_with(
         F.col(vec_col),

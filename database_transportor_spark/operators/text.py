@@ -664,7 +664,12 @@ def bpe_encode(
     def encode(batches):
         import re
 
-        ws = re.compile(r"\s+")
+        # ASCII \s+, NOT Python's Unicode default: training tokenizes
+        # with the JVM regex \s+ (ASCII-only), so a Unicode-aware split
+        # here would shred e.g. NBSP-joined words into pieces the
+        # trained vocabulary never saw — the segmentation must be
+        # byte-identical to the training side
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             cache: dict = {}
             toks, counts = [], []
@@ -708,7 +713,12 @@ def dedup_lines(
     multi-MB docs first (``chunk_documents``).
     """
     out_col = out_col or text_col
-    arr = F.split(F.col(text_col), sep)
+    # F.split takes a REGEX but array_join uses sep literally — quote the
+    # separator (Java \Q...\E, with embedded \E handled like
+    # Pattern.quote) so '|' or '.' split literally instead of shredding
+    # the text character-by-character
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    arr = F.split(F.col(text_col), quoted)
     kept = F.filter(
         arr,
         lambda x, i: ~F.array_contains(F.slice(arr, F.lit(1), i), x),

@@ -100,3 +100,15 @@ def test_bpe_validation_and_nulls(spark):
         [(1, None)], "doc_id long, text string")
     r = bpe_encode(nul, "text", train_bpe(df, "text", 3)).collect()[0]
     assert r["bpe_tokens"] is None and r["n_bpe_tokens"] is None
+
+
+def test_bpe_nbsp_word_not_split_differently_from_training(spark):
+    """NBSP (U+00A0) is NOT whitespace to the JVM's ASCII \\s+ used in
+    training; the encoder must agree (Python re.ASCII), keeping
+    'foo\\xa0bar' one word on both sides."""
+    corpus = spark.createDataFrame(
+        [(1, "foo bar foo bar baz baz baz")], ["doc_id", "text"])
+    m = train_bpe(corpus, "text", num_merges=6)
+    r = bpe_encode(corpus, "text", m).collect()[0]
+    rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+    assert rebuilt == "foo bar foo bar baz baz baz"

@@ -318,3 +318,21 @@ def test_decode_video_frames_error_modes(spark):
     assert len(nulls) == 1 and nulls[0]["frame_idx"] is None
     with pytest.raises(ValueError):
         decode_video_frames(df, stride=0)
+
+
+def test_resize_image_truncated_png_falls_back_not_crashes(spark):
+    # a signature-bearing but truncated payload raises struct.error in
+    # decode_png; resize must fall back to stride-sampling, not fail
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00\x00"
+    df = spark.createDataFrame([(1, bytearray(bad))],
+                               "doc_id long, content binary")
+    r = resize_image(df, "doc_id", "content", 4, 2).collect()[0]
+    assert len(r["content"]) <= 8  # stride-sample tier engaged
+
+
+def test_decode_image_stats_only_emits_no_pixels(spark):
+    out = decode_image(
+        spark.createDataFrame([(1, bytearray(encode_png(_grad(4, 4, 3))))],
+                              "doc_id long, content binary"))
+    assert "pixels" not in out.columns
+    assert out.collect()[0]["width"] == 4

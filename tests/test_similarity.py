@@ -197,3 +197,5 @@ def test_random_projection_zero_shuffle_plan(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         random_projection(emb, "embedding", out_dim=0)
+    with _pytest.raises(ValueError, match="seed"):
+        random_projection(emb, "embedding", out_dim=4, seed=-3)

@@ -133,3 +133,18 @@ def test_dedup_lines_zero_shuffle(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple")
     assert "Exchange" not in plan
+
+
+def test_dedup_lines_regex_metachar_separator_is_literal(spark):
+    from database_transportor_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame([(1, "a|b|a|c"), (2, "x.y.x")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
+           for r in dedup_lines(df, sep="|").collect()}
+    assert got[1] == ("a|b|c", 1)
+    assert got[2] == ("x.y.x", 0)  # '|' absent: untouched
+    dots = {r["doc_id"]: r["text"]
+            for r in dedup_lines(df, sep=".").collect()}
+    assert dots[2] == "x.y"  # '.' literal, second 'x' removed
+    assert dots[1] == "a|b|a|c"
