@@ -1412,6 +1412,35 @@ GROUP BY doc_id, n
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (`operators/
+    text.py:char_entropy`): the gibberish/boilerplate quality signal.
+    One (id, char) count shuffle from exact integer counts; the oracle
+    recomputes −Σ p·log2 p from the same counts."""
+    from database_transportor_spark.operators.text import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return char_entropy(docs).select("doc_id", "char_entropy")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, substring(text, i + 1, 1) AS c
+  FROM documents, UNNEST(range(0, 1024)) AS r(i)
+  WHERE i < length(text)
+), counts AS (
+  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+), agg AS (
+  SELECT doc_id, sum(n) AS total, sum(n * log2(n)) AS nlogn
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(log2(a.total) - a.nlogn / a.total, 6) AS char_entropy
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixing weights at T=2 (`operators/
     corpus.py:temperature_weights`): one count aggregation over the
@@ -3752,6 +3781,7 @@ _EXTENSION_QUERIES = {
     "video_frames": q_video_frames,
     "dedup_lines": q_dedup_lines,
     "temperature_mix": q_temperature_mix,
+    "char_entropy": q_char_entropy,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -3848,6 +3878,7 @@ _EXTENSION_ORACLES = {
     "video_frames": SQL_VIDEO_FRAMES,
     "dedup_lines": SQL_DEDUP_LINES,
     "temperature_mix": SQL_TEMPERATURE_MIX,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,

@@ -50,6 +50,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "bpe_encode", "text_col": ..., "merges": [[rank, l, r], ...]}
     {"op": "dedup_lines", "text_col": ..., "sep": "\\n"}
     {"op": "temperature_weights", "domain_col": ..., "temperature": T}
+    {"op": "char_entropy", "id_col": ..., "text_col": ...}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -585,4 +586,16 @@ def _temperature_weights(df: DataFrame, p: dict) -> DataFrame:
         p["domain_col"],
         temperature=p.get("temperature", 1.0),
         round_digits=p.get("round_digits", 6),
+    )
+
+
+@register_post_op("char_entropy")
+def _char_entropy(df: DataFrame, p: dict) -> DataFrame:
+    from .text import char_entropy
+
+    return char_entropy(
+        df,
+        id_col=p.get("id_col", "doc_id"),
+        text_col=p.get("text_col", "text"),
+        out_col=p.get("out_col", "char_entropy"),
     )

@@ -40,6 +40,7 @@ __all__ = [
     "train_bpe",
     "bpe_encode",
     "dedup_lines",
+    "char_entropy",
     "STOPWORDS",
 ]
 
@@ -726,3 +727,40 @@ def dedup_lines(
     return df.withColumn(
         count_col, (F.size(arr) - F.size(kept)).cast("long")
     ).withColumn(out_col, F.array_join(kept, sep))
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "char_entropy",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) — the
+    classic gibberish/boilerplate signal: natural language sits around
+    4–4.5 bits, single-character spam near 0, random base64 near 6.
+    Empty/NULL text reports NULL.
+
+    Scale shape: explode characters → one (id, char) count shuffle
+    (map-side combined; cardinality ≤ |doc| × |alphabet|) → one (id)
+    rollup computing ``−Σ (c/n)·log2(c/n)`` from exact integer counts.
+    The only float ops are the final log/divide on those exact counts —
+    cross-engine stable under round().
+    """
+    chars = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c"))
+        .filter(F.col("__c") != "")
+        .groupBy(id_col, "__c")
+        .agg(F.count("*").alias("__n"))
+    )
+    per_doc = chars.groupBy(id_col).agg(
+        F.sum("__n").alias("__total"),
+        F.sum(F.col("__n") * F.log2("__n")).alias("__nlogn"),
+    )
+    # −Σ (c/n)·log2(c/n) = log2(n) − (Σ c·log2 c)/n : one pass, no
+    # per-char division
+    ent = F.round(
+        F.log2("__total") - F.col("__nlogn") / F.col("__total"), round_digits
+    )
+    scored = per_doc.select(F.col(id_col), ent.alias(out_col))
+    return df.join(scored, id_col, "left")

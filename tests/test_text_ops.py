@@ -148,3 +148,20 @@ def test_dedup_lines_regex_metachar_separator_is_literal(spark):
             for r in dedup_lines(df, sep=".").collect()}
     assert dots[2] == "x.y"  # '.' literal, second 'x' removed
     assert dots[1] == "a|b|a|c"
+
+
+def test_char_entropy_known_values_and_nulls(spark):
+    import math
+
+    from database_transportor_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None),
+         (6, "aab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 2.0
+    assert got[4] is None and got[5] is None
+    expect6 = round(-(2/3) * math.log2(2/3) - (1/3) * math.log2(1/3), 6)
+    assert got[6] == expect6

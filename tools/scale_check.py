@@ -118,6 +118,7 @@ QUERIES = [
     "video_frames",
     "dedup_lines",
     "temperature_mix",
+    "char_entropy",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
