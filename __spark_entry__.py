@@ -4306,6 +4306,168 @@ GROUP BY 1
 """
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT join
+    customers to orders (customers with no orders count at 0), per-
+    customer count, then the distribution of those counts.  Two
+    shuffles — the outer join on custkey and the tiny histogram agg;
+    count(order-side column) gives the correct 0 for no-match rows."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    per = c.join(o, c.c_custkey == o.o_custkey, "left").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_orderkey").alias("c_count"))
+    return per.groupBy("c_count").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion revenue share: of all 1996 revenue,
+    the percentage from PROMO-type parts — conditional aggregation over
+    one broadcast part-dim join, exact-integer cents, one rounded
+    division at the end."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = l.withColumn("rev_cp", cents * (F.lit(100) - disc)).join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), F.col("rev_cp"))
+        .otherwise(F.lit(0))
+    )
+    return j.agg(
+        F.round(F.lit(100.0) * promo / F.sum("rev_cp"), 6).alias("promo_pct"),
+        (F.sum("rev_cp") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_cp,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev_cp
+                              ELSE 0 END) / sum(rev_cp), 6) AS promo_pct,
+       sum(rev_cp) / 10000.0 AS total_revenue
+FROM j
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) branches — the pattern that
+    tests predicate handling, because naive engines scan once per
+    branch.  Here it is ONE broadcast part join + one OR filter; the
+    quantity bounds are exact-integer compares."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = l.withColumn("__qty", qty).withColumn(
+        "rev_cp", cents * (F.lit(100) - disc)
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+         & F.col("__qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size") <= 10)
+           & F.col("__qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 15)
+           & F.col("__qty").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        (F.sum("rev_cp") / F.lit(10000.0)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#7' AND p.p_size <= 10
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size <= 15
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: per nation, customers whose account balance is
+    above the positive-balance average but who placed NO orders since
+    2000 (lapsed big accounts) — a broadcast scalar threshold plus a
+    LEFT ANTI join (never a NOT IN subquery re-scan), with the date
+    predicate pushed to the orders scan.  Balance sums in exact cents."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    cc = c.withColumn("__bal_cp", bal_c)
+    avg_pos = cc.filter(F.col("__bal_cp") > 0).agg(
+        (F.sum("__bal_cp") / F.count("*")).alias("__avg")
+    )
+    rich = cc.join(F.broadcast(avg_pos)).filter(
+        F.col("__bal_cp") > F.col("__avg")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("__bal_cp") / F.lit(100.0)).alias("total_balance"),
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH cc AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cp
+  FROM customer
+), thr AS (
+  SELECT sum(bal_cp) / count(*) AS avg_pos FROM cc WHERE bal_cp > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       sum(c.bal_cp) / 100.0 AS total_balance
+FROM cc c, thr
+WHERE c.bal_cp > thr.avg_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: scan-filter-aggregate with the
     date predicate pushed to the parquet scan and 4-wide grouping.  All
@@ -4493,6 +4655,10 @@ _EXTENSION_QUERIES.update(
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_part_counts": q_supplier_part_counts,
         "order_priority_counts": q_order_priority_counts,
+        "customer_distribution": q_customer_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
         "top_unshipped": q_top_unshipped,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -4509,6 +4675,10 @@ _EXTENSION_ORACLES.update(
         "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
         "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
         "order_priority_counts": SQL_ORDER_PRIORITY_COUNTS,
+        "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+        "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+        "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+        "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "top_unshipped": SQL_TOP_UNSHIPPED,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
     }

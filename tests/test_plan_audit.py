@@ -24,6 +24,9 @@ ALLOWED_NESTED_LOOP = {
     # same shape: the (total rows, total keys) scalars are one broadcast
     # row joined onto the TakeOrdered top-k — never onto the key domain
     "skew_report": "1-row totals frame broadcast onto the top-k keys",
+    # Q22 shape: the positive-balance average is a literal 1-row scalar
+    # broadcast onto customers (joining it avoids a driver collect)
+    "idle_rich_customers": "1-row avg-balance scalar broadcast onto customers",
 }
 
 STREAMING = {
@@ -123,13 +126,16 @@ BROADCAST_EXPECTED = {
     "returned_items": 1,       # nation dim
     "small_qty_revenue": 2,    # brand-filtered part keys + per-part stats
     "supplier_part_counts": 1, # filtered part dim into the pair scan
+    "promo_revenue_share": 1,  # part dim
+    "disjunctive_revenue": 1,  # part dim, ONE scan for 3 OR branches
 }
 
 #: queries whose FACT-side joins legitimately sort-merge at scale (the
 #: dimension joins above must still broadcast)
 _FACT_JOIN_OK = {"flagship", "top_unshipped", "revenue_by_nation",
                  "returned_items", "small_qty_revenue",
-                 "supplier_part_counts"}
+                 "supplier_part_counts", "promo_revenue_share",
+                 "disjunctive_revenue"}
 
 
 @pytest.mark.parametrize("name", sorted(BROADCAST_EXPECTED))
@@ -176,3 +182,15 @@ def test_order_priority_exists_is_semi_join(spark):
     assert "PushedFilters" in plan and "o_orderdate" in plan.split(
         "PushedFilters"
     )[1].split("]")[0], f"order date not pushed:\n{plan}"
+
+
+def test_idle_rich_customers_anti_join_with_pushdown(spark):
+    """The Q22-shaped NOT EXISTS must plan as a LeftAnti join with the
+    order-date predicate pushed to the orders scan."""
+    df = _queries()["idle_rich_customers"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftAnti" in plan, f"NOT EXISTS not an anti join:\n{plan}"
+    assert "o_orderdate" in plan.split("PushedFilters")[-1].split("]")[0] or \
+        plan.count("PushedFilters") >= 2, f"date not pushed:\n{plan}"

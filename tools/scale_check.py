@@ -119,6 +119,10 @@ QUERIES = [
     "dedup_lines",
     "temperature_mix",
     "char_entropy",
+    "customer_distribution",
+    "promo_revenue_share",
+    "disjunctive_revenue",
+    "idle_rich_customers",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
