@@ -1634,6 +1634,40 @@ GROUP BY vec_id, j
 """
 
 
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degrees (`operators/graph.py:degrees`) over the
+    customer→supplier trade graph — two partial-aggregated counts and a
+    full-outer merge on the node id."""
+    from database_transportor_spark.operators.graph import degrees
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    )
+    out = degrees(e)
+    return out.select(
+        "node",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+SQL_GRAPH_DEGREES = """
+WITH e AS (
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), outd AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+ind AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+SELECT coalesce(outd.node, ind.node) AS node,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree
+FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (`operators/graph.py:triangle_count`) over the
     part co-purchase graph (parts linked when bought in the same order),
@@ -3776,6 +3810,7 @@ _EXTENSION_QUERIES = {
     "audio_decode": q_audio_decode,
     "audio_frames": q_audio_frames,
     "triangle_count": q_triangle_count,
+    "graph_degrees": q_graph_degrees,
     "random_projection": q_random_projection,
     "bpe_tokens": q_bpe_tokens,
     "video_frames": q_video_frames,
@@ -3873,6 +3908,7 @@ _EXTENSION_ORACLES = {
     "audio_decode": SQL_AUDIO_DECODE,
     "audio_frames": SQL_AUDIO_FRAMES,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "graph_degrees": SQL_GRAPH_DEGREES,
     "random_projection": SQL_RANDOM_PROJECTION,
     "bpe_tokens": SQL_BPE_TOKENS,
     "video_frames": SQL_VIDEO_FRAMES,

@@ -123,6 +123,7 @@ QUERIES = [
     "promo_revenue_share",
     "disjunctive_revenue",
     "idle_rich_customers",
+    "graph_degrees",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
