@@ -1634,6 +1634,113 @@ GROUP BY vec_id, j
 """
 
 
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of order totals per priority
+    (`operators/sketches.py:grouped_percentiles`) — one sort-based
+    aggregate; Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolation rule (round(6) absorbs the ulp)."""
+    from database_transportor_spark.operators.sketches import (
+        grouped_percentiles)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = grouped_percentiles(o, ["o_orderpriority"], "o_totalprice",
+                              [0.5, 0.9, 0.99])
+    return out.select(
+        "o_orderpriority",
+        F.round(F.col("percentiles")[0], 6).alias("p50"),
+        F.round(F.col("percentiles")[1], 6).alias("p90"),
+        F.round(F.col("percentiles")[2], 6).alias("p99"),
+    )
+
+
+SQL_GROUPED_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders GROUP BY 1
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (`operators/multimodal.py:
+    resize_image`, non-PIL PNG tier): synthesize a genuine PNG per
+    document, decode + nearest-neighbor resample to 4×3 through the
+    pure-Python codec, and report the exact byte sum of the resized
+    payload.  The oracle recomputes the nearest-neighbor index math in
+    closed form — a hash match proves decode AND resample."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        encode_png, resize_image)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_png(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w, ch = 6 + d % 5, 5 + d % 4, 1 + d % 3
+                arr = ((np.arange(h * w * ch, dtype=np.int64) * 37 + d)
+                       % 251).astype(np.uint8).reshape(h, w, ch)
+                out.append(encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_png, schema)
+    resized = resize_image(media, "doc_id", "content",
+                           target_width=4, target_height=3)
+    return resized.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), (F.length(F.hex("content")) / 2).cast("int")),
+                lambda i: F.conv(
+                    F.substring(F.hex("content"), (i * 2 - 1).cast("int"), 2),
+                    16, 10,
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("byte_sum"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+SQL_IMAGE_RESIZE = """
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 4 AS w, 6 + doc_id % 5 AS h,
+         1 + doc_id % 3 AS ch
+  FROM documents
+), idx AS (
+  -- nearest-neighbor sample grid: ys = (y*h)//3, xs = (x*w)//4
+  SELECT d.doc_id, d.w, d.h, d.ch,
+         (y * d.h) // 3 AS sy, (x * d.w) // 4 AS sx, c
+  FROM dims d,
+       UNNEST(range(0, 3)) AS ry(y),
+       UNNEST(range(0, 4)) AS rx(x),
+       UNNEST(range(0, 3)) AS rc(c)
+  WHERE c < d.ch
+)
+SELECT doc_id,
+       CAST(sum((((sy * w + sx) * ch + c) * 37 + doc_id) % 251) AS BIGINT)
+         AS byte_sum,
+       CAST(4 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS height
+FROM idx
+GROUP BY doc_id, w, h, ch
+"""
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node in/out degrees (`operators/graph.py:degrees`) over the
     customer→supplier trade graph — two partial-aggregated counts and a
@@ -3811,6 +3918,8 @@ _EXTENSION_QUERIES = {
     "audio_frames": q_audio_frames,
     "triangle_count": q_triangle_count,
     "graph_degrees": q_graph_degrees,
+    "grouped_percentiles": q_grouped_percentiles,
+    "image_resize": q_image_resize,
     "random_projection": q_random_projection,
     "bpe_tokens": q_bpe_tokens,
     "video_frames": q_video_frames,
@@ -3909,6 +4018,8 @@ _EXTENSION_ORACLES = {
     "audio_frames": SQL_AUDIO_FRAMES,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "graph_degrees": SQL_GRAPH_DEGREES,
+    "grouped_percentiles": SQL_GROUPED_PERCENTILES,
+    "image_resize": SQL_IMAGE_RESIZE,
     "random_projection": SQL_RANDOM_PROJECTION,
     "bpe_tokens": SQL_BPE_TOKENS,
     "video_frames": SQL_VIDEO_FRAMES,

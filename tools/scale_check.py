@@ -124,6 +124,8 @@ QUERIES = [
     "disjunctive_revenue",
     "idle_rich_customers",
     "graph_degrees",
+    "grouped_percentiles",
+    "image_resize",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
