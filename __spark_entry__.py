@@ -4615,6 +4615,88 @@ GROUP BY 1
 """
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier 1996-H1 revenue, then
+    the supplier(s) matching the maximum — the max is a 1-row broadcast
+    scalar joined back (no second scan, no driver round-trip), revenue
+    in exact cents."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-07-01").cast("timestamp")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = l.withColumn("rev_cp", cents * (F.lit(100) - disc)).groupBy(
+        "l_suppkey"
+    ).agg(F.sum("rev_cp").alias("__rev_cp"))
+    mx = rev.agg(F.max("__rev_cp").alias("__mx"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name")
+    top = rev.join(F.broadcast(mx)).filter(F.col("__rev_cp") == F.col("__mx"))
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+        (F.col("__rev_cp") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_cp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       r.rev_cp / 10000.0 AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_cp = (SELECT max(rev_cp) FROM rev)
+"""
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped cheapest supplier per part (the fixture has no
+    partsupp, so the observed lineitem relationship stands in): per
+    (part, supplier) the minimum line total in exact cents, then per
+    part the winning supplier via a deterministic struct-min
+    (cost, suppkey) — one aggregation, no correlated re-scan, ties
+    broken by supplier key."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = l.withColumn("__cp", cents).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(F.min("__cp").alias("__min_cp"))
+    best = per.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("__min_cp"), F.col("l_suppkey"))).alias("__b")
+    )
+    return best.select(
+        F.col("l_partkey").cast("long").alias("p_partkey"),
+        F.col("__b.l_suppkey").cast("long").alias("s_suppkey"),
+        (F.col("__b.__min_cp") / F.lit(100.0)).alias("min_cost"),
+    )
+
+
+SQL_CHEAPEST_SUPPLIER = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cp
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min_cp, l_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY min_cp, l_suppkey) AS rn
+  FROM per
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(l_suppkey AS BIGINT) AS s_suppkey,
+       min_cp / 100.0 AS min_cost
+FROM best WHERE rn = 1
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: scan-filter-aggregate with the
     date predicate pushed to the parquet scan and 4-wide grouping.  All
@@ -4806,6 +4888,8 @@ _EXTENSION_QUERIES.update(
         "promo_revenue_share": q_promo_revenue_share,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_rich_customers": q_idle_rich_customers,
+        "top_supplier": q_top_supplier,
+        "cheapest_supplier": q_cheapest_supplier,
         "top_unshipped": q_top_unshipped,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -4826,6 +4910,8 @@ _EXTENSION_ORACLES.update(
         "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
         "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+        "top_supplier": SQL_TOP_SUPPLIER,
+        "cheapest_supplier": SQL_CHEAPEST_SUPPLIER,
         "top_unshipped": SQL_TOP_UNSHIPPED,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
     }

@@ -27,6 +27,9 @@ ALLOWED_NESTED_LOOP = {
     # Q22 shape: the positive-balance average is a literal 1-row scalar
     # broadcast onto customers (joining it avoids a driver collect)
     "idle_rich_customers": "1-row avg-balance scalar broadcast onto customers",
+    # Q15 shape: the max-revenue scalar is one broadcast row joined onto
+    # the supplier-revenue aggregate
+    "top_supplier": "1-row max-revenue scalar broadcast onto the rev agg",
 }
 
 STREAMING = {

@@ -126,6 +126,8 @@ QUERIES = [
     "graph_degrees",
     "grouped_percentiles",
     "image_resize",
+    "top_supplier",
+    "cheapest_supplier",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
