@@ -5903,3 +5903,529 @@ FROM s
 
 _EXTENSION_QUERIES.update({"corr_matrix": q_corr_matrix})
 _EXTENSION_ORACLES.update({"corr_matrix": SQL_CORR_MATRIX})
+
+
+# --- TPC-H-shaped additions, batch 3 (Q7/Q8/Q9/Q11/Q12/Q18/Q20/Q21) ----
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume between two nations by ship
+    year.  Both nation dims are pre-filtered to the two names and
+    BROADCAST onto supplier/customer, so the pair predicate prunes the
+    fact early; the only shuffles are lineitem⋈orders (orderkey) and
+    orders⋈customer (custkey).  Exact-integer revenue."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1999-01-01").cast("timestamp")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        (F.sum("rev_cp") / F.lit(10000.0)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_NATION_TRADE_VOLUME = r"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: of all ECONOMY-part revenue sold to
+    ASIA customers per order year, the fraction supplied from NATION_5.
+    Numerator and denominator are conditional sums of the SAME exact-int
+    revenue column in ONE aggregation — no second pass, no self-join.
+    part / supplier / nation / region are all broadcast."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1999-01-01").cast("timestamp")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_5", F.col("rev_cp")).otherwise(
+        F.lit(0)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nat).alias("nation_cp"),
+            F.sum("rev_cp").alias("total_cp"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_cp") / F.col("total_cp"), 6).alias("mkt_share"),
+            (F.col("total_cp") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = r"""
+WITH rev AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp,
+           n1.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_cp
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_cp) AS DOUBLE), 6) AS mkt_share,
+       sum(rev_cp) / 10000.0 AS total_revenue
+FROM rev
+GROUP BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by supplier nation and order
+    year for '%gear%' parts.  profit = revenue − retail cost, both kept
+    in exact 10^-4-dollar integers until the final divide (there is no
+    partsupp table in this corpus, so p_retailprice×qty stands in for
+    supplycost×qty).  part + supplier + nation broadcast; the fact-side
+    shuffle is lineitem⋈orders only."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cost_cp = F.round(F.col("p_retailprice") * 100).cast("long") * qty * F.lit(100)
+    j = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("profit_cp", cents * (F.lit(100) - disc) - cost_cp)
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (F.sum("profit_cp") / F.lit(10000.0)).alias("sum_profit"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_PRODUCT_PROFIT = r"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT) * 100) / 10000.0
+           AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped late-shipment priority split: for lineitems
+    shipped in 1997 more than 180 days after their order date, count
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority order lines per
+    return flag.  The ship-year filter is PUSHED to the parquet scan;
+    the lateness predicate (a cross-table comparison) runs right after
+    the single lineitem⋈orders shuffle."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 180
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+SQL_LATE_PRIORITY_COUNTS = r"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND date_diff('day', o_orderdate, l_shipdate) > 180
+GROUP BY l_returnflag
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    quantity exceeds 300.  AGGREGATE-BEFORE-JOIN: lineitem is reduced to
+    (orderkey, sum_qty) with map-side partials and HAVING-filtered to a
+    tiny survivor set BEFORE touching orders/customer — at 100 TB the
+    join probes ~0.3% of orders, and AQE broadcasts the survivor side."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", qty.alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(100.0))
+            .alias("o_total"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = r"""
+WITH big AS (
+    SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_total,
+       sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock scan (no partsupp table here, so
+    lineitem revenue from EUROPE-nation suppliers stands in for
+    supplycost×availqty): parts holding more than 0.1% of the region's
+    total value.  The grand total is a 1-row aggregate crossJoin-
+    broadcast onto the per-part rollup — the corpus is scanned ONCE and
+    re-aggregated from the (partkey,value) table, never rescanned."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per_part = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("val_cents"))
+    )
+    total = per_part.agg(F.sum("val_cents").alias("tot_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_cents") * F.lit(1000) > F.col("tot_cents")
+        )
+        .select(
+            "l_partkey",
+            (F.col("val_cents") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS = r"""
+WITH v AS (
+    SELECT l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS val_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY l_partkey
+), t AS (SELECT sum(val_cents) AS tot_cents FROM v)
+SELECT l_partkey, val_cents / 100.0 AS part_value
+FROM v, t
+WHERE val_cents * 1000 > tot_cents
+"""
+
+
+def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped promotion-eligible suppliers: anyone who shipped
+    more than 50 units of a single 'small%' part during 1997.  The
+    nested-EXISTS of the original is rewritten as PRE-AGGREGATION
+    (suppkey,partkey → sum qty) against a broadcast filtered part dim,
+    then a distinct suppkey probe of the broadcast supplier dim — no
+    correlated subquery, no fact-sized hash table (the same rewrite that
+    fixed order_priority_counts' 18× blow-up; see SCALE.md)."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    hot = (
+        l.select("l_suppkey", "l_partkey", qty.alias("qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return hot.join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
+
+
+SQL_PROMOTABLE_SUPPLIERS = r"""
+WITH hot AS (
+    SELECT DISTINCT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 50
+)
+SELECT s_suppkey, s_name
+FROM hot
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-orders scan: suppliers who were the ONLY
+    late shipper (>365 days after order date) on a finished multi-
+    supplier order.  The original's EXISTS + NOT-EXISTS self-joins are
+    rewritten as ONE aggregation to (order, supplier, late-flag) plus a
+    window over the order — the fact is shuffled twice (orderkey, then
+    the window's orderkey reuse), never self-joined three times."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365,
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    ).filter(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+SQL_SOLE_LATE_SUPPLIER = r"""
+WITH ls AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+), w AS (
+    SELECT l_suppkey, late,
+           count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM ls
+)
+SELECT s_name, count(*) AS numwait
+FROM w
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+_EXTENSION_QUERIES.update(
+    {
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "late_priority_counts": q_late_priority_counts,
+        "large_volume_customers": q_large_volume_customers,
+        "important_parts": q_important_parts,
+        "promotable_suppliers": q_promotable_suppliers,
+        "sole_late_supplier": q_sole_late_supplier,
+    }
+)
+
+_EXTENSION_ORACLES.update(
+    {
+        "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+        "market_share": SQL_MARKET_SHARE,
+        "product_profit": SQL_PRODUCT_PROFIT,
+        "late_priority_counts": SQL_LATE_PRIORITY_COUNTS,
+        "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+        "important_parts": SQL_IMPORTANT_PARTS,
+        "promotable_suppliers": SQL_PROMOTABLE_SUPPLIERS,
+        "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
+    }
+)
