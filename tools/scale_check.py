@@ -128,6 +128,14 @@ QUERIES = [
     "image_resize",
     "top_supplier",
     "cheapest_supplier",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
+    "late_priority_counts",
+    "large_volume_customers",
+    "important_parts",
+    "promotable_suppliers",
+    "sole_late_supplier",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
