@@ -6429,3 +6429,42 @@ _EXTENSION_ORACLES.update(
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
     }
 )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue-change forecast: one scan, ZERO joins,
+    every predicate (ship year, discount band, quantity cap) PUSHED to
+    the parquet reader, exact-integer discount revenue.  The whole query
+    is a single map-side-combinable aggregate — the canonical 'filters
+    reach the scan' probe for the plan census."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return l.agg(
+        (F.sum(cents * disc) / F.lit(10000.0)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_FORECAST_REVENUE = r"""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+_EXTENSION_QUERIES.update({"forecast_revenue": q_forecast_revenue})
+_EXTENSION_ORACLES.update({"forecast_revenue": SQL_FORECAST_REVENUE})

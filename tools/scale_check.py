@@ -136,6 +136,7 @@ QUERIES = [
     "important_parts",
     "promotable_suppliers",
     "sole_late_supplier",
+    "forecast_revenue",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
