@@ -175,7 +175,17 @@ def triangle_count(
     ``orient="id"`` skips the degree table for small/uniform graphs.
     Each triangle is counted exactly once (at its smallest vertex in
     the orientation's total order).
+
+    The oriented edge list is PERSISTED (memory-and-disk): it is
+    consumed three times (both wedge sides + the closing probe) on
+    different join keys, so without a persist the whole upstream edge
+    derivation — often an expensive co-occurrence self-join — runs
+    three times over (measured 11 s → ~4 s at sf0.1 on the part
+    co-purchase graph).  It is ids+rank-struct only, i.e. edge-list
+    sized; callers can ``spark.catalog.clearCache()`` afterwards.
     """
+    from pyspark.storagelevel import StorageLevel
+
     if orient not in ("degree", "id"):
         raise ValueError(f"triangle_count: orient must be degree|id, got {orient!r}")
     e = (
@@ -215,6 +225,7 @@ def triangle_count(
             F.col("a").alias("u"), F.col("b").alias("v"),
             F.struct(F.lit(0).alias("d"), F.col("b").alias("n")).alias("kv"),
         )
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     # wedges at the pivot u: (u -> y), (u -> z) with y before z in the
     # total order; close with the oriented edge y -> z
     w1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
