@@ -6468,3 +6468,42 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 _EXTENSION_QUERIES.update({"forecast_revenue": q_forecast_revenue})
 _EXTENSION_ORACLES.update({"forecast_revenue": SQL_FORECAST_REVENUE})
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup (`operators/text.py:
+    dedup_paragraphs`, the CCNet/RefinedWeb boilerplate rule): segments
+    between ' the ' tokens stand in for paragraphs on these single-line
+    fixtures; any segment found in 2+ distinct docs is removed from all
+    of them, order preserved.  Two corpus shuffles (count-distinct on
+    the paragraph, reassembly on the doc) + a left-anti probe of the
+    tiny hot set.  Oracle: same hot-set rule via DuckDB list lambdas."""
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    out = dedup_paragraphs(
+        docs, sep=" the ", max_docs=1, out_col="cleaned")
+    return out.select("doc_id", "cleaned", "n_paras_removed")
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH t AS (SELECT doc_id, string_split(text, ' the ') AS arr
+           FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS para FROM t),
+hot AS (SELECT para FROM p GROUP BY para
+        HAVING count(DISTINCT doc_id) > 1),
+hl AS (SELECT coalesce(list(para), []) AS hot_list FROM hot)
+SELECT doc_id,
+       array_to_string(
+         list_filter(arr, x -> NOT list_contains(hot_list, x)),
+         ' the ') AS cleaned,
+       CAST(len(arr) - len(list_filter(arr,
+            x -> NOT list_contains(hot_list, x))) AS BIGINT)
+         AS n_paras_removed
+FROM t, hl
+"""
+
+
+_EXTENSION_QUERIES.update({"dedup_paragraphs": q_dedup_paragraphs})
+_EXTENSION_ORACLES.update({"dedup_paragraphs": SQL_DEDUP_PARAGRAPHS})

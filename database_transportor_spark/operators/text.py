@@ -40,6 +40,7 @@ __all__ = [
     "train_bpe",
     "bpe_encode",
     "dedup_lines",
+    "dedup_paragraphs",
     "char_entropy",
     "STOPWORDS",
 ]
@@ -727,6 +728,85 @@ def dedup_lines(
     return df.withColumn(
         count_col, (F.size(arr) - F.size(kept)).cast("long")
     ).withColumn(out_col, F.array_join(kept, sep))
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_docs: int = 1,
+    out_col: str | None = None,
+    count_col: str = "n_paras_removed",
+) -> DataFrame:
+    """CROSS-document paragraph dedup (the CCNet/RefinedWeb boilerplate
+    rule, complementing :func:`dedup_lines`' within-document pass): any
+    paragraph that appears in more than ``max_docs`` DISTINCT documents
+    is removed from every document that contains it — repeated site
+    chrome, cookie banners, and licence footers vanish corpus-wide while
+    genuinely unique prose is untouched.  Paragraph order is preserved;
+    per-document ``count_col`` reports how many paragraphs were dropped;
+    documents whose every paragraph is boilerplate survive with empty
+    text (the caller decides whether to gate them out).
+
+    Scale shape: posexplode → ONE count-distinct aggregation keyed on
+    the paragraph text (map-side combined; the shuffle carries each
+    distinct paragraph once per partition, not per occurrence) → a
+    LEFT-ANTI join of the exploded table against the hot set — the hot
+    side is duplicated-paragraphs only, tiny relative to the corpus, so
+    AQE broadcasts it — → one groupBy(id) reassembly shuffle of the
+    kept paragraphs.  Nothing is ever joined all-pairs, and the full
+    corpus is shuffled exactly twice (explode-group + reassembly), both
+    times keyed so a hot paragraph cannot concentrate into one task
+    (the count-distinct key IS the paragraph).
+    """
+    out_col = out_col or text_col
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    parts = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), quoted)).alias("__pos", "__para"),
+    )
+    hot = (
+        parts.groupBy("__para")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__para")
+    )
+    kept = parts.join(hot, "__para", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("__rebuilt"),
+            F.count("*").alias("__n_kept"),
+        )
+    )
+    totals = parts.groupBy("__id").agg(F.count("*").alias("__n_paras"))
+    joined = (
+        df.join(totals, F.col(id_col) == totals["__id"], "left")
+        .drop("__id")
+        .join(rebuilt, F.col(id_col) == rebuilt["__id"], "left")
+        .drop("__id")
+    )
+    return joined.select(
+        *df.columns, "__rebuilt", "__n_kept", "__n_paras"
+    ).withColumns(
+        {
+            out_col: F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("__rebuilt"), F.lit("")),
+            ),
+            count_col: (
+                F.coalesce(F.col("__n_paras"), F.lit(0))
+                - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long"),
+        }
+    ).drop("__rebuilt", "__n_kept", "__n_paras")
 
 
 def char_entropy(

@@ -165,3 +165,55 @@ def test_char_entropy_known_values_and_nulls(spark):
     assert got[4] is None and got[5] is None
     expect6 = round(-(2/3) * math.log2(2/3) - (1/3) * math.log2(1/3), 6)
     assert got[6] == expect6
+
+
+def test_dedup_paragraphs_cross_doc_removal(spark):
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "intro\ncookie banner\nunique one"),
+         (2, "cookie banner\nunique two\nfooter"),
+         (3, "footer\ncookie banner"),
+         (4, None),
+         (5, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+           for r in dedup_paragraphs(df, sep="\n").collect()}
+    # 'cookie banner' in 3 docs and 'footer' in 2 -> removed everywhere;
+    # unique prose kept in order; NULL passes through; all-boilerplate
+    # doc survives with empty text
+    assert got[1] == ("intro\nunique one", 1)
+    assert got[2] == ("unique two", 2)
+    assert got[3] == ("", 2)
+    assert got[4] == (None, 0)
+    assert got[5] == ("", 0)
+
+
+def test_dedup_paragraphs_max_docs_threshold(spark):
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a|b"), (2, "a|c"), (3, "a|d")], ["doc_id", "text"]
+    )
+    # 'a' is in 3 docs: survives max_docs=3, dies at max_docs=2
+    keep = {r["doc_id"]: r["text"]
+            for r in dedup_paragraphs(df, sep="|", max_docs=3).collect()}
+    assert keep == {1: "a|b", 2: "a|c", 3: "a|d"}
+    drop = {r["doc_id"]: r["text"]
+            for r in dedup_paragraphs(df, sep="|", max_docs=2).collect()}
+    assert drop == {1: "b", 2: "c", 3: "d"}
+
+
+def test_dedup_paragraphs_within_doc_repeat_not_cross(spark):
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    # a paragraph repeated INSIDE one doc only is not cross-doc
+    # boilerplate: count(DISTINCT doc) == 1 keeps it (dedup_lines is the
+    # within-doc rule)
+    df = spark.createDataFrame([(1, "x\nx\ny"), (2, "z")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+           for r in dedup_paragraphs(df, sep="\n").collect()}
+    assert got[1] == ("x\nx\ny", 0)
+    assert got[2] == ("z", 0)

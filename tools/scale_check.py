@@ -137,6 +137,7 @@ QUERIES = [
     "promotable_suppliers",
     "sole_late_supplier",
     "forecast_revenue",
+    "dedup_paragraphs",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
