@@ -6507,3 +6507,82 @@ FROM t, hl
 
 _EXTENSION_QUERIES.update({"dedup_paragraphs": q_dedup_paragraphs})
 _EXTENSION_ORACLES.update({"dedup_paragraphs": SQL_DEDUP_PARAGRAPHS})
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (`operators/similarity.py:
+    kmeans_lloyd`): k=8, 2 iterations, components on an exact 1e-6
+    integer grid so every distance is int64 and the whole fit is
+    bit-reproducible.  Oracle: the same two iterations unrolled as
+    relational SQL (explode dims → distance join → argmin → grid-snapped
+    means) — a hash match proves init, assignment, tie-breaks, and the
+    centroid update all agree."""
+    from database_transportor_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(emb, k=8, iters=2)
+
+
+SQL_KMEANS_CLUSTERS = r"""
+WITH qx AS (
+    SELECT vec_id, CAST(i AS INTEGER) AS pos,
+           CAST(round(CAST(list_extract(embedding, i) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS v
+    FROM embeddings, range(1, 65) AS t(i)
+),
+init AS (
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cid
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS (SELECT cid, pos, v FROM qx JOIN init USING (vec_id)),
+d1 AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS d
+    FROM qx q JOIN c0 c ON q.pos = c.pos
+    GROUP BY 1, 2
+),
+a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1
+),
+c1m AS (
+    SELECT a1.cid, q.pos,
+           CAST(round(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM a1 JOIN qx q USING (vec_id)
+    GROUP BY 1, 2
+),
+c1 AS (  -- empty clusters carry the previous centroid forward
+    SELECT c0.cid, c0.pos, coalesce(c1m.v, c0.v) AS v
+    FROM c0 LEFT JOIN c1m ON c0.cid = c1m.cid AND c0.pos = c1m.pos
+),
+d2 AS (
+    SELECT q.vec_id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS d
+    FROM qx q JOIN c1 c ON q.pos = c.pos
+    GROUP BY 1, 2
+),
+a2 AS (
+    SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1
+),
+s2 AS (
+    SELECT cid AS cluster, count(*) AS n_points, sum(d) AS inertia
+    FROM a2 GROUP BY 1
+),
+m2 AS (
+    SELECT a2.cid AS cluster, q.pos,
+           CAST(round(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM a2 JOIN qx q USING (vec_id)
+    GROUP BY 1, 2
+),
+cs AS (SELECT cluster, sum(v) AS centroid_sum FROM m2 GROUP BY 1)
+SELECT cluster, n_points, inertia, centroid_sum
+FROM s2 JOIN cs USING (cluster)
+"""
+
+
+_EXTENSION_QUERIES.update({"kmeans_clusters": q_kmeans_clusters})
+_EXTENSION_ORACLES.update({"kmeans_clusters": SQL_KMEANS_CLUSTERS})

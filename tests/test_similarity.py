@@ -199,3 +199,41 @@ def test_random_projection_zero_shuffle_plan(spark):
         random_projection(emb, "embedding", out_dim=0)
     with _pytest.raises(ValueError, match="seed"):
         random_projection(emb, "embedding", out_dim=4, seed=-3)
+
+
+def test_kmeans_lloyd_deterministic_across_partitionings(spark):
+    from database_transportor_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["cluster"]: tuple(r)[1:] for r in kmeans_lloyd(df, k=4, iters=2).collect()}
+    b = {r["cluster"]: tuple(r)[1:]
+         for r in kmeans_lloyd(df.repartition(7), k=4, iters=2).collect()}
+    assert a == b and len(a) >= 1
+
+
+def test_kmeans_lloyd_converges_on_separated_blobs(spark):
+    from database_transportor_spark.operators.similarity import kmeans_lloyd
+
+    # two well-separated 1-hot-ish blobs in 4d: k=2 must split them
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 0.0, 0.0, 1.0 + 0.01 * i]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["cluster"]: r["n_points"]
+           for r in kmeans_lloyd(df, k=2, iters=3).collect()}
+    assert sorted(got.values()) == [10, 10]
+
+
+def test_kmeans_lloyd_empty_cluster_carries_centroid(spark):
+    from database_transportor_spark.operators.similarity import kmeans_lloyd
+
+    # both seed vectors sit inside one tight blob -> after the update
+    # one centroid may lose all members; the fit must still return rows
+    # and never crash or NaN
+    rows = [(i, [0.5, 0.5]) for i in range(6)] + [(99, [0.50001, 0.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_lloyd(df, k=2, iters=3).collect()
+    assert sum(r["n_points"] for r in out) == 7
+    assert all(r["inertia"] >= 0 for r in out)

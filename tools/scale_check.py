@@ -138,6 +138,7 @@ QUERIES = [
     "sole_late_supplier",
     "forecast_revenue",
     "dedup_paragraphs",
+    "kmeans_clusters",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
