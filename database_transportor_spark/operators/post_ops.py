@@ -51,6 +51,8 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "dedup_lines", "text_col": ..., "sep": "\\n"}
     {"op": "temperature_weights", "domain_col": ..., "temperature": T}
     {"op": "char_entropy", "id_col": ..., "text_col": ...}
+    {"op": "dedup_paragraphs", "text_col": ..., "sep": "\\n", "max_docs": 1}
+    {"op": "kmeans", "id_col": ..., "vec_col": ..., "k": 8, "iters": 2}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -598,4 +600,33 @@ def _char_entropy(df: DataFrame, p: dict) -> DataFrame:
         id_col=p.get("id_col", "doc_id"),
         text_col=p.get("text_col", "text"),
         out_col=p.get("out_col", "char_entropy"),
+    )
+
+
+@register_post_op("dedup_paragraphs")
+def _dedup_paragraphs(df: DataFrame, p: dict) -> DataFrame:
+    from .text import dedup_paragraphs
+
+    return dedup_paragraphs(
+        df,
+        id_col=p.get("id_col", "doc_id"),
+        text_col=p.get("text_col", "text"),
+        sep=p.get("sep", "\n"),
+        max_docs=p.get("max_docs", 1),
+        out_col=p.get("out_col"),
+        count_col=p.get("count_col", "n_paras_removed"),
+    )
+
+
+@register_post_op("kmeans")
+def _kmeans(df: DataFrame, p: dict) -> DataFrame:
+    from .similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        df,
+        id_col=p.get("id_col", "vec_id"),
+        vec_col=p.get("vec_col", "embedding"),
+        k=p.get("k", 8),
+        iters=p.get("iters", 2),
+        scale=p.get("scale", 10**6),
     )

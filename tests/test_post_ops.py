@@ -365,3 +365,25 @@ def test_analytics_post_ops_pagerank_and_cube(spark):
     cube = {(r["r"], r["p"]): r["sum_v"] for r in out["cube"].collect()}
     assert cube[(None, None)] == 16 and cube[("a", None)] == 15
     assert cube[("a", "x")] == 10 and cube[(None, "x")] == 11
+
+
+def test_post_op_dedup_paragraphs(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame(
+        [(1, "a|b"), (2, "a|c")], ["doc_id", "text"]
+    )
+    out = apply_post_ops(
+        df, ({"op": "dedup_paragraphs", "sep": "|"},), "test"
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_post_op_kmeans(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = apply_post_ops(df, ({"op": "kmeans", "k": 4},), "test")
+    rows = out.collect()
+    assert sum(r["n_points"] for r in rows) == df.count()
