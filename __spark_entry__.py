@@ -6586,3 +6586,62 @@ FROM s2 JOIN cs USING (cluster)
 
 _EXTENSION_QUERIES.update({"kmeans_clusters": q_kmeans_clusters})
 _EXTENSION_ORACLES.update({"kmeans_clusters": SQL_KMEANS_CLUSTERS})
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment near-dups (`operators/dedup.py:
+    ngram_containment_pairs`): pairs where EITHER doc's capped shingle
+    set is ≥30% inside the other — the sub-document duplication measure
+    (quotes, reposts, boilerplate-wrapped copies) that symmetric Jaccard
+    under-scores.  Integer outputs only; same inverted-index plan and
+    max_df stop-phrase cap as ngram_jaccard.  Oracle: string-shingle
+    recomputation of both directions in DuckDB."""
+    from database_transportor_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_df=100,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("intersection").cast("long").alias("intersection"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM t
+), ex0 AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), hot AS (
+    SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100
+), ex AS (
+    SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.intersection,
+       sa.n AS size_a, sb.n AS size_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE greatest(i.intersection / sa.n, i.intersection / sb.n) >= 0.3
+"""
+
+
+_EXTENSION_QUERIES.update({"containment_pairs": q_containment_pairs})
+_EXTENSION_ORACLES.update({"containment_pairs": SQL_CONTAINMENT_PAIRS})

@@ -32,6 +32,7 @@ __all__ = [
     "ngram_shingles",
     "ngram_shingle_hashes",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "dedup_clusters",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -183,6 +184,76 @@ def ngram_jaccard_pairs(
     # lets Spark's cache manager serve identical downstream plans without
     # re-running the self-join.
     return out.persist()
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment — the measure that
+    catches SUB-document duplication Jaccard misses: a tweet quoted
+    inside a long article has tiny Jaccard (union is article-sized) but
+    containment(A→B) = |A∩B| / |A| ≈ 1.  Returns
+    ``(id_a, id_b, intersection, size_a, size_b)`` for ``id_a < id_b``
+    whenever EITHER direction's containment reaches ``threshold`` —
+    integer outputs only; consumers derive the two ratios.
+
+    Same plan skeleton (and the same scale contract) as
+    :func:`ngram_jaccard_pairs`: persisted hashed posting list, optional
+    ``max_df`` stop-phrase cap bounding every posting, inverted-index
+    self-join, pair-count aggregation — one explode, two shuffles, no
+    cross join.  Containment is computed over the capped shingle space
+    on both numerator and denominator, so the ratio stays a true
+    containment of the filtered sets.
+    """
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        ngram_shingle_hashes(text_col, n).alias("__shingles"),
+    )
+    posting = sh.select("__id", F.explode("__shingles").alias("__h")).persist()
+    if max_df is not None:
+        dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
+        posting = posting.join(
+            F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__h")),
+            "__h",
+            "left_anti",
+        )
+    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "size_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "size_b"),
+            "id_b",
+        )
+        .filter(
+            F.greatest(
+                F.col("intersection") / F.col("size_a"),
+                F.col("intersection") / F.col("size_b"),
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b", "intersection", "size_a", "size_b")
+    )
 
 
 def minhash_signatures(

@@ -177,3 +177,44 @@ def test_dedup_keep_best(spark):
         docs, clusters, "doc_id", order_col="quality", keep="min"
     )
     assert sorted(r["doc_id"] for r in worst.collect()) == [1, 3, 4]
+
+
+def test_containment_catches_subdocument_dup(spark):
+    from database_transportor_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    rows = cont.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # every shingle of the small doc is inside the big one
+    assert r["intersection"] == r["size_a"] and r["size_b"] > r["size_a"]
+    # symmetric Jaccard misses the same pair at the same bar
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    assert jac.count() == 0
+
+
+def test_containment_max_df_caps_postings(spark):
+    from database_transportor_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # a stop-phrase shared by every doc is dropped by max_df, so docs
+    # sharing ONLY boilerplate never pair
+    boiler = "all rights reserved to the site"
+    df = spark.createDataFrame(
+        [(i, f"unique{i} body{i} words{i} " + boiler) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    out = ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.3, max_df=3
+    )
+    assert out.count() == 0

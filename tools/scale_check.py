@@ -139,6 +139,7 @@ QUERIES = [
     "forecast_revenue",
     "dedup_paragraphs",
     "kmeans_clusters",
+    "containment_pairs",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
