@@ -6645,3 +6645,52 @@ WHERE greatest(i.intersection / sa.n, i.intersection / sb.n) >= 0.3
 
 _EXTENSION_QUERIES.update({"containment_pairs": q_containment_pairs})
 _EXTENSION_ORACLES.update({"containment_pairs": SQL_CONTAINMENT_PAIRS})
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram LM scoring (`operators/text.py:
+    bigram_lm_score`): per-doc mean ln p(w_i|w_{i-1}) with add-1
+    smoothing, context counts derived from the bigram table and V from
+    the unigram vocabulary.  Bigrams built array-side (zip_with of two
+    slices — no lag window over the token stream), model broadcast back.
+    Oracle: identical counts + expression shape in DuckDB, round(4)."""
+    from database_transportor_spark.operators.text import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_score(docs)
+
+
+SQL_BIGRAM_LM = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+    WHERE trim(text) <> ''
+), bg0 AS (
+    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+    FROM t, range(1, 10000) AS r(i)
+    WHERE i + 1 <= len(toks)
+), bg AS (
+    SELECT doc_id, w1, w2 FROM bg0 WHERE w1 <> '' AND w2 <> ''
+), bc AS (
+    SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), cc AS (
+    SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1
+), toks AS (
+    SELECT unnest(toks) AS token FROM t
+), voc AS (
+    SELECT count(DISTINCT token) AS v FROM toks WHERE token <> ''
+), logp AS (
+    SELECT bc.w1, bc.w2,
+           ln((c12 + 1.0) / (c1 + 1.0 * v)) AS logp
+    FROM bc JOIN cc USING (w1), voc
+)
+SELECT doc_id,
+       round(avg(logp), 4) AS avg_logprob2,
+       count(*) AS n_scored
+FROM bg JOIN logp USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+_EXTENSION_QUERIES.update({"bigram_lm": q_bigram_lm})
+_EXTENSION_ORACLES.update({"bigram_lm": SQL_BIGRAM_LM})

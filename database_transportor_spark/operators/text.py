@@ -37,6 +37,7 @@ __all__ = [
     "normalize_text",
     "chunk_documents",
     "lm_score",
+    "bigram_lm_score",
     "train_bpe",
     "bpe_encode",
     "dedup_lines",
@@ -409,6 +410,81 @@ def lm_score(
         .groupBy(id_col)
         .agg(
             F.round(F.avg("__logp"), round_digits).alias("avg_logprob"),
+            F.count("*").alias("n_scored"),
+        )
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document average CONDITIONAL log-probability ``ln p(w_i |
+    w_{i-1})`` under the corpus's own bigram model — one step up from
+    :func:`lm_score`'s unigram signal: repeated stock phrases score high,
+    word salad that happens to use common words scores low, which is
+    exactly the split a quality-ranking pipeline wants.
+
+    Model: ``p(w2|w1) = (c(w1,w2) + s) / (c(w1) + s·V)`` with context
+    counts derived FROM the bigram table (``c(w1) = Σ_w2 c(w1,w2)``, so
+    the model is self-consistent at document edges) and ``V`` = corpus
+    unigram vocabulary.  Documents with fewer than two tokens are
+    excluded; scores rounded like :func:`lm_score` (libm ulp).
+
+    Scale shape: bigrams are built ARRAY-SIDE (``zip_with`` of the two
+    token-array slices — zero shuffle, no window/lag pass over the token
+    stream) then exploded once; one ``groupBy(w1,w2)`` for exact counts
+    (map-side combined), context counts re-aggregated from that
+    bigram-vocab-sized table (not the stream), scalars via a 1-row
+    broadcast crossJoin, the logprob table broadcast back onto the
+    bigram stream, one final ``groupBy(doc)``.  Two token-stream
+    shuffles total — identical contract to ``lm_score``; cap the model
+    with a ``min_count`` + OOV bucket if bigram vocab outgrows the
+    broadcast at 100 TB.
+    """
+    arr = tokens(text_col)
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__bg"),
+    ).select(
+        F.col(id_col), F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+    ).filter((F.col("__w1") != "") & (F.col("__w2") != ""))
+    bcounts = big.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
+    ccounts = bcounts.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .filter(F.col("__t") != "")
+        .agg(F.countDistinct("__t").alias("__v"))
+    )
+    logp = (
+        bcounts.join(F.broadcast(ccounts), "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__w1",
+            "__w2",
+            F.log(
+                (F.col("__c12").cast("double") + F.lit(float(smoothing)))
+                / (
+                    F.col("__c1").cast("double")
+                    + F.lit(float(smoothing)) * F.col("__v").cast("double")
+                )
+            ).alias("__logp"),
+        )
+    )
+    return (
+        big.join(F.broadcast(logp), ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("__logp"), round_digits).alias("avg_logprob2"),
             F.count("*").alias("n_scored"),
         )
     )

@@ -217,3 +217,29 @@ def test_dedup_paragraphs_within_doc_repeat_not_cross(spark):
            for r in dedup_paragraphs(df, sep="\n").collect()}
     assert got[1] == ("x\nx\ny", 0)
     assert got[2] == ("z", 0)
+
+
+def test_bigram_lm_prefers_repeated_phrases(spark):
+    from database_transportor_spark.operators.text import bigram_lm_score
+
+    rows = [(i, "the quick brown fox jumps") for i in range(5)]
+    rows.append((99, "quick the jumps brown the fox"))  # same words, scrambled
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_logprob2"]
+           for r in bigram_lm_score(df).collect()}
+    # conditional model: stock phrase docs outscore the scrambled one
+    assert got[0] > got[99]
+    # a 4-bigram doc scores on all 4
+    assert {r["doc_id"]: r["n_scored"]
+            for r in bigram_lm_score(df).collect()}[0] == 4
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    from database_transportor_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "two words")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_scored"] for r in bigram_lm_score(df).collect()}
+    assert got == {4: 1}

@@ -140,6 +140,7 @@ QUERIES = [
     "dedup_paragraphs",
     "kmeans_clusters",
     "containment_pairs",
+    "bigram_lm",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
