@@ -30,6 +30,12 @@ ALLOWED_NESTED_LOOP = {
     # Q15 shape: the max-revenue scalar is one broadcast row joined onto
     # the supplier-revenue aggregate
     "top_supplier": "1-row max-revenue scalar broadcast onto the rev agg",
+    # Q11 shape: the region-total scalar is one broadcast row joined onto
+    # the per-part value aggregate (share threshold without a re-scan)
+    "important_parts": "1-row total-value scalar broadcast onto the part agg",
+    # bigram-LM scalar (vocab size V) is a literal 1-row aggregate
+    # cross-joined onto the bigram-count table, same family as lm_score
+    "bigram_lm": "1-row vocab-size scalar broadcast onto the bigram counts",
 }
 
 STREAMING = {
@@ -131,6 +137,12 @@ BROADCAST_EXPECTED = {
     "supplier_part_counts": 1, # filtered part dim into the pair scan
     "promo_revenue_share": 1,  # part dim
     "disjunctive_revenue": 1,  # part dim, ONE scan for 3 OR branches
+    # round-4 TPC-H batch
+    "nation_trade_volume": 1,  # pair-filtered nations into supplier
+    "market_share": 2,         # filtered part + supplier-nation dims
+    "product_profit": 2,       # filtered part + supplier-nation dims
+    "promotable_suppliers": 2, # filtered part dim + supplier name dim
+    "sole_late_supplier": 1,   # supplier name dim onto the numwait agg
 }
 
 #: queries whose FACT-side joins legitimately sort-merge at scale (the
@@ -138,7 +150,9 @@ BROADCAST_EXPECTED = {
 _FACT_JOIN_OK = {"flagship", "top_unshipped", "revenue_by_nation",
                  "returned_items", "small_qty_revenue",
                  "supplier_part_counts", "promo_revenue_share",
-                 "disjunctive_revenue"}
+                 "disjunctive_revenue", "nation_trade_volume",
+                 "market_share", "product_profit", "promotable_suppliers",
+                 "sole_late_supplier"}
 
 
 @pytest.mark.parametrize("name", sorted(BROADCAST_EXPECTED))
