@@ -6694,3 +6694,45 @@ GROUP BY doc_id
 
 _EXTENSION_QUERIES.update({"bigram_lm": q_bigram_lm})
 _EXTENSION_ORACLES.update({"bigram_lm": SQL_BIGRAM_LM})
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (`streaming/events.py:
+    stream_enrich_agg`): the event STREAM broadcast-joined to the batch
+    customer dim (stateless — no join state across micro-batches), then
+    a watermarked daily rollup per market segment.  availableNow makes
+    the streamed result equal the batch join+rollup, which the oracle
+    recomputes in SQL."""
+    import uuid
+
+    from database_transportor_spark.streaming.events import stream_enrich_agg
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = stream_enrich_agg(
+        spark,
+        f"{sf_dir}/events.parquet",
+        dim,
+        sink_table=f"se_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "window_start", "c_mktsegment",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value", "min_value", "max_value",
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_enrich": q_stream_enrich})
+_EXTENSION_ORACLES.update({"stream_enrich": SQL_STREAM_ENRICH})

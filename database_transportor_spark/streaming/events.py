@@ -21,6 +21,7 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_stateful_totals",
     "stream_dedup_count",
+    "stream_enrich_agg",
     "topn_per_key",
 ]
 
@@ -438,3 +439,63 @@ def stream_interval_join(
     )
     q.awaitTermination()
     return spark.table(sink_table).select("l_id", "r_id", "l_key", "l_value", "r_value")
+
+
+@_scoped_nanos_conf
+def stream_enrich_agg(
+    spark: SparkSession,
+    source_dir: str,
+    dim,
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    sink_table: str = "stream_enrich_agg",
+) -> DataFrame:
+    """Stream-STATIC enrichment: the event stream joined against a batch
+    dimension table, then windowed per enrichment attribute — the single
+    most common production streaming shape (clickstream × user table,
+    telemetry × device registry).
+
+    The dim side is a plain batch DataFrame: Structured Streaming joins
+    it STATELESSLY — no watermark needed on the static side, no join
+    state retained across micro-batches (each batch probes the dim
+    anew, picking up Spark-managed broadcast).  State exists only in the
+    downstream windowed aggregation, bounded by the watermark horizon.
+    The explicit ``broadcast()`` hint keeps a dimension re-shuffle out
+    of every micro-batch — at scale, a non-broadcast stream-static join
+    re-partitions the stream side per batch.
+
+    availableNow + memory sink ⇒ result equals the equivalent batch
+    join+rollup, so the DuckDB oracle hash-checks a genuinely streamed
+    execution (same contract as :func:`stream_tumbling_agg`).
+    """
+    stream = _stream_reader(spark, source_dir, ts_col)
+    d = dim.select(F.col(dim_key).alias("__k"), F.col(seg_col))
+    enriched = stream.join(
+        F.broadcast(d), F.col(key_col) == F.col("__k"), "inner"
+    )
+    agg = (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w"), F.col(seg_col))
+        .agg(*_window_aggs())
+        .select(
+            F.col("__w.start").alias("window_start"),
+            seg_col,
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

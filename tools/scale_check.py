@@ -141,6 +141,7 @@ QUERIES = [
     "kmeans_clusters",
     "containment_pairs",
     "bigram_lm",
+    "stream_enrich",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
