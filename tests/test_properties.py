@@ -460,3 +460,90 @@ def test_cube_totals_consistent(spark, rows):
             assert r["s"] == sum(v for (a, _), v in fine.items() if a == r["d1"])
         elif r["gid"] == 2:  # d1 aggregated
             assert r["s"] == sum(v for (_, b), v in fine.items() if b == r["d2"])
+
+
+# --- round-4 operator invariants -------------------------------------
+
+_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=6).map(lambda ws: "|".join(ws)),
+    min_size=1, max_size=8,
+)
+
+
+@given(texts=_texts)
+@SET
+def test_dedup_paragraphs_conservation(spark, texts):
+    """Per doc: kept + removed == total paragraphs, and a paragraph
+    appearing in exactly one doc is never removed."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    out = dedup_paragraphs(df, sep="|", out_col="cleaned").collect()
+    docs = {r["doc_id"]: r for r in out}
+    # which paragraph occurs in how many distinct docs
+    from collections import defaultdict
+    indocs = defaultdict(set)
+    for i, t in enumerate(texts):
+        for p in t.split("|"):
+            indocs[p].add(i)
+    for i, t in enumerate(texts):
+        paras = t.split("|")
+        # order of survivors preserved; paragraphs unique to one doc
+        # survive (compare joined strings: "" is one empty paragraph,
+        # and a doc whose every paragraph is removed also renders "")
+        expect = [p for p in paras if len(indocs[p]) <= 1]
+        assert docs[i]["cleaned"] == "|".join(expect)
+        assert docs[i]["n_paras_removed"] == len(paras) - len(expect)
+
+
+_docwords = st.lists(
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5", "w6"]),
+             min_size=3, max_size=8).map(" ".join),
+    min_size=2, max_size=6,
+)
+
+
+@given(texts=_docwords)
+@SET
+def test_containment_bounds(spark, texts):
+    """intersection <= min(size_a, size_b), sizes positive, and the pair
+    list is symmetric-free (id_a < id_b)."""
+    from database_transportor_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for r in ngram_containment_pairs(
+        df, "doc_id", "text", n=2, threshold=0.0
+    ).collect():
+        assert r["id_a"] < r["id_b"]
+        assert 0 < r["intersection"] <= min(r["size_a"], r["size_b"])
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-1, max_value=1,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=10, unique_by=tuple,
+    )
+)
+@SET
+def test_kmeans_partition(spark, vecs):
+    """Every vector lands in exactly one cluster: n_points sums to N;
+    inertia is non-negative."""
+    from database_transportor_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_lloyd(df, k=min(2, len(vecs)), iters=2).collect()
+    assert sum(r["n_points"] for r in out) == len(vecs)
+    assert all(r["inertia"] >= 0 for r in out)
