@@ -51,7 +51,8 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "dedup_lines", "text_col": ..., "sep": "\\n"}
     {"op": "temperature_weights", "domain_col": ..., "temperature": T}
     {"op": "char_entropy", "id_col": ..., "text_col": ...}
-    {"op": "dedup_paragraphs", "text_col": ..., "sep": "\\n", "max_docs": 1}
+    {"op": "dedup_paragraphs", "text_col": ..., "sep": "\\n", "max_docs": 1,
+     "keep": "none|first"}
     {"op": "kmeans", "id_col": ..., "vec_col": ..., "k": 8, "iters": 2}
 
 Register custom stages with :func:`register_post_op`; the callable gets
@@ -613,6 +614,7 @@ def _dedup_paragraphs(df: DataFrame, p: dict) -> DataFrame:
         text_col=p.get("text_col", "text"),
         sep=p.get("sep", "\n"),
         max_docs=p.get("max_docs", 1),
+        keep=p.get("keep", "none"),
         out_col=p.get("out_col"),
         count_col=p.get("count_col", "n_paras_removed"),
     )

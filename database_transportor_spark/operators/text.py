@@ -812,13 +812,17 @@ def dedup_paragraphs(
     text_col: str = "text",
     sep: str = "\n",
     max_docs: int = 1,
+    keep: str = "none",
     out_col: str | None = None,
     count_col: str = "n_paras_removed",
 ) -> DataFrame:
     """CROSS-document paragraph dedup (the CCNet/RefinedWeb boilerplate
     rule, complementing :func:`dedup_lines`' within-document pass): any
     paragraph that appears in more than ``max_docs`` DISTINCT documents
-    is removed from every document that contains it — repeated site
+    is removed from every document that contains it (``keep="none"``,
+    the CCNet rule) or from every document EXCEPT the lowest-id one
+    (``keep="first"``, the RefinedWeb rule — one canonical copy of the
+    passage survives the corpus) — repeated site
     chrome, cookie banners, and licence footers vanish corpus-wide while
     genuinely unique prose is untouched.  Paragraph order is preserved;
     per-document ``count_col`` reports how many paragraphs were dropped;
@@ -836,6 +840,8 @@ def dedup_paragraphs(
     times keyed so a hot paragraph cannot concentrate into one task
     (the count-distinct key IS the paragraph).
     """
+    if keep not in ("none", "first"):
+        raise ValueError(f"dedup_paragraphs: keep must be none|first, got {keep!r}")
     out_col = out_col or text_col
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     parts = df.select(
@@ -844,11 +850,22 @@ def dedup_paragraphs(
     )
     hot = (
         parts.groupBy("__para")
-        .agg(F.countDistinct("__id").alias("__nd"))
+        .agg(
+            F.countDistinct("__id").alias("__nd"),
+            F.min("__id").alias("__first"),
+        )
         .filter(F.col("__nd") > max_docs)
-        .select("__para")
+        .select("__para", "__first")
     )
-    kept = parts.join(hot, "__para", "left_anti")
+    if keep == "first":
+        # left join + survive when not hot OR this is the canonical copy
+        kept = (
+            parts.join(hot, "__para", "left")
+            .filter(F.col("__first").isNull() | (F.col("__id") == F.col("__first")))
+            .select("__id", "__pos", "__para")
+        )
+    else:
+        kept = parts.join(hot.select("__para"), "__para", "left_anti")
     rebuilt = (
         kept.groupBy("__id")
         .agg(

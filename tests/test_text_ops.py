@@ -243,3 +243,30 @@ def test_bigram_lm_short_docs_excluded(spark):
     )
     got = {r["doc_id"]: r["n_scored"] for r in bigram_lm_score(df).collect()}
     assert got == {4: 1}
+
+
+def test_dedup_paragraphs_keep_first_canonical_copy(spark):
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "intro\ncookie banner\nunique one"),
+         (2, "cookie banner\nunique two"),
+         (3, "cookie banner")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_paras_removed"])
+           for r in dedup_paragraphs(df, sep="\n", keep="first").collect()}
+    # lowest doc_id keeps the canonical copy; later docs lose it
+    assert got[1] == ("intro\ncookie banner\nunique one", 0)
+    assert got[2] == ("unique two", 1)
+    assert got[3] == ("", 1)
+
+
+def test_dedup_paragraphs_keep_rejects_unknown(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.text import dedup_paragraphs
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="keep"):
+        dedup_paragraphs(df, keep="last")
