@@ -6736,3 +6736,45 @@ GROUP BY 1, 2
 
 _EXTENSION_QUERIES.update({"stream_enrich": q_stream_enrich})
 _EXTENSION_ORACLES.update({"stream_enrich": SQL_STREAM_ENRICH})
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (`operators/corpus.py:source_divergence`) — the outlier-source
+    detector.  One corpus shuffle; per-term doubles rounded to a fixed
+    grid and summed as DECIMAL so the total is accumulation-order
+    independent.  Oracle: identical counts + expression shape in
+    DuckDB."""
+    from database_transportor_spark.operators.corpus import source_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_divergence(docs)
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+WITH st AS (
+    SELECT source, token, count(*) AS cst FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+        WHERE trim(text) <> ''
+    ) WHERE token <> ''
+    GROUP BY 1, 2
+), tt AS (
+    SELECT token, sum(cst) AS ct FROM st GROUP BY 1
+), srt AS (
+    SELECT source, sum(cst) AS ns FROM st GROUP BY 1
+), g AS (SELECT sum(ct) AS n FROM tt)
+SELECT source, max(ns) AS n_tokens,
+       CAST(round(sum(CAST(round(
+                (CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+                * ln((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+                     / (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))), 12)
+            AS DECIMAL(28,12))), 6) AS DOUBLE) AS kl_divergence
+FROM st JOIN tt USING (token) JOIN srt USING (source), g
+GROUP BY source
+"""
+
+
+_EXTENSION_QUERIES.update({"source_divergence": q_source_divergence})
+_EXTENSION_ORACLES.update({"source_divergence": SQL_SOURCE_DIVERGENCE})

@@ -36,6 +36,7 @@ __all__ = [
     "corpus_shuffle",
     "upsample_domains",
     "temperature_weights",
+    "source_divergence",
     "sample_to_token_budget",
     "zscore_filter",
     "mad_filter",
@@ -779,5 +780,68 @@ def temperature_weights(
             F.round("share", round_digits).alias("share"),
             F.round("q", round_digits).alias("q"),
             F.round("weight", round_digits).alias("weight"),
+        )
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source KL divergence of each source's unigram distribution
+    from the whole-corpus distribution — the corpus-curation outlier
+    detector: a scraped domain whose language model diverges sharply
+    from the rest (spam, boilerplate farms, wrong-language feeds) shows
+    up as a high ``kl_divergence`` long before a human reads it.
+
+    ``KL(q_s ‖ p) = Σ_t q_s(t)·ln(q_s(t)/p(t))`` with ``q_s`` the
+    source's token distribution and ``p`` the corpus's.  Every source
+    token is by construction in the corpus, so ``p(t) > 0`` and no
+    smoothing is needed; all counts are exact integers and the only
+    float math is the final ratio+log (rounded, libm-ulp safe).
+
+    Scale shape: ONE corpus shuffle — ``groupBy(source, token)`` with
+    map-side partial counts.  Everything downstream runs on that
+    (source×vocab)-sized table: corpus token counts re-aggregate it by
+    token, per-source totals by source, both broadcast-joined back.
+    The raw token stream is never shuffled twice and never joined.
+    """
+    from .text import tokens
+
+    st = (
+        df.select(
+            F.col(domain_col).alias("__src"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("__src", "__t")
+        .agg(F.count("*").alias("__cst"))
+    )
+    tok_tot = st.groupBy("__t").agg(F.sum("__cst").alias("__ct"))
+    src_tot = st.groupBy("__src").agg(F.sum("__cst").alias("__ns"))
+    grand = tok_tot.agg(F.sum("__ct").alias("__n"))
+    q = F.col("__cst").cast("double") / F.col("__ns").cast("double")
+    p = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    return (
+        st.join(F.broadcast(tok_tot), "__t")
+        .join(F.broadcast(src_tot), "__src")
+        .crossJoin(F.broadcast(grand))
+        .groupBy(F.col("__src").alias(domain_col))
+        .agg(
+            F.max("__ns").alias("n_tokens"),
+            # each term is a deterministic double; round it to a fixed
+            # grid and sum as DECIMAL so the total is independent of
+            # accumulation order (float += order differs across engines
+            # and partitionings), then round for presentation
+            F.round(
+                F.sum(
+                    F.round(q * F.log(q / p), 12).cast("decimal(28,12)")
+                ),
+                round_digits,
+            )
+            .cast("double")
+            .alias("kl_divergence"),
         )
     )

@@ -412,3 +412,31 @@ def test_temperature_weights_limits_and_composition(spark):
     import pytest as _p
     with _p.raises(ValueError):
         temperature_weights(df, "d", 0.0)
+
+
+def test_source_divergence_flags_outlier_source(spark):
+    from database_transportor_spark.operators.corpus import source_divergence
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "srcA", "the quick brown fox jumps over the dog"))
+        rows.append((100 + i, "srcB", "the quick brown fox leaps over the dog"))
+    for i in range(8):
+        rows.append((200 + i, "spam", "buy buy buy cheap cheap pills pills"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["source"]: r["kl_divergence"]
+           for r in source_divergence(df).collect()}
+    # the spam farm diverges far more than either normal source (the
+    # normal sources also diverge a little — the corpus mix includes
+    # the spam — so assert a clear multiple, not near-zero)
+    assert got["spam"] > 2 * max(got["srcA"], got["srcB"])
+    assert all(v >= 0 for v in got.values())
+
+
+def test_source_divergence_deterministic_across_partitionings(spark):
+    from database_transportor_spark.operators.corpus import source_divergence
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, source_divergence(df).collect()))
+    b = sorted(map(tuple, source_divergence(df.repartition(13)).collect()))
+    assert a == b

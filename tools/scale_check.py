@@ -142,6 +142,7 @@ QUERIES = [
     "containment_pairs",
     "bigram_lm",
     "stream_enrich",
+    "source_divergence",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
