@@ -36,6 +36,9 @@ ALLOWED_NESTED_LOOP = {
     # bigram-LM scalar (vocab size V) is a literal 1-row aggregate
     # cross-joined onto the bigram-count table, same family as lm_score
     "bigram_lm": "1-row vocab-size scalar broadcast onto the bigram counts",
+    # KL divergence grand-total scalar is a 1-row aggregate cross-joined
+    # onto the (source×vocab)-sized count table
+    "source_divergence": "1-row corpus-total scalar broadcast onto counts",
 }
 
 STREAMING = {
