@@ -461,6 +461,9 @@ def kmeans_lloyd(
             )
         )
         def assign(vs: pd.Series) -> pd.DataFrame:
+            if len(vs) == 0:  # empty Arrow batch: np.stack would raise
+                return pd.DataFrame({"d": pd.Series([], dtype="int64"),
+                                     "c": pd.Series([], dtype="int32")})
             Q = np.stack(vs.to_numpy()).astype(np.int64)
             # exact int64: (B×k×dim) diff-square-sum; argmin's first-hit
             # rule IS the lowest-centroid-id tie-break

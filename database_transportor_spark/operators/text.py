@@ -827,7 +827,9 @@ def dedup_paragraphs(
     genuinely unique prose is untouched.  Paragraph order is preserved;
     per-document ``count_col`` reports how many paragraphs were dropped;
     documents whose every paragraph is boilerplate survive with empty
-    text (the caller decides whether to gate them out).
+    text (the caller decides whether to gate them out).  ``id_col`` must
+    uniquely identify rows — duplicate ids would merge their paragraph
+    streams at reassembly.
 
     Scale shape: posexplode → ONE count-distinct aggregation keyed on
     the paragraph text (map-side combined; the shuffle carries each
