@@ -6778,3 +6778,61 @@ GROUP BY source
 
 _EXTENSION_QUERIES.update({"source_divergence": q_source_divergence})
 _EXTENSION_ORACLES.update({"source_divergence": SQL_SOURCE_DIVERGENCE})
+
+
+def q_contained_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-removal application of containment dedup (`operators/dedup.py:
+    drop_contained_docs`): any document ≥90%-contained in a LARGER
+    document is dropped in one deterministic pass (chains collapse to
+    the longest copy; ties keep the lower id).  Victims are an ids-only,
+    threshold-bounded set anti-joined back onto the corpus.  Oracle:
+    the same victim rule over the string-shingle pair table."""
+    from database_transportor_spark.operators.dedup import drop_contained_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = drop_contained_docs(
+        docs, "doc_id", "text", n=3, threshold=0.9, max_df=100,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+SQL_CONTAINED_DEDUP = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM t
+), ex0 AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+), hot AS (
+    SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100
+), ex AS (
+    SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), victims AS (
+    SELECT DISTINCT CASE
+        WHEN i >= 0.9 * sa.n AND sa.n < sb.n THEN id_a
+        WHEN i >= 0.9 * sb.n AND sb.n <= sa.n THEN id_b
+    END AS victim
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (i >= 0.9 * sa.n AND sa.n < sb.n)
+       OR (i >= 0.9 * sb.n AND sb.n <= sa.n)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT victim FROM victims)
+"""
+
+
+_EXTENSION_QUERIES.update({"contained_dedup": q_contained_dedup})
+_EXTENSION_ORACLES.update({"contained_dedup": SQL_CONTAINED_DEDUP})

@@ -33,6 +33,7 @@ __all__ = [
     "ngram_shingle_hashes",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "drop_contained_docs",
     "dedup_clusters",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -799,3 +800,57 @@ def dedup_keep_best(
     order_by = order_col or id_col
     picked = exact_dedup(labeled, ["__cluster"], order_by, keep=keep)
     return picked.select(*df.columns)
+
+
+def drop_contained_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Remove documents that are near-subsets of a LARGER document —
+    the row-removal application of :func:`ngram_containment_pairs`
+    (quotes, reposts, excerpt pages vanish; the longest copy of each
+    passage survives).
+
+    Rule: a document is dropped when ≥ ``threshold`` of its capped
+    shingle set appears inside any other document with a larger shingle
+    set (ties broken toward the lower id surviving).  The rule is
+    applied in ONE pass — victims are decided against the ORIGINAL
+    corpus, not re-evaluated after removals — so the result is
+    deterministic and independent of evaluation order (a chain
+    a ⊂ b ⊂ c drops both a and b; c survives).
+
+    Scale shape: the pair generator's inverted-index plan plus one
+    ids-only victim set anti-joined back onto the corpus — victims are
+    threshold-bounded (near-dup-pair sized), never corpus-sized.
+    """
+    pairs = ngram_containment_pairs(
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_df=max_df, min_partitions=min_partitions,
+    )
+    # victim = the side whose set is smaller (tie -> higher id dies) and
+    # whose containment in the other side reaches the threshold
+    a_dies = (
+        F.col("intersection") >= F.lit(threshold) * F.col("size_a")
+    ) & (F.col("size_a") < F.col("size_b"))
+    # id_a < id_b by construction, so on a size tie id_b is the victim
+    # (lower id survives) — hence <= here vs strict < above
+    b_dies = (
+        F.col("intersection") >= F.lit(threshold) * F.col("size_b")
+    ) & (F.col("size_b") <= F.col("size_a"))
+    victims = (
+        pairs.select(
+            F.when(a_dies, F.col("id_a"))
+            .when(b_dies, F.col("id_b"))
+            .alias("__victim")
+        )
+        .filter(F.col("__victim").isNotNull())
+        .distinct()
+    )
+    return df.join(
+        victims, df[id_col] == victims["__victim"], "left_anti"
+    )

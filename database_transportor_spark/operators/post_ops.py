@@ -54,6 +54,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "dedup_paragraphs", "text_col": ..., "sep": "\\n", "max_docs": 1,
      "keep": "none|first"}
     {"op": "kmeans", "id_col": ..., "vec_col": ..., "k": 8, "iters": 2}
+    {"op": "drop_contained_docs", "id_col": ..., "text_col": ..., "threshold": 0.9}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -617,6 +618,20 @@ def _dedup_paragraphs(df: DataFrame, p: dict) -> DataFrame:
         keep=p.get("keep", "none"),
         out_col=p.get("out_col"),
         count_col=p.get("count_col", "n_paras_removed"),
+    )
+
+
+@register_post_op("drop_contained_docs")
+def _drop_contained(df: DataFrame, p: dict) -> DataFrame:
+    from .dedup import drop_contained_docs
+
+    return drop_contained_docs(
+        df,
+        p.get("id_col", "doc_id"),
+        p.get("text_col", "text"),
+        n=p.get("n", 3),
+        threshold=p.get("threshold", 0.9),
+        max_df=p.get("max_df"),
     )
 
 

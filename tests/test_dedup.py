@@ -218,3 +218,44 @@ def test_containment_max_df_caps_postings(spark):
         df, "doc_id", "text", n=3, threshold=0.3, max_df=3
     )
     assert out.count() == 0
+
+
+def test_drop_contained_docs_keeps_longest(spark):
+    from database_transportor_spark.operators.dedup import drop_contained_docs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    mid = small + " eta theta iota kappa lambda mu"
+    big = mid + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, small), (2, mid), (3, big), (4, "totally unrelated words here")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in
+                  drop_contained_docs(df, "doc_id", "text", n=3,
+                                      threshold=0.9).collect())
+    # chain small ⊂ mid ⊂ big: only the longest copy and the unrelated
+    # doc survive, in one pass
+    assert kept == [3, 4]
+
+
+def test_drop_contained_docs_tie_lower_id_survives(spark):
+    from database_transportor_spark.operators.dedup import drop_contained_docs
+
+    t = "one two three four five six seven"
+    df = spark.createDataFrame([(5, t), (9, t)], ["doc_id", "text"])
+    kept = [r["doc_id"] for r in
+            drop_contained_docs(df, "doc_id", "text", n=3,
+                                threshold=0.9).collect()]
+    assert kept == [5]
+
+
+def test_drop_contained_docs_below_threshold_untouched(spark):
+    from database_transportor_spark.operators.dedup import drop_contained_docs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d x y z q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    # doc 1 shares some shingles but well under 90% containment
+    assert drop_contained_docs(df, "doc_id", "text", n=3,
+                               threshold=0.9).count() == 2

@@ -143,6 +143,7 @@ QUERIES = [
     "bigram_lm",
     "stream_enrich",
     "source_divergence",
+    "contained_dedup",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
