@@ -6498,8 +6498,8 @@ SELECT doc_id,
        array_to_string(
          list_filter(arr, x -> NOT list_contains(hot_list, x)),
          ' the ') AS cleaned,
-       CAST(len(arr) - len(list_filter(arr,
-            x -> NOT list_contains(hot_list, x))) AS BIGINT)
+       coalesce(CAST(len(arr) - len(list_filter(arr,
+            x -> NOT list_contains(hot_list, x))) AS BIGINT), 0)
          AS n_paras_removed
 FROM t, hl
 """
@@ -6666,11 +6666,14 @@ WITH t AS (
     FROM documents
     WHERE trim(text) <> ''
 ), bg0 AS (
-    SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-    FROM t, range(1, 10000) AS r(i)
-    WHERE i + 1 <= len(toks)
+    -- indexed list lambda: no constant position cap, any doc length
+    SELECT doc_id,
+           unnest(list_transform(toks[1:len(toks)-1],
+                                 (x, i) -> {'w1': x, 'w2': toks[i+1]})) AS b
+    FROM t
 ), bg AS (
-    SELECT doc_id, w1, w2 FROM bg0 WHERE w1 <> '' AND w2 <> ''
+    SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0
+    WHERE b.w1 <> '' AND b.w2 <> ''
 ), bc AS (
     SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
 ), cc AS (

@@ -112,6 +112,54 @@ def ngram_shingle_hashes(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _shingle_index_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    min_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffold of the exact pair generators
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
+    hashed-shingle posting list (PERSISTED — it feeds the df-frequency
+    cap, the size aggregate, and both self-join sides; without the
+    persist the tokenize→shingle scan runs 4×), optional ``max_df``
+    stop-phrase cap, per-doc capped set sizes, and the inverted-index
+    intersection counts.  Returns ``(sizes, inter)`` where ``sizes`` is
+    ``(__id, __n)`` and ``inter`` is ``(id_a, id_b, intersection)`` with
+    ``id_a < id_b``.  See :func:`ngram_jaccard_pairs` for the full plan
+    rationale; the two measures differ only in the ratio they derive
+    from these tables.
+    """
+    if min_partitions is not None:
+        df = df.repartition(min_partitions)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        ngram_shingle_hashes(text_col, n).alias("__shingles"),
+    )
+    posting = sh.select("__id", F.explode("__shingles").alias("__h")).persist()
+    if max_df is not None:
+        dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
+        posting = posting.join(
+            F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__h")),
+            "__h",
+            "left_anti",
+        )
+    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    return sizes, inter
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -151,26 +199,8 @@ def ngram_jaccard_pairs(
     real inputs already have thousands of partitions and the extra shuffle
     of raw text would be pure cost.
     """
-    if min_partitions is not None:
-        df = df.repartition(min_partitions)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        ngram_shingle_hashes(text_col, n).alias("__shingles"),
-    )
-    posting = sh.select("__id", F.explode("__shingles").alias("__h")).persist()
-    if max_df is not None:
-        dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
-        posting = posting.join(
-            F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__h")),
-            "__h",
-            "left_anti",
-        )
-    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("intersection"))
+    sizes, inter = _shingle_index_intersections(
+        df, id_col, text_col, n, max_df, min_partitions
     )
     out = (
         inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
@@ -212,30 +242,8 @@ def ngram_containment_pairs(
     on both numerator and denominator, so the ratio stays a true
     containment of the filtered sets.
     """
-    if min_partitions is not None:
-        df = df.repartition(min_partitions)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        ngram_shingle_hashes(text_col, n).alias("__shingles"),
-    )
-    posting = sh.select("__id", F.explode("__shingles").alias("__h")).persist()
-    if max_df is not None:
-        dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
-        posting = posting.join(
-            F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__h")),
-            "__h",
-            "left_anti",
-        )
-    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.__h") == F.col("b.__h"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("intersection"))
+    sizes, inter = _shingle_index_intersections(
+        df, id_col, text_col, n, max_df, min_partitions
     )
     return (
         inter.join(

@@ -442,7 +442,9 @@ def kmeans_lloyd(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
     )
-    pts = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+    # consumed by the seed collect + every assignment pass: persist so
+    # the read+quantize scan runs once per fit, not once per iteration
+    pts = df.select(F.col(id_col).alias("__id"), q.alias("__q")).persist()
     seed_rows = pts.orderBy("__id").limit(k).collect()
     cents: dict[int, list[int]] = {
         i: list(r["__q"]) for i, r in enumerate(seed_rows)

@@ -846,10 +846,13 @@ def dedup_paragraphs(
         raise ValueError(f"dedup_paragraphs: keep must be none|first, got {keep!r}")
     out_col = out_col or text_col
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # three consumers (hot-set agg, kept join, totals agg): persist so
+    # the corpus split+explode runs once, not three times (same rule as
+    # ngram_jaccard_pairs' posting list)
     parts = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), quoted)).alias("__pos", "__para"),
-    )
+    ).persist()
     hot = (
         parts.groupBy("__para")
         .agg(

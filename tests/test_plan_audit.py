@@ -45,7 +45,7 @@ STREAMING = {
     # availableNow streaming queries leave a running-query plan, not a
     # batch plan; their shapes are pinned in streaming-specific tests
     "events_stream_window", "events_stateful", "events_stream_dedup",
-    "events_stream_join",
+    "events_stream_join", "stream_enrich",
 }
 
 
