@@ -197,12 +197,14 @@ def build_scale(spark, k: int) -> str:
                 # replicas are identical copies and every near-dup group
                 # gains k² duplicate pairs (a quadratic workload, not a
                 # scale-up; same reason documents are token-salted)
+                # modular shift: rep >= dim would hand slice() a negative
+                # length (hit at x100 on 64-dim vectors)
                 p = p.withColumn(
                     "embedding",
                     F.expr(
-                        f"concat(slice(embedding, {rep} + 1, "
-                        f"size(embedding) - {rep}), "
-                        f"slice(embedding, 1, {rep}))"
+                        f"concat(slice(embedding, {rep} % size(embedding) + 1, "
+                        f"size(embedding) - {rep} % size(embedding)), "
+                        f"slice(embedding, 1, {rep} % size(embedding)))"
                     ),
                 )
             parts.append(p)
