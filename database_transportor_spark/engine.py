@@ -166,11 +166,7 @@ class DBT:
                 df = apply_asof_refer(df, c, self._resolve)
 
         available = set(df.columns)
-        ordered = [
-            c.target
-            for c in m.columns
-            if (not c.skip or c.target in available) and c.target in available
-        ]
+        ordered = [c.target for c in m.columns if c.target in available]
         missing = [
             c.target for c in m.columns if not c.skip and c.target not in available
         ]

@@ -52,6 +52,11 @@ def diff_tables(
     missing = [c for c in left.columns if c not in right.columns]
     if missing:
         raise ValueError(f"diff_tables: right lacks columns {missing}")
+    extra = [c for c in right.columns if c not in left.columns]
+    if extra:
+        # a one-directional check would silently skip right-only columns
+        # and report rows differing only there as unchanged
+        raise ValueError(f"diff_tables: left lacks columns {extra}")
 
     l = left.select(
         *[F.col(k) for k in keys],
@@ -326,6 +331,18 @@ def cdc_merge(
     missing = [c for c in data_cols if c not in live.columns]
     if missing:
         raise ValueError(f"cdc_merge: live lacks feed columns {missing}")
+    extra = [
+        c for c in live.columns
+        if c not in data_cols and c not in (seq_col, op_col)
+    ]
+    if extra:
+        # the merged output is feed-shaped; writing it back (the staged
+        # swap in stream_merge_sink) would silently DELETE these columns
+        raise ValueError(
+            f"cdc_merge: live has columns absent from the feed {extra}; "
+            "align schemas first (align_schemas / evolve_merge) — merging "
+            "would silently drop that data"
+        )
 
     baseline = live.select(*data_cols).withColumn(
         op_col, F.lit(upsert_ops[0])

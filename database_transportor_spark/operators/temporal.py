@@ -170,7 +170,7 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
-    reserved = {"__ts", "__side", "__r", "__last", "__b", "__r0", "__t0", "__tb"}
+    reserved = {"__ts", "__side", "__r", "__last", "__b", "__r0", "__rts", "__tb"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join reserves column names {sorted(clash)}")
@@ -326,8 +326,12 @@ def range_join(
         raise ValueError("how must be 'inner' or 'left'")
 
     pcol, lo, hi = F.col(point_col), F.col(lo_col), F.col(hi_col)
-    contains = (lo <= pcol) & (pcol <= hi)
     if bucket is None:
+        # qualified refs: a column name shared by both sides (common for
+        # 'ts'-style axes) would make the unqualified predicate ambiguous
+        contains = (intervals[lo_col] <= points[point_col]) & (
+            points[point_col] <= intervals[hi_col]
+        )
         cond = [points[k] == intervals[k] for k in keys] + [contains]
         return points.join(intervals, cond, how)
 
@@ -356,6 +360,7 @@ def range_join(
             )
         ),
     )
+    contains = (iv[lo_col] <= p[point_col]) & (p[point_col] <= iv[hi_col])
     cond = [p[k] == iv[k] for k in keys] + [p["__b"] == iv["__b"], contains]
     joined = p.join(iv, cond, "inner").drop("__b")
     # drop the duplicated key columns from the interval side
@@ -415,7 +420,7 @@ def gap_fill(
             F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
         ).alias(ts_col),
     ).alias("__spine")
-    right = df.alias("__src")
+    right = df.withColumn("__gf_present", F.lit(True)).alias("__src")
     # NULL-SAFE key equality: groupBy puts NULL-key rows in their own
     # spine group, and a plain equi-join would then never match them —
     # their real values would come back NULL and be overwritten by
@@ -431,10 +436,21 @@ def gap_fill(
         *[F.col(f"__spine.{k}") for k in keys],
         F.col(f"__spine.{ts_col}"),
         *[F.col(f"__src.{c}") for c in value_out],
+        F.col("__src.__gf_present").alias("__gf_present"),
     )
     if fill is not None:
+        # fill ONLY spine-generated absent buckets (join miss): a present
+        # row whose value is genuinely NULL keeps its NULL — coalesce on
+        # the value column alone would silently rewrite real NULL
+        # measurements to the fill constant
         for c in value_cols or []:
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill)))
+            out = out.withColumn(
+                c,
+                F.when(F.col("__gf_present").isNull(), F.lit(fill)).otherwise(
+                    F.col(c)
+                ),
+            )
+    out = out.drop("__gf_present")
     # NULL-ts rows re-enter verbatim (no fill applied — they were never
     # absent, just unbucketable); column order matches ``out``.
     return out.unionByName(null_ts.select(*out.columns))
@@ -472,6 +488,14 @@ def ewma(
     NULL values carry the state: their output ema equals the previous
     element's (NULL before the first real value), and the recurrence
     resumes from that state — never a silent restart.
+    
+
+    NOTE: like the other per-key fold analytics (funnel, top_paths) this
+    RESHAPES the frame — the output carries only key/ts/value/out
+    columns at daily-bucket grain; columns outside the fold are
+    intentionally not carried through (there is no well-defined value
+    for them after bucketing).  Join the result back by (keys, ts) to
+    re-attach document- or event-level attributes.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")

@@ -83,9 +83,26 @@ class Catalog:
         """Best-effort cleanup of an uncommitted staging table."""
 
     def is_nonempty(self, table: str) -> bool:
-        """Seed validation (S6, DBT.php:512-518): cheap existence probe."""
+        """Seed validation (S6, DBT.php:512-518): cheap existence probe.
+        Swallows read errors (absent table ⇒ False) — fine for seed
+        checks where False only skips a map, but NEVER use it to gate a
+        destructive overwrite: a transient read failure would look like
+        an empty table.  Use :meth:`exists` for that decision.
+        """
         try:
             return len(self.read(table).take(1)) > 0
+        except Exception:
+            return False
+
+    def exists(self, table: str) -> bool:
+        """Deterministic existence check for decisions with destructive
+        consequences (e.g. a streaming sink's first-contact bootstrap).
+        Subclasses override with a metadata-level probe that RAISES on
+        transient errors instead of misreporting absence; this base
+        fallback resolves the table's schema (no data read)."""
+        try:
+            self.read(table).schema
+            return True
         except Exception:
             return False
 
@@ -152,6 +169,15 @@ class FileCatalog(Catalog):
             .format(self.format)
             .load(self.path(table))
         )
+
+    def exists(self, table: str) -> bool:
+        # Hadoop FS probe (works for any Spark-supported URI scheme):
+        # deterministic metadata call that raises on transient IO errors
+        # instead of misreporting the table as absent
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path(table))
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def _save(self, df: DataFrame, path: str, mode: str) -> None:
         (
@@ -424,12 +450,25 @@ class TableCatalog(Catalog):
             writer = writer.bucketBy(n, *cols).sortBy(*cols)
         writer.saveAsTable(self._qualified(self.staged_name(table)))
 
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qualified(table))
+
     def commit_staged(self, table: str) -> None:
+        # rename-shuffle, not drop-then-rename: a crash after a plain
+        # DROP would leave NO live table at all.  Here every crash
+        # window leaves a recoverable state: before the old-rename the
+        # live table is intact; between the renames both the old copy
+        # and the staging table still exist; after the staging rename
+        # only the superseded old copy remains to be dropped.
         final = self._qualified(table)
-        self.spark.sql(f"DROP TABLE IF EXISTS {final}")
+        old_name = self._qualified(f"{table}__old_swap")
+        self.spark.sql(f"DROP TABLE IF EXISTS {old_name}")
+        if self.spark.catalog.tableExists(final):
+            self.spark.sql(f"ALTER TABLE {final} RENAME TO {old_name}")
         self.spark.sql(
             f"ALTER TABLE {self._qualified(self.staged_name(table))} RENAME TO {final}"
         )
+        self.spark.sql(f"DROP TABLE IF EXISTS {old_name}")
 
     def abort_staged(self, table: str) -> None:
         self.spark.sql(
@@ -448,6 +487,9 @@ class MemoryCatalog(Catalog):
         if table not in self.tables:
             raise KeyError(f"table {table!r} not in catalog")
         return self.tables[table]
+
+    def exists(self, table: str) -> bool:
+        return table in self.tables
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         if mode == "overwrite" or table not in self.tables:

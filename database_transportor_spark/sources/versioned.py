@@ -263,3 +263,7 @@ class VersionedCatalog(FileCatalog):
         if self.current_version(table) is None:
             return False
         return super().is_nonempty(table)
+
+    def exists(self, table: str) -> bool:
+        # metadata-level: any committed version means the table exists
+        return self.current_version(table) is not None

@@ -43,6 +43,7 @@ def stream_merge_sink(
     checkpoint: str | None = None,
     available_now: bool = True,
     op_col: str | None = None,
+    schema=None,
 ) -> int:
     """Stream files from ``source_dir`` and MERGE each micro-batch into
     ``target``/``table`` by ``keys`` (latest ``seq_col`` wins).
@@ -64,8 +65,19 @@ def stream_merge_sink(
     """
     if op_col is not None and seq_col is None:
         raise ValueError("stream_merge_sink: op_col requires seq_col")
-    batch_df = spark.read.parquet(source_dir)
-    stream = spark.readStream.schema(batch_df.schema).parquet(source_dir)
+    if schema is None:
+        # bootstrap from existing files; a continuous sink started BEFORE
+        # its producer needs the caller-passed ``schema`` (and skipping
+        # the bootstrap also avoids re-reading every processed file's
+        # footer on restart)
+        try:
+            schema = spark.read.parquet(source_dir).schema
+        except Exception as exc:
+            raise ValueError(
+                "stream_merge_sink: cannot infer schema from an empty "
+                f"source dir {source_dir!r}; pass schema= explicitly"
+            ) from exc
+    stream = spark.readStream.schema(schema).parquet(source_dir)
     if checkpoint is None:
         # default checkpoint must be unique per (source, target, table):
         # keyed on the table name alone, a second sink with the same table
@@ -84,6 +96,29 @@ def stream_merge_sink(
     ckpt = checkpoint
     merged_batches = {"n": 0}
 
+    def _target_exists() -> bool:
+        """First-contact gate.  ``exists()`` is a deterministic metadata
+        probe (never 'False because the read blipped'), and a sink whose
+        checkpoint already committed batches can NEVER be at first
+        contact again — if the target looks absent then, something is
+        wrong (dropped table, wrong catalog) and bootstrapping an empty
+        baseline would REPLACE the table with one micro-batch, silently
+        deleting every previously merged row."""
+        if target.exists(table):
+            return True
+        commits = os.path.join(ckpt, "commits")
+        if os.path.isdir(commits) and any(
+            not f.startswith(".") for f in os.listdir(commits)
+        ):
+            raise RuntimeError(
+                f"stream_merge_sink: checkpoint {ckpt!r} has committed "
+                f"batches but target table {table!r} does not exist — "
+                "refusing to re-bootstrap an empty baseline (that would "
+                "drop all previously merged rows); restore the table or "
+                "start a fresh checkpoint"
+            )
+        return False
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -98,7 +133,7 @@ def stream_merge_sink(
             data_cols = [c for c in batch.columns if c != op_col]
             live = (
                 target.read(table)
-                if target.is_nonempty(table)
+                if _target_exists()
                 else batch.limit(0).select(*data_cols)
             )
             merged = cdc_merge(
@@ -107,7 +142,7 @@ def stream_merge_sink(
         else:
             live = (
                 target.read(table)
-                if target.is_nonempty(table)
+                if _target_exists()
                 else batch.limit(0).select(*batch.columns)
             )
             # the live side lacks feed-only columns (seq may be feed-only);

@@ -210,3 +210,74 @@ def test_merge_sink_versioned_cdc_deletes_with_history(spark, tmp_path):
     assert sorted(r["k"] for r in tgt.read("t").collect()) == [1]
     assert sorted(r["k"] for r in
                   tgt.read("t", version=v1).collect()) == [1, 2]
+
+
+def test_merge_sink_refuses_rebootstrap_after_commits(spark, tmp_path):
+    """A sink whose checkpoint has committed batches must refuse to treat
+    a missing target as first contact (that would replace the table with
+    one micro-batch)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.merge_sink import (
+        stream_merge_sink,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 10, 1)], "k long, v long, seq long") \
+        .write.parquet(src)
+    tgt_root = str(tmp_path / "tgt")
+    target = ParquetCatalog(spark, tgt_root)
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_merge_sink(spark, src, target, "t", "k",
+                          seq_col="seq", checkpoint=ckpt)
+    assert n == 1 and target.read("t").count() == 1
+    # simulate a dropped/unreachable target, then push another file
+    shutil.rmtree(tgt_root)
+    spark.createDataFrame([(2, 20, 2)], "k long, v long, seq long") \
+        .write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="refusing to re-bootstrap"):
+        stream_merge_sink(spark, src, target, "t", "k",
+                          seq_col="seq", checkpoint=ckpt)
+
+
+def test_merge_sink_empty_source_requires_schema(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.merge_sink import (
+        stream_merge_sink,
+    )
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    target = ParquetCatalog(spark, str(tmp_path / "tgt"))
+    with _pytest.raises(ValueError, match="pass schema="):
+        stream_merge_sink(spark, src, target, "t", "k", seq_col="seq",
+                          checkpoint=str(tmp_path / "ck"))
+    # with an explicit schema the sink starts and simply merges 0 batches
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()),
+                         StructField("v", LongType()),
+                         StructField("seq", LongType())])
+    n = stream_merge_sink(spark, src, target, "t", "k", seq_col="seq",
+                          checkpoint=str(tmp_path / "ck2"), schema=schema)
+    assert n == 0
+
+
+def test_cdc_merge_rejects_live_only_columns(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.mutations import cdc_merge
+
+    live = spark.createDataFrame([(1, 10, "keep", 1)],
+                                 "k long, v long, legacy string, seq long")
+    feed = spark.createDataFrame([(1, 11, 2, "U")],
+                                 "k long, v long, seq long, op string")
+    with _pytest.raises(ValueError, match="silently drop"):
+        cdc_merge(live, feed, "k", op_col="op", seq_col="seq")

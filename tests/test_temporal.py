@@ -479,3 +479,59 @@ def test_ewma_max_points_per_key_prefix_unchanged(spark):
     a = sorted((r["ts"], r["ewma"]) for r in capped.collect())
     b = sorted((r["ts"], r["ewma"]) for r in full.collect())[:10]
     assert len(a) == 10 and a == b
+
+
+def test_gap_fill_preserves_real_nulls_in_present_rows(spark):
+    import datetime as dt
+
+    from database_transportor_spark.operators.temporal import gap_fill
+
+    d1 = dt.datetime(2024, 1, 1)
+    d3 = dt.datetime(2024, 1, 3)
+    df = spark.createDataFrame(
+        [(1, d1, None), (1, d3, 5.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {(r["k"], r["ts"]): r["v"]
+           for r in gap_fill(df, ["k"], "ts", "1 day",
+                             value_cols=["v"], fill=0.0).collect()}
+    # the present-but-NULL measurement stays NULL; only the absent
+    # Jan 2 bucket gets the fill constant
+    assert out[(1, d1)] is None
+    assert out[(1, dt.datetime(2024, 1, 2))] == 0.0
+    assert out[(1, d3)] == 5.0
+
+
+def test_range_join_shared_axis_column_name(spark):
+    from database_transportor_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (1, 50.0)], "k long, x double"
+    )
+    # interval side carries a column with the SAME name as the point axis
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0, 99.0)], "k long, lo double, hi double, x double"
+    )
+    got = range_join(points, intervals.withColumnRenamed("x", "x2"),
+                     on="k", point_col="x", lo_col="lo", hi_col="hi")
+    assert got.count() == 1
+    # and the genuinely-clashing case resolves instead of raising
+    got2 = range_join(points, intervals, on="k",
+                      point_col="x", lo_col="lo", hi_col="hi")
+    assert got2.count() == 1
+
+
+def test_asof_join_reserves_rts(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.temporal import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t, 1.0)], "k long, ts timestamp, __rts double"
+    )
+    with _pytest.raises(ValueError, match="reserve"):
+        asof_join(left, right, on="k", left_ts="ts")
