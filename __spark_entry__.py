@@ -3898,7 +3898,239 @@ FROM documents
 """
 
 
+def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (`operators/affinity.py:
+    cooccurrence_pairs`): part pairs co-ordered in the same order, with
+    exact integer support/lift in ppm.  Distinct+cap first (max_basket=5,
+    smallest-N deterministic), then ONE equi-join on the basket key —
+    never a cross join; the basket total is the documented 1-row
+    broadcast-totals shape (see lm_score)."""
+    from database_transportor_spark.operators.affinity import (
+        cooccurrence_pairs,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, max_basket=5
+    )
+
+
+SQL_ITEM_AFFINITY = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), capped AS (
+    SELECT b, i FROM (
+        SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+        FROM items
+    ) WHERE rn <= 5
+), tot AS (
+    SELECT count(DISTINCT b) AS n_baskets FROM capped
+), sup AS (
+    SELECT i, count(*) AS cnt FROM capped GROUP BY i
+), pairs AS (
+    SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_count
+    FROM capped a JOIN capped c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+SELECT item_a, item_b,
+       CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(sa.cnt AS BIGINT) AS count_a,
+       CAST(sb.cnt AS BIGINT) AS count_b,
+       CAST(pair_count * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+       CAST(pair_count * n_baskets * 1000000 // (sa.cnt * sb.cnt) AS BIGINT)
+           AS lift_ppm
+FROM pairs
+JOIN sup sa ON pairs.item_a = sa.i
+JOIN sup sb ON pairs.item_b = sb.i, tot
+"""
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK audit (`operators/validate.py:referential_audit`):
+    exact orphan counts per declared relationship.  Parents collapse to
+    DISTINCT key sets and broadcast, so the fact-side scans need no
+    shuffle.  The last relation audits orders against a FILTERED customer
+    dim (every 10th key removed) — the stale-dimension case that makes
+    the nonzero-orphan path observable."""
+    from database_transportor_spark.operators.validate import (
+        referential_audit,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    stale_dim = customer.filter(F.col("c_custkey") % 10 != 0)
+    return referential_audit([
+        {"name": "lineitem->orders", "child": li,
+         "child_keys": ["l_orderkey"],
+         "parent": orders, "parent_keys": ["o_orderkey"]},
+        {"name": "lineitem->part", "child": li,
+         "child_keys": ["l_partkey"],
+         "parent": part, "parent_keys": ["p_partkey"]},
+        {"name": "orders->customer", "child": orders,
+         "child_keys": ["o_custkey"],
+         "parent": customer, "parent_keys": ["c_custkey"]},
+        {"name": "supplier->nation", "child": supplier,
+         "child_keys": ["s_nationkey"],
+         "parent": nation, "parent_keys": ["n_nationkey"]},
+        {"name": "orders->stale_customer", "child": orders,
+         "child_keys": ["o_custkey"],
+         "parent": stale_dim, "parent_keys": ["c_custkey"]},
+    ])
+
+
+SQL_REF_INTEGRITY = """
+SELECT 'lineitem->orders' AS relation,
+       CAST(count(*) AS BIGINT) AS child_rows,
+       CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_keys,
+       CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+                THEN l.l_orderkey END) AS BIGINT) AS distinct_missing
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+  ON l.l_orderkey = p.k
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL
+                THEN l.l_partkey END) AS BIGINT)
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+  ON l.l_partkey = p.k
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+                THEN o.o_custkey END) AS BIGINT)
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+  ON o.o_custkey = p.k
+UNION ALL
+SELECT 'supplier->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN s.s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN s.s_nationkey IS NOT NULL AND p.k IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN s.s_nationkey IS NOT NULL AND p.k IS NULL
+                THEN s.s_nationkey END) AS BIGINT)
+FROM supplier s
+LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+  ON s.s_nationkey = p.k
+UNION ALL
+SELECT 'orders->stale_customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+                THEN o.o_custkey END) AS BIGINT)
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+           WHERE c_custkey % 10 <> 0) p
+  ON o.o_custkey = p.k
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → posting-list index (`operators/text.py:inverted_index`):
+    exact document frequency plus the first 10 doc ids per term
+    (ascending, comma-joined).  The posting cap runs as a spillable
+    row_number BEFORE any collect — a stopword's posting list never
+    materializes in one task."""
+    from database_transportor_spark.operators.text import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs, "doc_id", "text", min_df=3, max_postings=10)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), cnt AS (
+    SELECT token AS term, count(*) AS df FROM toks
+    GROUP BY 1 HAVING count(*) >= 3
+), capped AS (
+    SELECT token AS term, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM toks
+), post AS (
+    SELECT term,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM capped WHERE rn <= 10 GROUP BY term
+)
+SELECT c.term, CAST(df AS BIGINT) AS df, postings
+FROM cnt c JOIN post USING (term)
+"""
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector
+    (`operators/temporal.py:cusum`) over daily event counts per type:
+    s_i = max(0, s_{i-1} + x_i - k) with k = each type's integer-mean
+    daily count — exact integer arithmetic end to end, so the fold is
+    bit-reproducible.  Same one-shuffle sorted-array-fold shape as ewma."""
+    from database_transportor_spark.operators.temporal import cusum
+
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return cusum(
+        daily, ["event_type"], "day", "n_events", threshold=100
+    )
+
+
+SQL_CUSUM = """
+WITH RECURSIVE d AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type,
+           CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS k
+    FROM d GROUP BY 1
+), s AS (
+    SELECT event_type, day, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM d
+), r AS (
+    SELECT s.event_type, s.day, s.x, s.rn,
+           CAST(greatest(0, s.x - m.k) AS BIGINT) AS cusum
+    FROM s JOIN m USING (event_type) WHERE s.rn = 1
+    UNION ALL
+    SELECT s.event_type, s.day, s.x, s.rn,
+           CAST(greatest(0, r.cusum + s.x - m.k) AS BIGINT)
+    FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+         JOIN m ON m.event_type = s.event_type
+)
+SELECT event_type, day, x AS n_events, cusum,
+       CAST(cusum > 100 AS INT) AS is_shift
+FROM r
+"""
+
+
 _EXTENSION_QUERIES = {
+    "item_affinity": q_item_affinity,
+    "ref_integrity": q_ref_integrity,
+    "inverted_index": q_inverted_index,
+    "cusum": q_cusum,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3989,6 +4221,10 @@ _EXTENSION_QUERIES = {
 }
 
 _EXTENSION_ORACLES = {
+    "item_affinity": SQL_ITEM_AFFINITY,
+    "ref_integrity": SQL_REF_INTEGRITY,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "cusum": SQL_CUSUM,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "chunk_docs": SQL_CHUNK_DOCS,
     "lm_score": SQL_LM_SCORE,

@@ -55,6 +55,12 @@ Built-in stages (each a thin adapter over ``operators/``):
      "keep": "none|first"}
     {"op": "kmeans", "id_col": ..., "vec_col": ..., "k": 8, "iters": 2}
     {"op": "drop_contained_docs", "id_col": ..., "text_col": ..., "threshold": 0.9}
+    {"op": "cusum", "key_cols": [...], "ts_col": ..., "value_col": ...,
+     "threshold": N, "target": N}
+    {"op": "cooccurrence_pairs", "basket_col": ..., "item_col": ...,
+     "min_pair_count": N, "max_basket": N}
+    {"op": "inverted_index", "id_col": ..., "text_col": ..., "min_df": N,
+     "max_postings": N}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -646,4 +652,47 @@ def _kmeans(df: DataFrame, p: dict) -> DataFrame:
         k=p.get("k", 8),
         iters=p.get("iters", 2),
         scale=p.get("scale", 10**6),
+    )
+
+
+@register_post_op("cusum")
+def _cusum(df: DataFrame, p: dict) -> DataFrame:
+    from .temporal import cusum
+
+    return cusum(
+        df,
+        p["key_cols"],
+        p["ts_col"],
+        p["value_col"],
+        threshold=p["threshold"],
+        target=p.get("target"),
+        out_col=p.get("out_col", "cusum"),
+        flag_col=p.get("flag_col", "is_shift"),
+        max_points_per_key=p.get("max_points_per_key"),
+    )
+
+
+@register_post_op("cooccurrence_pairs")
+def _cooccurrence_pairs(df: DataFrame, p: dict) -> DataFrame:
+    from .affinity import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        df,
+        p["basket_col"],
+        p["item_col"],
+        min_pair_count=p.get("min_pair_count", 1),
+        max_basket=p.get("max_basket"),
+    )
+
+
+@register_post_op("inverted_index")
+def _inverted_index(df: DataFrame, p: dict) -> DataFrame:
+    from .text import inverted_index
+
+    return inverted_index(
+        df,
+        p.get("id_col", "doc_id"),
+        p.get("text_col", "text"),
+        min_df=p.get("min_df", 1),
+        max_postings=p.get("max_postings", 20),
     )

@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "build_scd2", "rolling_agg", "gap_fill", "ewma"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "build_scd2",
+    "rolling_agg",
+    "gap_fill",
+    "ewma",
+    "cusum",
+]
 
 
 def rolling_agg(
@@ -558,3 +566,105 @@ def ewma(
         F.col("__p.__emas").alias(out_col),
     )
     return out
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    threshold: int,
+    target: int | None = None,
+    out_col: str = "cusum",
+    flag_col: str = "is_shift",
+    max_points_per_key: int | None = None,
+) -> DataFrame:
+    """One-sided (upper) CUSUM changepoint detector per key:
+    ``s_0 = 0``, ``s_i = max(0, s_{i-1} + x_i - k)`` over the key's series
+    in ``ts`` order, flagging points where ``s_i > threshold`` — the
+    standard cumulative-sum drift/level-shift alarm (Page 1954).  Like
+    ``ewma`` the recurrence depends on the previous OUTPUT (the ``max(0,·)``
+    reset), so no plain SQL window frame expresses it.
+
+    Values are cast to BIGINT and the whole fold runs in exact integer
+    arithmetic — bit-reproducible across engines (feed pre-bucketed counts
+    or integer-scaled metrics, not raw doubles).  ``target`` is the
+    reference level ``k``; when None it defaults to each key's integer-mean
+    ``sum(x) div count(x)`` computed in the same aggregation (no extra
+    shuffle, deterministic).
+
+    Scale shape: identical to ``ewma`` — ONE shuffle on the key, JVM-side
+    sorted-array fold, explode back to one row per input.  Feed
+    pre-aggregated series (daily/hourly buckets), never raw events: the
+    per-key array must fit an executor.  ``max_points_per_key`` is the
+    hot-key guard (earliest-N spillable pre-filter, same contract as
+    ``ewma``).  NULL values carry the state (output = previous cusum,
+    0 at the head) rather than resetting the alarm.
+
+    Reference parity: the reference engine has no changepoint operator —
+    this extends the analytics tier (SURVEY §2 extensions) alongside
+    ewma/psi_drift for training-data drift monitoring.
+    """
+    if max_points_per_key is not None:
+        if max_points_per_key < 1:
+            raise ValueError("cusum: max_points_per_key must be >= 1")
+        wg = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+        df = (
+            df.withColumn("__rn", F.row_number().over(wg))
+            .filter(F.col("__rn") <= max_points_per_key)
+            .drop("__rn")
+        )
+    ev = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    folded = df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(ev)).alias("__evs"),
+        F.sum(F.col(value_col).cast("long")).alias("__tot"),
+        F.count(F.col(value_col)).alias("__n"),
+    )
+    k = (
+        F.lit(int(target))
+        if target is not None
+        # integer mean: deterministic, exact, computed in the same agg
+        else F.expr("__tot div __n")
+    )
+    folded = folded.withColumn(
+        "__sums",
+        F.aggregate(
+            "__evs",
+            F.array().cast("array<bigint>"),
+            # NULL x carries the state (previous cusum, 0 at the head);
+            # a real x advances it with the max(0, ·) reset
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        e["x"].isNull(),
+                        F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)),
+                    ).otherwise(
+                        F.greatest(
+                            F.lit(0).cast("bigint"),
+                            F.coalesce(
+                                F.try_element_at(acc, F.lit(-1)), F.lit(0)
+                            )
+                            + e["x"]
+                            - k,
+                        )
+                    )
+                ),
+            ),
+        ),
+    )
+    pair = F.arrays_zip("__evs", "__sums")
+    return folded.select(
+        *key_cols, F.explode(pair).alias("__p")
+    ).select(
+        *key_cols,
+        F.col("__p.__evs.t").alias(ts_col),
+        F.col("__p.__evs.x").alias(value_col),
+        F.col("__p.__sums").alias(out_col),
+        (F.col("__p.__sums") > F.lit(int(threshold)))
+        .cast("int")
+        .alias(flag_col),
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "dedup_lines",
     "dedup_paragraphs",
     "char_entropy",
+    "inverted_index",
     "STOPWORDS",
 ]
 
@@ -942,3 +943,68 @@ def char_entropy(
     )
     scored = per_doc.select(F.col(id_col), ent.alias(out_col))
     return df.join(scored, id_col, "left")
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build a term → posting-list index over the corpus: one row per
+    term with its exact document frequency and the first ``max_postings``
+    document ids (ascending, comma-joined string — portable across
+    engines, unlike raw arrays).
+
+    Output: ``(term, df, postings)``.  ``df`` counts ALL documents
+    containing the term; ``postings`` is deliberately CAPPED — at corpus
+    scale a stopword's posting list is the corpus itself, and an
+    uncapped ``collect_list`` on it is the classic hot-key OOM.  The cap
+    runs as a spillable ``row_number`` sort BEFORE any collect, so task
+    memory is bounded under arbitrary term skew (same guard contract as
+    ``funnel``/``ewma``); the full list is a filtered re-scan away for
+    the terms that need it.
+
+    Scale shape: explode → distinct(term, id) → (a) full count agg
+    (partial-aggregatable, map-side combine) and (b) capped collect —
+    both keyed by term, so the join between them is co-partitioned
+    (no third shuffle of the big side).  Tokenization is the same
+    lowercase-whitespace rule as :func:`build_vocab` so the index and
+    the vocabulary agree on term identity.
+    """
+    if max_postings < 1:
+        raise ValueError("inverted_index: max_postings must be >= 1")
+    posting = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        # consumed twice (full df count + capped collect) — pin it
+        .persist()
+    )
+    dfreq = (
+        posting.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("term").orderBy("__id")
+    capped = (
+        posting.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("__id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(capped, "term")

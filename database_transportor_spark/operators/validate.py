@@ -33,7 +33,16 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "check", "ValidationError", "k_anonymity", "psi_drift", "discover_keys", "split_valid"]
+__all__ = [
+    "validate",
+    "check",
+    "ValidationError",
+    "k_anonymity",
+    "psi_drift",
+    "discover_keys",
+    "split_valid",
+    "referential_audit",
+]
 
 
 class ValidationError(Exception):
@@ -383,3 +392,77 @@ def split_valid(
     clean = tagged.filter(F.size(reason_col) == 0).drop(reason_col)
     quarantined = tagged.filter(F.size(reason_col) > 0)
     return clean, quarantined
+
+
+def referential_audit(
+    relations: list[dict[str, Any]],
+    broadcast_parents: bool = True,
+) -> DataFrame:
+    """Cross-table foreign-key health report: one row per declared
+    relationship with exact orphan counts.
+
+    ``relations`` is a list of dicts::
+
+        {"name": "lineitem->orders",
+         "child": child_df,  "child_keys": ["l_orderkey"],
+         "parent": parent_df, "parent_keys": ["o_orderkey"]}
+
+    Returns ``(relation, child_rows, null_keys, orphan_rows,
+    distinct_missing)`` where ``null_keys`` counts child rows with any
+    NULL key component (not orphans — SQL FK semantics ignore NULLs),
+    ``orphan_rows`` counts non-NULL child rows whose key has no parent,
+    and ``distinct_missing`` counts the distinct dangling key values.
+
+    This generalizes the single-column ``foreign_key`` rule in
+    :func:`validate` to composite keys and a whole-schema sweep — the
+    referential companion to the reference's seed check (S6,
+    ``DBT.php:512-518``), which only asserts non-emptiness.
+
+    Scale shape: per relationship, the parent side collapses to its
+    DISTINCT key set (dimension-sized) and is broadcast by default —
+    the child-side scan then needs NO shuffle at all (broadcast left
+    join + one single-row aggregation).  Set
+    ``broadcast_parents=False`` for fact-to-fact relationships; the
+    join then shuffles both sides on the key.  The final result is a
+    union of len(relations) single-row frames — trivially small.
+    """
+    if not relations:
+        raise ValueError("referential_audit: need at least one relation")
+    reports = []
+    for rel in relations:
+        name = rel["name"]
+        ckeys = list(rel["child_keys"])
+        pkeys = list(rel["parent_keys"])
+        if len(ckeys) != len(pkeys):
+            raise ValueError(
+                f"referential_audit: {name}: child/parent key arity differs"
+            )
+        child = rel["child"].select(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ckeys)]
+        )
+        parent = (
+            rel["parent"]
+            .select(*[F.col(p).alias(f"__k{i}") for i, p in enumerate(pkeys)])
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        if broadcast_parents:
+            parent = F.broadcast(parent)
+        knames = [f"__k{i}" for i in range(len(ckeys))]
+        any_null = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in knames]
+        )
+        joined = child.join(parent, knames, "left")
+        orphan = (~any_null) & F.col("__hit").isNull()
+        reports.append(
+            joined.agg(
+                F.lit(name).alias("relation"),
+                F.count("*").alias("child_rows"),
+                F.sum(F.when(any_null, 1).otherwise(0)).alias("null_keys"),
+                F.sum(F.when(orphan, 1).otherwise(0)).alias("orphan_rows"),
+                F.count_distinct(
+                    *[F.when(orphan, F.col(k)) for k in knames]
+                ).alias("distinct_missing"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), reports)

@@ -39,6 +39,10 @@ ALLOWED_NESTED_LOOP = {
     # KL divergence grand-total scalar is a 1-row aggregate cross-joined
     # onto the (source×vocab)-sized count table
     "source_divergence": "1-row corpus-total scalar broadcast onto counts",
+    # basket-total scalar (count distinct baskets) is one broadcast row
+    # joined onto the pair counts — the pair generator itself is an
+    # equi-join on the basket key, never a cross join
+    "item_affinity": "1-row basket-total scalar broadcast onto pair counts",
 }
 
 STREAMING = {

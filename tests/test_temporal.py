@@ -535,3 +535,61 @@ def test_asof_join_reserves_rts(spark):
     )
     with _pytest.raises(ValueError, match="reserve"):
         asof_join(left, right, on="k", left_ts="ts")
+
+
+# ---------------------------------------------------------------------------
+# cusum
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_recurrence_exact(spark):
+    from database_transportor_spark.operators.temporal import cusum
+
+    # key A: x = [10, 10, 16, 22, 10]; explicit target k=12, threshold 10
+    # s: max(0,10-12)=0; max(0,0+10-12)=0; max(0,0+16-12)=4;
+    #    max(0,4+22-12)=14 (flag); max(0,14+10-12)=12 (flag)
+    df = spark.createDataFrame(
+        [("A", t, x) for t, x in enumerate([10, 10, 16, 22, 10])],
+        ["k", "ts", "x"],
+    )
+    out = cusum(df, ["k"], "ts", "x", threshold=10, target=12)
+    got = [(r.ts, r.cusum, r.is_shift) for r in out.orderBy("ts").collect()]
+    assert got == [(0, 0, 0), (1, 0, 0), (2, 4, 0), (3, 14, 1), (4, 12, 1)]
+
+
+def test_cusum_default_target_is_integer_mean(spark):
+    from database_transportor_spark.operators.temporal import cusum
+
+    # x = [1, 2, 6]: sum=9, n=3, k=3; s = 0, 0, 3
+    df = spark.createDataFrame(
+        [("A", 1, 1), ("A", 2, 2), ("A", 3, 6)], ["k", "ts", "x"]
+    )
+    out = cusum(df, ["k"], "ts", "x", threshold=2)
+    got = [(r.cusum, r.is_shift) for r in out.orderBy("ts").collect()]
+    assert got == [(0, 0), (0, 0), (3, 1)]
+
+
+def test_cusum_null_carries_state(spark):
+    from database_transportor_spark.operators.temporal import cusum
+
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, None), ("A", 3, 10)], ["k", "ts", "x"]
+    )
+    out = cusum(df, ["k"], "ts", "x", threshold=100, target=4)
+    got = [(r.ts, r.cusum) for r in out.orderBy("ts").collect()]
+    # s1 = max(0, 10-4) = 6; NULL carries 6; s3 = max(0, 6+10-4) = 12
+    assert got == [(1, 6), (2, 6), (3, 12)]
+
+
+def test_cusum_hot_key_guard(spark):
+    from database_transportor_spark.operators.temporal import cusum
+
+    df = spark.createDataFrame(
+        [("A", t, 5) for t in range(10)], ["k", "ts", "x"]
+    )
+    out = cusum(
+        df, ["k"], "ts", "x", threshold=1, target=4, max_points_per_key=3
+    )
+    assert out.count() == 3  # later points dropped, prefix fold unchanged
+    got = [r.cusum for r in out.orderBy("ts").collect()]
+    assert got == [1, 2, 3]

@@ -237,3 +237,75 @@ def test_split_valid_rejects_set_level_rules(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         split_valid(df, [{"rule": "unique", "columns": ["id"]}])
+
+
+# ---------------------------------------------------------------------------
+# referential_audit
+# ---------------------------------------------------------------------------
+
+
+def _fk_frames(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 99)],
+        ["id", "fk"],
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], ["pk"])
+    return child, parent
+
+
+def test_referential_audit_counts(spark):
+    from database_transportor_spark.operators.validate import (
+        referential_audit,
+    )
+
+    child, parent = _fk_frames(spark)
+    out = referential_audit([
+        {"name": "c->p", "child": child, "child_keys": ["fk"],
+         "parent": parent, "parent_keys": ["pk"]},
+    ])
+    r = out.collect()[0]
+    assert r.relation == "c->p"
+    assert r.child_rows == 5
+    assert r.null_keys == 1        # the NULL fk is not an orphan
+    assert r.orphan_rows == 2      # two rows point at 99
+    assert r.distinct_missing == 1  # but 99 is one missing key
+
+
+def test_referential_audit_composite_and_union(spark):
+    from database_transportor_spark.operators.validate import (
+        referential_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "b", 9)], ["id", "k1", "k2"]
+    )
+    parent = spark.createDataFrame(
+        [("a", 1), ("a", 2)], ["p1", "p2"]
+    )
+    single_c, single_p = _fk_frames(spark)
+    out = referential_audit([
+        {"name": "comp", "child": child, "child_keys": ["k1", "k2"],
+         "parent": parent, "parent_keys": ["p1", "p2"]},
+        {"name": "single", "child": single_c, "child_keys": ["fk"],
+         "parent": single_p, "parent_keys": ["pk"]},
+    ])
+    got = {r.relation: r for r in out.collect()}
+    assert set(got) == {"comp", "single"}
+    assert got["comp"].orphan_rows == 1          # ("b", 9)
+    assert got["comp"].distinct_missing == 1
+    assert got["single"].orphan_rows == 2
+
+
+def test_referential_audit_validates_arity(spark):
+    from database_transportor_spark.operators.validate import (
+        referential_audit,
+    )
+
+    child, parent = _fk_frames(spark)
+    with pytest.raises(ValueError):
+        referential_audit([
+            {"name": "bad", "child": child, "child_keys": ["fk", "id"],
+             "parent": parent, "parent_keys": ["pk"]},
+        ])
+    with pytest.raises(ValueError):
+        referential_audit([])

@@ -97,3 +97,34 @@ def test_tfidf_top_terms(spark):
 
     per_doc = Counter(d for d, _ in rows)
     assert all(v <= 2 for v in per_doc.values())
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_counts_and_postings(spark):
+    from database_transportor_spark.operators.text import inverted_index
+
+    docs = _docs(spark)
+    out = inverted_index(docs, "doc_id", "text", min_df=2, max_postings=10)
+    got = {r.term: (r.df, r.postings) for r in out.collect()}
+    # "the": docs 1,2,3; "cat": 1,3; "sat": 1,2
+    assert got["the"] == (3, "1,2,3")
+    assert got["cat"] == (2, "1,3")
+    assert got["sat"] == (2, "1,2")
+    assert "dog" not in got  # df=1 < min_df
+
+
+def test_inverted_index_cap_keeps_df_exact(spark):
+    from database_transportor_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common word") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    out = inverted_index(docs, "doc_id", "text", min_df=1, max_postings=2)
+    got = {r.term: (r.df, r.postings) for r in out.collect()}
+    # df counts ALL docs; postings capped to the 2 smallest ids
+    assert got["common"] == (5, "1,2")
+    assert got["word"] == (5, "1,2")

@@ -144,6 +144,10 @@ QUERIES = [
     "stream_enrich",
     "source_divergence",
     "contained_dedup",
+    "item_affinity",
+    "ref_integrity",
+    "inverted_index",
+    "cusum",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
