@@ -4126,7 +4126,82 @@ FROM r
 """
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (`operators/temporal.py:rolling_distinct`): DISTINCT (user, day)
+    collapse first, bounded 7-bucket explode, ONE count-distinct agg —
+    never a day-range self-join."""
+    from database_transportor_spark.operators.temporal import (
+        rolling_distinct,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    return rolling_distinct(
+        ev, "ts", "user_id", window_buckets=7, bucket="day",
+        out_col="active_7d",
+    )
+
+
+SQL_ROLLING_ACTIVE = """
+WITH ed AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+), cov AS (
+    SELECT user_id, day + INTERVAL (i) DAY AS bucket
+    FROM ed, UNNEST(range(0, 7)) AS r(i)
+)
+SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM cov GROUP BY 1
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (`operators/experiment.py:ab_test`):
+    entity-level conversion per variant (user_id parity assignment,
+    purchase = conversion), exact integer counts/ppm rates, z as ONE
+    closed-form double from exact ints, round(6).  The pairwise join
+    runs on the variant-count-sized table, never on events."""
+    from database_transportor_spark.operators.experiment import ab_test
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    return ab_test(ev, "variant", "user_id", "event_type = 'purchase'")
+
+
+SQL_AB_TEST = """
+WITH ent AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant,
+           user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1, 2
+), pv AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(conv) AS BIGINT) AS conv
+    FROM ent GROUP BY 1
+)
+SELECT a.variant AS variant_a, b.variant AS variant_b,
+       a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b,
+       CAST(a.conv * 1000000 // a.n AS BIGINT) AS rate_a_ppm,
+       CAST(b.conv * 1000000 // b.n AS BIGINT) AS rate_b_ppm,
+       round(CASE WHEN a.conv + b.conv > 0
+                   AND a.conv + b.conv < a.n + b.n THEN
+           (CAST(a.conv AS DOUBLE) / a.n - CAST(b.conv AS DOUBLE) / b.n) /
+           sqrt((CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n)) *
+                (1.0 - CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n)) *
+                (1.0 / a.n + 1.0 / b.n))
+       END, 6) AS z_score
+FROM pv a JOIN pv b ON a.variant < b.variant
+"""
+
+
 _EXTENSION_QUERIES = {
+    "rolling_active": q_rolling_active,
+    "ab_test": q_ab_test,
     "item_affinity": q_item_affinity,
     "ref_integrity": q_ref_integrity,
     "inverted_index": q_inverted_index,
@@ -4221,6 +4296,8 @@ _EXTENSION_QUERIES = {
 }
 
 _EXTENSION_ORACLES = {
+    "rolling_active": SQL_ROLLING_ACTIVE,
+    "ab_test": SQL_AB_TEST,
     "item_affinity": SQL_ITEM_AFFINITY,
     "ref_integrity": SQL_REF_INTEGRITY,
     "inverted_index": SQL_INVERTED_INDEX,

@@ -61,6 +61,9 @@ Built-in stages (each a thin adapter over ``operators/``):
      "min_pair_count": N, "max_basket": N}
     {"op": "inverted_index", "id_col": ..., "text_col": ..., "min_df": N,
      "max_postings": N}
+    {"op": "rolling_distinct", "ts_col": ..., "entity_col": ...,
+     "window_buckets": N, "bucket": "day"}
+    {"op": "ab_test", "variant_col": ..., "entity_col": ..., "converted": "<sql>"}
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.
@@ -695,4 +698,28 @@ def _inverted_index(df: DataFrame, p: dict) -> DataFrame:
         p.get("text_col", "text"),
         min_df=p.get("min_df", 1),
         max_postings=p.get("max_postings", 20),
+    )
+
+
+@register_post_op("rolling_distinct")
+def _rolling_distinct(df: DataFrame, p: dict) -> DataFrame:
+    from .temporal import rolling_distinct
+
+    return rolling_distinct(
+        df,
+        p["ts_col"],
+        p["entity_col"],
+        window_buckets=p.get("window_buckets", 7),
+        bucket=p.get("bucket", "day"),
+        group_cols=p.get("group_cols"),
+        out_col=p.get("out_col", "active"),
+    )
+
+
+@register_post_op("ab_test")
+def _ab_test(df: DataFrame, p: dict) -> DataFrame:
+    from .experiment import ab_test
+
+    return ab_test(
+        df, p["variant_col"], p["entity_col"], p["converted"]
     )

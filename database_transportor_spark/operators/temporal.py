@@ -30,6 +30,7 @@ __all__ = [
     "gap_fill",
     "ewma",
     "cusum",
+    "rolling_distinct",
 ]
 
 
@@ -667,4 +668,56 @@ def cusum(
         (F.col("__p.__sums") > F.lit(int(threshold)))
         .cast("int")
         .alias(flag_col),
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_buckets: int = 7,
+    bucket: str = "day",
+    group_cols: list[str] | None = None,
+    out_col: str = "active",
+) -> DataFrame:
+    """Trailing-window distinct-entity count per time bucket — the
+    WAU/MAU-style "active users in the last N days" metric, exactly.
+
+    For every bucket ``d`` covered by the data, counts DISTINCT entities
+    with ≥1 event in ``(d − window_buckets, d]``.  Output:
+    ``(*group_cols, bucket_col, out_col)`` — one row per covered bucket
+    (including trailing buckets whose window extends past the last event;
+    filter to the observed range if undesired).
+
+    Spark has no ``count_distinct`` over a window frame, and the naive
+    day×day range self-join is O(days²) per entity.  The scalable shape:
+    collapse to DISTINCT (entity, bucket) FIRST (events-per-entity-per-day
+    never reach the fan-out), then explode each such pair onto the
+    ``window_buckets`` buckets it covers (bounded, constant fan-out), then
+    ONE count-distinct aggregation keyed by bucket.  Total intermediate
+    rows = distinct(entity, bucket) × window — linear in the data with a
+    small constant, shuffle-keyed on the covered bucket.
+
+    ``bucket`` must be a unit ``date_trunc``/``sequence`` both accept
+    ("day", "hour", "week"...).
+    """
+    if window_buckets < 1:
+        raise ValueError("rolling_distinct: window_buckets must be >= 1")
+    gcols = list(group_cols or [])
+    step = f"interval 1 {bucket}"
+    b = F.date_trunc(bucket, F.col(ts_col))
+    pairs = df.select(
+        *gcols, F.col(entity_col).alias("__e"), b.alias("__b")
+    ).distinct()
+    covered = pairs.select(
+        *gcols,
+        "__e",
+        F.explode(
+            F.expr(
+                f"sequence(__b, __b + {step} * {window_buckets - 1}, {step})"
+            )
+        ).alias("bucket"),
+    )
+    return covered.groupBy(*gcols, "bucket").agg(
+        F.count_distinct("__e").alias(out_col)
     )

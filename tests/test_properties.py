@@ -547,3 +547,107 @@ def test_kmeans_partition(spark, vecs):
     out = kmeans_lloyd(df, k=min(2, len(vecs)), iters=2).collect()
     assert sum(r["n_points"] for r in out) == len(vecs)
     assert all(r["inertia"] >= 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# cusum: matches a plain Python fold, never negative, flag consistent
+# ---------------------------------------------------------------------------
+
+
+@given(
+    xs=st.lists(
+        st.one_of(st.none(), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    target=st.integers(0, 20),
+    threshold=st.integers(0, 40),
+)
+@SET
+def test_cusum_matches_python_fold(spark, xs, target, threshold):
+    from database_transportor_spark.operators.temporal import cusum
+
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)],
+        "k string, ts int, x int",
+    )
+    out = cusum(df, ["k"], "ts", "x", threshold=threshold, target=target)
+    got = [
+        (r.ts, r.cusum, r.is_shift) for r in out.orderBy("ts").collect()
+    ]
+    s, want = 0, []
+    for i, x in enumerate(xs):
+        if x is not None:
+            s = max(0, s + x - target)
+        want.append((i, s, int(s > threshold)))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_pairs: count bounds, symmetry of construction, support cap
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_cooccurrence_invariants(spark, rows):
+    from database_transportor_spark.operators.affinity import (
+        cooccurrence_pairs,
+    )
+
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = cooccurrence_pairs(df, "b", "i").collect()
+    baskets = {}
+    for b, i in set(rows):
+        baskets.setdefault(b, set()).add(i)
+    n_baskets = len(baskets)
+    for r in out:
+        assert r.item_a < r.item_b
+        # pair count bounded by each item's basket count
+        assert r.pair_count <= min(r.count_a, r.count_b)
+        assert 0 < r.support_ppm <= 1_000_000
+        # exact pair count vs brute force over the basket sets
+        brute = sum(
+            1 for s in baskets.values() if r.item_a in s and r.item_b in s
+        )
+        assert r.pair_count == brute
+        assert r.support_ppm == r.pair_count * 1_000_000 // n_baskets
+
+
+# ---------------------------------------------------------------------------
+# inverted_index: df exact, postings a sorted prefix of the full list
+# ---------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.lists(st.sampled_from("xyzw"), max_size=5).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(1, 4),
+)
+@SET
+def test_inverted_index_prefix_property(spark, docs, cap):
+    from database_transportor_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = inverted_index(df, "doc_id", "text", min_df=1, max_postings=cap)
+    full = {}
+    for did, text in docs:
+        for tok in text.split():
+            full.setdefault(tok, set()).add(did)
+    got = {r.term: (r.df, r.postings) for r in out.collect()}
+    assert set(got) == set(full)
+    for term, (dfreq, postings) in got.items():
+        ids = sorted(full[term])
+        assert dfreq == len(ids)
+        assert postings == ",".join(str(i) for i in ids[:cap])

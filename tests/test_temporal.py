@@ -593,3 +593,63 @@ def test_cusum_hot_key_guard(spark):
     assert out.count() == 3  # later points dropped, prefix fold unchanged
     got = [r.cusum for r in out.orderBy("ts").collect()]
     assert got == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_distinct_matches_brute_force(spark):
+    from datetime import datetime
+
+    from database_transportor_spark.operators.temporal import (
+        rolling_distinct,
+    )
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 5)),
+        ("u1", datetime(2024, 1, 1, 9)),   # same user+day collapses
+        ("u2", datetime(2024, 1, 2, 1)),
+        ("u1", datetime(2024, 1, 5, 1)),
+        ("u3", datetime(2024, 1, 9, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = rolling_distinct(df, "ts", "u", window_buckets=3, out_col="act")
+    got = {r.bucket.day: r.act for r in out.collect()}
+    # brute force: day d counts users active in [d-2, d]
+    days = {1: {"u1"}, 2: {"u2"}, 5: {"u1"}, 9: {"u3"}}
+    for d in range(1, 12):
+        want = set()
+        for back in range(3):
+            want |= days.get(d - back, set())
+        if want:
+            assert got[d] == len(want), d
+        else:
+            assert d not in got
+    assert len(got) == len([d for d in range(1, 12)
+                            if any(days.get(d - b) for b in range(3))])
+
+
+def test_rolling_distinct_group_cols_and_window1(spark):
+    from datetime import datetime
+
+    from database_transportor_spark.operators.temporal import (
+        rolling_distinct,
+    )
+
+    rows = [
+        ("A", "u1", datetime(2024, 1, 1)),
+        ("A", "u2", datetime(2024, 1, 1)),
+        ("B", "u1", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["g", "u", "ts"])
+    out = rolling_distinct(
+        df, "ts", "u", window_buckets=1, group_cols=["g"], out_col="act"
+    )
+    got = {(r.g, r.bucket.day): r.act for r in out.collect()}
+    assert got == {("A", 1): 2, ("B", 1): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_distinct(df, "ts", "u", window_buckets=0)

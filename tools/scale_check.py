@@ -148,6 +148,8 @@ QUERIES = [
     "ref_integrity",
     "inverted_index",
     "cusum",
+    "rolling_active",
+    "ab_test",
 ]
 
 _subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
