@@ -3938,8 +3938,8 @@ SELECT item_a, item_b,
        CAST(sa.cnt AS BIGINT) AS count_a,
        CAST(sb.cnt AS BIGINT) AS count_b,
        CAST(pair_count * 1000000 // n_baskets AS BIGINT) AS support_ppm,
-       CAST(pair_count * n_baskets * 1000000 // (sa.cnt * sb.cnt) AS BIGINT)
-           AS lift_ppm
+       CAST(CAST(pair_count AS HUGEINT) * n_baskets * 1000000
+            // (sa.cnt * sb.cnt) AS BIGINT) AS lift_ppm
 FROM pairs
 JOIN sup sa ON pairs.item_a = sa.i
 JOIN sup sb ON pairs.item_b = sb.i, tot
@@ -4089,9 +4089,13 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.temporal import cusum
 
     ev = _read_events(spark, sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count("*").alias("n_events"))
+    daily = (
+        ev.filter(F.col("ts").isNotNull())  # NULL-ts: engines disagree on
+        .groupBy(                           # NULL sort order (see cusum doc)
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
     return cusum(
         daily, ["event_type"], "day", "n_events", threshold=100
     )
@@ -4101,7 +4105,7 @@ SQL_CUSUM = """
 WITH RECURSIVE d AS (
     SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(count(*) AS BIGINT) AS x
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), m AS (
     SELECT event_type,
            CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS k
@@ -4146,7 +4150,7 @@ SQL_ROLLING_ACTIVE = """
 WITH ed AS (
     SELECT DISTINCT user_id,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), cov AS (
     SELECT user_id, day + INTERVAL (i) DAY AS bucket
     FROM ed, UNNEST(range(0, 7)) AS r(i)

@@ -121,8 +121,13 @@ def cooccurrence_pairs(
             F.expr(f"pair_count * {PPM} div __n_baskets").alias(
                 "support_ppm"
             ),
+            # 128-bit numerator: pair_count·n_baskets·10⁶ exceeds BIGINT
+            # once n_baskets reaches ~1e8 (Spark would wrap silently with
+            # ANSI off); DECIMAL(38,0) here / HUGEINT in external SQL —
+            # `div` still returns an exact BIGINT
             F.expr(
-                f"pair_count * __n_baskets * {PPM} div (count_a * count_b)"
+                f"CAST(pair_count AS DECIMAL(38,0)) * __n_baskets * {PPM} "
+                "div (count_a * count_b)"
             ).alias("lift_ppm"),
         )
     )

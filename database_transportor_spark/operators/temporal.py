@@ -600,7 +600,11 @@ def cusum(
     per-key array must fit an executor.  ``max_points_per_key`` is the
     hot-key guard (earliest-N spillable pre-filter, same contract as
     ``ewma``).  NULL values carry the state (output = previous cusum,
-    0 at the head) rather than resetting the alarm.
+    0 at the head) rather than resetting the alarm.  ``ts_col`` must be
+    non-NULL: Spark's sort_array places a NULL timestamp FIRST while SQL
+    engines default to NULLS LAST, so a NULL-ts point silently diverges
+    the whole series from any external recomputation — drop or impute
+    NULL buckets upstream (the harness query filters them).
 
     Reference parity: the reference engine has no changepoint operator —
     this extends the analytics tier (SURVEY §2 extensions) alongside
@@ -615,20 +619,26 @@ def cusum(
             .filter(F.col("__rn") <= max_points_per_key)
             .drop("__rn")
         )
-    ev = F.struct(
-        F.col(ts_col).alias("t"),
-        F.col(value_col).cast("long").alias("x"),
-    )
+    # try_cast, not cast: under ANSI (Spark 4 default) a NaN/garbage value
+    # would abort the whole job; here it becomes NULL and carries the state
+    # like any other NULL measurement — and it must not inflate the default
+    # target's denominator either (count the CAST value, not the raw column)
+    xval = F.col(value_col).try_cast("long")
+    ev = F.struct(F.col(ts_col).alias("t"), xval.alias("x"))
     folded = df.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(ev)).alias("__evs"),
-        F.sum(F.col(value_col).cast("long")).alias("__tot"),
-        F.count(F.col(value_col)).alias("__n"),
+        F.sum(xval).alias("__tot"),
+        F.count(xval).alias("__n"),
     )
     k = (
         F.lit(int(target))
         if target is not None
-        # integer mean: deterministic, exact, computed in the same agg
-        else F.expr("__tot div __n")
+        # integer mean: deterministic, exact, computed in the same agg;
+        # __n = 0 (no castable value) would be an ANSI div-by-zero — the
+        # target is irrelevant then (every point carries NULL state)
+        else F.when(F.col("__n") > 0, F.expr("__tot div __n")).otherwise(
+            F.lit(0)
+        )
     )
     folded = folded.withColumn(
         "__sums",
@@ -679,6 +689,7 @@ def rolling_distinct(
     bucket: str = "day",
     group_cols: list[str] | None = None,
     out_col: str = "active",
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Trailing-window distinct-entity count per time bucket — the
     WAU/MAU-style "active users in the last N days" metric, exactly.
@@ -687,7 +698,9 @@ def rolling_distinct(
     with ≥1 event in ``(d − window_buckets, d]``.  Output:
     ``(*group_cols, bucket_col, out_col)`` — one row per covered bucket
     (including trailing buckets whose window extends past the last event;
-    filter to the observed range if undesired).
+    filter to the observed range if undesired).  Rows with NULL ``ts``
+    are EXCLUDED (no bucket is defined for them) — filter or impute
+    upstream if they must count.
 
     Spark has no ``count_distinct`` over a window frame, and the naive
     day×day range self-join is O(days²) per entity.  The scalable shape:
@@ -704,11 +717,18 @@ def rolling_distinct(
     if window_buckets < 1:
         raise ValueError("rolling_distinct: window_buckets must be >= 1")
     gcols = list(group_cols or [])
+    if bucket_col in gcols or bucket_col in {"__e", "__b"}:
+        raise ValueError(
+            f"rolling_distinct: bucket_col {bucket_col!r} collides with a "
+            "group column; rename via bucket_col="
+        )
     step = f"interval 1 {bucket}"
     b = F.date_trunc(bucket, F.col(ts_col))
-    pairs = df.select(
-        *gcols, F.col(entity_col).alias("__e"), b.alias("__b")
-    ).distinct()
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull())  # explicit, not via explode
+        .select(*gcols, F.col(entity_col).alias("__e"), b.alias("__b"))
+        .distinct()
+    )
     covered = pairs.select(
         *gcols,
         "__e",
@@ -716,8 +736,8 @@ def rolling_distinct(
             F.expr(
                 f"sequence(__b, __b + {step} * {window_buckets - 1}, {step})"
             )
-        ).alias("bucket"),
+        ).alias(bucket_col),
     )
-    return covered.groupBy(*gcols, "bucket").agg(
+    return covered.groupBy(*gcols, bucket_col).agg(
         F.count_distinct("__e").alias(out_col)
     )

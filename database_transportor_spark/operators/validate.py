@@ -454,12 +454,19 @@ def referential_audit(
         )
         joined = child.join(parent, knames, "left")
         orphan = (~any_null) & F.col("__hit").isNull()
+        zero = F.lit(0).cast("long")
         reports.append(
             joined.agg(
                 F.lit(name).alias("relation"),
                 F.count("*").alias("child_rows"),
-                F.sum(F.when(any_null, 1).otherwise(0)).alias("null_keys"),
-                F.sum(F.when(orphan, 1).otherwise(0)).alias("orphan_rows"),
+                # coalesce: sum() over an EMPTY child is NULL, and a gate
+                # asserting orphan_rows == 0 must pass on an empty table
+                F.coalesce(
+                    F.sum(F.when(any_null, 1).otherwise(0)), zero
+                ).alias("null_keys"),
+                F.coalesce(
+                    F.sum(F.when(orphan, 1).otherwise(0)), zero
+                ).alias("orphan_rows"),
                 F.count_distinct(
                     *[F.when(orphan, F.col(k)) for k in knames]
                 ).alias("distinct_missing"),

@@ -653,3 +653,46 @@ def test_rolling_distinct_group_cols_and_window1(spark):
 
     with _pytest.raises(ValueError):
         rolling_distinct(df, "ts", "u", window_buckets=0)
+
+
+def test_rolling_distinct_null_ts_excluded_and_name_guard(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.temporal import (
+        rolling_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1)), ("u2", None)],
+        "u string, ts timestamp",
+    )
+    out = rolling_distinct(df, "ts", "u", window_buckets=2, out_col="act")
+    rows = out.collect()
+    # u2's NULL ts contributes nothing; u1 covers 2 buckets
+    assert len(rows) == 2 and all(r.act == 1 for r in rows)
+    with _pytest.raises(ValueError):
+        rolling_distinct(
+            df, "ts", "u", group_cols=["bucket"], window_buckets=1
+        )
+    # renaming the output bucket resolves the collision
+    out2 = rolling_distinct(
+        df.withColumnRenamed("u", "bucket"), "ts", "bucket",
+        window_buckets=1, bucket_col="b",
+    )
+    assert set(out2.columns) == {"b", "active"}
+
+
+def test_cusum_nan_value_does_not_bias_default_target(spark):
+    from database_transportor_spark.operators.temporal import cusum
+
+    # x = [4.0, NaN, 8.0]: NaN fails the long cast -> mean = 12/2 = 6
+    df = spark.createDataFrame(
+        [("A", 1, 4.0), ("A", 2, float("nan")), ("A", 3, 8.0)],
+        "k string, ts int, x double",
+    )
+    out = cusum(df, ["k"], "ts", "x", threshold=1)
+    got = [r.cusum for r in out.orderBy("ts").collect()]
+    # s1 = max(0, 4-6) = 0; NaN carries (cast->NULL); s3 = max(0, 0+8-6)=2
+    assert got == [0, 0, 2]

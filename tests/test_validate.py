@@ -309,3 +309,18 @@ def test_referential_audit_validates_arity(spark):
         ])
     with pytest.raises(ValueError):
         referential_audit([])
+
+
+def test_referential_audit_empty_child_reports_zeros(spark):
+    from database_transportor_spark.operators.validate import (
+        referential_audit,
+    )
+
+    child = spark.createDataFrame([], "id int, fk int")
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    r = referential_audit([
+        {"name": "empty", "child": child, "child_keys": ["fk"],
+         "parent": parent, "parent_keys": ["pk"]},
+    ]).collect()[0]
+    assert (r.child_rows, r.null_keys, r.orphan_rows, r.distinct_missing) \
+        == (0, 0, 0, 0)
