@@ -4130,6 +4130,140 @@ FROM r
 """
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth discretization (`operators/corpus.py:quantile_bins`):
+    per-language decile of document length, doc_id tiebreak — one window
+    shuffle, NULLS-LAST order pinned on both engines."""
+    from database_transportor_spark.operators.corpus import quantile_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quantile_bins(
+        docs, "n_chars", 10, group_cols=["lang"], tiebreak_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("bin").cast("long").alias("bin")
+    )
+
+
+SQL_QUANTILE_BINS = """
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(10) OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC NULLS LAST,
+                                     doc_id ASC NULLS LAST) AS BIGINT)
+           AS bin
+FROM documents
+"""
+
+
+def q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern census
+    (`operators/maintenance.py:null_patterns`): NULL-combination counts
+    over a derived nullable view of orders — ONE conditional-agg scan,
+    integer ppm shares."""
+    from database_transportor_spark.operators.maintenance import (
+        null_patterns,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nullable = orders.select(
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("prio"),
+        F.expr(
+            "CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END"
+        ).alias("big_price"),
+        F.expr("nullif(o_orderstatus, 'F')").alias("status"),
+    )
+    return null_patterns(nullable, ["prio", "big_price", "status"])
+
+
+SQL_NULL_PATTERNS = """
+WITH nullable AS (
+    SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
+           CASE WHEN o_totalprice < 50000 THEN NULL
+                ELSE o_totalprice END AS big_price,
+           nullif(o_orderstatus, 'F') AS status
+    FROM orders
+), agg AS (
+    SELECT concat_ws(',',
+               CASE WHEN prio IS NULL THEN 'prio' END,
+               CASE WHEN big_price IS NULL THEN 'big_price' END,
+               CASE WHEN status IS NULL THEN 'status' END) AS pattern,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM nullable GROUP BY 1
+)
+SELECT pattern, n_rows,
+       CAST(n_rows * 1000000 // sum(n_rows) OVER () AS BIGINT) AS share_ppm
+FROM agg
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (`operators/temporal.py:time_weighted_avg`):
+    per-user TWAP of event values over irregular timestamps — exact
+    integer-micro dot product in DECIMAL(38,0), deterministic
+    same-microsecond tiebreak, one exchange (lead + agg share the key)."""
+    from database_transportor_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    return time_weighted_avg(ev, ["user_id"], "ts", "value")
+
+
+SQL_TWAP = """
+WITH pts AS (
+    SELECT user_id, ts, epoch_us(ts) AS t,
+           CAST(round(value * 1000000) AS BIGINT) AS v6
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), led AS (
+    SELECT user_id, ts, t, v6,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, v6) - t AS dt
+    FROM pts
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+       min(ts) AS t_first, max(ts) AS t_last,
+       CAST(sum(dt) AS BIGINT) AS dt_total_micros,
+       CASE WHEN coalesce(sum(dt), 0) > 0 THEN
+           CAST(sum(CAST(v6 AS HUGEINT) * dt) // sum(dt) AS BIGINT)
+       END AS twap_micro
+FROM led GROUP BY user_id
+"""
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency
+    (`operators/temporal.py:interval_concurrency`): open 1-hour event
+    intervals per type at every change point — +1/−1 deltas + ONE
+    running-sum window whose RANGE frame settles same-instant peers;
+    linear, no interval×interval join."""
+    from database_transportor_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    iv = ev.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr("ts + interval 1 hour").alias("e"),
+    )
+    return interval_concurrency(iv, "s", "e", ["event_type"])
+
+
+SQL_CONCURRENCY = """
+WITH iv AS (
+    SELECT event_type, ts AS s, ts + INTERVAL 1 HOUR AS e
+    FROM events WHERE ts IS NOT NULL
+), d AS (
+    SELECT event_type, s AS ts, 1 AS dd FROM iv
+    UNION ALL
+    SELECT event_type, e AS ts, -1 AS dd FROM iv
+)
+SELECT DISTINCT event_type, ts,
+       CAST(sum(dd) OVER (PARTITION BY event_type ORDER BY ts) AS BIGINT)
+           AS concurrent
+FROM d
+"""
+
+
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day
     (`operators/temporal.py:rolling_distinct`): DISTINCT (user, day)
@@ -4204,6 +4338,10 @@ FROM pv a JOIN pv b ON a.variant < b.variant
 
 
 _EXTENSION_QUERIES = {
+    "quantile_bins": q_quantile_bins,
+    "null_patterns": q_null_patterns,
+    "twap": q_twap,
+    "concurrency": q_concurrency,
     "rolling_active": q_rolling_active,
     "ab_test": q_ab_test,
     "item_affinity": q_item_affinity,
@@ -4300,6 +4438,10 @@ _EXTENSION_QUERIES = {
 }
 
 _EXTENSION_ORACLES = {
+    "quantile_bins": SQL_QUANTILE_BINS,
+    "null_patterns": SQL_NULL_PATTERNS,
+    "twap": SQL_TWAP,
+    "concurrency": SQL_CONCURRENCY,
     "rolling_active": SQL_ROLLING_ACTIVE,
     "ab_test": SQL_AB_TEST,
     "item_affinity": SQL_ITEM_AFFINITY,

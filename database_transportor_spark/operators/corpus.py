@@ -44,6 +44,7 @@ __all__ = [
     "weighted_sample",
     "sample_per_group",
     "winsorize",
+    "quantile_bins",
     "detect_pii",
     "PII_PATTERNS",
 ]
@@ -845,3 +846,40 @@ def source_divergence(
             .alias("kl_divergence"),
         )
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth (quantile) discretization: assign every row a bin in
+    ``[1, n_bins]`` so each bin holds ~1/n_bins of the rows — the
+    feature-engineering companion to ``column_histogram``'s equi-WIDTH
+    bins (quantile bins are robust to heavy tails; width bins are not).
+
+    ``tiebreak_cols`` pins the order among equal values (pass the row id);
+    without it, ties at a bin boundary land deterministically only if
+    (value, tiebreaks) is unique — the same caveat as any rank-based cut.
+    NULL values sort LAST explicitly (Spark defaults NULLS FIRST on ASC,
+    most SQL engines default NULLS LAST — pinning it makes external
+    recomputation bit-exact), so NULLs fill the top bins; filter first if
+    they should be excluded.
+
+    Scale shape: one window shuffle per group (ntile is rank-based — a
+    single per-group sort, spillable); no stats collection, no second
+    pass.  Groups must not be so skewed that one group is the dataset —
+    for a global cut pass group_cols=None and accept one sort
+    (equivalently: pre-shard and accept approximate bins).
+    """
+    if n_bins < 1:
+        raise ValueError("quantile_bins: n_bins must be >= 1")
+    gcols = list(group_cols or [])
+    order = [F.col(value_col).asc_nulls_last()] + [
+        F.col(c).asc_nulls_last() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compact_table", "profile_table", "column_histogram", "expire_rows", "corr_matrix"]
+__all__ = ["compact_table", "profile_table", "column_histogram", "expire_rows", "corr_matrix", "null_patterns"]
 
 
 def compact_table(
@@ -276,3 +276,42 @@ def corr_matrix(
             )
         ).alias("p")
     ).select("p.*")
+
+
+def null_patterns(df, cols=None):
+    """Missingness-pattern census: one row per observed NULL-combination
+    with exact counts — the multi-column companion to
+    :func:`profile_table`'s per-column null counts (two columns can each
+    be 10% NULL jointly or disjointly; imputation strategy depends on
+    which).
+
+    Output: ``(pattern, n_rows, share_ppm)`` where ``pattern`` is the
+    comma-joined names of the NULL columns in ``cols`` order ('' = a
+    complete row) and ``share_ppm`` is the exact integer row share in
+    parts-per-million.
+
+    Scale shape: ONE conditional-aggregation scan — the pattern string is
+    computed per row (``concat_ws`` skips NULL parts on every major
+    engine) and hash-aggregated with map-side combine; the share divides
+    through a windowed total over the pattern-count-sized aggregate
+    (≤2^|cols| rows, single tiny task), never a second scan of the data.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    names = list(df.columns if cols is None else cols)
+    if not names:
+        raise ValueError("null_patterns: need at least one column")
+    pattern = F.concat_ws(
+        ",", *[F.when(F.col(c).isNull(), F.lit(c)) for c in names]
+    )
+    agg = df.groupBy(pattern.alias("pattern")).agg(
+        F.count("*").alias("n_rows")
+    )
+    return (
+        agg.withColumn(
+            "__total", F.sum("n_rows").over(Window.partitionBy())
+        )
+        .withColumn("share_ppm", F.expr("n_rows * 1000000 div __total"))
+        .drop("__total")
+    )

@@ -31,6 +31,8 @@ __all__ = [
     "ewma",
     "cusum",
     "rolling_distinct",
+    "time_weighted_avg",
+    "interval_concurrency",
 ]
 
 
@@ -740,4 +742,114 @@ def rolling_distinct(
     )
     return covered.groupBy(*gcols, bucket_col).agg(
         F.count_distinct("__e").alias(out_col)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str = "twap_micro",
+) -> DataFrame:
+    """Time-weighted average over an irregular series (TWAP): per key,
+    ``Σ v_i·Δt_i / Σ Δt_i`` where ``Δt_i`` is the time each value was in
+    force (until the NEXT observation) — the correct mean for sensor /
+    price / gauge data sampled at uneven intervals, where a plain ``avg``
+    over-weights bursts.
+
+    Output: ``(*key_cols, n_points, t_first, t_last, dt_total_micros,
+    out_col)`` with ``out_col`` the micro-scaled integer TWAP
+    (``value ≈ out_col / 1e6``).  Exact-integer contract: values are
+    captured as ``round(v·1e6)`` BIGINTs, Δt as integer microseconds, the
+    dot product in DECIMAL(38,0) (v·Δt overflows BIGINT at month-scale
+    gaps), the final ratio by integer division — bit-reproducible on any
+    engine (same policy as the money math in ``corpus.py``).  The last
+    observation has no successor and carries no weight (standard
+    half-open convention); single-point keys yield NULL (no time span).
+    NULL values or timestamps: the row is dropped from the integral —
+    filter or impute upstream if they must count.
+
+    Scale shape: one window shuffle on the key (the ``lead``), then an
+    ordinary partial-aggregatable groupBy on the same key — Spark reuses
+    the partitioning, so ONE exchange total.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    v6 = F.expr(
+        f"CAST(round(`{value_col}` * 1000000) AS BIGINT)"
+    )
+    # (__t, __v6) order: same-microsecond points would otherwise get an
+    # engine-dependent lead order — and the one with dt=0 drops out of the
+    # integral, so the tie MUST break identically everywhere
+    w = Window.partitionBy(*key_cols).orderBy("__t", "__v6")
+    pts = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .withColumn("__t", micros)
+        .withColumn("__v6", v6)
+        .withColumn("__dt", F.lead("__t").over(w) - F.col("__t"))
+    )
+    agg = pts.groupBy(*key_cols).agg(
+        F.count("*").alias("n_points"),
+        F.min(F.col(ts_col)).alias("t_first"),
+        F.max(F.col(ts_col)).alias("t_last"),
+        F.sum("__dt").alias("dt_total_micros"),
+        F.sum(
+            F.col("__v6").cast("decimal(38,0)") * F.col("__dt")
+        ).alias("__num"),
+    )
+    return agg.withColumn(
+        out_col,
+        F.when(
+            F.col("dt_total_micros") > 0,
+            F.expr("CAST(__num div dt_total_micros AS BIGINT)"),
+        ),
+    ).drop("__num")
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "concurrent",
+) -> DataFrame:
+    """Sweep-line concurrency: for every instant the interval population
+    changes, how many intervals are open — peak concurrent sessions,
+    simultaneous calls, overlapping jobs.  Intervals are half-open
+    ``[start, end)``: a session ending exactly when another starts does
+    NOT overlap it.
+
+    Output: one row per distinct change point ``(*group_cols, ts,
+    out_col)`` where ``out_col`` is the open-interval count AT ``ts``
+    (after all of that instant's starts and ends take effect).  Peak =
+    ``max(out_col)`` per group.  Rows with NULL start are dropped; a NULL
+    end means still-open (counts from start onward — the live-session
+    case).
+
+    Scale shape: explode each interval into a +1 (start) and −1 (end)
+    delta — 2 rows per interval, constant fan-out — then ONE window
+    shuffle for the running sum.  The default RANGE frame includes all
+    peers of a timestamp, so every delta at the same instant sees the
+    same final total (no tiebreak ordering needed — the half-open
+    semantics fall out of summing starts and ends together), and the
+    distinct() collapses peers to one row.  No interval×interval join
+    anywhere — the naive overlap self-join is quadratic in the overlap
+    degree; this is linear.
+    """
+    gcols = list(group_cols or [])
+    base = df.filter(F.col(start_col).isNotNull())
+    starts = base.select(
+        *gcols, F.col(start_col).alias("ts"), F.lit(1).alias("__d")
+    )
+    ends = base.filter(F.col(end_col).isNotNull()).select(
+        *gcols, F.col(end_col).alias("ts"), F.lit(-1).alias("__d")
+    )
+    deltas = starts.unionByName(ends)
+    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: includes ALL
+    # rows at the same ts, so each instant carries its settled total
+    w = Window.partitionBy(*gcols).orderBy("ts")
+    return (
+        deltas.withColumn(out_col, F.sum("__d").over(w).cast("long"))
+        .drop("__d")
+        .distinct()
     )

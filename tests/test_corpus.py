@@ -440,3 +440,39 @@ def test_source_divergence_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, source_divergence(df).collect()))
     b = sorted(map(tuple, source_divergence(df.repartition(13)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# quantile_bins
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_bins_equal_depth_and_order(spark):
+    from database_transportor_spark.operators.corpus import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(20)], ["v", "grp"]
+    )
+    out = quantile_bins(df, "v", 4, group_cols=["grp"],
+                        tiebreak_cols=["v"])
+    got = sorted((r.v, r.bin) for r in out.collect())
+    # 20 rows / 4 bins = 5 each, monotone in v
+    from collections import Counter
+
+    assert Counter(b for _, b in got) == {1: 5, 2: 5, 3: 5, 4: 5}
+    assert [b for _, b in got] == sorted(b for _, b in got)
+
+
+def test_quantile_bins_nulls_sort_last(spark):
+    from database_transportor_spark.operators.corpus import quantile_bins
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, None), (4, None)], "id int, v int"
+    )
+    out = quantile_bins(df, "v", 2, tiebreak_cols=["id"])
+    got = {r.id: r.bin for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}  # NULLs fill the top bin
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_bins(df, "v", 0)

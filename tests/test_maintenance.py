@@ -185,3 +185,27 @@ def test_corr_matrix_one_pass_matches_numpy(spark):
 
     with _pytest.raises(ValueError):
         corr_matrix(df, ["a"])
+
+
+def test_null_patterns_counts_and_shares(spark):
+    from database_transportor_spark.operators.maintenance import (
+        null_patterns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (None, None, "y"), (2, 3, None), (4, 5, "z")],
+        "a int, b int, c string",
+    )
+    got = {r.pattern: (r.n_rows, r.share_ppm)
+           for r in null_patterns(df).collect()}
+    assert got == {
+        "b": (1, 250_000), "a,b": (1, 250_000),
+        "c": (1, 250_000), "": (1, 250_000),
+    }
+    # column order in `cols` pins the pattern string order
+    got2 = {r.pattern for r in null_patterns(df, ["b", "a"]).collect()}
+    assert got2 == {"b", "b,a", ""}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        null_patterns(df, cols=[])

@@ -696,3 +696,96 @@ def test_cusum_nan_value_does_not_bias_default_target(spark):
     got = [r.cusum for r in out.orderBy("ts").collect()]
     # s1 = max(0, 4-6) = 0; NaN carries (cast->NULL); s3 = max(0, 0+8-6)=2
     assert got == [0, 0, 2]
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg / interval_concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_twap_exact_and_edge_cases(spark):
+    from datetime import datetime
+
+    from database_transportor_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            ("k", datetime(2024, 1, 1, 0, 0, 2), 20.0),
+            ("k", datetime(2024, 1, 1, 0, 0, 3), 99.0),  # last: no weight
+            ("solo", datetime(2024, 1, 1), 5.0),
+            ("nulls", datetime(2024, 1, 1), None),       # dropped
+            ("nulls", None, 7.0),                         # dropped
+        ],
+        "k string, ts timestamp, v double",
+    )
+    got = {r.k: r for r in time_weighted_avg(df, ["k"], "ts", "v").collect()}
+    # (10*2s + 20*1s) / 3s = 13.333333 -> 13333333 micro
+    assert got["k"].twap_micro == 13_333_333
+    assert got["k"].dt_total_micros == 3_000_000
+    assert got["k"].n_points == 3
+    assert got["solo"].twap_micro is None  # single point: no span
+    assert "nulls" not in got  # all rows dropped
+
+
+def test_twap_weights_by_duration_not_count(spark):
+    from datetime import datetime
+
+    from database_transportor_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    # burst of 0s for 1s, then one 100 held for 9s: plain avg = 25,
+    # twap = 900/10 = 90
+    rows = [("k", datetime(2024, 1, 1, 0, 0, 0, i * 250_000), 0.0)
+            for i in range(4)]
+    rows += [("k", datetime(2024, 1, 1, 0, 0, 1), 100.0),
+             ("k", datetime(2024, 1, 1, 0, 0, 10), 0.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+    assert r.twap_micro == 90_000_000
+
+
+def test_interval_concurrency_half_open_and_open_ended(spark):
+    from datetime import datetime
+
+    from database_transportor_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("g", datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 2)),
+            ("g", datetime(2024, 1, 1, 1), datetime(2024, 1, 1, 3)),
+            # starts exactly when #1 ends: half-open -> no overlap bump
+            ("g", datetime(2024, 1, 1, 2), datetime(2024, 1, 1, 4)),
+            ("g", datetime(2024, 1, 1, 5), None),  # still open
+        ],
+        "g string, s timestamp, e timestamp",
+    )
+    got = {r.ts.hour: r.concurrent
+           for r in interval_concurrency(iv, "s", "e", ["g"]).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_interval_concurrency_same_instant_settles(spark):
+    from datetime import datetime
+
+    from database_transportor_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    # 3 intervals all starting AND one ending at t1: one row per instant,
+    # carrying the settled total
+    t0, t1 = datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 1)
+    t2 = datetime(2024, 1, 1, 2)
+    iv = spark.createDataFrame(
+        [("g", t0, t1), ("g", t1, t2), ("g", t1, t2), ("g", t1, t2)],
+        "g string, s timestamp, e timestamp",
+    )
+    rows = interval_concurrency(iv, "s", "e", ["g"]).collect()
+    got = {r.ts: r.concurrent for r in rows}
+    assert len(rows) == len(got) == 3  # one row per instant
+    assert got == {t0: 1, t1: 3, t2: 0}
