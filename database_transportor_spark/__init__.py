@@ -13,6 +13,7 @@ Core API::
 """
 
 from .engine import DBT
+from .operators.pins import release_pins
 from .session import build_session
 from .spec import SpecError, parse_maps
 from .sources.catalog import (
@@ -27,6 +28,7 @@ from .sources.catalog import (
 __all__ = [
     "DBT",
     "build_session",
+    "release_pins",
     "SpecError",
     "parse_maps",
     "Catalog",

@@ -427,10 +427,19 @@ class DBT:
         produced moments earlier in the same run."""
         self.check_seed()
         outputs = self.transform()
-        self._write_all(
-            outputs, mode=mode, staged=staged, validate=validate,
-            parallelism=parallelism,
-        )
+        try:
+            self._write_all(
+                outputs, mode=mode, staged=staged, validate=validate,
+                parallelism=parallelism,
+            )
+        finally:
+            # writes are the consuming action for any multi-consumer
+            # intermediates operators pinned (operators/pins.py) — free
+            # them so repeated transports in one session don't accumulate
+            # cached blocks
+            from .operators.pins import release_pins
+
+            release_pins()
         return outputs
 
     def _producing_key(self, table: str) -> Optional[str]:

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pins import pin
+
 __all__ = ["cooccurrence_pairs"]
 
 PPM = 1_000_000
@@ -81,7 +83,7 @@ def cooccurrence_pairs(
     # consumed 4×: both pair-join sides, item supports, basket total —
     # persist so the distinct+cap runs once (review finding: multi-consumer
     # relations must be pinned or Spark recomputes the whole lineage)
-    items = items.persist()
+    items = pin(items)
 
     left = items.select(F.col("__b"), F.col("__i").alias("item_a"))
     right = items.select(F.col("__b"), F.col("__i").alias("item_b"))

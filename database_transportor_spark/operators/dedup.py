@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .pins import pin
 from .text import tokens
 
 __all__ = [
@@ -138,7 +139,7 @@ def _shingle_index_intersections(
         F.col(id_col).alias("__id"),
         ngram_shingle_hashes(text_col, n).alias("__shingles"),
     )
-    posting = sh.select("__id", F.explode("__shingles").alias("__h")).persist()
+    posting = pin(sh.select("__id", F.explode("__shingles").alias("__h")))
     if max_df is not None:
         dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
         posting = posting.join(
@@ -214,7 +215,7 @@ def ngram_jaccard_pairs(
     # clustering, reporting, survivor selection — re-reads it; persisting
     # lets Spark's cache manager serve identical downstream plans without
     # re-running the self-join.
-    return out.persist()
+    return pin(out)
 
 
 def ngram_containment_pairs(
@@ -336,9 +337,9 @@ def minhash_lsh_pairs(
     # Persisted: feeds both sides of the candidate self-join and the
     # two verification lookups — recomputing the shingle scan 4× is the
     # difference between one pass and four over the corpus at scale.
-    sig = minhash_signatures(
+    sig = pin(minhash_signatures(
         df, id_col, text_col, n_hashes, shingle_n, min_partitions
-    ).persist()
+    ))
 
     band_entries = sig.select(
         "__id",
@@ -486,7 +487,10 @@ def dedup_clusters(
     # edges spread over hundreds of shuffle partitions.  ~1M edges per
     # partition keeps rounds overhead-free locally and scales linearly.
     n_parts = max(2, min(int(n_edges // 1_000_000) + 1, 2048))
+    raw_edges = edges
     edges = edges.repartition(n_parts, "__s").persist()
+    edges.count()  # materialize the repartitioned cache off the raw one...
+    raw_edges.unpersist()  # ...so the pre-repartition copy can be freed now
     # Only vertices touched by an edge can ever change label; isolated
     # documents (the overwhelming majority of a corpus) are appended at the
     # end as their own cluster.  The iteration then works on ~2·|pairs|
@@ -616,7 +620,7 @@ def simhash_pairs(
     width = bits // bands
     # Both sides of the candidate self-join read this — persist so the
     # token scan + signature aggregation happens once, not twice.
-    s = simhash(df, id_col, text_col, bits, min_partitions=min_partitions).persist()
+    s = pin(simhash(df, id_col, text_col, bits, min_partitions=min_partitions))
     mask = (1 << width) - 1
     entries = s.select(
         "__id",
@@ -738,9 +742,9 @@ def query_lsh_index(
     """
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
-    bsig = minhash_signatures(
+    bsig = pin(minhash_signatures(
         batch, id_col, text_col, n_hashes, shingle_n, min_partitions
-    ).persist()
+    ))
     b_entries = bsig.select(
         F.col("__id").alias("batch_id"),
         F.posexplode(

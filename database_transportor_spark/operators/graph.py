@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pins import pin
+
 __all__ = ["degrees", "symmetrize", "pagerank", "triangle_count"]
 
 
@@ -225,7 +227,7 @@ def triangle_count(
             F.col("a").alias("u"), F.col("b").alias("v"),
             F.struct(F.lit(0).alias("d"), F.col("b").alias("n")).alias("kv"),
         )
-    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    oriented = pin(oriented, StorageLevel.MEMORY_AND_DISK)
     # wedges at the pivot u: (u -> y), (u -> z) with y before z in the
     # total order; close with the oriented edge y -> z
     w1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))

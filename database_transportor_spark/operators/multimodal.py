@@ -85,7 +85,7 @@ def byte_features(
     """
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("n_bytes", LongType()),
             StructField("digest", StringType()),
         ]
@@ -247,7 +247,7 @@ def decode_image(
         have_pil = False
 
     fields = [
-        StructField(id_col, LongType()),
+        StructField(id_col, df.schema[id_col].dataType),
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("channels", LongType()),
@@ -290,7 +290,7 @@ def decode_image(
                 if with_pixels:  # stats-only mode must not copy pixels
                     pix.append(arr.tobytes())
             cols = {
-                id_col: pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype="object"),
                 "width": pd.Series(ws, dtype="object"),
                 "height": pd.Series(hs, dtype="object"),
                 "channels": pd.Series(chs, dtype="object"),
@@ -330,7 +330,7 @@ def resize_image(
 
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("content", BinaryType()),
             StructField("meta", MEDIA_META_SCHEMA),
         ]
@@ -412,7 +412,7 @@ def sample_frames(
     """
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("frame_idx", LongType()),
             StructField("frame", BinaryType()),
             StructField("frame_digest", StringType()),
@@ -437,7 +437,7 @@ def sample_frames(
                     digests.append(hashlib.md5(chunk).hexdigest())
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="object"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
                     "frame": pd.Series(frames, dtype="object"),
                     "frame_digest": pd.Series(digests, dtype="object"),
@@ -529,7 +529,7 @@ def decode_audio(
         raise ValueError(f"decode_audio: errors must be raise|skip|null, got {errors!r}")
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("sample_rate", LongType()),
             StructField("n_channels", LongType()),
             StructField("n_samples", LongType()),
@@ -599,7 +599,7 @@ def audio_frames(
         raise ValueError("audio_frames: frame_len must be >= 2 and hop >= 1")
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("frame_idx", LongType()),
             StructField("frame_start", LongType()),
             StructField("n", LongType()),
@@ -805,7 +805,7 @@ def decode_video_frames(
     if stride < 1:
         raise ValueError("decode_video_frames: stride must be >= 1")
     schema = StructType([
-        StructField(id_col, LongType()),
+        StructField(id_col, df.schema[id_col].dataType),
         StructField("frame_idx", LongType()),
         StructField("width", LongType()),
         StructField("height", LongType()),

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pins import pin
+
 __all__ = ["merge_upsert", "cdc_apply", "diff_tables", "align_schemas", "cdc_merge"]
 
 
@@ -212,7 +214,7 @@ def cdc_apply(
         ).alias("__c")
     )
     if persist_feed:
-        latest = latest.persist()
+        latest = pin(latest)
     op = F.col("__c.__op")
     # every `latest` row has a non-null op (it came from the feed), so the
     # CaseWhen's otherwise-branch fires exactly on unknown ops — no

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
+from .pins import pin
+
 __all__ = [
     "cosine",
     "cosine_scores",
@@ -254,7 +256,8 @@ def cosine_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         _bucket_assigner(ids, cmat, 1)(F.col(vec_col)).getItem(0).alias("bucket"),
-    ).persist()
+    )
+    indexed = pin(indexed)
     a, b = indexed.alias("a"), indexed.alias("b")
     cand = a.join(
         b,
@@ -397,6 +400,7 @@ def kmeans_lloyd(
     iters: int = 2,
     scale: int = 10**6,
     dim: int | None = None,
+    on_invalid: str = "raise",
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd's k-means over an embedding
     column, built so an independent engine reproduces it BIT-FOR-BIT
@@ -433,18 +437,38 @@ def kmeans_lloyd(
     """
     from functools import reduce
 
+    if on_invalid not in ("raise", "skip"):
+        raise ValueError(
+            f"kmeans_lloyd: on_invalid must be raise|skip, got {on_invalid!r}"
+        )
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             raise ValueError("kmeans_lloyd: empty input")
         dim = int(first["d"])
+    # NULL or ragged vectors otherwise crash deep inside the pandas UDF
+    # (np.stack on ragged input) or surface as an opaque driver-side
+    # TypeError on a NULL aggregate — validate HERE with an actionable
+    # message instead.  The probe is first()-bounded: Spark stops the
+    # scan at the first offending row.
+    invalid = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != F.lit(dim))
+    if on_invalid == "raise":
+        bad = df.filter(invalid).select(F.col(id_col), F.size(F.col(vec_col)).alias("__sz")).first()
+        if bad is not None:
+            raise ValueError(
+                f"kmeans_lloyd: row {id_col}={bad[0]!r} has "
+                + ("a NULL " if bad["__sz"] is None else f"a {bad['__sz']}-element ")
+                + f"{vec_col} but dim={dim}; clean the input or pass on_invalid='skip'"
+            )
+    else:
+        df = df.filter(~invalid)
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
     )
     # consumed by the seed collect + every assignment pass: persist so
     # the read+quantize scan runs once per fit, not once per iteration
-    pts = df.select(F.col(id_col).alias("__id"), q.alias("__q")).persist()
+    pts = pin(df.select(F.col(id_col).alias("__id"), q.alias("__q")))
     seed_rows = pts.orderBy("__id").limit(k).collect()
     cents: dict[int, list[int]] = {
         i: list(r["__q"]) for i, r in enumerate(seed_rows)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .pins import pin
+
 __all__ = [
     "tokens",
     "build_vocab",
@@ -853,7 +855,8 @@ def dedup_paragraphs(
     parts = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), quoted)).alias("__pos", "__para"),
-    ).persist()
+    )
+    parts = pin(parts)
     hot = (
         parts.groupBy("__para")
         .agg(
@@ -982,9 +985,9 @@ def inverted_index(
         )
         .filter(F.col("term") != "")
         .distinct()
-        # consumed twice (full df count + capped collect) — pin it
-        .persist()
     )
+    # consumed twice (full df count + capped collect) — pin it
+    posting = pin(posting)
     dfreq = (
         posting.groupBy("term")
         .agg(F.count("*").alias("df"))

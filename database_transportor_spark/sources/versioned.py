@@ -55,6 +55,16 @@ class VersionedCatalog(FileCatalog):
         # the number between reservation and the directory appearing
         self._reserved: dict[str, set[int]] = {}
         self._plock = threading.Lock()
+        # per-table writer locks: append = read-union-save-commit, and two
+        # appenders interleaving those steps would both base their union on
+        # the same parent version — the later commit silently dropping the
+        # earlier writer's rows.  (In-process only; cross-process writers
+        # need external coordination, same contract as _pending/_reserved.)
+        self._wlocks: dict[str, threading.Lock] = {}
+
+    def _writer_lock(self, table: str) -> threading.Lock:
+        with self._plock:
+            return self._wlocks.setdefault(table, threading.Lock())
 
     # ---------------------------------------------------------- layout
 
@@ -151,22 +161,26 @@ class VersionedCatalog(FileCatalog):
                    pending, reserved) + 1
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
-        cur = self.current_version(table)
-        if mode == "append" and cur is not None:
-            # copy-on-write: history versions stay immutable
-            df = self.read(table).unionByName(df)
-        os.makedirs(self._table_root(table), exist_ok=True)
-        with self._plock:
-            nxt = self._next_version(table)
-            self._reserved.setdefault(table, set()).add(nxt)
-        target = self._version_dir(table, nxt)
-        try:
-            self._save(df, target, "overwrite")
-            open(self._marker(table, nxt), "w").close()
-            self._set_head(table, nxt)
-        finally:
+        # the writer lock spans read-union-save-commit: append bases the
+        # new version on the live head, and that read must stay valid
+        # until this writer's commit moves the pointer
+        with self._writer_lock(table):
+            cur = self.current_version(table)
+            if mode == "append" and cur is not None:
+                # copy-on-write: history versions stay immutable
+                df = self.read(table).unionByName(df)
+            os.makedirs(self._table_root(table), exist_ok=True)
             with self._plock:
-                self._reserved.get(table, set()).discard(nxt)
+                nxt = self._next_version(table)
+                self._reserved.setdefault(table, set()).add(nxt)
+            target = self._version_dir(table, nxt)
+            try:
+                self._save(df, target, "overwrite")
+                open(self._marker(table, nxt), "w").close()
+                self._set_head(table, nxt)
+            finally:
+                with self._plock:
+                    self._reserved.get(table, set()).discard(nxt)
 
     # staged writes: the version directory IS the staging area — commit
     # is the pointer move, abort deletes the never-pointed-at directory

@@ -106,10 +106,21 @@ def stream_merge_sink(
         deleting every previously merged row."""
         if target.exists(table):
             return True
-        commits = os.path.join(ckpt, "commits")
-        if os.path.isdir(commits) and any(
-            not f.startswith(".") for f in os.listdir(commits)
-        ):
+        # Probe the commits dir through the Hadoop FileSystem API (the
+        # same route FileCatalog.exists takes): a checkpoint on hdfs://
+        # or s3a:// is invisible to os.path, and a probe that silently
+        # returned False there would let this guard re-bootstrap an
+        # empty baseline — the exact loss it exists to prevent.
+        jvm = spark._jvm
+        commits = jvm.org.apache.hadoop.fs.Path(
+            ckpt.rstrip("/") + "/commits"
+        )
+        fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_commits = fs.exists(commits) and any(
+            not st.getPath().getName().startswith(".")
+            for st in fs.listStatus(commits)
+        )
+        if has_commits:
             raise RuntimeError(
                 f"stream_merge_sink: checkpoint {ckpt!r} has committed "
                 f"batches but target table {table!r} does not exist — "
