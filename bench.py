@@ -5,12 +5,22 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver collect — the same shape a cluster write would have).
+
+Variance-aware: every query is timed $SPARK_GRAFT_BENCH_RUNS times
+(default 3) and reported as the MEDIAN; the full per-query samples and
+spread (max-min) land in BENCH_local.json, plus a delta table against the
+previous BENCH_local.json that classifies each round-over-round change as
+signal or noise BY THE MEASURED SPREAD — so a 0.2 s wobble on a query
+whose own samples span 0.3 s is never misread as a regression.  The
+classification rule: a delta is ``signal`` only if it exceeds all of
+(a) 15% of the previous median, (b) 3× this round's spread, (c) 0.1 s.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +30,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifact = os.path.join(here, "BENCH_local.json")
+
+    # previous round's medians, read BEFORE overwriting the artifact;
+    # only comparable if the previous run used the SAME scale factor (a
+    # local sf0.001 iteration must not be "compared" against the driver's
+    # sf0.1 numbers)
+    prev_queries: dict[str, float] = {}
+    prev_sf = None
+    try:
+        with open(artifact) as f:
+            prev = json.load(f)
+        prev_queries = prev.get("queries", {})
+        prev_sf = prev.get("sf")
+    except (OSError, ValueError):
+        pass
 
     from pyspark.sql import SparkSession
 
@@ -48,6 +75,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
+    from database_transportor_spark.operators.pins import release_pins
 
     # Steady-state warmup: first-job JVM/codegen spin-up and Python-UDF
     # worker fork otherwise land on whichever query happens to run first
@@ -83,24 +111,65 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    def run(fn) -> float:
+    def run_once(fn) -> float:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
+        # the noop write was the terminal action: drop any multi-consumer
+        # intermediates this query pinned so cached blocks (and their
+        # MEMORY_AND_DISK spill) never accumulate across the suite — and
+        # so run N+1 repeats the FULL work instead of reading run N's cache
+        release_pins()
+        return dt
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, fn in e.queries().items():
-        timings[name] = run(fn)
-    # Second-chance pass: a single timing can absorb one-off JVM/GC/IO noise
-    # (observed: a 3-join query planning+running at 0.73 s in isolation was
-    # once recorded at 2.5 s in a full sweep).  Re-time outliers and report
-    # the better of two identical end-to-end executions — every query
-    # callable is self-contained (streaming variants use fresh UUID sinks),
-    # so a re-run repeats the full work.
-    for name, fn in e.queries().items():
-        if timings[name] >= 0.8:
-            timings[name] = min(timings[name], run(fn))
+        # consecutive samples: every query callable is self-contained
+        # (streaming variants use fresh UUID sinks), so each run repeats
+        # the full end-to-end work
+        samples[name] = [round(run_once(fn), 3) for _ in range(runs)]
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+
+    # round-over-round deltas, classified signal-or-noise by the spread
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if prev_sf != sf_val:
+        prev_queries = {}
+    delta: dict[str, dict] = {}
+    for n, med in timings.items():
+        if n not in prev_queries:
+            continue
+        prev = prev_queries[n]
+        d = round(med - prev, 3)
+        is_signal = (
+            abs(d) > 0.15 * prev and abs(d) > 3 * spread[n] and abs(d) > 0.1
+        )
+        delta[n] = {
+            "prev": prev,
+            "median": med,
+            "delta": d,
+            "spread": spread[n],
+            "class": "signal" if is_signal else "noise",
+        }
+    signals = {n: v for n, v in delta.items() if v["class"] == "signal"}
+    # human-readable delta table → stderr (stdout stays the one JSON line)
+    if delta:
+        print(
+            f"# round-over-round deltas ({len(signals)} signal / "
+            f"{len(delta) - len(signals)} noise; runs={runs})",
+            file=sys.stderr,
+        )
+        for n, v in sorted(
+            delta.items(), key=lambda kv: -abs(kv[1]["delta"])
+        )[:15]:
+            print(
+                f"#   {n:28s} {v['prev']:7.3f} -> {v['median']:7.3f} "
+                f"(d={v['delta']:+.3f}, spread={v['spread']:.3f}) "
+                f"{v['class'].upper()}",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -108,17 +177,21 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "runs": runs,
     }
     print(json.dumps(payload))
     # The driver's capture keeps only the TAIL of stdout, which truncates
     # the first ~26 per-query timings out of BENCH_r{N}.json — persist the
-    # full artifact in-repo so round-over-round comparisons never depend
-    # on the driver's window (VERDICT r3 #7).
+    # full artifact in-repo (with samples/spread/deltas) so round-over-round
+    # comparisons never depend on the driver's window (VERDICT r3 #7).
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json"), "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
+        with open(artifact, "w") as f:
+            json.dump(
+                {**payload, "samples": samples, "spread": spread,
+                 "delta_vs_prev": delta},
+                f, indent=1, sort_keys=True,
+            )
             f.write("\n")
     except OSError:
         pass

@@ -458,8 +458,13 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     if args.explain:
         print(_explain_string(df))
         return 0
-    rows = df.limit(args.limit).collect() if args.limit else df.collect()
     cols = df.columns
+    # default path is bounded (--limit 1000); the explicit full-output
+    # opt-out (--limit 0) streams partition-by-partition through
+    # toLocalIterator so the driver holds ONE partition at a time, never
+    # the whole result — a full collect() of an unbounded query is the
+    # one driver-OOM the CLI could otherwise manufacture
+    rows = df.limit(args.limit).collect() if args.limit else df.toLocalIterator()
     print("\t".join(cols))
     for r in rows:
         print("\t".join("" if r[c] is None else str(r[c]) for c in cols))

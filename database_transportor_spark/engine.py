@@ -425,21 +425,20 @@ class DBT:
         target-side references resolve against this run's in-flight
         outputs, so a fact map can be checked against the dimension map
         produced moments earlier in the same run."""
-        self.check_seed()
-        outputs = self.transform()
-        try:
+        # writes are the consuming action for any multi-consumer
+        # intermediates operators pinned (operators/pins.py); the scope
+        # frees exactly the pins THIS transport's plan-building created —
+        # a concurrent pipeline on another thread, or a frame the caller
+        # pinned and is still consuming, is never touched
+        from .operators.pins import pin_scope
+
+        with pin_scope():
+            self.check_seed()
+            outputs = self.transform()
             self._write_all(
                 outputs, mode=mode, staged=staged, validate=validate,
                 parallelism=parallelism,
             )
-        finally:
-            # writes are the consuming action for any multi-consumer
-            # intermediates operators pinned (operators/pins.py) — free
-            # them so repeated transports in one session don't accumulate
-            # cached blocks
-            from .operators.pins import release_pins
-
-            release_pins()
         return outputs
 
     def _producing_key(self, table: str) -> Optional[str]:

@@ -442,28 +442,52 @@ def kmeans_lloyd(
             f"kmeans_lloyd: on_invalid must be raise|skip, got {on_invalid!r}"
         )
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("kmeans_lloyd: empty input")
+        # first NON-NULL vector: size(NULL) is NULL (or -1 under
+        # legacy.sizeOfNull), either of which would poison dim and make
+        # every row look invalid — exactly the case validation exists for
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if first is None or first["d"] is None:
+            raise ValueError(
+                f"kmeans_lloyd: no non-NULL {vec_col} vector to infer dim "
+                "from (empty input or all-NULL column); pass dim= explicitly"
+            )
         dim = int(first["d"])
     # NULL or ragged vectors otherwise crash deep inside the pandas UDF
     # (np.stack on ragged input) or surface as an opaque driver-side
-    # TypeError on a NULL aggregate — validate HERE with an actionable
-    # message instead.  The probe is first()-bounded: Spark stops the
-    # scan at the first offending row.
+    # TypeError on a NULL aggregate — validate with an actionable message
+    # instead.  The check is FUSED into the quantize projection below (a
+    # raise_error branch), so the clean common case pays zero extra jobs
+    # and the expensive upstream lineage runs exactly once: the first
+    # action on the persisted `pts` (the seed collect) materializes
+    # quantize+validation together into the cache.
     invalid = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != F.lit(dim))
-    if on_invalid == "raise":
-        bad = df.filter(invalid).select(F.col(id_col), F.size(F.col(vec_col)).alias("__sz")).first()
-        if bad is not None:
-            raise ValueError(
-                f"kmeans_lloyd: row {id_col}={bad[0]!r} has "
-                + ("a NULL " if bad["__sz"] is None else f"a {bad['__sz']}-element ")
-                + f"{vec_col} but dim={dim}; clean the input or pass on_invalid='skip'"
-            )
-    else:
+    if on_invalid == "skip":
         df = df.filter(~invalid)
+        checked = F.col(vec_col)
+    else:
+        checked = F.when(
+            invalid,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kmeans_lloyd: row {id_col}="),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                    F.lit(" has a "),
+                    F.coalesce(
+                        F.concat(F.size(F.col(vec_col)).cast("string"),
+                                 F.lit("-element")),
+                        F.lit("NULL"),
+                    ),
+                    F.lit(f" {vec_col} but dim={dim}; clean the input or "
+                          "pass on_invalid='skip'"),
+                )
+            ).cast(df.schema[vec_col].dataType),
+        ).otherwise(F.col(vec_col))
     q = F.transform(
-        F.col(vec_col),
+        checked,
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
     )
     # consumed by the seed collect + every assignment pass: persist so

@@ -58,13 +58,27 @@ class VersionedCatalog(FileCatalog):
         # per-table writer locks: append = read-union-save-commit, and two
         # appenders interleaving those steps would both base their union on
         # the same parent version — the later commit silently dropping the
-        # earlier writer's rows.  (In-process only; cross-process writers
-        # need external coordination, same contract as _pending/_reserved.)
-        self._wlocks: dict[str, threading.Lock] = {}
+        # earlier writer's rows.  The STAGED path has the same shape
+        # (caller reads head → merges → write_staged → commit_staged), so
+        # commit_staged takes the lock around its head move, and callers
+        # whose merge depends on the head they read (the stream-merge
+        # sink) hold :meth:`writer_lock` across the whole sequence.
+        # Reentrant so commit_staged nests inside writer_lock.  (In-process
+        # only; cross-process writers need external coordination, same
+        # contract as _pending/_reserved.)
+        self._wlocks: dict[str, threading.RLock] = {}
 
-    def _writer_lock(self, table: str) -> threading.Lock:
+    def _writer_lock(self, table: str) -> threading.RLock:
         with self._plock:
-            return self._wlocks.setdefault(table, threading.Lock())
+            return self._wlocks.setdefault(table, threading.RLock())
+
+    def writer_lock(self, table: str) -> threading.RLock:
+        """Public per-table writer lock (reentrant, context-manager).
+        Hold it across any read-head → transform → stage → commit
+        sequence whose result depends on the head it read; plain
+        :meth:`write` and :meth:`commit_staged` acquire it internally, so
+        holders serialize against both."""
+        return self._writer_lock(table)
 
     # ---------------------------------------------------------- layout
 
@@ -199,14 +213,19 @@ class VersionedCatalog(FileCatalog):
         (e.g. a streaming sink's batch id) is recorded in the commit
         marker and surfaces in :meth:`history` — the lineage hook that
         ties a CDC micro-batch to the version it produced."""
-        with self._plock:
-            nxt = self._pending.pop(table, None)
-        if nxt is None:
-            raise RuntimeError(f"no staged write pending for {table!r}")
-        with open(self._marker(table, nxt), "w") as f:
-            if note:
-                f.write(note)
-        self._set_head(table, nxt)
+        # the head move serializes against plain write()s (and any holder
+        # of writer_lock) — without this an append racing the commit could
+        # move HEAD to a version based on the pre-commit head, silently
+        # dropping this staged batch's rows
+        with self._writer_lock(table):
+            with self._plock:
+                nxt = self._pending.pop(table, None)
+            if nxt is None:
+                raise RuntimeError(f"no staged write pending for {table!r}")
+            with open(self._marker(table, nxt), "w") as f:
+                if note:
+                    f.write(note)
+            self._set_head(table, nxt)
 
     def history(self, table: str) -> list[dict]:
         """Committed versions, ascending, with commit time, marker note,

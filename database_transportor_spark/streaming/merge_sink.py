@@ -133,6 +133,22 @@ def stream_merge_sink(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # the merge below bases itself on the head read here — hold the
+        # catalog's per-table writer lock (when it offers one) across the
+        # whole read→merge→stage→commit sequence so an in-process append
+        # racing this batch can neither move the head under the merge nor
+        # base ITS union on the pre-commit head and drop this batch's rows
+        from contextlib import nullcontext
+
+        lock = (
+            target.writer_lock(table)
+            if hasattr(target, "writer_lock")
+            else nullcontext()
+        )
+        with lock:
+            _apply_locked(batch, batch_id)
+
+    def _apply_locked(batch: DataFrame, batch_id: int) -> None:
         if op_col is not None:
             # cdc_merge, NOT cdc_apply: the target RETAINS the sequence
             # column, so a stale change arriving in a LATER micro-batch

@@ -384,3 +384,60 @@ def test_sql_cli_queries_and_explains(tmp_path):
               "--explain", "--master", "local[2]"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "PushedFilters" in r.stdout  # the filter reached the scan
+
+
+def test_sql_default_limit_never_full_collects(tmp_path, monkeypatch, capsys):
+    """The default `sql` path must collect through an explicit LIMIT (a
+    bounded driver fetch); `--limit 0` — the explicit full-output opt-out
+    — must stream via toLocalIterator and never call collect() at all."""
+    import argparse
+
+    import duckdb
+
+    # patch the CONCRETE class: pyspark 4 routes df.collect() through
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides the
+    # abstract pyspark.sql.DataFrame methods — patching the parent would
+    # spy on nothing
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from database_transportor_spark.cli import _cmd_sql
+
+    duckdb.sql(
+        f"COPY (SELECT range AS k FROM range(500))"
+        f" TO '{tmp_path}/t.parquet' (FORMAT PARQUET)"
+    )
+    calls = {"collect": [], "iter": 0}
+    orig_collect, orig_iter = DataFrame.collect, DataFrame.toLocalIterator
+
+    def spying_collect(self):
+        plan = self._jdf.queryExecution().optimizedPlan().toString()
+        calls["collect"].append("GlobalLimit" in plan or "Limit" in plan)
+        return orig_collect(self)
+
+    def spying_iter(self, *a, **kw):
+        calls["iter"] += 1
+        return orig_iter(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "collect", spying_collect)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", spying_iter)
+
+    def args(limit):
+        return argparse.Namespace(
+            root=str(tmp_path), format="parquet", master="local[2]",
+            query="SELECT k FROM t ORDER BY k", limit=limit, explain=False,
+        )
+
+    assert _cmd_sql(args(3)) == 0
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.strip()]) == 1 + 3  # header+3
+    assert calls["iter"] == 0
+    assert calls["collect"] and all(calls["collect"]), (
+        "default path collected an un-limited plan"
+    )
+
+    calls["collect"].clear()
+    assert _cmd_sql(args(0)) == 0
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.strip()]) == 1 + 500
+    assert calls["collect"] == []  # full output never drives a collect()
+    assert calls["iter"] == 1

@@ -237,3 +237,39 @@ def test_kmeans_lloyd_empty_cluster_carries_centroid(spark):
     out = kmeans_lloyd(df, k=2, iters=3).collect()
     assert sum(r["n_points"] for r in out) == 7
     assert all(r["inertia"] >= 0 for r in out)
+
+
+def test_kmeans_lloyd_invalid_vector_handling(spark):
+    """NULL/ragged vectors: on_invalid='raise' (default) surfaces an
+    actionable error from WITHIN the quantize pass (no extra validation
+    job on clean inputs), 'skip' drops them; dim inference skips NULLs."""
+    import pytest
+
+    from database_transportor_spark.operators.similarity import kmeans_lloyd
+
+    # leading NULL must not poison dim inference (size(NULL) is not -1/NULL)
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_lloyd(df, k=2, iters=2, on_invalid="skip")
+    assert sum(r["n_points"] for r in out.collect()) == 3
+
+    with pytest.raises(Exception, match="vec_id=0 has a NULL embedding"):
+        kmeans_lloyd(df, k=2, iters=2).collect()
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0]), (3, [5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="1-element embedding but dim=2"):
+        kmeans_lloyd(ragged, k=2, iters=2).collect()
+
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pass dim= explicitly"):
+        kmeans_lloyd(all_null, k=1, iters=2)
+
+    with pytest.raises(ValueError, match="on_invalid"):
+        kmeans_lloyd(ragged, k=2, iters=2, on_invalid="bogus")

@@ -162,3 +162,58 @@ def test_sql_cli_over_versioned_root(spark, tmp_path):
               "--master", "local[2]"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "6" in r.stdout
+
+
+def test_commit_staged_serializes_with_writer_lock(spark, tmp_path):
+    """commit_staged's head move must wait for any writer_lock holder —
+    the serialization that stops an append from basing its union on a
+    pre-commit head and silently dropping the staged batch's rows."""
+    import threading
+    import time
+
+    cat = _cat(spark, tmp_path)
+    cat.write(spark.range(3), "t", mode="overwrite")
+    cat.write_staged(spark.range(10), "t")
+    order = []
+    with cat.writer_lock("t"):
+        th = threading.Thread(
+            target=lambda: (cat.commit_staged("t"), order.append("commit"))
+        )
+        th.start()
+        time.sleep(0.4)
+        order.append("holder-done")
+    th.join(30)
+    assert order == ["holder-done", "commit"]
+    assert cat.read("t").count() == 10
+
+
+def test_append_vs_staged_merge_no_lost_update(spark, tmp_path):
+    """A read→merge→stage→commit sequence under writer_lock (the
+    stream-merge sink's shape) racing a plain append loses neither
+    side's rows, whichever order the lock grants."""
+    import threading
+
+    cat = _cat(spark, tmp_path)
+    cat.write(
+        spark.range(5).withColumnRenamed("id", "k"), "t", mode="overwrite"
+    )
+    started = threading.Event()
+
+    def staged_merge():
+        with cat.writer_lock("t"):
+            started.set()
+            live = cat.read("t")
+            merged = live.unionByName(
+                spark.range(100, 103).withColumnRenamed("id", "k")
+            )
+            cat.write_staged(merged, "t")
+            cat.commit_staged("t")
+
+    th = threading.Thread(target=staged_merge)
+    th.start()
+    started.wait(30)
+    # append races the in-flight staged merge; the lock serializes them
+    cat.write(spark.range(200, 202).withColumnRenamed("id", "k"), "t")
+    th.join(60)
+    ks = sorted(r["k"] for r in cat.read("t").collect())
+    assert ks == [0, 1, 2, 3, 4, 100, 101, 102, 200, 201]

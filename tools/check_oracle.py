@@ -79,11 +79,17 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"unknown queries: {sorted(unknown)}")
             return 2
         qs = {k: v for k, v in qs.items() if k in only}
+    from database_transportor_spark.operators.pins import release_pins
+
     failed = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
+        # the collect above is the terminal action: free any multi-consumer
+        # intermediates the operator pinned so MEMORY_AND_DISK blocks don't
+        # accumulate across the 160+-query session (mirrors scale_check)
+        release_pins()
         if name not in oracles:
             print(f"{name:24s} rows={len(s_rows):7d}  (rows-only, no oracle)")
             continue
