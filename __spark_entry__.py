@@ -1562,6 +1562,74 @@ GROUP BY fr.doc_id, f, w, h, ch
 """
 
 
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WORLD video container demux (`operators/multimodal.py:
+    decode_avi` + `decode_video_frames`): synthesize a genuine AVI RIFF
+    file per document — PNG-compressed frames under the real `MPNG`
+    handler, `avih`/`strh`/`strf` headers, `movi` chunk list, `idx1`
+    index — then demux the container, decode every PNG frame payload,
+    and report exact per-frame stats with stream-timing delays
+    (dwScale/dwRate).  The oracle recomputes the table in pure SQL —
+    a hash match proves the chunk walk recovered every frame byte AND
+    the header timing survived the round trip."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_video_frames, encode_avi, encode_png)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_avi(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w, ch = 3 + d % 4, 2 + d % 3, 1 + d % 3
+                nf, fps = 2 + d % 2, 12 + d % 5
+                payloads = [
+                    encode_png(
+                        ((np.arange(h * w * ch, dtype=np.int64) * 41 + d
+                          + f * 89) % 247).astype(np.uint8).reshape(h, w, ch))
+                    for f in range(nf)
+                ]
+                out.append(encode_avi(payloads, width=w, height=h,
+                                      fps_num=fps, fps_den=1, codec=b"MPNG"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_avi, schema)
+    return decode_video_frames(media, "doc_id", "content")
+
+
+SQL_AVI_FRAMES = """
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 3 AS w, 3 + doc_id % 4 AS h,
+         1 + doc_id % 3 AS ch, 2 + doc_id % 2 AS nf,
+         12 + doc_id % 5 AS fps
+  FROM documents
+), fr AS (
+  SELECT d.*, f FROM dims d, UNNEST(range(0, 3)) AS r(f) WHERE f < d.nf
+)
+SELECT fr.doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(1 AS BIGINT) AS delay_num,
+       CAST(fps AS BIGINT) AS delay_den,
+       CAST(sum((i * 41 + fr.doc_id + f * 89) % 247) AS BIGINT)
+         AS pixel_sum
+FROM fr, UNNEST(range(0, 72)) AS rr(i)
+WHERE i < fr.h * fr.w * fr.ch
+GROUP BY fr.doc_id, f, w, h, ch, fps
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE: train 60 merges on the corpus word-frequency dict
     (`operators/text.py:train_bpe`), encode every document distributed
@@ -4372,6 +4440,7 @@ _EXTENSION_QUERIES = {
     "random_projection": q_random_projection,
     "bpe_tokens": q_bpe_tokens,
     "video_frames": q_video_frames,
+    "avi_frames": q_avi_frames,
     "dedup_lines": q_dedup_lines,
     "temperature_mix": q_temperature_mix,
     "char_entropy": q_char_entropy,
@@ -4482,6 +4551,7 @@ _EXTENSION_ORACLES = {
     "random_projection": SQL_RANDOM_PROJECTION,
     "bpe_tokens": SQL_BPE_TOKENS,
     "video_frames": SQL_VIDEO_FRAMES,
+    "avi_frames": SQL_AVI_FRAMES,
     "dedup_lines": SQL_DEDUP_LINES,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "char_entropy": SQL_CHAR_ENTROPY,

@@ -336,3 +336,122 @@ def test_decode_image_stats_only_emits_no_pixels(spark):
                               "doc_id long, content binary"))
     assert "pixels" not in out.columns
     assert out.collect()[0]["width"] == 4
+
+
+# ---------------------------------------------------------------- AVI
+
+def _mk_png_frames(n, h=5, w=4, ch=3, seed=7):
+    import numpy as np
+
+    return [
+        ((np.arange(h * w * ch, dtype=np.int64) * 31 + seed + f * 97)
+         % 249).astype(np.uint8).reshape(h, w, ch)
+        for f in range(n)
+    ]
+
+
+def _minimal_jpeg(w, h, ncomp=3):
+    """Structurally real JPEG header stream: SOI, APP0, SOF0 with the
+    given dims, SOS, fake entropy data, EOI — enough for any
+    marker-walking dimension parser (the real-bytes contract)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+    )
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
+    sos = b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp]) \
+        + b"".join(bytes([i + 1, 0]) for i in range(ncomp)) + b"\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof + sos + b"\x12\x34\x56" + b"\xff\xd9"
+
+
+def test_avi_round_trip_png_payloads():
+    from database_transportor_spark.operators.multimodal import (
+        decode_avi, encode_avi, encode_png)
+
+    frames = _mk_png_frames(4)
+    payloads = [encode_png(f) for f in frames]
+    avi = encode_avi(payloads, width=4, height=5, fps_num=25, fps_den=1,
+                     codec=b"MPNG")
+    meta, got = decode_avi(avi)
+    assert got == payloads  # byte-identical frame extraction
+    assert (meta["width"], meta["height"]) == (4, 5)
+    assert (meta["fps_num"], meta["fps_den"]) == (25, 1)
+    assert meta["codec"] == "MPNG" and meta["n_frames"] == 4
+
+
+def test_avi_round_trip_mjpeg_payloads():
+    from database_transportor_spark.operators.multimodal import (
+        decode_avi, encode_avi, jpeg_dimensions)
+
+    payloads = [_minimal_jpeg(16, 9), _minimal_jpeg(16, 9)]
+    avi = encode_avi(payloads, width=16, height=9, fps_num=30000,
+                     fps_den=1001)  # NTSC timing survives the round trip
+    meta, got = decode_avi(avi)
+    assert got == payloads
+    assert (meta["fps_num"], meta["fps_den"]) == (30000, 1001)
+    assert jpeg_dimensions(got[0]) == (16, 9, 3)
+
+
+def test_jpeg_dimensions_variants_and_errors():
+    import pytest
+
+    from database_transportor_spark.operators.multimodal import jpeg_dimensions
+
+    assert jpeg_dimensions(_minimal_jpeg(640, 480, 3)) == (640, 480, 3)
+    assert jpeg_dimensions(_minimal_jpeg(7, 3, 1)) == (7, 3, 1)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_dimensions(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_dimensions(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")
+
+
+def test_decode_avi_rejects_garbage():
+    import pytest
+
+    from database_transportor_spark.operators.multimodal import decode_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="truncated AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_decode_video_frames_avi_tier(spark):
+    """End-to-end over the Spark column: PNG-in-AVI rows decode to exact
+    per-frame pixel sums; MJPEG rows surface real header dims with NULL
+    pixel_sum; APNG rows keep working in the same column."""
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_video_frames, encode_apng, encode_avi, encode_png)
+
+    png_frames = _mk_png_frames(3)
+    avi_png = encode_avi([encode_png(f) for f in png_frames], 4, 5,
+                         fps_num=10, fps_den=1, codec=b"MPNG")
+    avi_jpg = encode_avi([_minimal_jpeg(8, 6), _minimal_jpeg(8, 6)], 8, 6)
+    apng = encode_apng(png_frames[:2], delays=[(1, 50), (2, 50)])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi_png)), (2, bytearray(avi_jpg)),
+         (3, bytearray(apng))],
+        "doc_id long, content binary",
+    )
+    out = {(r["doc_id"], r["frame_idx"]): r
+           for r in decode_video_frames(df).collect()}
+    assert len(out) == 3 + 2 + 2
+    for i, f in enumerate(png_frames):
+        r = out[(1, i)]
+        assert (r["width"], r["height"], r["channels"]) == (4, 5, 3)
+        assert (r["delay_num"], r["delay_den"]) == (1, 10)
+        assert r["pixel_sum"] == int(f.astype(np.int64).sum())
+    r = out[(2, 0)]
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
+    assert r["pixel_sum"] is None  # DCT decode needs an image library
+    assert out[(3, 1)]["delay_num"] == 2  # APNG tier unchanged
+
+    # stride/max_frames knobs apply across tiers
+    strided = decode_video_frames(df, stride=2, max_frames=1).collect()
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in strided) == [
+        (1, 0), (2, 0), (3, 0)]
