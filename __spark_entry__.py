@@ -4796,43 +4796,48 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped returned-item report: top 20 customers by revenue
     lost to returns in 1996.  Fact-side joins (lineitem⋈orders on
     orderkey, ⋈customer on custkey) shuffle; nation is BROADCAST.
-    Exact-integer cents; deterministic (revenue desc, custkey asc) rank."""
-    from pyspark.sql import Window
-
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-01-01").cast("timestamp")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    ).select("o_orderkey", "o_custkey")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        F.col("l_returnflag") == "R"
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = (
-        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-    )
-    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum("rev_cp").alias("__rev_cp"),
-        F.count("*").alias("n_items"),
-    )
-    w = Window.orderBy(F.col("__rev_cp").desc(), F.col("c_custkey").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "rank", "c_custkey", "c_name", "n_name",
-            (F.col("__rev_cp") / F.lit(10000.0)).alias("revenue"),
-            "n_items",
-        )
-    )
+    Exact-integer cents; deterministic (revenue desc, custkey asc) rank.
+    Expressed as a declarative spec — the full join→agg→rank report is
+    data (join/agg/window_rank post_ops), not Python composition."""
+    maps = {
+        "returned_items": {
+            "original_table": "lineitem",
+            "extra_conditions": [["l_returnflag", "=", "R"]],
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "rev_cp": "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                              " * (100 - CAST(round(l_discount * 100) AS BIGINT))",
+                }},
+                {"op": "join", "table": "orders",
+                 "filter": "o_orderdate >= TIMESTAMP '1996-01-01'"
+                           " AND o_orderdate < TIMESTAMP '1997-01-01'",
+                 "select": ["o_orderkey", "o_custkey"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "join", "table": "customer",
+                 "select": ["c_custkey", "c_name", "c_nationkey"],
+                 "on": "o_custkey = c_custkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "select": ["n_nationkey", "n_name"],
+                 "on": "c_nationkey = n_nationkey"},
+                {"op": "agg",
+                 "group_by": ["c_custkey", "c_name", "n_name"],
+                 "aggs": ["sum(rev_cp) AS __rev_cp", "count(*) AS n_items"]},
+                {"op": "window_rank",
+                 "order_by": ["__rev_cp desc", "c_custkey asc"],
+                 "rank_col": "rank", "top": 20},
+                {"op": "derive", "columns": {"revenue": "__rev_cp / 10000.0D"}},
+                {"op": "select", "columns": [
+                    "rank", "c_custkey", "c_name", "n_name", "revenue",
+                    "n_items"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "returned_items")
 
 
 SQL_RETURNED_ITEMS = """
@@ -4867,24 +4872,51 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     average quantity.  The per-part average is a pre-aggregation joined
     back BROADCAST (parts of one brand ≪ lineitem) — no correlated
     subquery re-scan.  The threshold compare is exact integer algebra:
-    qty < 0.2·(sum/n)  ⇔  5·qty·n < sum  (quantities are integral)."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
-        F.col("p_brand") == "Brand#13"
-    ).select("p_partkey")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    lq = F.round(F.col("l_quantity")).cast("long")
-    lp = l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    stats = lp.groupBy("p_partkey").agg(
-        F.sum(lq).alias("__sum_q"), F.count("*").alias("__n")
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    j = lp.join(F.broadcast(stats), "p_partkey").filter(
-        F.lit(5) * lq * F.col("__n") < F.col("__sum_q")
-    )
-    return j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
-        (F.sum(cents) / F.lit(100.0)).alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
+    qty < 0.2·(sum/n)  ⇔  5·qty·n < sum  (quantities are integral).
+    Declarative two-map DAG: the per-part stats are their own map,
+    broadcast-joined back via side='target' (stats rows ≤ parts of one
+    brand — dimension-sized at any SF, so the rejoin never shuffles the
+    fact side)."""
+    maps = {
+        "part_qty_stats": {
+            "original_table": "lineitem",
+            "columns": {"l_partkey": "l_partkey", "l_quantity": "l_quantity"},
+            "post_ops": [
+                {"op": "join", "table": "part", "broadcast": True,
+                 "filter": "p_brand = 'Brand#13'", "select": ["p_partkey"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "agg", "group_by": ["p_partkey AS sp_partkey"],
+                 "aggs": [
+                     "sum(CAST(round(l_quantity) AS BIGINT)) AS __sum_q",
+                     "count(*) AS __n",
+                 ]},
+            ],
+        },
+        "small_qty_revenue": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_partkey": "l_partkey",
+                "l_quantity": "l_quantity",
+                "l_extendedprice": "l_extendedprice",
+                "l_shipdate": "l_shipdate",
+            },
+            "transport_after": ["part_qty_stats"],
+            "post_ops": [
+                {"op": "join", "table": "part_qty_stats", "side": "target",
+                 "broadcast": True, "on": "l_partkey = sp_partkey"},
+                {"op": "filter", "condition":
+                    "5 * CAST(round(l_quantity) AS BIGINT) * __n < __sum_q"},
+                {"op": "agg",
+                 "group_by": ["CAST(year(l_shipdate) AS BIGINT) AS ship_year"],
+                 "aggs": [
+                     "sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                     " / 100.0D AS revenue",
+                     "count(*) AS n_items",
+                 ]},
+            ],
+        },
+    }
+    return _run(spark, sf_dir, maps, "small_qty_revenue")
 
 
 SQL_SMALL_QTY_REVENUE = """
@@ -4912,18 +4944,28 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers able to supply each (brand, type, size) bucket, excluding
     one brand and the PROMO type family.  The part dimension filter is
     BROADCAST into the (l_partkey, l_suppkey) distinct-pair scan — the
-    only shuffle is the final count_distinct aggregation."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
-        (F.col("p_brand") != "Brand#9")
-        & (~F.col("p_type").startswith("PROMO"))
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    pairs = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey"
-    ).distinct()
-    j = pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    return j.groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")).agg(
-        F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt")
-    )
+    only shuffle is the final count_distinct aggregation.  Declarative:
+    distinct/join/agg post_ops stages."""
+    maps = {
+        "supplier_part_counts": {
+            "original_table": "lineitem",
+            "columns": {"l_partkey": "l_partkey", "l_suppkey": "l_suppkey"},
+            "post_ops": [
+                {"op": "distinct"},
+                {"op": "join", "table": "part", "broadcast": True,
+                 "filter": "p_brand <> 'Brand#9'"
+                           " AND p_type NOT LIKE 'PROMO%'",
+                 "select": ["p_partkey", "p_brand", "p_type", "p_size"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "agg",
+                 "group_by": ["p_brand", "p_type",
+                              "CAST(p_size AS BIGINT) AS p_size"],
+                 "aggs": ["CAST(count(DISTINCT l_suppkey) AS BIGINT)"
+                          " AS supplier_cnt"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "supplier_part_counts")
 
 
 SQL_SUPPLIER_PART_COUNTS = """
@@ -4947,26 +4989,42 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 18× wall at 10× data on this box; the pre-aggregated shape
     re-measured at 1.5× (the aggregation shrinks the build to
     per-order rows and the date predicate still prunes the orders
-    scan)."""
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-01-01").cast("timestamp")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    )
-    lmax = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(F.max("l_shipdate").alias("__max_ship"))
-    )
-    sem = o.join(
-        lmax,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("__max_ship") > F.col("o_orderdate")),
-        "left_semi",
-    )
-    return sem.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_orders")
-    )
+    scan).  Declarative two-map DAG: the pre-aggregation is its own map
+    and the report semi-joins it via side='target' + transport_after —
+    the post_ops analogue of the reference's recursive-dependency
+    trigger (J4)."""
+    maps = {
+        "lmax": {
+            "original_table": "lineitem",
+            "columns": {"l_orderkey": "l_orderkey", "l_shipdate": "l_shipdate"},
+            "post_ops": [
+                {"op": "agg", "group_by": ["l_orderkey"],
+                 "aggs": ["max(l_shipdate) AS __max_ship"]},
+            ],
+        },
+        "order_priority_counts": {
+            "original_table": "orders",
+            "extra_conditions": [
+                "o_orderdate >= TIMESTAMP '1996-01-01'",
+                "o_orderdate < TIMESTAMP '1997-01-01'",
+            ],
+            "columns": {
+                "o_orderkey": "o_orderkey",
+                "o_orderdate": "o_orderdate",
+                "o_orderpriority": "o_orderpriority",
+            },
+            "transport_after": ["lmax"],
+            "post_ops": [
+                {"op": "join", "table": "lmax", "side": "target",
+                 "how": "left_semi",
+                 "on": "l_orderkey = o_orderkey"
+                       " AND __max_ship > o_orderdate"},
+                {"op": "agg", "group_by": ["o_orderpriority"],
+                 "aggs": ["count(*) AS n_orders"]},
+            ],
+        },
+    }
+    return _run(spark, sf_dir, maps, "order_priority_counts")
 
 
 SQL_ORDER_PRIORITY_COUNTS = """
@@ -4987,16 +5045,24 @@ def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers to orders (customers with no orders count at 0), per-
     customer count, then the distribution of those counts.  Two
     shuffles — the outer join on custkey and the tiny histogram agg;
-    count(order-side column) gives the correct 0 for no-match rows."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey")
-    per = c.join(o, c.c_custkey == o.o_custkey, "left").groupBy(
-        "c_custkey"
-    ).agg(F.count("o_orderkey").alias("c_count"))
-    return per.groupBy("c_count").agg(
-        F.count("*").alias("n_customers")
-    )
+    count(order-side column) gives the correct 0 for no-match rows.
+    Declarative: left join + two stacked agg stages."""
+    maps = {
+        "customer_distribution": {
+            "original_table": "customer",
+            "columns": {"c_custkey": "c_custkey"},
+            "post_ops": [
+                {"op": "join", "table": "orders", "how": "left",
+                 "select": ["o_orderkey", "o_custkey"],
+                 "on": "c_custkey = o_custkey"},
+                {"op": "agg", "group_by": ["c_custkey"],
+                 "aggs": ["count(o_orderkey) AS c_count"]},
+                {"op": "agg", "group_by": ["c_count"],
+                 "aggs": ["count(*) AS n_customers"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "customer_distribution")
 
 
 SQL_CUSTOMER_DISTRIBUTION = """
@@ -5015,27 +5081,37 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promotion revenue share: of all 1996 revenue,
     the percentage from PROMO-type parts — conditional aggregation over
     one broadcast part-dim join, exact-integer cents, one rounded
-    division at the end."""
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-01-01").cast("timestamp")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_type")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = l.withColumn("rev_cp", cents * (F.lit(100) - disc)).join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    )
-    promo = F.sum(
-        F.when(F.col("p_type").startswith("PROMO"), F.col("rev_cp"))
-        .otherwise(F.lit(0))
-    )
-    return j.agg(
-        F.round(F.lit(100.0) * promo / F.sum("rev_cp"), 6).alias("promo_pct"),
-        (F.sum("rev_cp") / F.lit(10000.0)).alias("total_revenue"),
-    )
+    division at the end.  Declarative: pushdown conditions + derive /
+    broadcast-join / global-agg post_ops."""
+    maps = {
+        "promo_revenue_share": {
+            "original_table": "lineitem",
+            "extra_conditions": [
+                "l_shipdate >= TIMESTAMP '1996-01-01'",
+                "l_shipdate < TIMESTAMP '1997-01-01'",
+            ],
+            "columns": {
+                "l_partkey": "l_partkey",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "rev_cp": "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                              " * (100 - CAST(round(l_discount * 100) AS BIGINT))",
+                }},
+                {"op": "join", "table": "part", "broadcast": True,
+                 "select": ["p_partkey", "p_type"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "agg", "aggs": [
+                    "round(100.0D * sum(CASE WHEN p_type LIKE 'PROMO%'"
+                    " THEN rev_cp ELSE 0 END) / sum(rev_cp), 6) AS promo_pct",
+                    "sum(rev_cp) / 10000.0D AS total_revenue",
+                ]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "promo_revenue_share")
 
 
 SQL_PROMO_REVENUE_SHARE = """
@@ -5059,28 +5135,41 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, size-range, quantity-range) branches — the pattern that
     tests predicate handling, because naive engines scan once per
     branch.  Here it is ONE broadcast part join + one OR filter; the
-    quantity bounds are exact-integer compares."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand", "p_size")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    qty = F.round(F.col("l_quantity")).cast("long")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = l.withColumn("__qty", qty).withColumn(
-        "rev_cp", cents * (F.lit(100) - disc)
-    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-    cond = (
-        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
-         & F.col("__qty").between(1, 11))
-        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size") <= 10)
-           & F.col("__qty").between(10, 20))
-        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 15)
-           & F.col("__qty").between(20, 30))
-    )
-    return j.filter(cond).agg(
-        (F.sum("rev_cp") / F.lit(10000.0)).alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
+    quantity bounds are exact-integer compares.  Declarative:
+    derive / broadcast-join / filter / global-agg post_ops."""
+    maps = {
+        "disjunctive_revenue": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_partkey": "l_partkey",
+                "l_quantity": "l_quantity",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "__qty": "CAST(round(l_quantity) AS BIGINT)",
+                    "rev_cp": "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                              " * (100 - CAST(round(l_discount * 100) AS BIGINT))",
+                }},
+                {"op": "join", "table": "part", "broadcast": True,
+                 "select": ["p_partkey", "p_brand", "p_size"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "filter", "condition":
+                    "(p_brand = 'Brand#1' AND p_size <= 5"
+                    " AND __qty BETWEEN 1 AND 11)"
+                    " OR (p_brand = 'Brand#7' AND p_size <= 10"
+                    " AND __qty BETWEEN 10 AND 20)"
+                    " OR (p_brand = 'Brand#13' AND p_size <= 15"
+                    " AND __qty BETWEEN 20 AND 30)"},
+                {"op": "agg", "aggs": [
+                    "sum(rev_cp) / 10000.0D AS revenue",
+                    "count(*) AS n_items",
+                ]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "disjunctive_revenue")
 
 
 SQL_DISJUNCTIVE_REVENUE = """
@@ -5232,30 +5321,44 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     money math in exact integer cents (cent*percent for the discount /
     tax compounds), divided back out only at presentation — bit-stable
     sums at any scale and no float accumulation drift.  Single shuffle,
-    map-side partial aggregation."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    f = l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    qty = F.round(F.col("l_quantity")).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    tax = F.round(F.col("l_tax") * 100).cast("long")
-    f = (
-        f.withColumn("cents", cents)
-        .withColumn("qty", qty)
-        .withColumn("rev_cp", cents * (F.lit(100) - disc))
-        .withColumn("chg_cp2", cents * (F.lit(100) - disc) * (F.lit(100) + tax))
-    )
-    return (
-        f.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("qty").alias("sum_qty"),
-            (F.sum("cents") / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum("rev_cp") / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum("chg_cp2") / F.lit(1000000.0)).alias("sum_charge"),
-            F.round(F.sum("qty") / F.count("*"), 6).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-    )
+    map-side partial aggregation.  Expressed entirely as a declarative
+    spec (extra_conditions → pushdown, derive/agg post_ops) so the
+    analytics tier rides the same planner as the reference-parity maps."""
+    maps = {
+        "pricing_summary": {
+            "original_table": "lineitem",
+            "extra_conditions": ["l_shipdate <= TIMESTAMP '2000-12-01'"],
+            "columns": {
+                "l_returnflag": "l_returnflag",
+                "l_linestatus": "l_linestatus",
+                "l_quantity": "l_quantity",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+                "l_tax": "l_tax",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "qty": "CAST(round(l_quantity) AS BIGINT)",
+                    "cents": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+                    "disc": "CAST(round(l_discount * 100) AS BIGINT)",
+                    "tax": "CAST(round(l_tax * 100) AS BIGINT)",
+                    "rev_cp": "cents * (100 - disc)",
+                    "chg_cp2": "cents * (100 - disc) * (100 + tax)",
+                }},
+                {"op": "agg",
+                 "group_by": ["l_returnflag", "l_linestatus"],
+                 "aggs": [
+                     "sum(qty) AS sum_qty",
+                     "sum(cents) / 100.0D AS sum_base_price",
+                     "sum(rev_cp) / 10000.0D AS sum_disc_price",
+                     "sum(chg_cp2) / 1000000.0D AS sum_charge",
+                     "round(sum(qty) / count(*), 6) AS avg_qty",
+                     "count(*) AS count_order",
+                 ]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "pricing_summary")
 
 
 SQL_PRICING_SUMMARY = r"""

@@ -137,7 +137,7 @@ class DBT:
         m = self.specs[key]
         if m.middle is not None:
             df = build_middle(m, self._resolve)
-            return apply_post_ops(df, m.post_ops, f"map {key!r}")
+            return apply_post_ops(df, m.post_ops, f"map {key!r}", resolve=self._resolve)
 
         df = self._resolve(SIDE_ORIGINAL, m.original_table)
         if key in self._incremental_filters:
@@ -174,7 +174,9 @@ class DBT:
             raise SpecError(f"map {key!r}: columns never produced: {missing}")
         # Extension stages (dedup, scoring, tagging, filters) run on the
         # projected result — same lazy plan, one Catalyst optimization pass.
-        return apply_post_ops(df.select(*ordered), m.post_ops, f"map {key!r}")
+        return apply_post_ops(
+            df.select(*ordered), m.post_ops, f"map {key!r}", resolve=self._resolve
+        )
 
     def transform(self) -> dict[str, DataFrame]:
         """Plan every map in topo order; no writes.  Returns the final

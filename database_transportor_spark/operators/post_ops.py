@@ -65,8 +65,33 @@ Built-in stages (each a thin adapter over ``operators/``):
      "window_buckets": N, "bucket": "day"}
     {"op": "ab_test", "variant_col": ..., "entity_col": ..., "converted": "<sql>"}
 
+Relational stages (the declarative analytics tier — the same generic
+relational algebra the Q-shaped queries compile to, so a spec can express
+a full scan→join→derive→aggregate→rank report without any Python
+DataFrame code):
+
+    {"op": "derive", "columns": {"name": "<sql expr>", ...}}   # ordered
+    {"op": "join", "table": ..., "side": "original"|"target", "on": "<sql>"
+     | [cols], "how": "inner", "broadcast": bool, "filter": "<sql>",
+     "select": ["<expr>", ...], "distinct": bool}
+    {"op": "agg", "group_by": ["<expr [AS name]>", ...], "aggs": [...]}
+    {"op": "window_rank", "order_by": ["<expr> desc", ...],
+     "partition_by": [...], "rank_col": "rank", "method": "row_number",
+     "top": N}
+    {"op": "order_limit", "by": ["<expr> [desc]", ...], "limit": N}
+    {"op": "distinct", "subset": [...]}                        # optional
+
+``join`` resolves its right side through the engine's catalog resolver
+(the reserved ``_resolve`` param injected by :func:`apply_post_ops`):
+``side: "original"`` reads the source catalog; ``side: "target"`` sees
+earlier maps' outputs first (declare ``transport_after`` so the planner
+orders the DAG), falling back to the target catalog — so a multi-stage
+declarative report can join a pre-aggregated upstream map exactly like
+the reference's recursive-dependency trigger (J4) does for lookups.
+
 Register custom stages with :func:`register_post_op`; the callable gets
-``(df, params)`` and returns the new DataFrame.
+``(df, params)`` and returns the new DataFrame.  Params starting with
+``_`` are reserved for engine-injected context.
 """
 
 from __future__ import annotations
@@ -93,7 +118,17 @@ def register_post_op(name: str):
     return deco
 
 
-def apply_post_ops(df: DataFrame, post_ops: tuple[dict, ...], where: str) -> DataFrame:
+def apply_post_ops(
+    df: DataFrame,
+    post_ops: tuple[dict, ...],
+    where: str,
+    resolve: Callable[[str, str], DataFrame] | None = None,
+) -> DataFrame:
+    """Apply the stages in order.  ``resolve(side, table)`` is the engine's
+    catalog resolver; it is injected into each stage's params under the
+    reserved ``_resolve`` key so relational stages (``join``) can read
+    other tables / upstream map outputs through the same resolution path
+    as lookups."""
     for spec in post_ops:
         params = {k: v for k, v in spec.items() if k != "op"}
         name = spec["op"]
@@ -101,6 +136,8 @@ def apply_post_ops(df: DataFrame, post_ops: tuple[dict, ...], where: str) -> Dat
             raise SpecError(
                 f"{where}: unknown post_op {name!r} (known: {sorted(POST_OPS)})"
             )
+        params["_resolve"] = resolve
+        params["_where"] = where
         df = POST_OPS[name](df, params)
     return df
 
@@ -723,3 +760,126 @@ def _ab_test(df: DataFrame, p: dict) -> DataFrame:
     return ab_test(
         df, p["variant_col"], p["entity_col"], p["converted"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational tier — generic scan→join→derive→aggregate→rank stages.  These
+# compile 1:1 to stock DataFrame ops, so a declarative spec gets the exact
+# plan (pushdown, broadcast, map-side partial agg, TakeOrdered) a
+# hand-written composition would.
+# ---------------------------------------------------------------------------
+
+
+def _sort_expr(item: str):
+    """Parse '<expr> [asc|desc] [nulls first|nulls last]' into a sort Column
+    (F.expr parses expressions, not sort items, so the suffixes are split
+    off here)."""
+    s = item.strip()
+    low = s.lower()
+    nulls = None
+    for suf, kind in ((" nulls first", "first"), (" nulls last", "last")):
+        if low.endswith(suf):
+            nulls, s, low = kind, s[: -len(suf)].rstrip(), low[: -len(suf)].rstrip()
+            break
+    desc = False
+    for suf, d in ((" desc", True), (" asc", False)):
+        if low.endswith(suf):
+            desc, s = d, s[: -len(suf)].rstrip()
+            break
+    col = F.expr(s)
+    if desc:
+        return col.desc_nulls_first() if nulls == "first" else (
+            col.desc_nulls_last() if nulls == "last" else col.desc()
+        )
+    return col.asc_nulls_first() if nulls == "first" else (
+        col.asc_nulls_last() if nulls == "last" else col.asc()
+    )
+
+
+@register_post_op("derive")
+def _derive(df: DataFrame, p: dict) -> DataFrame:
+    # Ordered: each expression sees the columns derived before it (dicts
+    # preserve insertion order).  SQL-expression-first, like the reference's
+    # hook surface — no Python executes per row.
+    for name, expr in p["columns"].items():
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+@register_post_op("join")
+def _join(df: DataFrame, p: dict) -> DataFrame:
+    resolve = p.get("_resolve")
+    if resolve is None:
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'join' needs the engine's catalog "
+            "resolver — run the spec through DBT (or pass resolve= to "
+            "apply_post_ops)"
+        )
+    right = resolve(p.get("side", "original"), p["table"])
+    if p.get("filter"):
+        right = right.filter(F.expr(p["filter"]))
+    if p.get("select"):
+        right = right.selectExpr(*p["select"])
+    if p.get("distinct"):
+        right = right.distinct()
+    if p.get("broadcast"):
+        right = F.broadcast(right)
+    how = p.get("how", "inner")
+    on = p.get("on")
+    if on is None:
+        if how != "cross":
+            raise SpecError(
+                f"{p.get('_where', 'post_ops')}: 'join' without 'on' is only "
+                "valid with how='cross'"
+            )
+        return df.crossJoin(right)
+    cond = on if isinstance(on, (list, tuple)) else F.expr(on)
+    if isinstance(cond, (list, tuple)):
+        cond = list(cond)
+    return df.join(right, on=cond, how=how)
+
+
+@register_post_op("agg")
+def _agg(df: DataFrame, p: dict) -> DataFrame:
+    aggs = [F.expr(a) for a in p["aggs"]]
+    group_by = [F.expr(g) for g in p.get("group_by", [])]
+    return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+
+
+@register_post_op("window_rank")
+def _window_rank(df: DataFrame, p: dict) -> DataFrame:
+    # row_number/rank/dense_rank over (partition_by, order_by); with "top"
+    # and no partition_by Catalyst rewrites the filter into a
+    # TakeOrderedAndProject-style top-k per partition + single merge — no
+    # global sort materialization.
+    from pyspark.sql import Window
+
+    method = p.get("method", "row_number")
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    if method not in fns:
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: window_rank method must be one "
+            f"of {sorted(fns)}, got {method!r}"
+        )
+    w = Window.partitionBy(*[F.expr(c) for c in p.get("partition_by", [])])
+    w = w.orderBy(*[_sort_expr(o) for o in p["order_by"]])
+    out = df.withColumn(p.get("rank_col", "rank"), fns[method]().over(w))
+    if p.get("top") is not None:
+        out = out.filter(F.col(p.get("rank_col", "rank")) <= int(p["top"]))
+    return out
+
+
+@register_post_op("order_limit")
+def _order_limit(df: DataFrame, p: dict) -> DataFrame:
+    # orderBy(...).limit(n) compiles to TakeOrderedAndProject: per-partition
+    # top-n + one driver merge of n rows — never a full global sort.
+    out = df.orderBy(*[_sort_expr(o) for o in p["by"]])
+    if p.get("limit") is not None:
+        out = out.limit(int(p["limit"]))
+    return out
+
+
+@register_post_op("distinct")
+def _distinct(df: DataFrame, p: dict) -> DataFrame:
+    subset = p.get("subset")
+    return df.dropDuplicates(subset=list(subset)) if subset else df.distinct()

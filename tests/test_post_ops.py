@@ -387,3 +387,159 @@ def test_post_op_kmeans(spark):
     out = apply_post_ops(df, ({"op": "kmeans", "k": 4},), "test")
     rows = out.collect()
     assert sum(r["n_points"] for r in rows) == df.count()
+
+
+# ---------------------------------------------------------------------------
+# Relational tier: derive / join / agg / window_rank / order_limit / distinct
+# ---------------------------------------------------------------------------
+
+
+def _sales_catalog(spark):
+    sales = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 75.0), (4, 30, 5.0),
+         (5, 20, 75.0)],
+        ["sale_id", "cust_id", "amount"],
+    )
+    cust = spark.createDataFrame(
+        [(10, "alice", "US"), (20, "bo", "DE"), (30, "cy", "US"),
+         (40, "dee", "FR")],
+        ["cust_id", "name", "country"],
+    )
+    return MemoryCatalog({"sales": sales, "customers": cust})
+
+
+def test_relational_join_derive_agg_rank(spark):
+    """Full scan→derive→join→agg→rank report expressed purely as spec data."""
+    maps = {
+        "report": {
+            "original_table": "sales",
+            "columns": {"sale_id": "sale_id", "cust_id": "cust_id",
+                        "amount": "amount"},
+            "post_ops": [
+                {"op": "derive",
+                 "columns": {"cents": "CAST(round(amount * 100) AS BIGINT)"}},
+                {"op": "join", "table": "customers", "broadcast": True,
+                 "select": ["cust_id AS c_id", "name", "country"],
+                 "on": "cust_id = c_id"},
+                {"op": "agg", "group_by": ["name", "country"],
+                 "aggs": ["sum(cents) AS total_cents",
+                          "CAST(count(*) AS BIGINT) AS n_sales"]},
+                {"op": "window_rank",
+                 "order_by": ["total_cents desc", "name asc"],
+                 "rank_col": "rank", "top": 2},
+                {"op": "derive", "columns": {"total": "total_cents / 100.0"}},
+                {"op": "select",
+                 "columns": ["rank", "name", "country", "total", "n_sales"]},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=_sales_catalog(spark))
+    rows = [tuple(r) for r in eng.transform()["report"].orderBy("rank").collect()]
+    assert rows == [(1, "alice", "US", 150.0, 2), (2, "bo", "DE", 150.0, 2)]
+
+
+def test_relational_join_upstream_map_output(spark):
+    """side='target' joins a pre-aggregated upstream map (transport_after
+    orders the DAG) — the multi-map declarative pattern."""
+    maps = {
+        "per_cust": {
+            "original_table": "sales",
+            "columns": {"cust_id": "cust_id", "amount": "amount"},
+            "post_ops": [
+                {"op": "agg", "group_by": ["cust_id AS pc_cust"],
+                 "aggs": ["sum(amount) AS spend"]},
+            ],
+        },
+        "enriched": {
+            "original_table": "customers",
+            "columns": {"cust_id": "cust_id", "name": "name"},
+            "transport_after": ["per_cust"],
+            "post_ops": [
+                {"op": "join", "table": "per_cust", "side": "target",
+                 "how": "left", "on": "cust_id = pc_cust",
+                 "select": ["pc_cust", "spend"]},
+                {"op": "derive",
+                 "columns": {"spend": "coalesce(spend, 0.0)"}},
+                {"op": "select", "columns": ["cust_id", "name", "spend"]},
+            ],
+        },
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=_sales_catalog(spark))
+    got = {r["cust_id"]: r["spend"] for r in eng.transform()["enriched"].collect()}
+    assert got == {10: 150.0, 20: 150.0, 30: 5.0, 40: 0.0}
+
+
+def test_relational_semi_cross_distinct_order_limit(spark):
+    maps = {
+        "active": {
+            "original_table": "customers",
+            "columns": {"cust_id": "cust_id", "name": "name"},
+            "post_ops": [
+                # semi join: customers with at least one sale >= 50
+                {"op": "join", "table": "sales", "how": "left_semi",
+                 "filter": "amount >= 50.0",
+                 "select": ["cust_id AS s_cust"], "distinct": True,
+                 "on": "cust_id = s_cust"},
+                # cross join a 1-row global stat (broadcast)
+                {"op": "join", "table": "sales", "how": "cross",
+                 "broadcast": True,
+                 "select": ["CAST(round(max(amount)*100) AS BIGINT) AS max_cp"]},
+                {"op": "derive", "columns": {"max_amount": "max_cp / 100.0"}},
+                {"op": "select", "columns": ["cust_id", "name", "max_amount"]},
+                {"op": "order_limit", "by": ["cust_id asc"], "limit": 1},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=_sales_catalog(spark))
+    rows = [tuple(r) for r in eng.transform()["active"].collect()]
+    assert rows == [(10, "alice", 100.0)]
+
+
+def test_relational_distinct_subset_and_sort_suffixes(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (None, "z")], ["k", "v"]
+    )
+    out = apply_post_ops(
+        df,
+        ({"op": "distinct", "subset": ["k"]},
+         {"op": "order_limit", "by": ["k desc nulls last"]}),
+        "test",
+    )
+    ks = [r["k"] for r in out.collect()]
+    assert ks == [2, 1, None]
+
+
+def test_relational_join_requires_resolver_and_cross_guard(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(SpecError, match="resolver"):
+        apply_post_ops(df, ({"op": "join", "table": "t", "on": "1=1"},), "w")
+    maps = {
+        "bad": {
+            "original_table": "sales",
+            "columns": {"sale_id": "sale_id"},
+            "post_ops": [{"op": "join", "table": "customers", "how": "inner"}],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=_sales_catalog(spark))
+    with pytest.raises(SpecError, match="cross"):
+        eng.transform()
+
+
+def test_relational_window_rank_partitioned(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)], ["g", "v"]
+    )
+    out = apply_post_ops(
+        df,
+        ({"op": "window_rank", "partition_by": ["g"], "order_by": ["v desc"],
+          "rank_col": "rn", "top": 1},),
+        "test",
+    )
+    got = {r["g"]: r["v"] for r in out.collect()}
+    assert got == {"a": 3, "b": 9}
