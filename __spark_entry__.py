@@ -5192,25 +5192,37 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the positive-balance average but who placed NO orders since
     2000 (lapsed big accounts) — a broadcast scalar threshold plus a
     LEFT ANTI join (never a NOT IN subquery re-scan), with the date
-    predicate pushed to the orders scan.  Balance sums in exact cents."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_nationkey", "c_acctbal")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    ).select("o_custkey")
-    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
-    cc = c.withColumn("__bal_cp", bal_c)
-    avg_pos = cc.filter(F.col("__bal_cp") > 0).agg(
-        (F.sum("__bal_cp") / F.count("*")).alias("__avg")
-    )
-    rich = cc.join(F.broadcast(avg_pos)).filter(
-        F.col("__bal_cp") > F.col("__avg")
-    )
-    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
-    return idle.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
-        F.count("*").alias("n_customers"),
-        (F.sum("__bal_cp") / F.lit(100.0)).alias("total_balance"),
-    )
+    predicate pushed to the orders scan.  Balance sums in exact cents.
+    Declarative: broadcast-scalar cross join + left_anti join + agg."""
+    maps = {
+        "idle_rich_customers": {
+            "original_table": "customer",
+            "columns": {
+                "c_custkey": "c_custkey",
+                "c_nationkey": "c_nationkey",
+                "c_acctbal": "c_acctbal",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "__bal_cp": "CAST(round(c_acctbal * 100) AS BIGINT)"}},
+                {"op": "join", "table": "customer", "how": "cross",
+                 "broadcast": True,
+                 "filter": "CAST(round(c_acctbal * 100) AS BIGINT) > 0",
+                 "select": ["sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+                            " / count(*) AS __avg"]},
+                {"op": "filter", "condition": "__bal_cp > __avg"},
+                {"op": "join", "table": "orders", "how": "left_anti",
+                 "filter": "o_orderdate >= TIMESTAMP '2000-01-01'",
+                 "select": ["o_custkey"],
+                 "on": "c_custkey = o_custkey"},
+                {"op": "agg",
+                 "group_by": ["CAST(c_nationkey AS BIGINT) AS nation"],
+                 "aggs": ["count(*) AS n_customers",
+                          "sum(__bal_cp) / 100.0D AS total_balance"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "idle_rich_customers")
 
 
 SQL_IDLE_RICH_CUSTOMERS = """
@@ -5237,25 +5249,52 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped top supplier: per-supplier 1996-H1 revenue, then
     the supplier(s) matching the maximum — the max is a 1-row broadcast
     scalar joined back (no second scan, no driver round-trip), revenue
-    in exact cents."""
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1996-07-01").cast("timestamp")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    rev = l.withColumn("rev_cp", cents * (F.lit(100) - disc)).groupBy(
-        "l_suppkey"
-    ).agg(F.sum("rev_cp").alias("__rev_cp"))
-    mx = rev.agg(F.max("__rev_cp").alias("__mx"))
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_name")
-    top = rev.join(F.broadcast(mx)).filter(F.col("__rev_cp") == F.col("__mx"))
-    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
-        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
-        (F.col("__rev_cp") / F.lit(10000.0)).alias("total_revenue"),
-    )
+    in exact cents.  Declarative two-map DAG: per-supplier revenue is
+    its own map; the report joins it from the supplier dim and
+    cross-joins its 1-row max back (the documented broadcast-scalar
+    exception)."""
+    maps = {
+        "supp_rev": {
+            "original_table": "lineitem",
+            "extra_conditions": [
+                "l_shipdate >= TIMESTAMP '1996-01-01'",
+                "l_shipdate < TIMESTAMP '1996-07-01'",
+            ],
+            "columns": {
+                "l_suppkey": "l_suppkey",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "agg", "group_by": ["l_suppkey AS sr_suppkey"],
+                 "aggs": [
+                     "sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                     " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                     " AS __rev_cp",
+                 ]},
+            ],
+        },
+        "top_supplier": {
+            "original_table": "supplier",
+            "columns": {"s_suppkey": "s_suppkey", "s_name": "s_name"},
+            "transport_after": ["supp_rev"],
+            "post_ops": [
+                {"op": "join", "table": "supp_rev", "side": "target",
+                 "on": "s_suppkey = sr_suppkey"},
+                {"op": "join", "table": "supp_rev", "side": "target",
+                 "how": "cross", "broadcast": True,
+                 "select": ["max(__rev_cp) AS __mx"]},
+                {"op": "filter", "condition": "__rev_cp = __mx"},
+                {"op": "derive", "columns": {
+                    "s_suppkey": "CAST(s_suppkey AS BIGINT)",
+                    "total_revenue": "__rev_cp / 10000.0D",
+                }},
+                {"op": "select",
+                 "columns": ["s_suppkey", "s_name", "total_revenue"]},
+            ],
+        },
+    }
+    return _run(spark, sf_dir, maps, "top_supplier")
 
 
 SQL_TOP_SUPPLIER = """
@@ -5281,20 +5320,33 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, supplier) the minimum line total in exact cents, then per
     part the winning supplier via a deterministic struct-min
     (cost, suppkey) — one aggregation, no correlated re-scan, ties
-    broken by supplier key."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    per = l.withColumn("__cp", cents).groupBy(
-        "l_partkey", "l_suppkey"
-    ).agg(F.min("__cp").alias("__min_cp"))
-    best = per.groupBy("l_partkey").agg(
-        F.min(F.struct(F.col("__min_cp"), F.col("l_suppkey"))).alias("__b")
-    )
-    return best.select(
-        F.col("l_partkey").cast("long").alias("p_partkey"),
-        F.col("__b.l_suppkey").cast("long").alias("s_suppkey"),
-        (F.col("__b.__min_cp") / F.lit(100.0)).alias("min_cost"),
-    )
+    broken by supplier key.  Declarative: two stacked agg stages (the
+    struct-min is a plain SQL aggregate expression)."""
+    maps = {
+        "cheapest_supplier": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_partkey": "l_partkey",
+                "l_suppkey": "l_suppkey",
+                "l_extendedprice": "l_extendedprice",
+            },
+            "post_ops": [
+                {"op": "agg", "group_by": ["l_partkey", "l_suppkey"],
+                 "aggs": ["min(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                          " AS __min_cp"]},
+                {"op": "agg", "group_by": ["l_partkey"],
+                 "aggs": ["min(struct(__min_cp, l_suppkey)) AS __b"]},
+                {"op": "derive", "columns": {
+                    "p_partkey": "CAST(l_partkey AS BIGINT)",
+                    "s_suppkey": "CAST(__b.l_suppkey AS BIGINT)",
+                    "min_cost": "__b.__min_cp / 100.0D",
+                }},
+                {"op": "select",
+                 "columns": ["p_partkey", "s_suppkey", "min_cost"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "cheapest_supplier")
 
 
 SQL_CHEAPEST_SUPPLIER = """
@@ -5387,39 +5439,43 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping-priority query: segment-filtered
     customers BROADCAST into orders, lineitem shuffle-joined on
     orderkey, top-10 by exact-integer revenue with a deterministic
-    orderkey tiebreak (TakeOrdered — no global sort materialization)."""
-    d = F.lit("1998-06-30").cast("timestamp")
-    c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_orderdate") < d
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        F.col("l_shipdate") > d
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = (
-        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    )
-    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum("rev_cp").alias("rev_cp")
-    )
-    return (
-        g.orderBy(F.col("rev_cp").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-        .select(
-            "l_orderkey",
-            "o_orderdate",
-            "o_orderpriority",
-            (F.col("rev_cp") / F.lit(10000.0)).alias("revenue"),
-        )
-    )
+    orderkey tiebreak (TakeOrdered — no global sort materialization).
+    Declarative: join/agg/order_limit post_ops."""
+    maps = {
+        "top_unshipped": {
+            "original_table": "lineitem",
+            "extra_conditions": ["l_shipdate > TIMESTAMP '1998-06-30'"],
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "rev_cp0": "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                               " * (100 - CAST(round(l_discount * 100) AS BIGINT))",
+                }},
+                {"op": "join", "table": "orders",
+                 "filter": "o_orderdate < TIMESTAMP '1998-06-30'",
+                 "select": ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "join", "table": "customer", "broadcast": True,
+                 "filter": "c_mktsegment = 'BUILDING'",
+                 "select": ["c_custkey"],
+                 "on": "o_custkey = c_custkey"},
+                {"op": "agg",
+                 "group_by": ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                 "aggs": ["sum(rev_cp0) AS rev_cp"]},
+                {"op": "order_limit",
+                 "by": ["rev_cp desc", "l_orderkey asc"], "limit": 10},
+                {"op": "derive", "columns": {"revenue": "rev_cp / 10000.0D"}},
+                {"op": "select", "columns": [
+                    "l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "top_unshipped")
 
 
 SQL_TOP_UNSHIPPED = r"""
@@ -5450,40 +5506,43 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dimension (supplier, nation, region) is BROADCAST — the only
     shuffles are the two fact-side equi-joins (orders⋈customer on
     custkey, lineitem⋈orders on orderkey) plus the final small
-    aggregation.  Exact-integer revenue."""
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1997-01-01").cast("timestamp")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
-        F.col("r_name") == "ASIA"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name"
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_nationkey"
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_nationkey"
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(l.withColumn("rev_cp", cents * (F.lit(100) - disc)),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
-              & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-    )
-    return j.groupBy("n_name").agg(
-        (F.sum("rev_cp") / F.lit(10000.0)).alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
+    aggregation.  Exact-integer revenue.  Declarative: four chained
+    join stages (dims broadcast) + the final agg, all spec data."""
+    maps = {
+        "revenue_by_nation": {
+            "original_table": "orders",
+            "extra_conditions": [
+                "o_orderdate >= TIMESTAMP '1996-01-01'",
+                "o_orderdate < TIMESTAMP '1997-01-01'",
+            ],
+            "columns": {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey"},
+            "post_ops": [
+                {"op": "join", "table": "customer",
+                 "select": ["c_custkey", "c_nationkey"],
+                 "on": "o_custkey = c_custkey"},
+                {"op": "join", "table": "lineitem",
+                 "select": ["l_orderkey", "l_suppkey",
+                            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+                            " AS rev_cp"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_nationkey"],
+                 "on": "l_suppkey = s_suppkey"
+                       " AND c_nationkey = s_nationkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "select": ["n_nationkey", "n_name", "n_regionkey"],
+                 "on": "s_nationkey = n_nationkey"},
+                {"op": "join", "table": "region", "broadcast": True,
+                 "filter": "r_name = 'ASIA'", "select": ["r_regionkey"],
+                 "on": "n_regionkey = r_regionkey"},
+                {"op": "agg", "group_by": ["n_name"],
+                 "aggs": ["sum(rev_cp) / 10000.0D AS revenue",
+                          "count(*) AS n_items"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "revenue_by_nation")
 
 
 SQL_REVENUE_BY_NATION = r"""
@@ -6545,54 +6604,59 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     year.  Both nation dims are pre-filtered to the two names and
     BROADCAST onto supplier/customer, so the pair predicate prunes the
     fact early; the only shuffles are lineitem⋈orders (orderkey) and
-    orders⋈customer (custkey).  Exact-integer revenue."""
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1999-01-01").cast("timestamp")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
-        F.col("n_name").isin("NATION_1", "NATION_2")
-    )
-    s = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-    )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = (
-        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .filter(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
-        )
-    )
-    return j.groupBy(
-        "supp_nation",
-        "cust_nation",
-        F.year("l_shipdate").cast("int").alias("l_year"),
-    ).agg(
-        (F.sum("rev_cp") / F.lit(10000.0)).alias("revenue"),
-        F.count("*").alias("n_items"),
-    )
+    orders⋈customer (custkey).  Exact-integer revenue.  Declarative:
+    the pair-filtered nation dim joins twice under different aliases."""
+    maps = {
+        "nation_trade_volume": {
+            "original_table": "lineitem",
+            "extra_conditions": [
+                "l_shipdate >= TIMESTAMP '1996-01-01'",
+                "l_shipdate < TIMESTAMP '1999-01-01'",
+            ],
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_suppkey": "l_suppkey",
+                "l_shipdate": "l_shipdate",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "rev_cp": "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                              " * (100 - CAST(round(l_discount * 100) AS BIGINT))",
+                }},
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_nationkey"],
+                 "on": "l_suppkey = s_suppkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "filter": "n_name IN ('NATION_1', 'NATION_2')",
+                 "select": ["n_nationkey AS sn_key",
+                            "n_name AS supp_nation"],
+                 "on": "s_nationkey = sn_key"},
+                {"op": "join", "table": "orders",
+                 "select": ["o_orderkey", "o_custkey"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "join", "table": "customer",
+                 "select": ["c_custkey", "c_nationkey"],
+                 "on": "o_custkey = c_custkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "filter": "n_name IN ('NATION_1', 'NATION_2')",
+                 "select": ["n_nationkey AS cn_key",
+                            "n_name AS cust_nation"],
+                 "on": "c_nationkey = cn_key"},
+                {"op": "filter", "condition":
+                    "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+                    " OR (supp_nation = 'NATION_2'"
+                    " AND cust_nation = 'NATION_1')"},
+                {"op": "agg",
+                 "group_by": ["supp_nation", "cust_nation",
+                              "CAST(year(l_shipdate) AS INT) AS l_year"],
+                 "aggs": ["sum(rev_cp) / 10000.0D AS revenue",
+                          "count(*) AS n_items"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "nation_trade_volume")
 
 
 SQL_NATION_TRADE_VOLUME = r"""
@@ -6621,60 +6685,64 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASIA customers per order year, the fraction supplied from NATION_5.
     Numerator and denominator are conditional sums of the SAME exact-int
     revenue column in ONE aggregation — no second pass, no self-join.
-    part / supplier / nation / region are all broadcast."""
-    lo = F.lit("1996-01-01").cast("timestamp")
-    hi = F.lit("1999-01-01").cast("timestamp")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
-        F.col("r_name") == "ASIA"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        F.col("n_nationkey").alias("cn_key")
-    )
-    sn = n.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
-        F.col("p_type") == "ECONOMY"
-    ).select("p_partkey")
-    s = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .select("s_suppkey", "supp_nation")
-    )
-    c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .select("c_custkey")
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    j = (
-        l.withColumn("rev_cp", cents * (F.lit(100) - disc))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-    )
-    nat = F.when(F.col("supp_nation") == "NATION_5", F.col("rev_cp")).otherwise(
-        F.lit(0)
-    )
-    return (
-        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(
-            F.sum(nat).alias("nation_cp"),
-            F.sum("rev_cp").alias("total_cp"),
-        )
-        .select(
-            "o_year",
-            F.round(F.col("nation_cp") / F.col("total_cp"), 6).alias("mkt_share"),
-            (F.col("total_cp") / F.lit(10000.0)).alias("total_revenue"),
-        )
-    )
+    part / supplier / nation / region are all broadcast.  Declarative:
+    six chained join stages + conditional-sum agg."""
+    maps = {
+        "market_share": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_partkey": "l_partkey",
+                "l_suppkey": "l_suppkey",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "derive", "columns": {
+                    "rev_cp": "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                              " * (100 - CAST(round(l_discount * 100) AS BIGINT))",
+                }},
+                {"op": "join", "table": "part", "broadcast": True,
+                 "filter": "p_type = 'ECONOMY'", "select": ["p_partkey"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_nationkey"],
+                 "on": "l_suppkey = s_suppkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "select": ["n_nationkey AS sn_key",
+                            "n_name AS supp_nation"],
+                 "on": "s_nationkey = sn_key"},
+                {"op": "join", "table": "orders",
+                 "filter": "o_orderdate >= TIMESTAMP '1996-01-01'"
+                           " AND o_orderdate < TIMESTAMP '1999-01-01'",
+                 "select": ["o_orderkey", "o_custkey", "o_orderdate"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "join", "table": "customer",
+                 "select": ["c_custkey", "c_nationkey"],
+                 "on": "o_custkey = c_custkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "select": ["n_nationkey AS cn_key", "n_regionkey"],
+                 "on": "c_nationkey = cn_key"},
+                {"op": "join", "table": "region", "broadcast": True,
+                 "filter": "r_name = 'ASIA'", "select": ["r_regionkey"],
+                 "on": "n_regionkey = r_regionkey"},
+                {"op": "agg",
+                 "group_by": ["CAST(year(o_orderdate) AS INT) AS o_year"],
+                 "aggs": [
+                     "sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_cp"
+                     " ELSE 0 END) AS nation_cp",
+                     "sum(rev_cp) AS total_cp",
+                 ]},
+                {"op": "derive", "columns": {
+                    "mkt_share": "round(nation_cp / total_cp, 6)",
+                    "total_revenue": "total_cp / 10000.0D",
+                }},
+                {"op": "select",
+                 "columns": ["o_year", "mkt_share", "total_revenue"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "market_share")
 
 
 SQL_MARKET_SHARE = r"""
@@ -6711,38 +6779,48 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact 10^-4-dollar integers until the final divide (there is no
     partsupp table in this corpus, so p_retailprice×qty stands in for
     supplycost×qty).  part + supplier + nation broadcast; the fact-side
-    shuffle is lineitem⋈orders only."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
-        F.col("p_name").like("%gear%")
-    ).select("p_partkey", "p_retailprice")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    s = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderdate"
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    qty = F.round(F.col("l_quantity")).cast("long")
-    cost_cp = F.round(F.col("p_retailprice") * 100).cast("long") * qty * F.lit(100)
-    j = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .withColumn("profit_cp", cents * (F.lit(100) - disc) - cost_cp)
-    )
-    return j.groupBy(
-        "nation", F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(
-        (F.sum("profit_cp") / F.lit(10000.0)).alias("sum_profit"),
-        F.count("*").alias("n_items"),
-    )
+    shuffle is lineitem⋈orders only.  Declarative join/derive/agg."""
+    maps = {
+        "product_profit": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_partkey": "l_partkey",
+                "l_suppkey": "l_suppkey",
+                "l_quantity": "l_quantity",
+                "l_extendedprice": "l_extendedprice",
+                "l_discount": "l_discount",
+            },
+            "post_ops": [
+                {"op": "join", "table": "part", "broadcast": True,
+                 "filter": "p_name LIKE '%gear%'",
+                 "select": ["p_partkey", "p_retailprice"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_nationkey"],
+                 "on": "l_suppkey = s_suppkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "select": ["n_nationkey", "n_name AS nation"],
+                 "on": "s_nationkey = n_nationkey"},
+                {"op": "join", "table": "orders",
+                 "select": ["o_orderkey", "o_orderdate"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "derive", "columns": {
+                    "profit_cp":
+                        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+                        " - CAST(round(p_retailprice * 100) AS BIGINT)"
+                        " * CAST(round(l_quantity) AS BIGINT) * 100",
+                }},
+                {"op": "agg",
+                 "group_by": ["nation",
+                              "CAST(year(o_orderdate) AS INT) AS o_year"],
+                 "aggs": ["sum(profit_cp) / 10000.0D AS sum_profit",
+                          "count(*) AS n_items"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "product_profit")
 
 
 SQL_PRODUCT_PROFIT = r"""
@@ -6770,23 +6848,36 @@ def q_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-priority (1-URGENT / 2-HIGH) vs lower-priority order lines per
     return flag.  The ship-year filter is PUSHED to the parquet scan;
     the lateness predicate (a cross-table comparison) runs right after
-    the single lineitem⋈orders shuffle."""
-    lo = F.lit("1997-01-01").cast("timestamp")
-    hi = F.lit("1998-01-01").cast("timestamp")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-    )
-    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 180
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return j.groupBy("l_returnflag").agg(
-        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
-    )
+    the single lineitem⋈orders shuffle.  Declarative join/filter/agg."""
+    maps = {
+        "late_priority_counts": {
+            "original_table": "lineitem",
+            "extra_conditions": [
+                "l_shipdate >= TIMESTAMP '1997-01-01'",
+                "l_shipdate < TIMESTAMP '1998-01-01'",
+            ],
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_shipdate": "l_shipdate",
+                "l_returnflag": "l_returnflag",
+            },
+            "post_ops": [
+                {"op": "join", "table": "orders",
+                 "select": ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "filter",
+                 "condition": "datediff(l_shipdate, o_orderdate) > 180"},
+                {"op": "agg", "group_by": ["l_returnflag"],
+                 "aggs": [
+                     "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                     " THEN 1 ELSE 0 END) AS high_line_count",
+                     "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                     " THEN 0 ELSE 1 END) AS low_line_count",
+                 ]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "late_priority_counts")
 
 
 SQL_LATE_PRIORITY_COUNTS = r"""
@@ -6809,34 +6900,45 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity exceeds 300.  AGGREGATE-BEFORE-JOIN: lineitem is reduced to
     (orderkey, sum_qty) with map-side partials and HAVING-filtered to a
     tiny survivor set BEFORE touching orders/customer — at 100 TB the
-    join probes ~0.3% of orders, and AQE broadcasts the survivor side."""
-    qty = F.round(F.col("l_quantity")).cast("long")
-    big = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", qty.alias("qty"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("qty").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 300)
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_name"
-    )
-    return (
-        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(100.0))
-            .alias("o_total"),
-            "sum_qty",
-        )
-    )
+    join probes ~0.3% of orders, and AQE broadcasts the survivor side.
+    Declarative two-map DAG: the HAVING-filtered pre-aggregation is its
+    own map, joined via side='target'."""
+    maps = {
+        "big_orders": {
+            "original_table": "lineitem",
+            "columns": {"l_orderkey": "l_orderkey", "l_quantity": "l_quantity"},
+            "post_ops": [
+                {"op": "agg", "group_by": ["l_orderkey"],
+                 "aggs": ["sum(CAST(round(l_quantity) AS BIGINT))"
+                          " AS sum_qty"]},
+                {"op": "filter", "condition": "sum_qty > 300"},
+            ],
+        },
+        "large_volume_customers": {
+            "original_table": "orders",
+            "columns": {
+                "o_orderkey": "o_orderkey",
+                "o_custkey": "o_custkey",
+                "o_orderdate": "o_orderdate",
+                "o_totalprice": "o_totalprice",
+            },
+            "transport_after": ["big_orders"],
+            "post_ops": [
+                {"op": "join", "table": "big_orders", "side": "target",
+                 "on": "o_orderkey = l_orderkey"},
+                {"op": "join", "table": "customer",
+                 "select": ["c_custkey", "c_name"],
+                 "on": "o_custkey = c_custkey"},
+                {"op": "derive", "columns": {
+                    "o_total": "CAST(round(o_totalprice * 100) AS BIGINT)"
+                               " / 100.0D"}},
+                {"op": "select", "columns": [
+                    "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_total", "sum_qty"]},
+            ],
+        },
+    }
+    return _run(spark, sf_dir, maps, "large_volume_customers")
 
 
 SQL_LARGE_VOLUME_CUSTOMERS = r"""
@@ -6861,40 +6963,51 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplycost×availqty): parts holding more than 0.1% of the region's
     total value.  The grand total is a 1-row aggregate crossJoin-
     broadcast onto the per-part rollup — the corpus is scanned ONCE and
-    re-aggregated from the (partkey,value) table, never rescanned."""
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
-        F.col("r_name") == "EUROPE"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey"
-    )
-    s = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
-    per_part = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum("cents").alias("val_cents"))
-    )
-    total = per_part.agg(F.sum("val_cents").alias("tot_cents"))
-    return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("val_cents") * F.lit(1000) > F.col("tot_cents")
-        )
-        .select(
-            "l_partkey",
-            (F.col("val_cents") / F.lit(100.0)).alias("part_value"),
-        )
-    )
+    re-aggregated from the (partkey,value) table, never rescanned.
+    Declarative two-map DAG: the per-part rollup is its own map; the
+    report joins it from the part dim and cross-joins its 1-row total."""
+    maps = {
+        "part_values": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_partkey": "l_partkey",
+                "l_suppkey": "l_suppkey",
+                "l_extendedprice": "l_extendedprice",
+            },
+            "post_ops": [
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_nationkey"],
+                 "on": "l_suppkey = s_suppkey"},
+                {"op": "join", "table": "nation", "broadcast": True,
+                 "select": ["n_nationkey", "n_regionkey"],
+                 "on": "s_nationkey = n_nationkey"},
+                {"op": "join", "table": "region", "broadcast": True,
+                 "filter": "r_name = 'EUROPE'", "select": ["r_regionkey"],
+                 "on": "n_regionkey = r_regionkey"},
+                {"op": "agg", "group_by": ["l_partkey"],
+                 "aggs": ["sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                          " AS val_cents"]},
+            ],
+        },
+        "important_parts": {
+            "original_table": "part",
+            "columns": {"p_partkey": "p_partkey"},
+            "transport_after": ["part_values"],
+            "post_ops": [
+                {"op": "join", "table": "part_values", "side": "target",
+                 "on": "p_partkey = l_partkey"},
+                {"op": "join", "table": "part_values", "side": "target",
+                 "how": "cross", "broadcast": True,
+                 "select": ["sum(val_cents) AS tot_cents"]},
+                {"op": "filter",
+                 "condition": "val_cents * 1000 > tot_cents"},
+                {"op": "derive",
+                 "columns": {"part_value": "val_cents / 100.0D"}},
+                {"op": "select", "columns": ["l_partkey", "part_value"]},
+            ],
+        },
+    }
+    return _run(spark, sf_dir, maps, "important_parts")
 
 
 SQL_IMPORTANT_PARTS = r"""
@@ -6921,31 +7034,38 @@ def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (suppkey,partkey → sum qty) against a broadcast filtered part dim,
     then a distinct suppkey probe of the broadcast supplier dim — no
     correlated subquery, no fact-sized hash table (the same rewrite that
-    fixed order_priority_counts' 18× blow-up; see SCALE.md)."""
-    lo = F.lit("1997-01-01").cast("timestamp")
-    hi = F.lit("1998-01-01").cast("timestamp")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
-        F.col("p_name").like("small%")
-    ).select("p_partkey")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
-    )
-    qty = F.round(F.col("l_quantity")).cast("long")
-    hot = (
-        l.select("l_suppkey", "l_partkey", qty.alias("qty"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("qty").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 50)
-        .select("l_suppkey")
-        .distinct()
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_name"
-    )
-    return hot.join(
-        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
-    ).select("s_suppkey", "s_name")
+    fixed order_priority_counts' 18× blow-up; see SCALE.md).
+    Declarative: join/agg/filter/distinct stages."""
+    maps = {
+        "promotable_suppliers": {
+            "original_table": "lineitem",
+            "extra_conditions": [
+                "l_shipdate >= TIMESTAMP '1997-01-01'",
+                "l_shipdate < TIMESTAMP '1998-01-01'",
+            ],
+            "columns": {
+                "l_suppkey": "l_suppkey",
+                "l_partkey": "l_partkey",
+                "l_quantity": "l_quantity",
+            },
+            "post_ops": [
+                {"op": "join", "table": "part", "broadcast": True,
+                 "filter": "p_name LIKE 'small%'", "select": ["p_partkey"],
+                 "on": "l_partkey = p_partkey"},
+                {"op": "agg", "group_by": ["l_suppkey", "l_partkey"],
+                 "aggs": ["sum(CAST(round(l_quantity) AS BIGINT))"
+                          " AS sum_qty"]},
+                {"op": "filter", "condition": "sum_qty > 50"},
+                {"op": "select", "columns": ["l_suppkey"]},
+                {"op": "distinct"},
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_name"],
+                 "on": "l_suppkey = s_suppkey"},
+                {"op": "select", "columns": ["s_suppkey", "s_name"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "promotable_suppliers")
 
 
 SQL_PROMOTABLE_SUPPLIERS = r"""
@@ -6971,46 +7091,39 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier order.  The original's EXISTS + NOT-EXISTS self-joins are
     rewritten as ONE aggregation to (order, supplier, late-flag) plus a
     window over the order — the fact is shuffled twice (orderkey, then
-    the window's orderkey reuse), never self-joined three times."""
-    from pyspark.sql import Window
-
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    per_supp = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                F.when(
-                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365,
-                    1,
-                ).otherwise(0)
-            ).alias("late")
-        )
-    )
-    w = Window.partitionBy("l_orderkey")
-    flagged = per_supp.select(
-        "l_orderkey",
-        "l_suppkey",
-        "late",
-        F.count("*").over(w).alias("n_supp"),
-        F.sum("late").over(w).alias("n_late"),
-    ).filter(
-        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_name"
-    )
-    return (
-        flagged.groupBy("l_suppkey")
-        .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
-    )
+    the window's orderkey reuse), never self-joined three times.
+    Declarative: join/agg/window_agg/filter/agg stages."""
+    maps = {
+        "sole_late_supplier": {
+            "original_table": "lineitem",
+            "columns": {
+                "l_orderkey": "l_orderkey",
+                "l_suppkey": "l_suppkey",
+                "l_shipdate": "l_shipdate",
+            },
+            "post_ops": [
+                {"op": "join", "table": "orders",
+                 "filter": "o_orderstatus = 'F'",
+                 "select": ["o_orderkey", "o_orderdate"],
+                 "on": "l_orderkey = o_orderkey"},
+                {"op": "agg", "group_by": ["l_orderkey", "l_suppkey"],
+                 "aggs": [
+                     "max(CASE WHEN datediff(l_shipdate, o_orderdate) > 365"
+                     " THEN 1 ELSE 0 END) AS late"]},
+                {"op": "window_agg", "partition_by": ["l_orderkey"],
+                 "aggs": {"n_supp": "count(*)", "n_late": "sum(late)"}},
+                {"op": "filter",
+                 "condition": "late = 1 AND n_supp >= 2 AND n_late = 1"},
+                {"op": "agg", "group_by": ["l_suppkey"],
+                 "aggs": ["count(*) AS numwait"]},
+                {"op": "join", "table": "supplier", "broadcast": True,
+                 "select": ["s_suppkey", "s_name"],
+                 "on": "l_suppkey = s_suppkey"},
+                {"op": "select", "columns": ["s_name", "numwait"]},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "sole_late_supplier")
 
 
 SQL_SOLE_LATE_SUPPLIER = r"""

@@ -78,6 +78,8 @@ DataFrame code):
     {"op": "window_rank", "order_by": ["<expr> desc", ...],
      "partition_by": [...], "rank_col": "rank", "method": "row_number",
      "top": N}
+    {"op": "window_agg", "partition_by": [...],
+     "aggs": {"out_col": "<agg expr>", ...}}
     {"op": "order_limit", "by": ["<expr> [desc]", ...], "limit": N}
     {"op": "distinct", "subset": [...]}                        # optional
 
@@ -867,6 +869,22 @@ def _window_rank(df: DataFrame, p: dict) -> DataFrame:
     if p.get("top") is not None:
         out = out.filter(F.col(p.get("rank_col", "rank")) <= int(p["top"]))
     return out
+
+
+@register_post_op("window_agg")
+def _window_agg(df: DataFrame, p: dict) -> DataFrame:
+    # per-partition analytic aggregates kept on every row (count/sum/min/...
+    # OVER (PARTITION BY ...)) — the declarative form of the "aggregate once,
+    # compare within the group" rewrite that replaces correlated EXISTS
+    # self-joins.  No order_by → whole-partition frame.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.expr(c) for c in p["partition_by"]])
+    if p.get("order_by"):
+        w = w.orderBy(*[_sort_expr(o) for o in p["order_by"]])
+    for out_col, agg_expr in p["aggs"].items():
+        df = df.withColumn(out_col, F.expr(agg_expr).over(w))
+    return df
 
 
 @register_post_op("order_limit")

@@ -543,3 +543,23 @@ def test_relational_window_rank_partitioned(spark):
     )
     got = {r["g"]: r["v"] for r in out.collect()}
     assert got == {"a": 3, "b": 9}
+
+
+def test_relational_window_agg(spark):
+    """count/sum OVER (PARTITION BY ...) kept on every row — the
+    declarative form of the aggregate-once EXISTS rewrite."""
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame(
+        [(1, "s1", 1), (1, "s2", 0), (2, "s1", 1), (2, "s2", 1)],
+        ["order_id", "supp", "late"],
+    )
+    out = apply_post_ops(
+        df,
+        ({"op": "window_agg", "partition_by": ["order_id"],
+          "aggs": {"n_supp": "count(*)", "n_late": "sum(late)"}},
+         {"op": "filter", "condition": "late = 1 AND n_late = 1"}),
+        "test",
+    )
+    rows = [(r["order_id"], r["supp"]) for r in out.collect()]
+    assert rows == [(1, "s1")]
