@@ -7584,3 +7584,113 @@ WHERE d.doc_id NOT IN (SELECT victim FROM victims)
 
 _EXTENSION_QUERIES.update({"contained_dedup": q_contained_dedup})
 _EXTENSION_ORACLES.update({"contained_dedup": SQL_CONTAINED_DEDUP})
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization (`operators/corpus.py:
+    normalize_urls`): scheme/host case, default ports, www., fragments,
+    tracking params, and trailing slashes collapse, so recrawls of the
+    same page dedup exactly.  The fixture has no URL column, so one is
+    derived deterministically from (source, doc_id) with every noise
+    class injected; the oracle rebuilds AND renormalizes it in SQL.
+    Zero-shuffle normalization; one count aggregation."""
+    from database_transportor_spark.operators.corpus import normalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM:443/docs/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("#sec"),
+        ),
+    )
+    out = normalize_urls(with_url, "url")
+    return (
+        out.groupBy("url_norm", "url_host", "url_domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_URL_DEDUP = r"""
+WITH raw AS (
+    SELECT concat('HTTPS://WWW.', upper(source), '.Example.COM:443/docs/',
+                  CAST(doc_id % 50 AS VARCHAR), '/?utm_source=feed&ref=',
+                  CAST(doc_id % 7 AS VARCHAR), '#sec') AS url
+    FROM documents
+), s1 AS (
+    SELECT regexp_replace(trim(url), '#.*', '', 'g') AS u FROM raw
+), s2 AS (
+    SELECT CASE WHEN regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = ''
+                THEN u
+                ELSE lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                     || substr(u, length(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1)
+           END AS u
+    FROM s1
+), s3 AS (
+    SELECT regexp_replace(
+             regexp_replace(
+               regexp_replace(u, '^(http://[^/:?#]*):80([/?].*)?$', '\1\2'),
+               '^(https://[^/:?#]*):443([/?].*)?$', '\1\2'),
+             '^(https?://)www\.', '\1') AS u
+    FROM s2
+), s4 AS (
+    SELECT regexp_replace(
+             regexp_replace(
+               regexp_replace(u, '&(utm_[^&#=]*|gclid|fbclid|ref|mc_eid)=[^&#]*', '', 'g'),
+               '\?(utm_[^&#=]*|gclid|fbclid|ref|mc_eid)=[^&#]*&', '?', 'g'),
+             '\?(utm_[^&#=]*|gclid|fbclid|ref|mc_eid)=[^&#]*$', '') AS u
+    FROM s3
+), norm AS (
+    SELECT regexp_replace(regexp_replace(u, '/+\?', '?', 'g'), '/+$', '')
+             AS url_norm
+    FROM s4
+), hosted AS (
+    SELECT url_norm,
+           regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1) AS url_host
+    FROM norm
+)
+SELECT url_norm, url_host,
+       regexp_extract(url_host, '([^.]+\.[^.]+)$', 1) AS url_domain,
+       count(*) AS n_docs
+FROM hosted
+GROUP BY 1, 2, 3
+"""
+
+
+def q_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality diagnostic (`operators/skew.py:
+    join_size_report`): the exact output size and top contributing keys
+    of a lineitem self-join on partkey — computed from the two per-key
+    count tables, never by running the fact-sized join.  The number a
+    planner checks before an all-pairs-by-key dedup at 100 TB."""
+    from database_transportor_spark.operators.skew import join_size_report
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return join_size_report(l, l, ["l_partkey"], top_k=10)
+
+
+SQL_JOIN_SIZE = """
+WITH c AS (
+    SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+), contrib AS (
+    SELECT l_partkey, n AS n_left, n AS n_right, n * n AS out_rows FROM c
+), t AS (
+    SELECT CAST(sum(out_rows) AS BIGINT) AS total FROM contrib
+)
+SELECT l_partkey, n_left, n_right, CAST(out_rows AS BIGINT) AS out_rows,
+       round(out_rows / t.total, 6) AS share,
+       t.total AS total_out,
+       CAST(row_number() OVER (ORDER BY out_rows DESC, l_partkey ASC) AS INT)
+         AS rank
+FROM contrib, t
+ORDER BY out_rows DESC, l_partkey ASC
+LIMIT 10
+"""
+
+
+_EXTENSION_QUERIES.update({"url_dedup": q_url_dedup, "join_size": q_join_size})
+_EXTENSION_ORACLES.update({"url_dedup": SQL_URL_DEDUP, "join_size": SQL_JOIN_SIZE})

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .dedup import ngram_shingle_hashes
 
 __all__ = [
+    "normalize_urls",
     "bucket_column",
     "decontaminate",
     "split_assign",
@@ -883,3 +884,59 @@ def quantile_bins(
     ]
     w = Window.partitionBy(*gcols).orderBy(*order)
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+    host_col: str | None = "url_host",
+    domain_col: str | None = "url_domain",
+    tracking_params: tuple[str, ...] = (
+        "utm_[^&#=]*", "gclid", "fbclid", "ref", "mc_eid",
+    ),
+) -> DataFrame:
+    """Canonicalize URLs for web-corpus dedup: lowercase scheme+authority,
+    strip the fragment, default :80/:443 ports, a leading ``www.``,
+    tracking query params (utm_* / gclid / fbclid / ref / mc_eid by
+    default), and trailing slashes; optionally extract the host and a
+    registrable-domain heuristic (last two labels).  Two crawls of the
+    same page then collapse under exact dedup on ``out_col`` — the first
+    line of web-scale dedup, far cheaper than any fuzzy pass.
+
+    Scale shape: a chain of built-in ``regexp_replace``/``regexp_extract``
+    column expressions — JVM-side, whole-stage-codegen, ZERO shuffles; no
+    lookarounds, so the same patterns run on RE2 engines (oracle parity).
+    """
+    u = F.trim(F.col(url_col))
+    # fragment never reaches the server — drop first
+    u = F.regexp_replace(u, "#.*", "")
+    # scheme + authority are case-insensitive; path/query are NOT
+    auth = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    u = F.when(auth == "", u).otherwise(
+        F.concat(F.lower(auth), F.substr(u, F.length(auth) + F.lit(1)))
+    )
+    # default ports and www. (capture groups, no lookarounds)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    # tracking params: non-first, then first-with-successor, then lone
+    alt = "|".join(tracking_params)
+    u = F.regexp_replace(u, rf"&({alt})=[^&#]*", "")
+    u = F.regexp_replace(u, rf"\?({alt})=[^&#]*&", "?")
+    u = F.regexp_replace(u, rf"\?({alt})=[^&#]*$", "")
+    # empty-vs-"/" path before a query and trailing slashes are equivalent
+    u = F.regexp_replace(u, r"/+\?", "?")
+    u = F.regexp_replace(u, "/+$", "")
+    out = df.withColumn(out_col, u)
+    if host_col:
+        out = out.withColumn(
+            host_col,
+            F.regexp_extract(F.col(out_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1),
+        )
+    if domain_col:
+        src = host_col if host_col else out_col
+        out = out.withColumn(
+            domain_col, F.regexp_extract(F.col(src), r"([^.]+\.[^.]+)$", 1)
+        )
+    return out

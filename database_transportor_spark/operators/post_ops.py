@@ -764,6 +764,42 @@ def _ab_test(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+@register_post_op("normalize_urls")
+def _normalize_urls(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import normalize_urls
+
+    return normalize_urls(
+        df,
+        url_col=p.get("url_col", "url"),
+        out_col=p.get("out_col", "url_norm"),
+        host_col=p.get("host_col", "url_host"),
+        domain_col=p.get("domain_col", "url_domain"),
+        tracking_params=tuple(p["tracking_params"]) if p.get("tracking_params")
+        else ("utm_[^&#=]*", "gclid", "fbclid", "ref", "mc_eid"),
+    )
+
+
+@register_post_op("join_size")
+def _join_size(df: DataFrame, p: dict) -> DataFrame:
+    # pre-join cardinality diagnostic: current frame is the left side,
+    # the right side resolves through the engine catalog like "join"
+    from .skew import join_size_report
+
+    resolve = p.get("_resolve")
+    if resolve is None:
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'join_size' needs the engine's "
+            "catalog resolver (run the spec through DBT)"
+        )
+    right = resolve(p.get("side", "original"), p["table"])
+    if p.get("filter"):
+        right = right.filter(F.expr(p["filter"]))
+    return join_size_report(
+        df, right, p["left_keys"], p.get("right_keys"),
+        top_k=p.get("top_k", 10),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational tier — generic scan→join→derive→aggregate→rank stages.  These
 # compile 1:1 to stock DataFrame ops, so a declarative spec gets the exact

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hot_key_sample", "salted_left_join", "skew_report"]
+__all__ = ["hot_key_sample", "salted_left_join", "skew_report", "join_size_report"]
 
 
 def hot_key_sample(
@@ -117,4 +117,62 @@ def skew_report(
         F.col("n"),
         F.round(F.col("n") / F.col("__rows"), 6).alias("share"),
         F.round(F.col("n") * F.col("__keys") / F.col("__rows"), 2).alias("skew_x"),
+    ).withColumn("rank", F.row_number().over(w))
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Exact pre-join cardinality + blowup diagnostic WITHOUT running the
+    join: ``|A ⋈ B| = Σ_k n_A(k)·n_B(k)``, computed from the two per-key
+    count tables.  Each side reduces map-side to (key, count) first, so
+    the only join here is count-table ⋈ count-table — key-domain-sized,
+    never fact-sized.  At 100 TB this answers "will this join explode,
+    and which keys are responsible" for the cost of two aggregations,
+    before committing a cluster to the real join (the companion to
+    :func:`skew_report`, which looks at one side only).
+
+    Returns the ``top_k`` contributing keys (named by ``left_keys``):
+    per-key input counts, output rows, share of the total join output,
+    cumulative blowup vs the larger input (``total_out`` on every row is
+    the full join size), with a deterministic (out_rows desc, key asc)
+    rank.
+    """
+    rk = right_keys or left_keys
+    if len(rk) != len(left_keys):
+        raise ValueError(
+            f"left_keys/right_keys arity mismatch: {left_keys} vs {rk}"
+        )
+    lc = left.groupBy(*left_keys).agg(F.count("*").alias("n_left"))
+    rc = right.groupBy(*rk).agg(F.count("*").alias("n_right"))
+    # align right key names onto left's so the equi-join coalesces keys
+    for a, b in zip(left_keys, rk):
+        if a != b:
+            rc = rc.withColumnRenamed(b, a)
+    contrib = lc.join(rc, on=list(left_keys)).select(
+        *left_keys, "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+    )
+    totals = contrib.agg(F.sum("out_rows").alias("__total"))
+    top = (
+        contrib.orderBy(
+            F.col("out_rows").desc(), *[F.col(c).asc() for c in left_keys]
+        )
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(
+        F.col("out_rows").desc(), *[F.col(c).asc() for c in left_keys]
+    )
+    return top.select(
+        *left_keys,
+        "n_left",
+        "n_right",
+        "out_rows",
+        F.round(F.col("out_rows") / F.col("__total"), 6).alias("share"),
+        F.col("__total").alias("total_out"),
     ).withColumn("rank", F.row_number().over(w))

@@ -476,3 +476,44 @@ def test_quantile_bins_nulls_sort_last(spark):
 
     with _pytest.raises(ValueError):
         quantile_bins(df, "v", 0)
+
+
+def test_normalize_urls_noise_classes(spark):
+    from database_transportor_spark.operators.corpus import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.COM:443/Docs/A/?utm_source=x&ref=y#f"),
+            (2, "https://example.com/Docs/A"),
+            (3, "http://Sub.Site.org:80/p?id=3&utm_campaign=z&q=1"),
+            (4, "not a url"),
+            (5, "https://example.com/?gclid=abc"),
+            (6, "http://example.com:8080/keep-port"),
+        ],
+        ["id", "url"],
+    )
+    got = {r["id"]: (r["url_norm"], r["url_host"], r["url_domain"])
+           for r in normalize_urls(df, "url").collect()}
+    # recrawl noise collapses onto the clean form (case/port/www/params/slash)
+    assert got[1][0] == got[2][0] == "https://example.com/Docs/A"
+    # non-tracking params survive, tracking param removed mid-query
+    assert got[3] == ("http://sub.site.org/p?id=3&q=1", "sub.site.org", "site.org")
+    # non-URLs pass through untouched (empty host/domain)
+    assert got[4] == ("not a url", "", "")
+    # tracking-only query drops entirely (and the trailing slash with it)
+    assert got[5][0] == "https://example.com"
+    # non-default ports are preserved
+    assert got[6][0] == "http://example.com:8080/keep-port"
+
+
+def test_normalize_urls_idempotent(spark):
+    from database_transportor_spark.operators.corpus import normalize_urls
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.A.B:443/x/?utm_a=1&q=2&fbclid=3#z")], ["id", "url"]
+    )
+    once = normalize_urls(df, "url").select(
+        "id", F.col("url_norm").alias("url"))
+    twice = normalize_urls(once, "url")
+    row = twice.collect()[0]
+    assert row["url"] == row["url_norm"] == "https://a.b/x?q=2"

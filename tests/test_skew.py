@@ -116,3 +116,34 @@ def test_skew_report_identifies_hot_key(spark):
     assert out[0]["share"] == 0.9
     assert out[0]["skew_x"] == 2.7  # 90 * 3 keys / 100 rows
     assert len(out) == 2 and out[1]["rank"] == 2
+
+
+def test_join_size_report_exact_and_shapes(spark):
+    from database_transportor_spark.operators.skew import join_size_report
+
+    l = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (4, "e")], ["k", "v"]
+    )
+    r = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], ["kk", "u"]
+    )
+    rep = join_size_report(l, r, ["k"], ["kk"], top_k=10)
+    rows = {row["k"]: row for row in rep.collect()}
+    # key 1: 3*2=6, key 2: 1*1=1; keys 3/4 unmatched never appear
+    assert set(rows) == {1, 2}
+    assert rows[1]["out_rows"] == 6 and rows[2]["out_rows"] == 1
+    assert rows[1]["total_out"] == 7 == rows[2]["total_out"]
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    assert abs(rows[1]["share"] - 6 / 7) < 1e-6
+    # exactness: predicted total equals the real join size
+    real = l.join(r, l.k == r.kk).count()
+    assert rows[1]["total_out"] == real
+
+
+def test_join_size_report_arity_mismatch(spark):
+    import pytest as _pytest
+    from database_transportor_spark.operators.skew import join_size_report
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="arity"):
+        join_size_report(df, df, ["k"], ["k", "k2"])
