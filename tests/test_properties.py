@@ -651,3 +651,54 @@ def test_inverted_index_prefix_property(spark, docs, cap):
         ids = sorted(full[term])
         assert dfreq == len(ids)
         assert postings == ",".join(str(i) for i in ids[:cap])
+
+
+@given(left=_rows, right=_rows)
+@SET
+def test_join_size_report_predicts_real_join(spark, left, right):
+    """total_out equals the actual inner-join row count; per-key rows
+    multiply exactly.  (NULL keys never match, matching SQL joins.)"""
+    from database_transportor_spark.operators.skew import join_size_report
+
+    l = _df(spark, left)
+    r = _df(spark, right, cols=("kk", "u"))
+    rep = join_size_report(l, r, ["k"], ["kk"], top_k=100).collect()
+    real = l.join(r, l.k == r.kk).count()
+    if not rep:
+        assert real == 0
+    else:
+        assert rep[0]["total_out"] == real
+        assert sum(x["out_rows"] for x in rep) == real  # top_k >= key domain
+        assert [x["rank"] for x in sorted(rep, key=lambda x: x["rank"])] == \
+            list(range(1, len(rep) + 1))
+
+
+_url_bits = st.sampled_from([
+    "HTTP://", "https://", "HTTPS://WWW.", "http://www.",
+])
+_hosts = st.sampled_from(["A.example.COM", "x.org", "Sub.Dom.net"])
+_ports = st.sampled_from(["", ":80", ":443", ":8080"])
+_paths = st.sampled_from(["", "/", "/p", "/p/", "/a/b/"])
+_queries = st.sampled_from(
+    ["", "?utm_source=1", "?q=2", "?utm_a=1&q=2", "?q=2&gclid=x&r=3"])
+_frags = st.sampled_from(["", "#f", "#a/b?c"])
+
+
+@given(scheme=_url_bits, host=_hosts, port=_ports, path=_paths,
+       query=_queries, frag=_frags)
+@SET
+def test_normalize_urls_idempotent_property(spark, scheme, host, port, path,
+                                            query, frag):
+    """normalize(normalize(u)) == normalize(u) for every noise combo, and
+    the output never retains fragments or tracking params."""
+    from database_transportor_spark.operators.corpus import normalize_urls
+
+    url = f"{scheme}{host}{port}{path}{query}{frag}"
+    df = spark.createDataFrame([(url,)], ["url"])
+    once = normalize_urls(df, "url").collect()[0]["url_norm"]
+    again = normalize_urls(
+        spark.createDataFrame([(once,)], ["url"]), "url"
+    ).collect()[0]["url_norm"]
+    assert once == again
+    assert "#" not in once and "utm_" not in once and "gclid" not in once
+    assert "://www." not in once.lower() or scheme.lower().startswith("http") is False
