@@ -7694,3 +7694,58 @@ LIMIT 10
 
 _EXTENSION_QUERIES.update({"url_dedup": q_url_dedup, "join_size": q_join_size})
 _EXTENSION_ORACLES.update({"url_dedup": SQL_URL_DEDUP, "join_size": SQL_JOIN_SIZE})
+
+
+def q_stream_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative spec language over a genuine stream
+    (`streaming/declarative.py:run_stream_spec`): the SAME filter /
+    static-broadcast-join / derive stages a batch map uses, plus a
+    watermarked tumbling-window aggregation, executed via readStream +
+    availableNow so the memory-sink snapshot equals the batch
+    computation — which is what the DuckDB oracle checks.  State is
+    bounded by the watermark; the static customer dim joins statelessly
+    (broadcast into every micro-batch)."""
+    import uuid
+
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+    from database_transportor_spark.streaming.declarative import run_stream_spec
+
+    spec = {
+        "source": {"path": f"{sf_dir}/events.parquet", "ts_col": "ts"},
+        "watermark": "2 hours",
+        "stages": [
+            {"op": "filter", "condition": "value IS NOT NULL"},
+            {"op": "join", "table": "customer", "broadcast": True,
+             "select": ["c_custkey", "c_mktsegment"],
+             "on": "user_id % 1000 + 1 = c_custkey"},
+            {"op": "derive", "columns": {"v2": "value * 2"}},
+            {"op": "stream_window", "window": "1 hour",
+             "keys": ["event_type", "c_mktsegment"],
+             "aggs": ["count(*) AS n_events",
+                      "round(sum(v2), 2) AS sum_v2"]},
+        ],
+        "sink": {"name": f"decl_{uuid.uuid4().hex[:8]}"},
+    }
+    out = run_stream_spec(
+        spark, spec, catalog=ParquetCatalog(spark, sf_dir),
+        state_partitions=8,
+    )
+    return out.select(
+        "window_start", "event_type", "c_mktsegment",
+        F.col("n_events").cast("long").alias("n_events"), "sum_v2",
+    )
+
+
+SQL_STREAM_DECLARATIVE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value * 2), 2) AS sum_v2
+FROM events
+JOIN customer ON user_id % 1000 + 1 = c_custkey
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_declarative": q_stream_declarative})
+_EXTENSION_ORACLES.update({"stream_declarative": SQL_STREAM_DECLARATIVE})

@@ -1,0 +1,143 @@
+"""Declarative streaming specs — the batch spec language over ``readStream``.
+
+Structured Streaming's core promise is that a streaming computation is the
+SAME logical plan as the batch one, executed incrementally.  This module
+delivers that promise at the spec level: the stages a batch map declares in
+``post_ops`` (``filter`` / ``derive`` / ``select`` / ``join``) run verbatim
+on a stream, plus two streaming-only stages for the stateful pieces:
+
+    spec = {
+        "source": {"path": "<dir or file.parquet>", "ts_col": "ts"},
+        "watermark": "2 hours",            # bounds all stateful stages
+        "stages": [
+            {"op": "filter", "condition": "value > 0"},
+            {"op": "derive", "columns": {"v2": "value * 2"}},
+            {"op": "join", "table": "dims", "broadcast": True, ...},
+                # STATIC right side (stream-static join): resolved through
+                # the catalog passed to run_stream_spec — stateless, the dim
+                # is broadcast into every micro-batch
+            {"op": "stream_window", "window": "1 hour", "slide": None,
+             "keys": ["event_type"],
+             "aggs": ["count(*) AS n_events", "round(sum(v2),2) AS sum_v2"]},
+            {"op": "stream_dedup", "keys": ["event_id"]},
+                # dropDuplicatesWithinWatermark — state expires with the
+                # watermark instead of growing forever
+        ],
+        "sink": {"name": "out_tbl"},       # memory sink; mode inferred
+    }
+    result = run_stream_spec(spark, spec, catalog=ParquetCatalog(...))
+
+Scale shape: identical to the hand-written operators in
+``streaming/events.py`` — state is bounded by the watermark horizon, the
+state-store count is scoped via ``state_partitions`` (baked into the
+checkpoint at first run; size to key cardinality, not the batch shuffle
+width), and a terminating ``availableNow`` trigger makes the result equal
+to the batch computation over the same input, which is what lets a DuckDB
+oracle check a genuinely streamed execution.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spec import SpecError
+from .events import _scoped_nanos_conf, _stream_reader
+
+__all__ = ["run_stream_spec", "STREAM_SAFE_POST_OPS"]
+
+#: batch post_ops that are valid verbatim on an unaggregated stream
+STREAM_SAFE_POST_OPS = frozenset({"filter", "derive", "select", "join"})
+
+
+def _apply_stage(
+    df: DataFrame,
+    stage: dict,
+    resolve: Optional[Callable[[str, str], DataFrame]],
+    ts_col: str,
+    watermark: Optional[str],
+    where: str,
+) -> tuple[DataFrame, bool]:
+    """Apply one stage; returns (df, is_aggregating)."""
+    from ..operators.post_ops import apply_post_ops
+
+    op = stage.get("op")
+    if op == "stream_window":
+        if watermark is None:
+            raise SpecError(f"{where}: stream_window requires a 'watermark'")
+        w = (
+            F.window(F.col(ts_col), stage["window"], stage["slide"])
+            if stage.get("slide")
+            else F.window(F.col(ts_col), stage["window"])
+        )
+        out = (
+            df.withWatermark(ts_col, watermark)
+            .groupBy(w.alias("__w"), *[F.expr(k) for k in stage.get("keys", [])])
+            .agg(*[F.expr(a) for a in stage["aggs"]])
+            .withColumn(stage.get("start_col", "window_start"), F.col("__w.start"))
+            .drop("__w")
+        )
+        return out, True
+    if op == "stream_dedup":
+        if watermark is None:
+            raise SpecError(f"{where}: stream_dedup requires a 'watermark'")
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(stage["keys"])
+        )
+        return out, False
+    if op in STREAM_SAFE_POST_OPS:
+        return apply_post_ops(df, (stage,), where, resolve=resolve), False
+    raise SpecError(
+        f"{where}: stage {op!r} is not stream-safe (allowed: "
+        f"{sorted(STREAM_SAFE_POST_OPS) + ['stream_window', 'stream_dedup']})"
+    )
+
+
+@_scoped_nanos_conf
+def run_stream_spec(
+    spark: SparkSession,
+    spec: dict,
+    catalog=None,
+) -> DataFrame:
+    """Run a declarative streaming spec to completion (``availableNow``)
+    and return the materialized result.
+
+    ``catalog`` (any ``Catalog``) resolves static ``join`` right sides;
+    pass ``state_partitions=N`` (handled by the decorator) to size the
+    state-store count for the stream's key cardinality.
+    """
+    where = "stream spec"
+    src = spec.get("source")
+    if not isinstance(src, dict) or "path" not in src:
+        raise SpecError(f"{where}: needs source.path")
+    ts_col = src.get("ts_col", "ts")
+    watermark = spec.get("watermark")
+    sink = spec.get("sink") or {}
+    name = sink.get("name", "stream_spec_out")
+
+    resolve = None
+    if catalog is not None:
+        def resolve(side: str, table: str) -> DataFrame:  # noqa: ANN001
+            return catalog.read(table)
+
+    df = _stream_reader(spark, src["path"], ts_col)
+    aggregating = False
+    for stage in spec.get("stages", ()):
+        if not isinstance(stage, dict) or "op" not in stage:
+            raise SpecError(f"{where}: each stage needs an 'op' key, got {stage!r}")
+        df, agg_here = _apply_stage(df, stage, resolve, ts_col, watermark, where)
+        aggregating = aggregating or agg_here
+    # complete mode re-emits finalized windows into the memory snapshot;
+    # un-aggregated pipelines append rows as they pass the watermark
+    mode = sink.get("mode") or ("complete" if aggregating else "append")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,89 @@
+"""Declarative streaming specs: batch parity, stateful stages, guards."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_transportor_spark.spec import SpecError
+from database_transportor_spark.streaming.declarative import run_stream_spec
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _batch_events(spark):
+    from database_transportor_spark.functions.timecols import normalize_event_time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        return normalize_event_time(spark.read.parquet(EVENTS), "ts").cache()
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_stream_spec_window_matches_batch(spark):
+    spec = {
+        "source": {"path": EVENTS, "ts_col": "ts"},
+        "watermark": "2 hours",
+        "stages": [
+            {"op": "filter", "condition": "value > 0"},
+            {"op": "derive", "columns": {"v2": "value * 2"}},
+            {"op": "stream_window", "window": "1 hour", "keys": ["event_type"],
+             "aggs": ["count(*) AS n_events", "round(sum(v2), 2) AS sum_v2"]},
+        ],
+        "sink": {"name": f"t_{uuid.uuid4().hex[:8]}"},
+    }
+    out = run_stream_spec(spark, spec, state_partitions=4)
+    b = _batch_events(spark)
+    batch = (
+        b.filter("value > 0").withColumn("v2", F.expr("value * 2"))
+        .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(F.expr("count(*) AS n_events"), F.expr("round(sum(v2), 2) AS sum_v2"))
+        .withColumn("window_start", F.col("__w.start")).drop("__w")
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_spec_static_join_and_dedup(spark):
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+
+    spec = {
+        "source": {"path": EVENTS, "ts_col": "ts"},
+        "watermark": "10 hours",
+        "stages": [
+            {"op": "join", "table": "nation", "broadcast": True,
+             "select": ["n_nationkey", "n_name"],
+             "on": "user_id % 5 = n_nationkey"},
+            {"op": "stream_dedup", "keys": ["n_name"]},
+        ],
+        "sink": {"name": f"t_{uuid.uuid4().hex[:8]}"},
+    }
+    out = run_stream_spec(
+        spark, spec, catalog=ParquetCatalog(spark, "/root/testdata/sf0.001"),
+        state_partitions=4,
+    )
+    rows = out.collect()
+    # one surviving row per joined nation name (which row is arrival-order
+    # dependent; the per-key cardinality is the deterministic contract)
+    names = [r["n_name"] for r in rows]
+    assert len(names) == len(set(names)) > 0
+    b = _batch_events(spark)
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    expected_keys = (
+        b.join(n, F.expr("user_id % 5 = n_nationkey"))
+        .select("n_name").distinct().count()
+    )
+    assert len(names) == expected_keys
+
+
+def test_stream_spec_guards(spark):
+    base = {"source": {"path": EVENTS, "ts_col": "ts"}}
+    with pytest.raises(SpecError, match="source.path"):
+        run_stream_spec(spark, {"stages": []})
+    with pytest.raises(SpecError, match="watermark"):
+        run_stream_spec(spark, {**base, "stages": [
+            {"op": "stream_window", "window": "1 hour", "aggs": ["count(*) AS n"]}]})
+    with pytest.raises(SpecError, match="not stream-safe"):
+        run_stream_spec(spark, {**base, "stages": [{"op": "exact_dedup"}]})
+    with pytest.raises(SpecError, match="op"):
+        run_stream_spec(spark, {**base, "stages": [{"condition": "1=1"}]})
