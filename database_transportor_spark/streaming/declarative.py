@@ -100,6 +100,7 @@ def run_stream_spec(
     spark: SparkSession,
     spec: dict,
     catalog=None,
+    target=None,
 ) -> DataFrame:
     """Run a declarative streaming spec to completion (``availableNow``)
     and return the materialized result.
@@ -107,6 +108,18 @@ def run_stream_spec(
     ``catalog`` (any ``Catalog``) resolves static ``join`` right sides;
     pass ``state_partitions=N`` (handled by the decorator) to size the
     state-store count for the stream's key cardinality.
+
+    A ``"merge"`` sink routes the stream through
+    :func:`~database_transportor_spark.streaming.merge_sink.stream_merge_sink`
+    into ``target`` (a ``Catalog``, required) — declarative CDC ingestion:
+
+        "sink": {"merge": {"table": "t", "keys": ["id"],
+                 "seq_col": "seq", "op_col": "op",      # optional: full CDC
+                 "checkpoint": "/ckpt"}}                # optional
+
+    Only stateless stages (filter/derive/select/join) may precede a merge
+    sink — the foreachBatch MERGE is the stateful step; returns the merged
+    target table.
     """
     where = "stream spec"
     src = spec.get("source")
@@ -121,6 +134,47 @@ def run_stream_spec(
     if catalog is not None:
         def resolve(side: str, table: str) -> DataFrame:  # noqa: ANN001
             return catalog.read(table)
+
+    if "merge" in sink:
+        from .merge_sink import stream_merge_sink
+
+        m = sink["merge"]
+        if target is None:
+            raise SpecError(f"{where}: a merge sink needs target= (a Catalog)")
+        stateful = [
+            st["op"] for st in spec.get("stages", ())
+            if isinstance(st, dict)
+            and st.get("op") in ("stream_window", "stream_dedup")
+        ]
+        if stateful:
+            raise SpecError(
+                f"{where}: merge sink only takes stateless stages, got "
+                f"{stateful} (the foreachBatch MERGE is the stateful step)"
+            )
+
+        def _transform(stream: DataFrame) -> DataFrame:
+            for st in spec.get("stages", ()):
+                if not isinstance(st, dict) or "op" not in st:
+                    raise SpecError(
+                        f"{where}: each stage needs an 'op' key, got {st!r}"
+                    )
+                stream, _ = _apply_stage(
+                    stream, st, resolve, ts_col, watermark, where
+                )
+            return stream
+
+        stream_merge_sink(
+            spark,
+            src["path"],
+            target,
+            m["table"],
+            m["keys"],
+            seq_col=m.get("seq_col"),
+            op_col=m.get("op_col"),
+            checkpoint=m.get("checkpoint"),
+            transform=_transform,
+        )
+        return target.read(m["table"])
 
     df = _stream_reader(spark, src["path"], ts_col)
     aggregating = False

@@ -44,6 +44,7 @@ def stream_merge_sink(
     available_now: bool = True,
     op_col: str | None = None,
     schema=None,
+    transform=None,
 ) -> int:
     """Stream files from ``source_dir`` and MERGE each micro-batch into
     ``target``/``table`` by ``keys`` (latest ``seq_col`` wins).
@@ -57,6 +58,12 @@ def stream_merge_sink(
     becomes required (CDC needs a change order).  Replay safety holds:
     re-applying the same change set is idempotent because the highest
     sequence per key wins again.
+
+    ``transform``: optional stateless ``DataFrame -> DataFrame`` applied to
+    the stream before merging — the hook the declarative streaming spec
+    (``streaming/declarative.py``) uses to run filter/derive/join-dim
+    stages ahead of the sink.  Must not add stateful operators (the
+    foreachBatch apply is the stateful step here).
 
     ``available_now=True`` drains everything currently unprocessed and
     returns (incremental batch job — rerun to pick up new files, the
@@ -78,6 +85,8 @@ def stream_merge_sink(
                 f"source dir {source_dir!r}; pass schema= explicitly"
             ) from exc
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
     if checkpoint is None:
         # default checkpoint must be unique per (source, target, table):
         # keyed on the table name alone, a second sink with the same table

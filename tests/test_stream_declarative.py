@@ -87,3 +87,47 @@ def test_stream_spec_guards(spark):
         run_stream_spec(spark, {**base, "stages": [{"op": "exact_dedup"}]})
     with pytest.raises(SpecError, match="op"):
         run_stream_spec(spark, {**base, "stages": [{"condition": "1=1"}]})
+
+
+def test_stream_spec_merge_sink(spark, tmp_path):
+    """Declarative CDC ingestion: stateless stages + merge sink; target
+    equals the batch computation, and a replayed run is idempotent."""
+    import os
+
+    from database_transportor_spark import MemoryCatalog
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], ["id", "seq", "v"]
+    ).write.parquet(src, mode="append")
+    target = MemoryCatalog()
+    spec = {
+        "source": {"path": src, "ts_col": "ts"},
+        "stages": [
+            {"op": "filter", "condition": "id <> 3"},
+            {"op": "derive", "columns": {"v": "upper(v)"}},
+        ],
+        "sink": {"merge": {"table": "t", "keys": ["id"], "seq_col": "seq",
+                           "checkpoint": str(tmp_path / "ckpt")}},
+    }
+    out = run_stream_spec(spark, spec, target=target)
+    assert {(r["id"], r["v"]) for r in out.collect()} == {(1, "A"), (2, "B")}
+    # a newer change for id=1 merges in; the old row loses
+    spark.createDataFrame([(1, 99, "z")], ["id", "seq", "v"]).write.parquet(
+        src, mode="append")
+    out2 = run_stream_spec(spark, spec, target=target)
+    assert {(r["id"], r["v"]) for r in out2.collect()} == {(1, "Z"), (2, "B")}
+
+
+def test_stream_spec_merge_rejects_stateful_stages(spark, tmp_path):
+    from database_transportor_spark import MemoryCatalog
+
+    spec = {
+        "source": {"path": str(tmp_path), "ts_col": "ts"},
+        "watermark": "1 hour",
+        "stages": [{"op": "stream_dedup", "keys": ["id"]}],
+        "sink": {"merge": {"table": "t", "keys": ["id"]}},
+    }
+    with pytest.raises(SpecError, match="stateless"):
+        run_stream_spec(spark, spec, target=MemoryCatalog())
