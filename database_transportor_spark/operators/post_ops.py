@@ -839,7 +839,13 @@ def _derive(df: DataFrame, p: dict) -> DataFrame:
     # Ordered: each expression sees the columns derived before it (dicts
     # preserve insertion order).  SQL-expression-first, like the reference's
     # hook surface — no Python executes per row.
-    for name, expr in p["columns"].items():
+    cols = p.get("columns")
+    if not isinstance(cols, dict) or not cols:
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'derive' needs a non-empty "
+            "columns dict of name -> SQL expression"
+        )
+    for name, expr in cols.items():
         df = df.withColumn(name, F.expr(expr))
     return df
 
@@ -879,6 +885,11 @@ def _join(df: DataFrame, p: dict) -> DataFrame:
 
 @register_post_op("agg")
 def _agg(df: DataFrame, p: dict) -> DataFrame:
+    if not p.get("aggs"):
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'agg' needs a non-empty aggs "
+            "list of SQL aggregate expressions"
+        )
     aggs = [F.expr(a) for a in p["aggs"]]
     group_by = [F.expr(g) for g in p.get("group_by", [])]
     return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)

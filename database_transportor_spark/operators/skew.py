@@ -143,6 +143,9 @@ def join_size_report(
     rank.
     """
     rk = right_keys or left_keys
+    if not left_keys:
+        raise ValueError("join_size_report: left_keys must be non-empty "
+                         "(an empty key list would size a cross join)")
     if len(rk) != len(left_keys):
         raise ValueError(
             f"left_keys/right_keys arity mismatch: {left_keys} vs {rk}"

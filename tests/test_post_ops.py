@@ -563,3 +563,13 @@ def test_relational_window_agg(spark):
     )
     rows = [(r["order_id"], r["supp"]) for r in out.collect()]
     assert rows == [(1, "s1")]
+
+
+def test_relational_empty_params_rejected(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(SpecError, match="derive"):
+        apply_post_ops(df, ({"op": "derive", "columns": {}},), "w")
+    with pytest.raises(SpecError, match="agg"):
+        apply_post_ops(df, ({"op": "agg", "group_by": ["x"], "aggs": []},), "w")

@@ -131,3 +131,24 @@ def test_stream_spec_merge_rejects_stateful_stages(spark, tmp_path):
     }
     with pytest.raises(SpecError, match="stateless"):
         run_stream_spec(spark, spec, target=MemoryCatalog())
+
+
+def test_stream_spec_sliding_window_matches_batch(spark):
+    spec = {
+        "source": {"path": EVENTS, "ts_col": "ts"},
+        "watermark": "4 hours",
+        "stages": [
+            {"op": "stream_window", "window": "2 hours", "slide": "1 hour",
+             "keys": ["event_type"],
+             "aggs": ["count(*) AS n_events"]},
+        ],
+        "sink": {"name": f"t_{uuid.uuid4().hex[:8]}"},
+    }
+    out = run_stream_spec(spark, spec, state_partitions=4)
+    b = _batch_events(spark)
+    batch = (
+        b.groupBy(F.window("ts", "2 hours", "1 hour").alias("__w"), "event_type")
+        .agg(F.expr("count(*) AS n_events"))
+        .withColumn("window_start", F.col("__w.start")).drop("__w")
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
