@@ -7749,3 +7749,52 @@ GROUP BY 1, 2, 3
 
 _EXTENSION_QUERIES.update({"stream_declarative": q_stream_declarative})
 _EXTENSION_ORACLES.update({"stream_declarative": SQL_STREAM_DECLARATIVE})
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form regression at scale (`operators/experiment.py:
+    linear_fit`): price ~ quantity per return flag, fitted from ONE
+    aggregation of exact DECIMAL(38) sufficient statistics — no
+    iterations, no driver data, group-count-sized output.  Slope /
+    intercept / R² each come from a single double division over exact
+    integers, so DuckDB (HUGEINT sums) reproduces them bit-for-bit."""
+    from database_transportor_spark.operators.experiment import linear_fit
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return linear_fit(
+        l, "l_quantity", "l_extendedprice", group_cols=["l_returnflag"]
+    )
+
+
+SQL_TREND_FIT = """
+WITH q AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+           CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), s AS (
+    SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM q GROUP BY 1
+), d AS (
+    SELECT l_returnflag, n, sx, sy,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den_x,
+           n * syy - sy * sy AS den_y
+    FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+             * (100.0 / 100.0), 10) AS slope,
+       round(CAST(sy * den_x - num * sx AS DOUBLE)
+             / CAST(n * den_x * 100 AS DOUBLE), 10) AS intercept,
+       round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 10) AS r2
+FROM d
+"""
+
+
+_EXTENSION_QUERIES.update({"trend_fit": q_trend_fit})
+_EXTENSION_ORACLES.update({"trend_fit": SQL_TREND_FIT})

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test"]
+__all__ = ["ab_test", "linear_fit", "linear_fit_multi"]
 
 PPM = 1_000_000
 
@@ -106,3 +106,150 @@ def ab_test(
             6,
         ).alias("z_score"),
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    round_digits: int = 10,
+) -> DataFrame:
+    """Closed-form simple linear regression (y ~ a·x + b) per group in ONE
+    aggregation pass — the canonical learn-at-scale pattern: no
+    iterations, no driver-side data, just the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²[, Σy² for R²]) reduced map-side and solved in a
+    closed-form expression.
+
+    Determinism contract (same policy as :func:`ab_test`): x and y are
+    quantized to exact integers (``round(v·scale)``), the sums accumulate
+    in DECIMAL(38,0) — order-independent, overflow-safe for ~1e9 rows of
+    1e7-scaled values — and the slope/intercept/R² doubles come from one
+    fixed expression over those exact integers, rounded as belt.  Hash-
+    identical on any IEEE-754 engine, which is what lets DuckDB oracle a
+    regression.
+
+    Scale shape: one map-side-combinable aggregate keyed by the group (or
+    global); output is group-count-sized.  NULL x or y rows are excluded
+    (SQL aggregate semantics over the products).
+    """
+    gx = F.round(F.col(x_col) * x_scale).cast("decimal(38,0)")
+    gy = F.round(F.col(y_col) * y_scale).cast("decimal(38,0)")
+    both = F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), True)
+    x = F.when(both, gx)
+    y = F.when(both, gy)
+    agg = [
+        F.count(F.when(both, F.lit(1))).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    ]
+    g = df.groupBy(*(group_cols or [])).agg(*agg)
+    n = F.col("n").cast("decimal(38,0)")
+    # num/den and the intercept's numerator/denominator stay EXACT decimals;
+    # each output is then ONE double division (plus one exact constant-ratio
+    # multiply for unit rescale) — no compound float expression whose ulp
+    # could drift between engines.  Magnitude envelope: fits DECIMAL(38)/
+    # HUGEINT up to ~1e8 rows of 1e7-scaled values (documented; the x100
+    # fixture sweep is just inside it).
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    den_x = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    den_y = (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    slope = (num.cast("double") / den_x.cast("double")) * (
+        F.lit(float(x_scale)) / F.lit(float(y_scale))
+    )
+    ic_num = F.col("__sy") * den_x - num * F.col("__sx")
+    ic_den = n * den_x * F.lit(int(y_scale)).cast("decimal(38,0)")
+    intercept = ic_num.cast("double") / ic_den.cast("double")
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den_x.cast("double") * den_y.cast("double")
+    )
+    return g.select(
+        *(group_cols or []),
+        F.col("n").cast("long").alias("n"),
+        F.when(den_x == 0, None).otherwise(F.round(slope, round_digits)).alias("slope"),
+        F.when(den_x == 0, None).otherwise(F.round(intercept, round_digits)).alias("intercept"),
+        F.when((den_x == 0) | (den_y == 0), None).otherwise(F.round(r2, round_digits)).alias("r2"),
+    )
+
+
+def linear_fit_multi(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    group_cols: list[str] | None = None,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Multivariate least squares per group via NORMAL EQUATIONS: one
+    aggregation reduces the corpus to the k×k Gram matrix XᵀX and the
+    k-vector Xᵀy (k = features + intercept), then a k×k solve runs per
+    group over the group-count-sized stats frame — an Arrow-batched
+    pandas solve, never a collect of the data.  ``ridge`` adds λI for
+    ill-conditioned Grams.
+
+    The 100 TB shape for fitting a linear model / quality scorer: corpus
+    cost is ONE pass with map-side partial sums of k(k+3)/2 products;
+    everything after is O(groups·k³) on vectors of size k², independent
+    of row count.  Float sums are order-dependent (unlike
+    :func:`linear_fit`'s decimal path), so results are approximate to
+    partitioning — use linear_fit when bit-determinism matters.
+    """
+    import pandas as pd
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("linear_fit_multi: feature_cols must be non-empty")
+    cols = [F.lit(1.0).alias("__x0")] + [
+        F.col(c).cast("double").alias(f"__x{i+1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    base = df.select(
+        *(group_cols or []), *cols, F.col(label_col).cast("double").alias("__y")
+    ).na.drop(subset=[f"__x{i}" for i in range(k + 1)] + ["__y"])
+    aggs = []
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            aggs.append(
+                F.sum(F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"__g_{i}_{j}")
+            )
+        aggs.append(F.sum(F.col(f"__x{i}") * F.col("__y")).alias(f"__b_{i}"))
+    aggs.append(F.count("*").alias("n"))
+    stats = base.groupBy(*(group_cols or [])).agg(*aggs)
+
+    # group columns come back as strings (stable across Arrow round-trips);
+    # the frame is group-count-sized, so re-typing downstream is cheap
+    out_fields = ", ".join(
+        ([f"{c} string" for c in (group_cols or [])])
+        + ["n long", "intercept double", "coefficients array<double>"]
+    )
+
+    def _solve(iterator):
+        import numpy as np
+
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = np.zeros((k + 1, k + 1))
+                b = np.zeros(k + 1)
+                for i in range(k + 1):
+                    for j in range(i, k + 1):
+                        g[i, j] = g[j, i] = r[f"__g_{i}_{j}"]
+                    b[i] = r[f"__b_{i}"]
+                if ridge:
+                    g = g + ridge * np.eye(k + 1)
+                try:
+                    w = np.linalg.solve(g, b)
+                except np.linalg.LinAlgError:
+                    w, *_ = np.linalg.lstsq(g, b, rcond=None)
+                rows.append(
+                    [str(r[c]) for c in (group_cols or [])]
+                    + [int(r["n"]), float(w[0]), [float(v) for v in w[1:]]]
+                )
+            names = list(group_cols or []) + ["n", "intercept", "coefficients"]
+            yield pd.DataFrame(rows, columns=names)
+
+    return stats.mapInPandas(_solve, schema=out_fields)

@@ -948,3 +948,26 @@ def _order_limit(df: DataFrame, p: dict) -> DataFrame:
 def _distinct(df: DataFrame, p: dict) -> DataFrame:
     subset = p.get("subset")
     return df.dropDuplicates(subset=list(subset)) if subset else df.distinct()
+
+
+@register_post_op("linear_fit")
+def _linear_fit(df: DataFrame, p: dict) -> DataFrame:
+    from .experiment import linear_fit
+
+    return linear_fit(
+        df, p["x_col"], p["y_col"],
+        group_cols=p.get("group_cols"),
+        x_scale=p.get("x_scale", 100),
+        y_scale=p.get("y_scale", 100),
+        round_digits=p.get("round_digits", 10),
+    )
+
+
+@register_post_op("linear_fit_multi")
+def _linear_fit_multi(df: DataFrame, p: dict) -> DataFrame:
+    from .experiment import linear_fit_multi
+
+    return linear_fit_multi(
+        df, p["feature_cols"], p["label_col"],
+        group_cols=p.get("group_cols"), ridge=p.get("ridge", 0.0),
+    )

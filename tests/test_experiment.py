@@ -52,3 +52,76 @@ def test_ab_test_null_conversion_expr_is_false(spark):
     df = spark.createDataFrame(rows, "variant string, uid int, event_type string")
     r = ab_test(df, "variant", "uid", "event_type = 'purchase'").collect()[0]
     assert r.conv_a == 0 and r.conv_b == 1
+
+
+def test_linear_fit_matches_numpy_and_nulls(spark):
+    import numpy as np
+
+    from database_transportor_spark.operators.experiment import linear_fit
+
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(0, 40, 300)
+    ys = -1.5 * xs + 8.0 + rng.normal(0, 1.0, 300)
+    rows = [(float(x), float(y)) for x, y in zip(xs, ys)]
+    rows += [(None, 1.0), (2.0, None), (None, None)]  # excluded pairwise
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = linear_fit(df, "x", "y").collect()[0]
+    assert r["n"] == 300
+    xq, yq = np.round(xs * 100), np.round(ys * 100)
+    sl, ic = np.polyfit(xq, yq, 1)
+    assert abs(r["slope"] - sl) < 1e-6          # same units (both scaled 100)
+    assert abs(r["intercept"] - ic / 100) < 1e-6
+    ss = np.corrcoef(xq, yq)[0, 1] ** 2
+    assert abs(r["r2"] - ss) < 1e-6
+
+
+def test_linear_fit_degenerate_constant_x(spark):
+    from database_transportor_spark.operators.experiment import linear_fit
+
+    df = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0), (1.0, 9.0)], ["x", "y"])
+    r = linear_fit(df, "x", "y").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+    assert r["n"] == 3
+
+
+def test_linear_fit_multi_matches_lstsq_per_group(spark):
+    import numpy as np
+
+    from database_transportor_spark.operators.experiment import linear_fit_multi
+
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {"g0": (1.0, 2.0, -3.0), "g1": (-4.0, 0.5, 6.0)}
+    for g, (b0, b1, b2) in truth.items():
+        f1 = rng.uniform(-3, 3, 250)
+        f2 = rng.uniform(0, 2, 250)
+        y = b0 + b1 * f1 + b2 * f2 + rng.normal(0, 0.05, 250)
+        rows += [(g, float(a), float(b), float(c)) for a, b, c in zip(f1, f2, y)]
+    df = spark.createDataFrame(rows, ["g", "f1", "f2", "y"])
+    got = {r["g"]: r for r in
+           linear_fit_multi(df, ["f1", "f2"], "y", group_cols=["g"]).collect()}
+    for g, (b0, b1, b2) in truth.items():
+        r = got[g]
+        assert r["n"] == 250
+        assert abs(r["intercept"] - b0) < 0.05
+        assert abs(r["coefficients"][0] - b1) < 0.05
+        assert abs(r["coefficients"][1] - b2) < 0.05
+
+
+def test_linear_fit_multi_ridge_and_empty_features(spark):
+    import pytest as _pytest
+
+    from database_transportor_spark.operators.experiment import linear_fit_multi
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], ["a", "b", "y"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        linear_fit_multi(df, [], "y")
+    # perfectly collinear features: ridge regularizes instead of exploding
+    df2 = spark.createDataFrame(
+        [(float(i), float(2 * i), float(3 * i)) for i in range(1, 30)],
+        ["a", "b", "y"],
+    )
+    r = linear_fit_multi(df2, ["a", "b"], "y", ridge=1e-6).collect()[0]
+    # prediction quality is the contract (coefficients are non-unique)
+    pred = r["intercept"] + r["coefficients"][0] * 10 + r["coefficients"][1] * 20
+    assert abs(pred - 30.0) < 0.1
