@@ -64,6 +64,12 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "rolling_distinct", "ts_col": ..., "entity_col": ...,
      "window_buckets": N, "bucket": "day"}
     {"op": "ab_test", "variant_col": ..., "entity_col": ..., "converted": "<sql>"}
+    {"op": "normalize_urls", "url_col": "url", "out_col": "url_norm"}
+    {"op": "join_size", "table": ..., "left_keys": [...], "right_keys": [...],
+     "top_k": N}                         # pre-join cardinality diagnostic
+    {"op": "linear_fit", "x_col": ..., "y_col": ..., "group_cols": [...]}
+    {"op": "linear_fit_multi", "feature_cols": [...], "label_col": ...,
+     "group_cols": [...], "ridge": 0.0}
 
 Relational stages (the declarative analytics tier — the same generic
 relational algebra the Q-shaped queries compile to, so a spec can express

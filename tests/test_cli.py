@@ -441,3 +441,63 @@ def test_sql_default_limit_never_full_collects(tmp_path, monkeypatch, capsys):
     assert len([l for l in out.splitlines() if l.strip()]) == 1 + 500
     assert calls["collect"] == []  # full output never drives a collect()
     assert calls["iter"] == 1
+
+
+def test_transport_relational_spec_end_to_end(tmp_path):
+    """A spec FILE whose map is a full relational report (derive/join/agg/
+    window_rank) runs through the CLI and lands correct parquet — the
+    analytics tier is first-class on every entry point, not just the
+    Python API."""
+    out = tmp_path / "out"
+    spec = tmp_path / "spec.py"
+    spec.write_text(
+        f'''
+MAPS = {{
+    "nation_order_stats": {{
+        "original_table": "customer",
+        "columns": {{"c_custkey": "c_custkey", "c_nationkey": "c_nationkey"}},
+        "post_ops": [
+            {{"op": "join", "table": "orders",
+              "select": ["o_custkey", "o_totalprice"],
+              "on": "c_custkey = o_custkey"}},
+            {{"op": "derive",
+              "columns": {{"cents": "CAST(round(o_totalprice * 100) AS BIGINT)"}}}},
+            {{"op": "agg", "group_by": ["c_nationkey"],
+              "aggs": ["sum(cents) / 100.0D AS revenue",
+                       "count(*) AS n_orders"]}},
+            {{"op": "window_rank", "order_by": ["revenue desc", "c_nationkey asc"],
+              "rank_col": "rank", "top": 5}},
+        ],
+    }},
+}}
+ORIGINAL = {{"kind": "parquet", "root": "{SF}"}}
+TARGET = {{"kind": "parquet", "root": "{out}"}}
+MODE = "overwrite"
+SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
+'''
+    )
+    r = _run(["transport", "--spec", str(spec), "--master", "local[2]"],
+             timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT rank, c_nationkey, revenue, n_orders "
+        f"FROM '{out}/nation_order_stats.parquet/*.parquet' ORDER BY rank"
+    ).fetchall()
+    want = duckdb.sql(
+        f"""
+        WITH agg AS (
+          SELECT c_nationkey,
+                 sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+                 count(*) AS n_orders
+          FROM '{SF}/customer.parquet' c
+          JOIN '{SF}/orders.parquet' o ON c.c_custkey = o.o_custkey
+          GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_nationkey) AS INT),
+               c_nationkey, revenue, CAST(n_orders AS BIGINT)
+        FROM agg ORDER BY 1 LIMIT 5
+        """
+    ).fetchall()
+    assert got == want and len(got) == 5
