@@ -7798,3 +7798,46 @@ FROM d
 
 _EXTENSION_QUERIES.update({"trend_fit": q_trend_fit})
 _EXTENSION_ORACLES.update({"trend_fit": SQL_TREND_FIT})
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus data card (`operators/corpus.py:corpus_report`):
+    exact-dup pressure, language spread with a deterministic top-language
+    pick, size shape, and whitespace token total — two map-side
+    aggregates + two 1-row broadcasts, one corpus scan."""
+    from database_transportor_spark.operators.corpus import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
+SQL_CORPUS_REPORT = r"""
+WITH stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_texts,
+           round(CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+                 / count(*), 6) AS dup_pct,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+           round(CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS pct_short,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+'))
+                    END) AS BIGINT) AS total_tokens
+    FROM documents
+), pl AS (
+    SELECT lang, count(*) AS cnt FROM documents GROUP BY 1
+), nl AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_langs FROM pl
+), top AS (
+    SELECT lang AS top_lang, cnt FROM pl
+    ORDER BY cnt DESC, lang ASC LIMIT 1
+)
+SELECT s.n_docs, s.n_dup_texts, s.dup_pct, s.avg_chars, s.pct_short,
+       s.total_tokens, nl.n_langs, top.top_lang,
+       round(CAST(top.cnt AS DOUBLE) / s.n_docs, 6) AS top_lang_pct
+FROM stats s, nl, top
+"""
+
+
+_EXTENSION_QUERIES.update({"corpus_report": q_corpus_report})
+_EXTENSION_ORACLES.update({"corpus_report": SQL_CORPUS_REPORT})

@@ -65,6 +65,7 @@ Built-in stages (each a thin adapter over ``operators/``):
      "window_buckets": N, "bucket": "day"}
     {"op": "ab_test", "variant_col": ..., "entity_col": ..., "converted": "<sql>"}
     {"op": "normalize_urls", "url_col": "url", "out_col": "url_norm"}
+    {"op": "corpus_report", "text_col": ..., "lang_col": ..., "chars_col": ...}
     {"op": "join_size", "table": ..., "left_keys": [...], "right_keys": [...],
      "top_k": N}                         # pre-join cardinality diagnostic
     {"op": "linear_fit", "x_col": ..., "y_col": ..., "group_cols": [...]}
@@ -976,4 +977,18 @@ def _linear_fit_multi(df: DataFrame, p: dict) -> DataFrame:
     return linear_fit_multi(
         df, p["feature_cols"], p["label_col"],
         group_cols=p.get("group_cols"), ridge=p.get("ridge", 0.0),
+    )
+
+
+@register_post_op("corpus_report")
+def _corpus_report(df: DataFrame, p: dict) -> DataFrame:
+    from .corpus import corpus_report
+
+    return corpus_report(
+        df,
+        text_col=p.get("text_col", "text"),
+        lang_col=p.get("lang_col", "lang"),
+        chars_col=p.get("chars_col", "n_chars"),
+        short_chars=p.get("short_chars", 100),
+        round_digits=p.get("round_digits", 6),
     )

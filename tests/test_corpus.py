@@ -517,3 +517,34 @@ def test_normalize_urls_idempotent(spark):
     twice = normalize_urls(once, "url")
     row = twice.collect()[0]
     assert row["url"] == row["url_norm"] == "https://a.b/x?q=2"
+
+
+def test_corpus_report_card(spark):
+    from database_transportor_spark.operators.corpus import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "en", 11),
+            (2, "hello world", "en", 11),        # exact dup text
+            (3, "bonjour", "fr", 7),
+            (4, "", "fr", 0),                     # blank: 0 tokens
+            (5, "one two three four", "de", 18),
+        ],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    r = corpus_report(df, short_chars=10).collect()[0]
+    assert r["n_docs"] == 5 and r["n_dup_texts"] == 1
+    assert abs(r["dup_pct"] - 0.2) < 1e-9
+    assert r["total_tokens"] == 2 + 2 + 1 + 0 + 4
+    assert r["n_langs"] == 3
+    # en and fr both have 2 docs: tie breaks to the smaller lang, 'en'
+    assert r["top_lang"] == "en" and abs(r["top_lang_pct"] - 0.4) < 1e-9
+    assert abs(r["pct_short"] - 0.4) < 1e-9  # 7 and 0 chars are short
+
+
+def test_corpus_report_no_lang(spark):
+    from database_transportor_spark.operators.corpus import corpus_report
+
+    df = spark.createDataFrame([(1, "a b", 3)], ["doc_id", "text", "n_chars"])
+    r = corpus_report(df, lang_col=None).collect()[0]
+    assert "top_lang" not in r.asDict() and r["total_tokens"] == 2
