@@ -24,6 +24,12 @@ ALLOWED_NESTED_LOOP = {
     # same shape: the (total rows, total keys) scalars are one broadcast
     # row joined onto the TakeOrdered top-k — never onto the key domain
     "skew_report": "1-row totals frame broadcast onto the top-k keys",
+    # same shape again: the 1-row total-output scalar joins the top-k
+    # contributing keys (count-table sized), never the fact side
+    "join_size": "1-row join-size total broadcast onto the top-k keys",
+    # data card: the 1-row lang-count + 1-row top-lang frames cross the
+    # 1-row global stats — three literal single-row frames
+    "corpus_report": "1-row stat frames crossed together (all single-row)",
     # Q22 shape: the positive-balance average is a literal 1-row scalar
     # broadcast onto customers (joining it avoids a driver collect)
     "idle_rich_customers": "1-row avg-balance scalar broadcast onto customers",
