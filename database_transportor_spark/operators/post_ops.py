@@ -89,6 +89,12 @@ DataFrame code):
      "aggs": {"out_col": "<agg expr>", ...}}
     {"op": "order_limit", "by": ["<expr> [desc]", ...], "limit": N}
     {"op": "distinct", "subset": [...]}                        # optional
+    {"op": "union", "table": ..., "side": ..., "filter": "<sql>",
+     "select": [...], "by_name": True, "allow_missing": False}
+    {"op": "pivot", "group_cols": [...], "pivot_col": ..., "values": [...],
+     "agg": "count|sum|min|max|avg", "value_col": ..., "fill": 0}
+    {"op": "unpivot", "id_cols": [...], "value_cols": [...],
+     "var_name": "metric", "value_name": "value"}
 
 ``join`` resolves its right side through the engine's catalog resolver
 (the reserved ``_resolve`` param injected by :func:`apply_post_ops`):
@@ -991,4 +997,50 @@ def _corpus_report(df: DataFrame, p: dict) -> DataFrame:
         chars_col=p.get("chars_col", "n_chars"),
         short_chars=p.get("short_chars", 100),
         round_digits=p.get("round_digits", 6),
+    )
+
+
+@register_post_op("union")
+def _union(df: DataFrame, p: dict) -> DataFrame:
+    # declarative multi-source concatenation: the other side resolves
+    # through the engine catalog like "join" (side=target unions an
+    # upstream map's output); by-name with allowMissingColumns so
+    # heterogeneous sources union on the shared schema
+    resolve = p.get("_resolve")
+    if resolve is None:
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'union' needs the engine's "
+            "catalog resolver (run the spec through DBT)"
+        )
+    other = resolve(p.get("side", "original"), p["table"])
+    if p.get("filter"):
+        other = other.filter(F.expr(p["filter"]))
+    if p.get("select"):
+        other = other.selectExpr(*p["select"])
+    if p.get("by_name", True):
+        return df.unionByName(
+            other, allowMissingColumns=bool(p.get("allow_missing", False))
+        )
+    return df.unionAll(other)
+
+
+@register_post_op("pivot")
+def _pivot(df: DataFrame, p: dict) -> DataFrame:
+    from .rollup import pivot_table
+
+    return pivot_table(
+        df, p["group_cols"], p["pivot_col"], p["values"],
+        agg=p.get("agg", "count"), value_col=p.get("value_col"),
+        fill=p.get("fill", 0),
+    )
+
+
+@register_post_op("unpivot")
+def _unpivot(df: DataFrame, p: dict) -> DataFrame:
+    from .rollup import unpivot_table
+
+    return unpivot_table(
+        df, p["id_cols"], p["value_cols"],
+        var_name=p.get("var_name", "metric"),
+        value_name=p.get("value_name", "value"),
     )

@@ -573,3 +573,42 @@ def test_relational_empty_params_rejected(spark):
         apply_post_ops(df, ({"op": "derive", "columns": {}},), "w")
     with pytest.raises(SpecError, match="agg"):
         apply_post_ops(df, ({"op": "agg", "group_by": ["x"], "aggs": []},), "w")
+
+
+def test_relational_union_pivot_unpivot(spark):
+    """Multi-source union + wide pivot + melt, all as spec data."""
+    maps = {
+        "entities": {
+            "original_table": "customers",
+            "columns": {"name": "name", "country": "country"},
+            "post_ops": [
+                {"op": "derive", "columns": {"src": "'customer'"}},
+                {"op": "union", "table": "sales",
+                 "select": ["concat('sale_', sale_id) AS name",
+                            "'XX' AS country", "'sale' AS src"]},
+                {"op": "pivot", "group_cols": ["src"], "pivot_col": "country",
+                 "values": ["US", "DE", "XX"]},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=_sales_catalog(spark))
+    got = {r["src"]: (r["US"], r["DE"], r["XX"])
+           for r in eng.transform()["entities"].collect()}
+    assert got == {"customer": (2, 1, 0), "sale": (0, 0, 5)}
+
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    wide = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "m1", "m2"])
+    long = apply_post_ops(
+        wide, ({"op": "unpivot", "id_cols": ["id"],
+                "value_cols": ["m1", "m2"]},), "t")
+    assert {(r["metric"], r["value"]) for r in long.collect()} == \
+        {("m1", 10.0), ("m2", 20.0)}
+
+
+def test_relational_union_requires_resolver(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(SpecError, match="resolver"):
+        apply_post_ops(df, ({"op": "union", "table": "t"},), "w")
