@@ -835,6 +835,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplicate passages (winnowing-anchored 8-token
+    spans repeated verbatim across >=2 docs) — the cut list a
+    substring-dedup pass consumes.  `operators/dedup.py:repeated_passages`."""
+    from database_transportor_spark.operators.dedup import repeated_passages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_passages(docs, "doc_id", "text", span_words=8)
+
+
+SQL_DUP_SPANS = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), s0 AS (
+    SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS pos, toks FROM t
+), sites AS (
+    SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
+    FROM s0 WHERE substr(md5(toks[pos]), 1, 1) IN ('0','1','2','3')
+), g AS (
+    SELECT s, count(*) AS n_sites, count(DISTINCT doc_id) AS n_docs
+    FROM sites GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT si.doc_id, CAST(si.pos AS BIGINT) AS pos, g.n_docs, g.n_sites,
+       (row_number() OVER (PARTITION BY g.s ORDER BY si.doc_id, si.pos)) = 1 AS keep
+FROM sites si JOIN g ON si.s = g.s
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH t AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -4422,6 +4450,7 @@ _EXTENSION_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "doc_pipeline": q_doc_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_spans": q_dup_spans,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
@@ -4533,6 +4562,7 @@ _EXTENSION_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_pipeline": SQL_DOC_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dup_spans": SQL_DUP_SPANS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

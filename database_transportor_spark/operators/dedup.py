@@ -22,7 +22,7 @@ deterministic across runs, executors, and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .pins import pin
@@ -866,3 +866,105 @@ def drop_contained_docs(
     return df.join(
         victims, df[id_col] == victims["__victim"], "left_anti"
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 8,
+    anchor_chars: tuple[str, ...] = ("0", "1", "2", "3"),
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact-duplicate detection: find PASSAGES (runs of
+    ``span_words`` consecutive tokens) that repeat verbatim across
+    ``min_docs`` or more documents — the missing tier between whole-doc
+    dedup (:func:`exact_dedup`), paragraph dedup, and line dedup:
+    boilerplate sentences, license blocks, and templated passages that
+    cross paragraph boundaries.  The approach follows the
+    exact-substring-dedup line of work (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022) with
+    winnowing-style content-defined anchors (Schleimer et al., SIGMOD
+    2003) in place of a suffix array.
+
+    Anchoring is CONTENT-defined, not position-defined: a span is
+    enumerated only where its first token's ``md5`` hex digest starts
+    with one of ``anchor_chars`` (default 4/16 ⇒ an expected one anchor
+    per 4 tokens).  Because the rule depends only on the token itself,
+    the two copies of a duplicated passage select the SAME anchor
+    positions regardless of where the passage sits in each document —
+    the property position-strided sampling lacks, and the reason any
+    duplicated region of ≳ ``span_words`` + anchor-gap tokens is
+    guaranteed to be caught.  md5 (not xxhash64) so the rule is
+    bit-identical in the DuckDB oracle.
+
+    Returns one row per duplicated-span SITE:
+    ``(id, pos, n_docs, n_sites, keep)`` — ``pos`` is the 1-based token
+    index of the span start, ``n_docs``/``n_sites`` the corpus-wide
+    spread of that exact span, and ``keep`` marks the one canonical
+    site (lowest ``(id, pos)``) a remover would preserve.  This is the
+    actionable cut list: every ``keep = false`` row is a passage whose
+    text exists verbatim elsewhere.
+
+    Scale shape: tokenize → per-doc anchor filter → span fingerprint
+    (all narrow, one pass over the corpus, whole-stage codegen; the
+    span string never leaves the row — only its ``xxhash64`` is
+    shuffled, 8 bytes per site).  Then ONE shuffle groups sites by
+    fingerprint (map-side partial agg shrinks it first), the duplicated
+    fingerprints re-join the posting on the same key, and a window over
+    (fingerprint) ranks sites for ``keep``.  Sites ≈ tokens /
+    anchor-gap, so state is a fixed fraction of corpus token count; no
+    all-pairs stage exists.  64-bit fingerprint collisions would merge
+    two unrelated spans (odds ~sites²/2⁶⁵ — ignorable; the oracle
+    groups by the span string itself and agrees at test scale).
+    """
+    if span_words < 2:
+        raise ValueError("span_words must be >= 2")
+    toks = tokens(text_col)
+    n0 = F.size(toks) - (span_words - 1)
+    chars = [F.lit(c) for c in anchor_chars]
+    # sequence(1, n) is DESCENDING when n < 1 — guard to an empty array
+    anchors = F.when(
+        n0 < 1, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), n0),
+            lambda i: F.substring(
+                F.md5(F.element_at(toks, i)), 1, 1
+            ).isin(*chars),
+        )
+    )
+    sites = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                anchors,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(toks, i, span_words))
+                    ).alias("__h"),
+                ),
+            )
+        ).alias("__s"),
+    ).select("__id", F.col("__s.pos").alias("pos"), F.col("__s.__h").alias("__h"))
+    # the posting feeds the spread aggregate AND the join-back: pin it
+    # so the tokenize→anchor→fingerprint scan runs once, not twice
+    sites = pin(sites)
+    dup = (
+        sites.groupBy("__h")
+        .agg(
+            F.count("*").alias("n_sites"),
+            F.countDistinct("__id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    w = Window.partitionBy("__h").orderBy("__id", "pos")
+    out = (
+        sites.join(dup, "__h")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(
+            F.col("__id").alias(id_col), "pos", "n_docs", "n_sites", "keep"
+        )
+    )
+    return out

@@ -259,3 +259,71 @@ def test_drop_contained_docs_below_threshold_untouched(spark):
     # doc 1 shares some shingles but well under 90% containment
     assert drop_contained_docs(df, "doc_id", "text", n=3,
                                threshold=0.9).count() == 2
+
+
+# --- repeated_passages (span-level exact-dup detection) ---------------
+
+def test_repeated_passages_cross_doc(spark):
+    from database_transportor_spark.operators.dedup import repeated_passages
+
+    # "alpha" md5-anchors (digest starts with '2'); the 8-token passage
+    # starting at it is shared verbatim by docs 1 and 2 at DIFFERENT
+    # offsets — content-defined anchoring must still pair them up.
+    passage = "alpha one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} tail words here"),
+            (2, f"lead-in words go first {passage}"),
+            (3, "nothing duplicated in this document at all right"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_passages(docs, "doc_id", "text", span_words=8)
+    rows = sorted(tuple(r) for r in out.collect())
+    # doc 1: passage starts at token 1; doc 2: at token 5
+    assert rows == [(1, 1, 2, 2, True), (2, 5, 2, 2, False)]
+
+
+def test_repeated_passages_keep_first_and_intradoc_sites(spark):
+    from database_transportor_spark.operators.dedup import repeated_passages
+
+    # anchor everywhere so the test pins pure span semantics
+    every = tuple("0123456789abcdef")
+    docs = spark.createDataFrame(
+        [
+            (7, "a b c d a b c d"),   # span "a b c d" twice intra-doc
+            (9, "x a b c d y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_passages(
+        docs, "doc_id", "text", span_words=4, anchor_chars=every
+    )
+    rows = {(r.doc_id, r.pos): (r.n_docs, r.n_sites, r.keep) for r in out.collect()}
+    # "a b c d" occurs at (7,1), (7,5), (9,2): 2 docs / 3 sites;
+    # keep = lowest (doc_id, pos) only
+    assert rows[(7, 1)] == (2, 3, True)
+    assert rows[(7, 5)] == (2, 3, False)
+    assert rows[(9, 2)] == (2, 3, False)
+    # spans unique to one doc never appear
+    assert all(v[0] >= 2 for v in rows.values())
+
+
+def test_repeated_passages_short_and_empty_docs(spark):
+    from database_transportor_spark.operators.dedup import repeated_passages
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "too short"), (3, "   "), (4, "exactly four words here")],
+        ["doc_id", "text"],
+    )
+    out = repeated_passages(docs, "doc_id", "text", span_words=8)
+    assert out.count() == 0
+
+
+def test_repeated_passages_rejects_bad_span(spark):
+    import pytest
+    from database_transportor_spark.operators.dedup import repeated_passages
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        repeated_passages(docs, "doc_id", "text", span_words=1)
