@@ -863,6 +863,46 @@ FROM sites si JOIN g ON si.s = g.s
 """
 
 
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excise non-canonical duplicated passages (normalized-token
+    rewrite, one surviving copy corpus-wide).
+    `operators/dedup.py:strip_repeated_passages`."""
+    from database_transportor_spark.operators.dedup import strip_repeated_passages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_repeated_passages(docs, "doc_id", "text", span_words=8)
+
+
+SQL_STRIP_SPANS = """
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), s0 AS (
+    SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS pos, toks FROM t
+), sites AS (
+    SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS s
+    FROM s0 WHERE substr(md5(toks[pos]), 1, 1) IN ('0','1','2','3')
+), g AS (
+    SELECT s FROM sites GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+), ranked AS (
+    SELECT si.doc_id, si.pos,
+           row_number() OVER (PARTITION BY si.s ORDER BY si.doc_id, si.pos) AS rn
+    FROM sites si JOIN g ON si.s = g.s
+), cuts AS (
+    SELECT doc_id, list(pos) AS cut_pos FROM ranked WHERE rn > 1 GROUP BY doc_id
+), rebuilt AS (
+    SELECT t.doc_id, t.toks, coalesce(c.cut_pos, []) AS cut_pos,
+           list_filter(range(1, len(t.toks) + 1),
+                       i -> len(list_filter(coalesce(c.cut_pos, []),
+                                            p -> p <= i AND i < p + 8)) = 0) AS kept
+    FROM t LEFT JOIN cuts c ON c.doc_id = t.doc_id
+)
+SELECT doc_id,
+       array_to_string(list_transform(kept, i -> toks[i]), ' ') AS text,
+       CAST(len(toks) - len(kept) AS BIGINT) AS removed
+FROM rebuilt
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH t AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -4451,6 +4491,7 @@ _EXTENSION_QUERIES = {
     "doc_pipeline": q_doc_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
+    "strip_spans": q_strip_spans,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
@@ -4563,6 +4604,7 @@ _EXTENSION_ORACLES = {
     "doc_pipeline": SQL_DOC_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_spans": SQL_DUP_SPANS,
+    "strip_spans": SQL_STRIP_SPANS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

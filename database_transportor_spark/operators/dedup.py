@@ -43,6 +43,8 @@ __all__ = [
     "dedup_keep_best",
     "simhash",
     "simhash_pairs",
+    "repeated_passages",
+    "strip_repeated_passages",
 ]
 
 
@@ -968,3 +970,59 @@ def repeated_passages(
         )
     )
     return out
+
+
+def strip_repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 8,
+    anchor_chars: tuple[str, ...] = ("0", "1", "2", "3"),
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply :func:`repeated_passages`: excise every non-canonical
+    duplicated span (``keep = false`` site) from its document, keeping
+    exactly one copy of each repeated passage corpus-wide — the
+    row-REWRITING application, the way :func:`drop_contained_docs`
+    applies containment pairs and :func:`dedup_keep_best` applies
+    near-dup clusters.
+
+    The rewrite happens in token space: a token is dropped when any cut
+    span covers its position; survivors re-join with single spaces.  The
+    output ``text`` is therefore the NORMALIZED reconstruction
+    (lowercased, whitespace-collapsed) — the form every downstream
+    LLM-corpus stage consumes anyway; keep the original column alongside
+    if byte-exact provenance matters.  ``removed`` counts excised tokens.
+
+    Scale shape: the detector's plan (one fingerprint pass + one
+    group-by-span shuffle) plus one ids-keyed aggregation of cut
+    positions and one left join back to the corpus.  Per-doc work in the
+    rewrite is tokens × cut-spans-in-that-doc via nested higher-order
+    functions — JVM-side, no Python.  Docs without cuts pass through the
+    join as NULL and rebuild unchanged.
+    """
+    sites = repeated_passages(
+        df, id_col, text_col,
+        span_words=span_words, anchor_chars=anchor_chars, min_docs=min_docs,
+    )
+    cuts = (
+        sites.filter(~F.col("keep"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__cuts"))
+    )
+    joined = df.join(cuts, id_col, "left")
+    toks = tokens(text_col)
+    cut_arr = F.coalesce(F.col("__cuts"), F.array().cast("array<long>"))
+    # 1-based token position i+1 is covered when some cut span p spans it
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            cut_arr,
+            lambda p: (p <= i + 1) & (i + 1 < p + span_words),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("removed"),
+    )

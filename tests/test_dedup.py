@@ -327,3 +327,48 @@ def test_repeated_passages_rejects_bad_span(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         repeated_passages(docs, "doc_id", "text", span_words=1)
+
+
+def test_strip_repeated_passages_keeps_one_copy(spark):
+    from database_transportor_spark.operators.dedup import strip_repeated_passages
+
+    every = tuple("0123456789abcdef")
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d tail one two"),
+            (2, "x y a b c d z"),      # span "a b c d" duplicated at pos 3
+            (3, "untouched words stay put"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = strip_repeated_passages(
+        docs, "doc_id", "text", span_words=4, anchor_chars=every
+    )
+    rows = {r.doc_id: (r.text, r.removed) for r in out.collect()}
+    # doc 1 is the canonical site: untouched (normalized form)
+    assert rows[1] == ("a b c d tail one two", 0)
+    # doc 2 loses the 4 covered tokens
+    assert rows[2] == ("x y z", 4)
+    assert rows[3] == ("untouched words stay put", 0)
+
+
+def test_strip_repeated_passages_overlapping_cuts(spark):
+    from database_transportor_spark.operators.dedup import strip_repeated_passages
+
+    every = tuple("0123456789abcdef")
+    # doc 20 repeats doc 10's run "a b c d e": spans "a b c d" and
+    # "b c d e" both duplicate; their cut ranges overlap in doc 20 and
+    # the union of covered tokens (positions 2-6) must be excised once.
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c d e p q"),
+            (20, "m a b c d e n"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = strip_repeated_passages(
+        docs, "doc_id", "text", span_words=4, anchor_chars=every
+    )
+    rows = {r.doc_id: (r.text, r.removed) for r in out.collect()}
+    assert rows[10] == ("a b c d e p q", 0)
+    assert rows[20] == ("m n", 5)
