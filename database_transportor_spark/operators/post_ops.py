@@ -1044,3 +1044,18 @@ def _unpivot(df: DataFrame, p: dict) -> DataFrame:
         var_name=p.get("var_name", "metric"),
         value_name=p.get("value_name", "value"),
     )
+
+
+@register_post_op("strip_spans")
+def _strip_spans(df: DataFrame, p: dict) -> DataFrame:
+    # span-level exact-dup excision (one surviving copy corpus-wide);
+    # see operators/dedup.py:strip_repeated_passages for the plan shape
+    from .dedup import strip_repeated_passages
+
+    return strip_repeated_passages(
+        df,
+        p.get("id_col", "doc_id"),
+        p.get("text_col", "text"),
+        span_words=p.get("span_words", 8),
+        min_docs=p.get("min_docs", 2),
+    )

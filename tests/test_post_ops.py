@@ -612,3 +612,27 @@ def test_relational_union_requires_resolver(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(SpecError, match="resolver"):
         apply_post_ops(df, ({"op": "union", "table": "t"},), "w")
+
+
+def test_strip_spans_stage(spark):
+    # docs 1 and 2 share their entire text: the non-canonical copy (doc
+    # 2) is rewritten down to nothing; doc 1 and the unique doc 3 keep
+    # their (normalized) text
+    maps = {
+        "out": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "text": "text"},
+            "post_ops": [
+                {"op": "strip_spans", "span_words": 4},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=MemoryCatalog({"docs": _docs(spark)}))
+    out = eng.transform()["out"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["removed"] == 0
+    assert rows[2]["removed"] > 0
+    assert rows[3]["text"] == "short" and rows[3]["removed"] == 0
+    # the canonical copy's text survives verbatim (already normalized)
+    assert rows[1]["text"].startswith("the quick brown fox")
