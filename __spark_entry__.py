@@ -863,6 +863,80 @@ FROM sites si JOIN g ON si.s = g.s
 """
 
 
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-grid covariance of the embedding table — one Arrow
+    X'X partials pass, d²-bounded state.
+    `operators/similarity.py:embedding_covariance`."""
+    from database_transportor_spark.operators.similarity import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(emb, "vec_id", "embedding")
+
+
+SQL_EMBED_COV = """
+WITH qx AS (
+    SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+           CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+    FROM embeddings, range(1, 65) AS t(i)
+), nn AS (SELECT count(*) AS n FROM embeddings),
+s AS (SELECT pos, CAST(sum(v) AS BIGINT) AS s FROM qx GROUP BY pos),
+p AS (SELECT a.pos AS i, b.pos AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sum_prod
+      FROM qx a JOIN qx b USING (vec_id) GROUP BY 1, 2)
+SELECT p.i, p.j, p.sum_prod,
+       round((CAST(p.sum_prod AS DOUBLE)
+              - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / CAST(nn.n AS DOUBLE))
+             / CAST(nn.n AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS cov
+FROM p JOIN s sa ON sa.pos = p.i JOIN s sb ON sb.pos = p.j CROSS JOIN nn
+"""
+
+
+def q_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit contract (`operators/similarity.py:pca_project`): the
+    top-8 components of the exact covariance must be orthonormal with
+    non-negative descending eigenvalues, and the DISTRIBUTED variance
+    of each projected component must equal its eigenvalue — linking the
+    Arrow projection pass back to the driver-side eigh.  Oracle is the
+    contract itself (all-true rows), the `minhash_lsh` recall-oracle
+    pattern."""
+    import numpy as np
+
+    from database_transportor_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 8
+    proj = pca_project(emb, "vec_id", "embedding", k=k)
+    W, lam = proj.pca_components, proj.pca_eigenvalues
+    unit = np.abs((W ** 2).sum(axis=1) - 1.0) < 1e-9
+    G = W @ W.T
+    orth = np.abs(G - np.diag(np.diag(G))).max(axis=1) < 1e-9
+    sorted_ok = np.concatenate([[True], np.diff(lam) <= 1e-12])
+    nonneg = lam >= -1e-9
+    var_row = proj.agg(
+        *[F.var_pop(F.col("pca")[i]).alias(f"v{i}") for i in range(k)]
+    ).first()
+    rows = []
+    for i in range(k):
+        v = float(var_row[f"v{i}"])
+        var_ok = abs(v - float(lam[i])) <= 1e-9 + 1e-6 * abs(float(lam[i]))
+        rows.append(
+            (i, bool(unit[i]), bool(orth[i]), bool(sorted_ok[i]),
+             bool(nonneg[i]), var_ok)
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, unit_norm boolean, orthogonal boolean, "
+        "eigs_sorted boolean, eigs_nonneg boolean, var_matches boolean",
+    )
+
+
+SQL_PCA_CHECK = """
+SELECT CAST(i AS INTEGER) AS component,
+       true AS unit_norm, true AS orthogonal,
+       true AS eigs_sorted, true AS eigs_nonneg, true AS var_matches
+FROM range(0, 8) t(i)
+"""
+
+
 def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Excise non-canonical duplicated passages (normalized-token
     rewrite, one surviving copy corpus-wide).
@@ -4492,6 +4566,8 @@ _EXTENSION_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
     "strip_spans": q_strip_spans,
+    "embed_cov": q_embed_cov,
+    "pca_check": q_pca_check,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
@@ -4605,6 +4681,8 @@ _EXTENSION_ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_spans": SQL_DUP_SPANS,
     "strip_spans": SQL_STRIP_SPANS,
+    "embed_cov": SQL_EMBED_COV,
+    "pca_check": SQL_PCA_CHECK,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -47,6 +47,8 @@ __all__ = [
     "quantize_embeddings",
     "random_projection",
     "kmeans_lloyd",
+    "embedding_covariance",
+    "pca_project",
 ]
 
 
@@ -554,3 +556,227 @@ def kmeans_lloyd(
         F.sum(F.col("__a.d")).alias("inertia"),
         centroid_sum.alias("centroid_sum"),
     )
+
+
+def _quantized_points(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    dim: int | None,
+    on_invalid: str,
+    caller: str,
+) -> tuple[DataFrame, int]:
+    """Shared front door of the exact-arithmetic embedding aggregates
+    (:func:`embedding_covariance`, :func:`pca_project`): infer ``dim``
+    from the first NON-NULL vector, fuse NULL/ragged validation into the
+    quantize projection (clean inputs pay zero extra jobs — the
+    :func:`kmeans_lloyd` pattern), and return the PINNED
+    ``(__id, __q)`` integer-grid points plus ``dim``."""
+    if on_invalid not in ("raise", "skip"):
+        raise ValueError(
+            f"{caller}: on_invalid must be raise|skip, got {on_invalid!r}"
+        )
+    if dim is None:
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if first is None or first["d"] is None:
+            raise ValueError(
+                f"{caller}: no non-NULL {vec_col} vector to infer dim "
+                "from (empty input or all-NULL column); pass dim= explicitly"
+            )
+        dim = int(first["d"])
+    invalid = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != F.lit(dim))
+    if on_invalid == "skip":
+        df = df.filter(~invalid)
+        checked = F.col(vec_col)
+    else:
+        checked = F.when(
+            invalid,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{caller}: row {id_col}="),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                    F.lit(" has a "),
+                    F.coalesce(
+                        F.concat(F.size(F.col(vec_col)).cast("string"),
+                                 F.lit("-element")),
+                        F.lit("NULL"),
+                    ),
+                    F.lit(f" {vec_col} but dim={dim}; clean the input or "
+                          "pass on_invalid='skip'"),
+                )
+            ).cast(df.schema[vec_col].dataType),
+        ).otherwise(F.col(vec_col))
+    q = F.transform(
+        checked,
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    return pin(df.select(F.col(id_col).alias("__id"), q.alias("__q"))), dim
+
+
+def _covariance_partials(pts: DataFrame, dim: int) -> DataFrame:
+    """Arrow-batched exact second-moment partials: one row per non-empty
+    batch carrying ``(cnt, s[dim], p[dim*dim])`` int64 sums — the X'X
+    trick that makes covariance a SINGLE pass with d²-bounded state
+    instead of an N×d² row explosion.  numpy int64 matmul is exact
+    (same overflow bound as the caller documents), so partials from any
+    partitioning sum to the same integers."""
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            P = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "cnt": [len(pdf)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "p": [P.ravel().tolist()],
+                }
+            )
+
+    return pts.select("__q").mapInPandas(
+        part, schema="cnt long, s array<long>, p array<long>"
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    dim: int | None = None,
+    on_invalid: str = "raise",
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column, one row per
+    ``(i, j)`` pair: ``(i, j, sum_prod, cov)`` where ``sum_prod`` is the
+    EXACT integer Σ qᵢ·qⱼ on the ``round(x·scale)`` grid (bit-identical
+    in any engine — the module's oracle-portability contract, as in
+    :func:`kmeans_lloyd`) and ``cov`` is the population covariance in
+    original units, rounded to 6 dp.
+
+    Scale shape: ONE corpus pass.  An Arrow-batched ``mapInPandas``
+    reduces each batch to int64 ``(count, Σx, X'X)`` partials (d²-sized,
+    row-count independent), the d² product sums aggregate in ONE tiny
+    shuffle (posexplode of per-batch partials — batch-count × d² rows,
+    not N × d²), and the d+1 first-moment sums collect to the driver
+    (bounded state, the centroid-collect pattern).  No join touches the
+    corpus; nothing here is O(N·d²) in rows shuffled.
+
+    Overflow bound: |q| ≤ scale·max|x|; Σ|qᵢqⱼ| ≤ N·(scale·max|x|)² must
+    stay under 2⁶³ — at scale=10⁶ and |x|≤4 that allows ~500 G rows;
+    drop ``scale`` for bigger corpora or wilder values.
+    """
+    pts, dim = _quantized_points(
+        df, id_col, vec_col, scale, dim, on_invalid, "embedding_covariance"
+    )
+    partials = pin(_covariance_partials(pts, dim))
+    head = partials.agg(
+        F.sum("cnt").alias("n"),
+        *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+    ).first()
+    if head is None or head["n"] is None or head["n"] == 0:
+        raise ValueError("embedding_covariance: empty input")
+    n = int(head["n"])
+    s = [int(head[f"s{i}"]) for i in range(dim)]
+    s_arr = F.array(*[F.lit(v).cast("long") for v in s])
+    p_tab = (
+        partials.select(F.posexplode("p").alias("idx", "pv"))
+        .groupBy("idx")
+        .agg(F.sum("pv").alias("sum_prod"))
+    )
+    i_c = (F.col("idx") / dim).cast("int").alias("i")
+    j_c = (F.col("idx") % dim).cast("int").alias("j")
+    nd = F.lit(float(n))
+    # trailing + 0.0 canonicalizes IEEE negative zero (round can yield
+    # -0.0 here and engines disagree on its sign; -0.0 + 0.0 == +0.0)
+    cov = F.round(
+        (
+            F.col("sum_prod").cast("double")
+            - F.element_at(s_arr, F.col("i") + 1).cast("double")
+            * F.element_at(s_arr, F.col("j") + 1).cast("double") / nd
+        )
+        / nd
+        / F.lit(float(scale) * float(scale)),
+        6,
+    ) + F.lit(0.0)
+    return (
+        p_tab.select(i_c, j_c, "sum_prod")
+        .withColumn("cov", cov)
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: int = 10**6,
+    dim: int | None = None,
+    on_invalid: str = "raise",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Closed-form PCA: project ``vec_col`` onto the top-``k`` principal
+    components of its EXACT integer-grid covariance (the
+    :func:`embedding_covariance` accumulation), keeping all other
+    columns and appending ``out_col`` (array<double>, length ``k``).
+
+    The eigendecomposition runs on the DRIVER over the d×d matrix —
+    bounded state exactly like the k-means centroid collect; the
+    corpus-sized work is one Arrow partials pass plus one Arrow
+    projection pass (numpy matmul per batch, centered on the exact
+    mean).  Component signs follow the deterministic convention that
+    each component's largest-|loading| coordinate is positive, so
+    repeated fits (and refits on re-partitioned data — the partials are
+    exact integers) give identical output.
+
+    Returns the projected frame; the fitted model is exposed on it as
+    ``df.pca_components`` (k×d numpy array) / ``df.pca_mean`` /
+    ``df.pca_eigenvalues`` for callers that need to project new data.
+    """
+    pts, dim = _quantized_points(
+        df, id_col, vec_col, scale, dim, on_invalid, "pca_project"
+    )
+    if not (1 <= k <= dim):
+        raise ValueError(f"pca_project: k must be in [1, {dim}], got {k}")
+    partials = pin(_covariance_partials(pts, dim))
+    rows = partials.select("cnt", "s", "p").collect()
+    if not rows:
+        raise ValueError("pca_project: empty input")
+    n = sum(r["cnt"] for r in rows)
+    S = np.sum([np.asarray(r["s"], dtype=np.int64) for r in rows], axis=0)
+    P = np.sum([np.asarray(r["p"], dtype=np.int64) for r in rows], axis=0)
+    P = P.reshape(dim, dim)
+    mean_q = S.astype(np.float64) / n
+    cov = (P.astype(np.float64) - np.outer(mean_q, mean_q) * n) / n
+    cov /= float(scale) ** 2
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    lam = evals[order]
+    W = evecs[:, order].T  # k×d
+    # deterministic sign: largest-|loading| coordinate positive
+    for r in range(k):
+        m = np.argmax(np.abs(W[r]))
+        if W[r, m] < 0:
+            W[r] = -W[r]
+    mean = mean_q / float(scale)
+    Wb, mb = W.copy(), mean.copy()
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        Y = (X - mb[None, :]) @ Wb.T
+        return pd.Series(list(Y))
+
+    out = df.withColumn(out_col, proj(F.col(vec_col).cast("array<double>")))
+    out.pca_components = W
+    out.pca_mean = mean
+    out.pca_eigenvalues = lam
+    return out

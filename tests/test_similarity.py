@@ -273,3 +273,80 @@ def test_kmeans_lloyd_invalid_vector_handling(spark):
 
     with pytest.raises(ValueError, match="on_invalid"):
         kmeans_lloyd(ragged, k=2, iters=2, on_invalid="bogus")
+
+
+# --- embedding_covariance / pca_project -------------------------------
+
+def test_embedding_covariance_exact_small(spark):
+    import numpy as np
+    from database_transportor_spark.operators.similarity import embedding_covariance
+
+    vecs = [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {(r.i, r.j): (r.sum_prod, r.cov) for r in
+           embedding_covariance(df, scale=10).collect()}
+    X = np.array([[10, 20], [30, 40], [50, 60]], dtype=np.int64)
+    P = X.T @ X
+    C = np.cov(np.array([v for _, v in vecs]).T, bias=True)
+    for i in range(2):
+        for j in range(2):
+            sp, cov = out[(i, j)]
+            assert sp == P[i, j]
+            assert abs(cov - C[i, j]) < 1e-6
+
+
+def test_embedding_covariance_partition_invariant(spark):
+    from database_transportor_spark.operators.similarity import embedding_covariance
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in embedding_covariance(emb).collect())
+    b = sorted(
+        tuple(r)
+        for r in embedding_covariance(emb.repartition(13)).collect()
+    )
+    assert a == b  # exact integers: repartitioning cannot change them
+
+
+def test_embedding_covariance_invalid_rows(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from database_transportor_spark.operators.similarity import embedding_covariance
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(SparkRuntimeException, match="on_invalid"):
+        embedding_covariance(df).collect()
+    out = embedding_covariance(df, on_invalid="skip")
+    assert out.count() == 4  # 2x2 from the two valid rows
+
+
+def test_pca_project_model_and_determinism(spark):
+    import numpy as np
+    from database_transportor_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p1 = pca_project(emb, k=4)
+    p2 = pca_project(emb.repartition(7), k=4)
+    # exact integer partials -> identical model regardless of layout
+    assert np.array_equal(p1.pca_components, p2.pca_components)
+    assert np.array_equal(p1.pca_eigenvalues, p2.pca_eigenvalues)
+    W, lam = p1.pca_components, p1.pca_eigenvalues
+    assert W.shape == (4, 64)
+    assert np.all(np.diff(lam) <= 1e-12) and np.all(lam >= -1e-9)
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-9)
+    # sign convention: each component's largest-|loading| coord positive
+    for r in range(4):
+        assert W[r, np.abs(W[r]).argmax()] > 0
+    row = p1.select("pca").first()
+    assert len(row["pca"]) == 4
+
+
+def test_pca_project_rejects_bad_k(spark):
+    import pytest
+    from database_transportor_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="k must be"):
+        pca_project(df, k=3)
