@@ -1059,3 +1059,19 @@ def _strip_spans(df: DataFrame, p: dict) -> DataFrame:
         span_words=p.get("span_words", 8),
         min_docs=p.get("min_docs", 2),
     )
+
+
+@register_post_op("pca")
+def _pca(df: DataFrame, p: dict) -> DataFrame:
+    # closed-form PCA projection appended as an array<double> column;
+    # see operators/similarity.py:pca_project for the plan shape
+    from .similarity import pca_project
+
+    return pca_project(
+        df,
+        id_col=p.get("id_col", "vec_id"),
+        vec_col=p.get("vec_col", "embedding"),
+        k=p.get("k", 8),
+        scale=p.get("scale", 10**6),
+        out_col=p.get("out_col", "pca"),
+    )

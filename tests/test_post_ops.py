@@ -636,3 +636,20 @@ def test_strip_spans_stage(spark):
     assert rows[3]["text"] == "short" and rows[3]["removed"] == 0
     # the canonical copy's text survives verbatim (already normalized)
     assert rows[1]["text"].startswith("the quick brown fox")
+
+
+def test_pca_stage(spark):
+    vecs = [(i, [float(i), float(i % 3), 1.0]) for i in range(10)]
+    src = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    maps = {
+        "out": {
+            "original_table": "emb",
+            "columns": {"vec_id": "vec_id", "embedding": "embedding"},
+            "post_ops": [{"op": "pca", "k": 2}],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(), original=MemoryCatalog({"emb": src}))
+    out = eng.transform()["out"]
+    rows = out.collect()
+    assert len(rows) == 10 and all(len(r["pca"]) == 2 for r in rows)
+    assert "pca" in eng.write_columns("out")
