@@ -7991,3 +7991,47 @@ FROM stats s, nl, top
 
 _EXTENSION_QUERIES.update({"corpus_report": q_corpus_report})
 _EXTENSION_ORACLES.update({"corpus_report": SQL_CORPUS_REPORT})
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (`operators/runtime_filter.py:
+    bloom_prune_join`): urgent finished orders are too many for a static
+    broadcast at 100 TB, so a 2^17-bit Bloom bitmap of their keys is
+    built with one narrow agg and applied to lineitem BELOW the shuffle;
+    the exact join then removes the bitmap's false positives.  Output is
+    row-identical to the plain join by construction — which is exactly
+    what the oracle checks.  Plan: one bitmap-bounded collect (2 KiB of
+    longs), one codegen'd pre-shuffle filter, one equi-join, one agg."""
+    from database_transportor_spark.operators.runtime_filter import (
+        bloom_prune_join,
+    )
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+    )
+    joined = bloom_prune_join(l, o, "l_orderkey", "o_orderkey",
+                              num_bits=1 << 17)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+         / F.lit(100.0)).alias("revenue"),
+    )
+
+
+SQL_BLOOM_PRUNE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY l_returnflag
+"""
+
+
+_EXTENSION_QUERIES.update({"bloom_prune": q_bloom_prune})
+_EXTENSION_ORACLES.update({"bloom_prune": SQL_BLOOM_PRUNE})
