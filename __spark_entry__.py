@@ -8035,3 +8035,101 @@ GROUP BY l_returnflag
 
 _EXTENSION_QUERIES.update({"bloom_prune": q_bloom_prune})
 _EXTENSION_ORACLES.update({"bloom_prune": SQL_BLOOM_PRUNE})
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k overlap sketches (`operators/sketches.py:kmv_sketch`
+    /`kmv_pairwise`): distinct-order overlap between return-flag segments
+    estimated from 512-hash sketches — the corpus is scanned once to
+    build one sketch row per segment; every pairwise intersection/union/
+    Jaccard then comes from k-sized arrays, never a corpus re-join.
+    Oracle-checked via the accuracy contract: the projection carries the
+    EXACT pair overlap (computed independently) plus Spark-evaluated
+    flags asserting each deterministic estimate landed inside a 4.5-sigma
+    (20% of union) envelope; DuckDB emits the same exact values and
+    literal TRUEs."""
+    from database_transportor_spark.operators.sketches import (
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
+    k = 512
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = kmv_sketch(l, ["l_returnflag"], "l_orderkey", k=k)
+    pw = kmv_pairwise(sk, ["l_returnflag"], k=k)
+
+    d = l.select("l_returnflag", "l_orderkey").distinct()
+    c = d.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    ex = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_returnflag") < F.col("b.l_returnflag")),
+        )
+        .groupBy(
+            F.col("a.l_returnflag").alias("ga"),
+            F.col("b.l_returnflag").alias("gb"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    out = (
+        pw.join(
+            ex,
+            (pw["group_a"] == ex["ga"]) & (pw["group_b"] == ex["gb"]),
+            "left",
+        )
+        .join(c.withColumnRenamed("l_returnflag", "group_a")
+               .withColumnRenamed("n", "na"), "group_a")
+        .join(c.withColumnRenamed("l_returnflag", "group_b")
+               .withColumnRenamed("n", "nb"), "group_b")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .withColumn("exact_union", F.col("na") + F.col("nb") - F.col("exact_inter"))
+    )
+    tol = F.col("exact_union") * 0.2 + 5
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        (F.abs(F.col("inter_est") - F.col("exact_inter")) <= tol)
+        .alias("inter_ok"),
+        (F.abs(F.col("union_est") - F.col("exact_union")) <= tol)
+        .alias("union_ok"),
+        (
+            F.abs(
+                F.col("jaccard_est")
+                - F.col("exact_inter") / F.col("exact_union")
+            )
+            <= 0.1
+        ).alias("jaccard_ok"),
+    )
+
+
+SQL_KMV_OVERLAP = """
+WITH d AS (
+    SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+), c AS (
+    SELECT l_returnflag, count(*) AS n FROM d GROUP BY 1
+), pairs AS (
+    SELECT ca.l_returnflag AS group_a, cb.l_returnflag AS group_b,
+           ca.n AS na, cb.n AS nb
+    FROM c ca JOIN c cb ON ca.l_returnflag < cb.l_returnflag
+), i AS (
+    SELECT a.l_returnflag AS group_a, b.l_returnflag AS group_b,
+           count(*) AS exact_inter
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_returnflag < b.l_returnflag
+    GROUP BY 1, 2
+)
+SELECT p.group_a, p.group_b,
+       CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(p.na + p.nb - coalesce(i.exact_inter, 0) AS BIGINT) AS exact_union,
+       TRUE AS inter_ok, TRUE AS union_ok, TRUE AS jaccard_ok
+FROM pairs p
+LEFT JOIN i ON i.group_a = p.group_a AND i.group_b = p.group_b
+"""
+
+
+_EXTENSION_QUERIES.update({"kmv_overlap": q_kmv_overlap})
+_EXTENSION_ORACLES.update({"kmv_overlap": SQL_KMV_OVERLAP})

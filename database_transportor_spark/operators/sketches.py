@@ -27,6 +27,9 @@ __all__ = [
     "grouped_median",
     "grouped_percentiles",
     "heavy_hitters",
+    "kmv_sketch",
+    "kmv_distinct",
+    "kmv_pairwise",
 ]
 
 
@@ -119,3 +122,146 @@ def heavy_hitters(
     top = counts.orderBy(F.col("n").desc(), F.col(value_col).asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col(value_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) / theta-style sketches: distinct INTERSECTIONS
+# ---------------------------------------------------------------------------
+#
+# HLL answers "how many distinct per group" but cannot intersect two
+# groups' sketches; the KMV (k minimum values) sketch can.  Keep the k
+# smallest xxhash64 values of the measured column per group; any two
+# sketches then estimate |A∩B|, |A∪B|, and Jaccard from k-sized arrays —
+# the pairwise work runs on ONE ROW PER GROUP, never re-joining the
+# corpus.  That is the 100 TB story: the corpus is scanned once to build
+# the sketch table (same shuffle cost as an exact count-distinct), and
+# every subsequent overlap question — all group pairs, new pairs later —
+# is answered from the tiny sketch table alone.
+#
+# Determinism: xxhash64 is a fixed JVM hash, so a group's sketch is a
+# deterministic set — estimates are bit-stable run to run, which is what
+# lets the harness pin them behind an accuracy-contract oracle.
+
+_TWO_POW_64 = float(1 << 64)
+
+
+def _unit(h):
+    """Map a signed-64 xxhash64 value to (0, 1]: rank of h in the wrapped
+    key space.  Strictly positive so 1/u never divides by zero."""
+    return (h.cast("double") + F.lit(float(1 << 63) + 1.0)) / F.lit(_TWO_POW_64)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 512,
+    out_col: str = "kmv",
+) -> DataFrame:
+    """Per-group bottom-``k`` sketch of ``xxhash64(value_col)``.
+
+    Output: one row per group — ``keys..., kmv array<bigint>`` (sorted
+    ascending, ``min(k, D)`` entries where D = the group's true distinct
+    count).  A sketch with fewer than ``k`` entries is EXACT (it holds
+    every distinct hash).
+
+    Plan: dedupe ``(group, hash)`` with one map-side-combinable
+    aggregation (shuffle carries distinct pairs — the same cost exact
+    count-distinct pays), rank hashes per group with a sort-window, keep
+    ``rank <= k``, and fold the survivors into a sorted array.  The
+    window and the final fold share the group partitioning, so the whole
+    build is two exchanges; per-group state after the rank filter is k
+    rows by construction, and the window sort spills rather than
+    collecting a group in memory.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    nn = df.filter(F.col(value_col).isNotNull())
+    hashed = (
+        nn.select(*keys, F.xxhash64(value_col).alias("h"))
+        .groupBy(*keys, "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("h")).alias(out_col))
+    )
+
+
+def kmv_distinct(
+    sketches: DataFrame, k: int, kmv_col: str = "kmv",
+    out_col: str = "distinct_est",
+) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_sketch` table.
+
+    Unsaturated sketch (``size < k``) ⇒ the exact count.  Saturated ⇒
+    the classic unbiased KMV estimator ``(k-1) / u_k`` with ``u_k`` the
+    k-th minimum mapped to (0,1].  Zero-shuffle column math on the
+    group-count-sized sketch table."""
+    kmv = F.col(kmv_col)
+    est = F.when(
+        F.size(kmv) < k, F.size(kmv).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / _unit(F.element_at(kmv, k)))
+    return sketches.withColumn(out_col, F.round(est).cast("long"))
+
+
+def kmv_pairwise(
+    sketches: DataFrame,
+    keys: list[str],
+    k: int,
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """All-pairs overlap estimates between groups, from sketches alone.
+
+    For each unordered group pair (a < b): theta = the smaller of the
+    two sketches' k-th minima (an unsaturated sketch's theta is the
+    whole key space — it is exact).  Survivors below theta form a
+    uniform sample of A∪B, so::
+
+        inter_est = |{h ∈ A∩B : h < theta}| / theta
+        union_est = |{h ∈ A∪B : h < theta}| / theta
+        jaccard_est = inter / union   (the exact ratio of the two counts)
+
+    One self-join of the ONE-ROW-PER-GROUP sketch table (group-count
+    sized, broadcastable) plus JVM array intersect/union on k-sized
+    arrays — the corpus is never touched again.  Single-column groups
+    only (the pair key is the column's value)."""
+    if len(keys) != 1:
+        raise ValueError("kmv_pairwise: exactly one group column required")
+    key = keys[0]
+    a = sketches.select(
+        F.col(key).alias("group_a"), F.col(kmv_col).alias("_ka")
+    )
+    b = sketches.select(
+        F.col(key).alias("group_b"), F.col(kmv_col).alias("_kb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    ka, kb = F.col("_ka"), F.col("_kb")
+    # theta per side: k-th min if saturated, else +inf (exact side)
+    inf = F.lit(float("inf"))
+    ta = F.when(F.size(ka) >= k, _unit(F.element_at(ka, k))).otherwise(inf)
+    tb = F.when(F.size(kb) >= k, _unit(F.element_at(kb, k))).otherwise(inf)
+    theta = F.least(ta, tb)
+    # raw-long threshold for the array filters: strictly below the k-th
+    # minimum that defined theta (that element is the (k)th order stat —
+    # counting it would bias the sample); on the exact side everything
+    # survives.  Work in unit space to keep one comparison rule.
+    below = lambda arr: F.filter(arr, lambda h: _unit(h) < theta)  # noqa: E731
+    sa, sb = below(ka), below(kb)
+    inter_n = F.size(F.array_intersect(sa, sb)).cast("double")
+    union_n = F.size(F.array_union(sa, sb)).cast("double")
+    safe_theta = F.when(theta == inf, F.lit(1.0)).otherwise(theta)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(inter_n / safe_theta).cast("long").alias("inter_est"),
+        F.round(union_n / safe_theta).cast("long").alias("union_est"),
+        F.when(union_n > 0, F.round(inter_n / union_n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
+    )

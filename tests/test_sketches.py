@@ -158,3 +158,88 @@ def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
     out4 = refresh_rollup(cat, "daily", batch3, "ts", [], measures,
                           "1 day", lookback_buckets=3)
     assert {r["bucket_start"].day: r["n"] for r in out4.collect()}[1] == 6
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches
+# ---------------------------------------------------------------------------
+
+class TestKMV:
+    def test_unsaturated_is_exact(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            kmv_distinct, kmv_sketch,
+        )
+
+        df = spark.range(0, 300).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 60).alias("v")
+        )
+        sk = kmv_sketch(df, ["g"], "v", k=512)
+        got = {
+            r["g"]: r["distinct_est"]
+            for r in kmv_distinct(sk, k=512).collect()
+        }
+        # each g sees 20 distinct v values (id%60 stratified by id%3)
+        assert got == {0: 20, 1: 20, 2: 20}
+
+    def test_saturated_estimate_within_bound(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            kmv_distinct, kmv_sketch,
+        )
+
+        k = 256
+        df = spark.range(0, 20_000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        sk = kmv_sketch(df, ["g"], "v", k=k)
+        row = kmv_distinct(sk, k=k).collect()[0]
+        assert len(row["kmv"]) == k
+        # deterministic hash -> deterministic estimate; 1/sqrt(k) ~ 6.3%,
+        # assert a generous 4-sigma envelope
+        assert abs(row["distinct_est"] - 20_000) < 20_000 * 0.25
+
+    def test_pairwise_exact_when_unsaturated(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            kmv_pairwise, kmv_sketch,
+        )
+
+        rows = [("a", i) for i in range(100)] + [("b", i) for i in range(50, 180)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        sk = kmv_sketch(df, ["g"], "v", k=512)
+        p = kmv_pairwise(sk, ["g"], k=512).collect()[0]
+        assert (p["group_a"], p["group_b"]) == ("a", "b")
+        assert p["inter_est"] == 50
+        assert p["union_est"] == 180
+        assert abs(p["jaccard_est"] - 50 / 180) < 1e-6
+
+    def test_pairwise_saturated_within_bound(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            kmv_pairwise, kmv_sketch,
+        )
+
+        k = 256
+        rows = [("a", i) for i in range(10_000)] + [
+            ("b", i) for i in range(5_000, 15_000)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long")
+        sk = kmv_sketch(df, ["g"], "v", k=k)
+        p = kmv_pairwise(sk, ["g"], k=k).collect()[0]
+        assert abs(p["union_est"] - 15_000) < 15_000 * 0.25
+        assert abs(p["inter_est"] - 5_000) < 15_000 * 0.25
+        assert abs(p["jaccard_est"] - 5_000 / 15_000) < 0.15
+
+    def test_nulls_ignored_and_guards(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.sketches import (
+            kmv_pairwise, kmv_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 2)], "g string, v long"
+        )
+        sk = kmv_sketch(df, ["g"], "v", k=16)
+        assert len(sk.collect()[0]["kmv"]) == 2
+        with pytest.raises(ValueError, match="k must be"):
+            kmv_sketch(df, ["g"], "v", k=1)
+        with pytest.raises(ValueError, match="one group column"):
+            kmv_pairwise(sk, ["g", "h"], k=16)
