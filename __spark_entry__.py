@@ -8133,3 +8133,50 @@ LEFT JOIN i ON i.group_a = p.group_a AND i.group_b = p.group_b
 
 _EXTENSION_QUERIES.update({"kmv_overlap": q_kmv_overlap})
 _EXTENSION_ORACLES.update({"kmv_overlap": SQL_KMV_OVERLAP})
+
+
+def q_kmv_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lean KMV path (`operators/sketches.py:kmv_sketch`/`kmv_distinct`):
+    per-segment distinct-order estimates from saturated 256-hash
+    sketches.  This is the query the scale harness times — unlike
+    `kmv_overlap` it carries no pairwise self-join scaffold, so the wall
+    measures the sketch build itself (one dedupe shuffle + one windowed
+    bottom-k, both on the group key).  Contract oracle: exact distinct
+    count per group plus a flag that the deterministic estimate landed
+    within the 4-sigma envelope (4/sqrt(256) = 25%)."""
+    from database_transportor_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_sketch,
+    )
+
+    k = 256
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = kmv_distinct(kmv_sketch(l, ["l_returnflag"], "l_orderkey", k=k), k=k)
+    exact = (
+        l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * 0.25 + 5
+            ).alias("est_ok"),
+        )
+    )
+
+
+SQL_KMV_GROUPS = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_distinct,
+       TRUE AS est_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+_EXTENSION_QUERIES.update({"kmv_groups": q_kmv_groups})
+_EXTENSION_ORACLES.update({"kmv_groups": SQL_KMV_GROUPS})

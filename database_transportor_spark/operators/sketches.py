@@ -157,6 +157,7 @@ def kmv_sketch(
     value_col: str,
     k: int = 512,
     out_col: str = "kmv",
+    fanout: int = 64,
 ) -> DataFrame:
     """Per-group bottom-``k`` sketch of ``xxhash64(value_col)``.
 
@@ -165,29 +166,48 @@ def kmv_sketch(
     count).  A sketch with fewer than ``k`` entries is EXACT (it holds
     every distinct hash).
 
-    Plan: dedupe ``(group, hash)`` with one map-side-combinable
-    aggregation (shuffle carries distinct pairs — the same cost exact
-    count-distinct pays), rank hashes per group with a sort-window, keep
-    ``rank <= k``, and fold the survivors into a sorted array.  The
-    window and the final fold share the group partitioning, so the whole
-    build is two exchanges; per-group state after the rank filter is k
-    rows by construction, and the window sort spills rather than
-    collecting a group in memory.
+    Plan — two-stage exact bottom-k so parallelism never collapses to
+    the group count (a 3-group corpus must not sort on 3 tasks):
+
+    1. dedupe ``(group, bucket, hash)`` with one map-side-combinable
+       aggregation, where ``bucket = pmod(hash, fanout)`` — a pure
+       function of the hash, so per-bucket dedupe IS per-group dedupe;
+    2. rank within ``(group, bucket)`` (``group_count × fanout``-way
+       parallel sort) and keep ``rank <= k`` — the group's true bottom-k
+       is a subset of the union of its buckets' bottom-ks;
+    3. re-rank the ≤ ``fanout·k`` survivors per group (tiny input) and
+       fold into the sorted array.
+
+    Three exchanges total, but the corpus-sized sort in stage 2 runs at
+    full cluster width; stages 3's input is sketch-sized by
+    construction.  The dedupe shuffle carries distinct tuples — the same
+    cost exact count-distinct pays.
     """
     from pyspark.sql import Window
 
     if k < 2:
         raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    if fanout < 1:
+        raise ValueError(f"kmv_sketch: fanout must be >= 1, got {fanout}")
     nn = df.filter(F.col(value_col).isNotNull())
     hashed = (
-        nn.select(*keys, F.xxhash64(value_col).alias("h"))
-        .groupBy(*keys, "h")
+        nn.select(
+            *keys,
+            F.xxhash64(value_col).alias("h"),
+        )
+        .withColumn("_b", F.pmod(F.col("h"), F.lit(fanout)))
+        .groupBy(*keys, "_b", "h")
         .agg(F.lit(1).alias("_one"))
     )
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        hashed.withColumn("_rn", F.row_number().over(w))
+    wb = Window.partitionBy(*keys, "_b").orderBy("h")
+    survivors = (
+        hashed.withColumn("_rn", F.row_number().over(wb))
         .filter(F.col("_rn") <= k)
+    )
+    wg = Window.partitionBy(*keys).orderBy("h")
+    return (
+        survivors.withColumn("_rg", F.row_number().over(wg))
+        .filter(F.col("_rg") <= k)
         .groupBy(*keys)
         .agg(F.array_sort(F.collect_list("h")).alias(out_col))
     )
