@@ -8180,3 +8180,210 @@ GROUP BY l_returnflag
 
 _EXTENSION_QUERIES.update({"kmv_groups": q_kmv_groups})
 _EXTENSION_ORACLES.update({"kmv_groups": SQL_KMV_GROUPS})
+
+
+def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs end-to-end
+    (`operators/media_dedup.py:image_dup_pairs`): synthesize a REAL PNG
+    per document — consecutive doc-id pairs share a base image; the odd
+    twin gets a +3 brightness shift (dHash-invariant) plus a corner
+    patch edit (flips a few gradient bits) — then dHash every image
+    through the pure-Python PNG decoder and join candidates in the
+    banded Hamming join.  The planted pair set is exactly the
+    (2k, 2k+1) pairs; unrelated bases are sha256-derived, so cross-pair
+    dHash collisions within Hamming 6 are ~1e-12 probable and the
+    deterministic fixture pins the outcome.  Oracle: the closed-form
+    planted pairs."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.media_dedup import (
+        image_dup_pairs,
+    )
+    from database_transportor_spark.operators.multimodal import encode_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_png(batches):
+        import numpy as np
+
+        h = w = 24
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 2
+                blocks = [
+                    hashlib.sha256(f"img:{g}:{i}".encode()).digest()
+                    for i in range((h * w) // 32 + 1)
+                ]
+                raw = b"".join(blocks)[: h * w]
+                # 0..250 leaves headroom so the +3 shift never clips
+                base = (np.frombuffer(raw, dtype=np.uint8) % 251).reshape(
+                    h, w, 1
+                )
+                if d % 2:
+                    base = np.clip(base.astype(np.int64) + 3, 0, 255)
+                    base = base.astype(np.uint8).copy()
+                    base[0:2, 0:2, 0] = 250
+                out.append(encode_png(base))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_png, schema)
+    return (
+        image_dup_pairs(media, "doc_id", "content")
+        .select("id_a", "id_b")
+    )
+
+
+SQL_IMAGE_DUPS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 2 = 0
+"""
+
+
+def q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup pairs end-to-end
+    (`operators/media_dedup.py:audio_dup_pairs`): synthesize a REAL
+    PCM-16 WAV per document — consecutive doc-id pairs share a
+    frequency-hopping two-tone pattern (sha256-derived band choice per
+    frame); the odd twin is 10 dB quieter, which the spectral-contrast
+    bits are invariant to — then fingerprint through the real RIFF
+    parser and pair in the banded Hamming join.  `max_hamming=4` keeps
+    the cross-pair false-positive expectation of the 100-group fixture
+    below 1e-3 (two random 2-of-8-band hop patterns must agree on 6+ of
+    8 frames).  Oracle: the closed-form planted pairs."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.media_dedup import (
+        audio_dup_pairs,
+    )
+    from database_transportor_spark.operators.multimodal import encode_wav
+
+    frame, n_frames, rate = 1024, 8, 16_000
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    # band-center bins of the fingerprint's log-spaced bands (frame=1024)
+    import numpy as np
+
+    edges = np.unique(np.geomspace(1, frame // 2 + 1, 9).astype(np.int64))
+    centers = [int((edges[i] * edges[i + 1]) ** 0.5) for i in range(8)]
+
+    def make_wav(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 2
+                digest = hashlib.sha256(f"aud:{g}".encode()).digest()
+                amp = 9000 if d % 2 == 0 else 2800  # ~10 dB gain change
+                clips = []
+                for t in range(n_frames):
+                    b1 = digest[2 * t] % 8
+                    b2 = digest[2 * t + 1] % 7
+                    if b2 >= b1:
+                        b2 += 1
+                    tt = np.arange(frame) / rate
+                    f1 = centers[b1] * rate / frame
+                    f2 = centers[b2] * rate / frame
+                    x = np.sin(2 * np.pi * f1 * tt) + np.sin(2 * np.pi * f2 * tt)
+                    clips.append((amp / 2 * x).astype(np.int16))
+                out.append(encode_wav(np.concatenate(clips), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_wav, schema)
+    return (
+        audio_dup_pairs(media, "doc_id", "content",
+                        frame=frame, n_frames=n_frames, max_hamming=4)
+        .select("id_a", "id_b")
+    )
+
+
+SQL_AUDIO_DUPS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 2 = 0 AND b.doc_id < 200
+"""
+
+
+_EXTENSION_QUERIES.update({"image_dups": q_image_dups,
+                           "audio_dups": q_audio_dups})
+_EXTENSION_ORACLES.update({"image_dups": SQL_IMAGE_DUPS,
+                           "audio_dups": SQL_AUDIO_DUPS})
+
+
+def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance end-to-end
+    (`operators/rollup.py:join_view_delta`/`refresh_join_view`):
+    orders ⋈ lineitem arrives as two batches per side (split on key
+    parity); each refresh appends only the DELTA of the view —
+    Δ(A⋈B) = ΔA⋈(B∪ΔB) ∪all A_old⋈ΔB — as two broadcast small-big
+    joins, never re-running the big-big shuffle.  The returned
+    aggregate of the incrementally-built view must equal the one-shot
+    join, which is exactly what the oracle computes."""
+    from database_transportor_spark import MemoryCatalog
+    from database_transportor_spark.operators.rollup import (
+        refresh_join_view,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    l1 = items.filter(F.col("l_quantity") <= 25)
+    l2 = items.filter(F.col("l_quantity") > 25)
+
+    cat = MemoryCatalog()
+    refresh_join_view(cat, "v", "o", "l", ["o_orderkey"],
+                      left_batch=o1, right_batch=l1)
+    view = refresh_join_view(cat, "v", "o", "l", ["o_orderkey"],
+                             left_batch=o2, right_batch=l2)
+    return (
+        view.groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+SQL_JOIN_VIEW = """
+SELECT o_orderstatus, l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS n_orders,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, l_returnflag
+"""
+
+
+_EXTENSION_QUERIES.update({"join_view": q_join_view})
+_EXTENSION_ORACLES.update({"join_view": SQL_JOIN_VIEW})

@@ -36,6 +36,8 @@ __all__ = [
     "cube_agg",
     "hll_estimates",
     "refresh_rollup",
+    "join_view_delta",
+    "refresh_join_view",
 ]
 
 
@@ -283,3 +285,98 @@ def refresh_rollup(
     catalog.write_staged(merged, rollup_table)
     catalog.commit_staged(rollup_table)
     return catalog.read(rollup_table)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (append-only delta propagation)
+# ---------------------------------------------------------------------------
+
+
+def join_view_delta(
+    left_old: DataFrame | None,
+    right_old: DataFrame | None,
+    left_delta: DataFrame | None,
+    right_delta: DataFrame | None,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """The exact delta of an INNER equi-join view under append-only
+    inputs — classic incremental view maintenance:
+
+        Δ(A ⋈ B) = (ΔA ⋈ (B ∪ ΔB))  ∪all  (A_old ⋈ ΔB)
+
+    (the first term covers ΔA⋈B_old and ΔA⋈ΔB; the second adds
+    A_old⋈ΔB — together exactly the new join rows, under BAG semantics,
+    so no dedup is needed or wanted.)
+
+    The 100 TB point: a full recompute of A ⋈ B is a big-big shuffle of
+    both corpora; the delta is two SMALL-big joins, and with
+    ``broadcast_deltas`` (default) both get broadcast hints — the big
+    sides are scanned once each with NO shuffle at all.  Appends only:
+    updates/deletes need retraction handling (use
+    :func:`~.mutations.cdc_apply` + full recompute, or a keyed
+    merge view).
+
+    ``None`` stands for an empty/absent side (first build).  Raises if
+    both deltas are ``None`` (no change ⇒ no delta to compute).
+    """
+    if left_delta is None and right_delta is None:
+        raise ValueError("join_view_delta: at least one delta is required")
+    hint = F.broadcast if broadcast_deltas else (lambda d: d)
+    parts = []
+    if left_delta is not None:
+        right_new = right_old
+        if right_delta is not None:
+            right_new = (
+                right_delta if right_new is None
+                else right_new.unionByName(right_delta)
+            )
+        if right_new is not None:
+            parts.append(hint(left_delta).join(right_new, on, "inner"))
+    if right_delta is not None and left_old is not None:
+        parts.append(left_old.join(hint(right_delta), on, "inner"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def refresh_join_view(
+    catalog,
+    view_table: str,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    left_batch: DataFrame | None = None,
+    right_batch: DataFrame | None = None,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Maintain a stored INNER-join view incrementally: compute
+    :func:`join_view_delta` against the stored base tables, APPEND the
+    delta to the stored view, then append the batches to the bases.
+    Returns the refreshed view frame.
+
+    Write ordering (view first, bases second) means a crash between the
+    writes leaves the view AHEAD of the bases — re-running the same
+    batches would double-append.  Exactly-once refresh across failures
+    needs a multi-table transaction no file catalog has; run refreshes
+    through ``VersionedCatalog`` and roll both tables back to the
+    pre-refresh version on failure.  The view's bytes are only ever
+    appended — a refresh never rewrites history, so view reads stay
+    cheap and compactable (:func:`~.maintenance.compact_table`).
+    """
+    left_old = catalog.read(left_table) if catalog.exists(left_table) else None
+    right_old = (
+        catalog.read(right_table) if catalog.exists(right_table) else None
+    )
+    delta = join_view_delta(left_old, right_old, left_batch, right_batch,
+                            on, broadcast_deltas=broadcast_deltas)
+    if delta is not None:
+        catalog.write(delta, view_table, mode="append")
+    if left_batch is not None:
+        catalog.write(left_batch, left_table, mode="append")
+    if right_batch is not None:
+        catalog.write(right_batch, right_table, mode="append")
+    return catalog.read(view_table)

@@ -215,3 +215,102 @@ def test_align_schemas_strict_type_clash(spark):
         align_schemas(a, b)
     t, s = align_schemas(a, b, strict_types=False)
     assert t.columns == s.columns == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance
+# ---------------------------------------------------------------------------
+
+class TestJoinView:
+    def _bases(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, lv string"
+        )
+        right = spark.createDataFrame(
+            [(1, 10), (2, 20), (4, 40)], "k long, rv long"
+        )
+        return left, right
+
+    def test_delta_matches_full_recompute(self, spark):
+        from database_transportor_spark.operators.rollup import (
+            join_view_delta,
+        )
+
+        left, right = self._bases(spark)
+        dl = spark.createDataFrame([(2, "B"), (4, "d")], "k long, lv string")
+        dr = spark.createDataFrame([(3, 30), (2, 21)], "k long, rv long")
+        delta = join_view_delta(left, right, dl, dr, ["k"])
+        full_new = (
+            left.unionByName(dl).join(right.unionByName(dr), ["k"])
+        )
+        old_view = left.join(right, ["k"])
+        got = sorted(
+            tuple(r) for r in old_view.unionByName(delta).collect()
+        )
+        want = sorted(tuple(r) for r in full_new.collect())
+        assert got == want
+        # bag semantics: the duplicate k=2 rows must all survive
+        assert len(got) == len(want)
+
+    def test_left_only_and_right_only_deltas(self, spark):
+        from database_transportor_spark.operators.rollup import (
+            join_view_delta,
+        )
+
+        left, right = self._bases(spark)
+        dl = spark.createDataFrame([(4, "d")], "k long, lv string")
+        got = {tuple(r) for r in join_view_delta(left, right, dl, None, ["k"]).collect()}
+        assert got == {(4, "d", 40)}
+        dr = spark.createDataFrame([(3, 30)], "k long, rv long")
+        got = {tuple(r) for r in join_view_delta(left, right, None, dr, ["k"]).collect()}
+        assert got == {(3, "c", 30)}
+
+    def test_requires_a_delta(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.rollup import (
+            join_view_delta,
+        )
+
+        left, right = self._bases(spark)
+        with pytest.raises(ValueError, match="at least one delta"):
+            join_view_delta(left, right, None, None, ["k"])
+
+    def test_refresh_round_trip_equals_full_join(self, spark):
+        from database_transportor_spark import MemoryCatalog
+        from database_transportor_spark.operators.rollup import (
+            refresh_join_view,
+        )
+
+        left, right = self._bases(spark)
+        dl = spark.createDataFrame([(4, "d")], "k long, lv string")
+        dr = spark.createDataFrame([(3, 30), (4, 41)], "k long, rv long")
+        cat = MemoryCatalog()
+        # first build: both sides arrive as their own first batch
+        refresh_join_view(cat, "v", "l", "r", ["k"],
+                          left_batch=left, right_batch=right)
+        view = refresh_join_view(cat, "v", "l", "r", ["k"],
+                                 left_batch=dl, right_batch=dr)
+        want = sorted(
+            tuple(r)
+            for r in left.unionByName(dl)
+            .join(right.unionByName(dr), ["k"])
+            .collect()
+        )
+        assert sorted(tuple(r) for r in view.collect()) == want
+
+    def test_first_build_with_one_side_only_is_empty_view(self, spark):
+        from database_transportor_spark import MemoryCatalog
+        from database_transportor_spark.operators.rollup import (
+            refresh_join_view,
+        )
+
+        left, _ = self._bases(spark)
+        cat = MemoryCatalog()
+        import pytest
+
+        # view never materializes: no right side yet -> no join rows,
+        # and reading the absent view raises the catalog's read error
+        with pytest.raises(KeyError):
+            refresh_join_view(cat, "v", "l", "r", ["k"], left_batch=left)
+        assert cat.exists("l") and not cat.exists("v")
