@@ -43,6 +43,7 @@ __all__ = [
     "dedup_keep_best",
     "simhash",
     "simhash_pairs",
+    "hamming_pairs",
     "repeated_passages",
     "strip_repeated_passages",
 ]
@@ -617,43 +618,95 @@ def simhash_pairs(
     ``max_hamming`` upward proportionally (expected Hamming distance for
     a given similarity doubles with the bit width).
     """
-    if bands <= max_hamming:
-        raise ValueError("bands must exceed max_hamming for pigeonhole recall")
-    width = bits // bands
     # Both sides of the candidate self-join read this — persist so the
     # token scan + signature aggregation happens once, not twice.
     s = pin(simhash(df, id_col, text_col, bits, min_partitions=min_partitions))
+    return hamming_pairs(s, "__id", "simhash", bits=bits,
+                         max_hamming=max_hamming, bands=bands)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+    clean_bands: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose long-typed bit signatures differ in at most
+    ``max_hamming`` of the low ``bits`` bits — the banded candidate join
+    behind :func:`simhash_pairs`, exposed for ANY signature family
+    (SimHash, image dHash, audio fingerprints, …).
+
+    Generalized pigeonhole banding: with ``max_hamming`` bit errors
+    spread over ``bands`` bands, at least ``bands - max_hamming`` bands
+    are untouched — so any two matches share at least ``clean_bands``
+    specific clean bands whenever ``bands >= max_hamming +
+    clean_bands``.  Candidates therefore meet on an equi-join of
+    ``xxhash64(combo_id, band values…)`` over every
+    ``C(bands, clean_bands)`` band combination, and the exact
+    ``bit_count(xor)`` check never runs on unrelated rows.  Output:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Why ``clean_bands`` matters at scale: bucket selectivity is
+    ``2^(clean_bands · bits/bands)``.  A 64-bit signature at Hamming ≤ 6
+    forces ≥ 7 bands, i.e. ≤ 9-bit bands — 512 buckets, quadratic
+    candidate growth past ~10⁵ rows.  ``clean_bands=2`` keeps the same
+    recall guarantee with 16-bit compound keys (65k× sparser) at the
+    cost of ``C(8,2)=28`` index entries per row — the measured x50 fix
+    for `image_dups` (SCALE.md).
+
+    Scale shape: one explode (``C(bands, clean_bands)`` rows per
+    signature), one shuffle on the compound band key, verification
+    entirely in codegen'd bit math.
+    """
+    from itertools import combinations
+
+    if clean_bands < 1:
+        raise ValueError(
+            f"hamming_pairs: clean_bands must be >= 1, got {clean_bands}"
+        )
+    if bands < max_hamming + clean_bands:
+        raise ValueError(
+            "bands must be >= max_hamming + clean_bands for pigeonhole "
+            f"recall, got bands={bands} max_hamming={max_hamming} "
+            f"clean_bands={clean_bands}"
+        )
+    if bands < 2 or bits % bands:
+        raise ValueError(
+            f"hamming_pairs: bands must be >= 2 and divide bits, "
+            f"got bits={bits} bands={bands}"
+        )
+    width = bits // bands
     mask = (1 << width) - 1
-    entries = s.select(
-        "__id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftright("simhash", bi * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("__id", "simhash", "b.band", "b.bval")
+
+    def bval(bi: int):
+        return (
+            F.shiftright(F.col(sig_col), bi * width).bitwiseAND(F.lit(mask))
+        )
+
+    combo_keys = [
+        F.xxhash64(F.lit(ci), *[bval(bi) for bi in combo])
+        for ci, combo in enumerate(combinations(range(bands), clean_bands))
+    ]
+    entries = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(F.array(*combo_keys)).alias("__bk"),
+    )
     a, b = entries.alias("a"), entries.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
+            (F.col("a.__bk") == F.col("b.__bk"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.simhash").alias("__ha"),
-            F.col("b.simhash").alias("__hb"),
+            F.col("a.__sig").alias("__ha"),
+            F.col("b.__sig").alias("__hb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -1,0 +1,357 @@
+"""Perceptual near-duplicate detection for media columns.
+
+Text near-dup (MinHash/SimHash, ``operators/dedup.py``) keys on tokens;
+scraped IMAGE and AUDIO corpora need the same treatment keyed on
+*content*: the same photo re-encoded, re-scaled, brightness-shifted, or
+re-sampled should collapse to one training example.  This module maps
+each media binary to a compact fixed-width bit signature — a perceptual
+hash — and feeds the signatures to the generic banded Hamming join
+(:func:`~.dedup.hamming_pairs`), so media dedup inherits the exact scale
+shape text dedup already has: one Arrow-batched decode pass (no
+shuffle), one band-bucketed candidate join (never all-pairs), bit-math
+verification in codegen.
+
+Signatures implemented (all REAL math over really-decoded pixels /
+samples — the decode tier is ``operators/multimodal.py``'s pure-Python
+PNG/WAV codecs, or pillow when importable):
+
+- **dHash** (difference hash): area-downscale to ``(N, N+1)`` grayscale,
+  emit the sign of each horizontal gradient — N²=64 bits at the default
+  N=8.  Invariant to uniform brightness/contrast shifts and to any
+  rescale that preserves gradient signs; the standard web-dedup hash.
+- **aHash** (average hash): N² cells vs their global mean.  Cheaper,
+  slightly less robust; kept for corpora where dHash's gradient bias
+  hurts (flat-field scans).
+- **audio fingerprint**: frame the waveform, take per-frame log-energy
+  in ``bands`` frequency bands (Goertzel-free: rectangular DFT bins via
+  numpy matmul), emit Haitsma-Kalker-style sign-quantized bits — band
+  log-energy vs the frame's mean log-energy (spectral contrast).  Gain
+  scales every band equally, so the bits are amplitude-invariant, and
+  unlike pure temporal-delta bits they stay informative for
+  steady-spectrum content (tones, drones) where deltas are all ≈0.
+
+100 TB shape: hashing is ``mapInPandas`` over the stored binaries —
+partition-preserving, scan-bound, embarrassing-parallel; signatures are
+8 bytes/row, so the pair join's input is ~1/10⁶ the corpus bytes.  The
+banded join is the ONLY shuffle and its payload is (id, 8-byte sig).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .dedup import hamming_pairs
+
+__all__ = [
+    "dhash_images",
+    "ahash_images",
+    "image_dup_pairs",
+    "audio_fingerprint",
+    "audio_dup_pairs",
+]
+
+
+def _to_gray(arr):
+    """(h, w, ch) uint8 → float64 grayscale via integer-friendly luma
+    (Rec.601 weights on RGB; alpha ignored; 1-channel passthrough)."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    if a.shape[2] == 1:
+        return a[:, :, 0]
+    if a.shape[2] == 2:  # gray + alpha
+        return a[:, :, 0]
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def _area_resize(g, out_h: int, out_w: int):
+    """Area-mean downscale of a 2-D array to (out_h, out_w): average each
+    cell's covering block (np.add.reduceat on linspace edges).  Upscale
+    degenerates to nearest — fine for hash-sized targets."""
+    import numpy as np
+
+    h, w = g.shape
+    ye = np.linspace(0, h, out_h + 1).astype(np.int64)
+    xe = np.linspace(0, w, out_w + 1).astype(np.int64)
+    # degenerate (repeated) edges when the source is smaller than the
+    # target: reduceat returns the single element at the start index and
+    # the count fix below divides by 1 — i.e. nearest-neighbor upscale
+    rows = np.add.reduceat(g, ye[:-1], axis=0)
+    cells = np.add.reduceat(rows, xe[:-1], axis=1)
+    counts = np.outer(np.diff(ye), np.diff(xe)).astype(np.float64)
+    counts[counts == 0] = 1.0
+    return cells / counts
+
+
+def _pack_bits(bits) -> int:
+    """Flat 0/1 array (≤64 entries) → signed int64, bit i = entry i."""
+    import numpy as np
+
+    v = np.uint64(0)
+    for i, b in enumerate(np.asarray(bits).ravel()):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def _hash_images(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    hash_size: int,
+    errors: str,
+    out_col: str,
+    kind: str,
+) -> DataFrame:
+    if errors not in ("raise", "skip"):
+        raise ValueError(f"errors must be raise|skip, got {errors!r}")
+    if not 2 <= hash_size <= 8:
+        raise ValueError(f"hash_size must be in [2, 8] (≤64 bits), got {hash_size}")
+    try:  # pragma: no cover - pillow absent in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField(out_col, LongType()),
+    ])
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .multimodal import decode_png
+
+        def decode(b: bytes):
+            if have_pil:  # pragma: no cover - real PIL path
+                import io
+
+                from PIL import Image
+
+                arr = np.asarray(Image.open(io.BytesIO(b)))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                return arr
+            return decode_png(b)
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    g = _to_gray(decode(bytes(content)))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    continue
+                if kind == "dhash":
+                    cells = _area_resize(g, hash_size, hash_size + 1)
+                    bits = cells[:, 1:] > cells[:, :-1]
+                else:  # ahash
+                    cells = _area_resize(g, hash_size, hash_size)
+                    bits = cells > cells.mean()
+                ids.append(doc_id)
+                sigs.append(_pack_bits(bits))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                out_col: pd.Series(sigs, dtype="object"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(hash_batch, schema)
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+    errors: str = "raise",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Difference-hash each image binary: ``(id, dhash int64)``.
+
+    Bit ``r*hash_size + c`` is ``1`` iff the area-downscaled grayscale
+    cell ``(r, c+1)`` is brighter than ``(r, c)`` — gradient signs, so a
+    uniform brightness/contrast change or a gradient-preserving rescale
+    leaves the hash IDENTICAL, and small local edits flip only the bits
+    whose cells they touch.  ``errors="skip"`` drops undecodable rows
+    (web-scrape mode); ``"raise"`` fails the job.
+
+    Scale shape: one ``mapInPandas`` decode pass, no shuffle; 8 bytes of
+    signature per image regardless of image size.
+    """
+    return _hash_images(df, id_col, content_col, hash_size, errors,
+                        out_col, "dhash")
+
+
+def ahash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+    errors: str = "raise",
+    out_col: str = "ahash",
+) -> DataFrame:
+    """Average-hash each image binary: bit = cell brighter than the
+    image mean.  Same plan shape as :func:`dhash_images`."""
+    return _hash_images(df, id_col, content_col, hash_size, errors,
+                        out_col, "ahash")
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    bands: int = 8,
+    clean_bands: int = 2,
+    errors: str = "raise",
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash + banded Hamming join.
+
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b`` for every pair of
+    images whose dHashes differ in ≤ ``max_hamming`` of the
+    ``hash_size²`` bits.  Candidates come from the pigeonhole band join
+    (:func:`~.dedup.hamming_pairs`) — never an all-pairs comparison; the
+    corpus binaries are read exactly once (the hash pass).
+
+    Defaults (64-bit dHash, Hamming ≤ 6, 8 bands, 2 clean bands ⇒
+    16-bit compound bucket keys) match the common web-dedup operating
+    point: re-encodes and brightness shifts land at distance 0-4,
+    unrelated photos at ~32.  ``clean_bands=2`` is what keeps the
+    candidate join linear past ~10⁵ images — single 8-bit bands have
+    only 256 buckets (see SCALE.md's image_dups rows).
+    """
+    bits = hash_size * hash_size
+    sig = dhash_images(df, id_col, content_col, hash_size, errors)
+    return hamming_pairs(sig, id_col, "dhash", bits=bits,
+                         max_hamming=max_hamming, bands=bands,
+                         clean_bands=clean_bands)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprints (Haitsma-Kalker sign-of-energy-delta bits)
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame: int = 1024,
+    n_frames: int = 8,
+    bands: int = 8,
+    errors: str = "raise",
+    out_col: str = "afp",
+) -> DataFrame:
+    """Fingerprint WAV binaries: ``(id, afp int64)``.
+
+    Decode (``operators/multimodal.py:decode_wav`` — the real RIFF
+    parser), take the first ``n_frames`` non-overlapping frames of
+    ``frame`` samples, compute each frame's power spectrum (one
+    vectorized ``rfft`` per clip), sum it into ``bands`` log-spaced
+    frequency bands, and emit ``n_frames × bands`` spectral-contrast
+    bits: bit set iff the band's log-energy exceeds the frame's mean
+    log-energy.  Gain multiplies every band energy equally (adds a
+    constant in log space, removed by the mean), so the bits — like
+    dHash's gradients — are amplitude-invariant, and steady-spectrum
+    content still produces a distinctive pattern.  Clips shorter than
+    ``frame`` samples hash to 0.
+
+    ``n_frames * bands`` must be ≤ 64 (one int64 signature).
+    """
+    if n_frames * bands > 64:
+        raise ValueError(
+            f"n_frames*bands must be <= 64, got {n_frames * bands}"
+        )
+    if errors not in ("raise", "skip"):
+        raise ValueError(f"errors must be raise|skip, got {errors!r}")
+
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField(out_col, LongType()),
+    ])
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .multimodal import decode_wav
+
+        # log-spaced band edges over the positive-frequency bins (bin 0,
+        # DC, excluded — it carries offset, not content); shared across
+        # the whole batch
+        edges = np.unique(
+            np.geomspace(1, frame // 2 + 1, bands + 1).astype(np.int64)
+        )
+        if len(edges) != bands + 1:
+            raise ValueError(
+                f"frame={frame} too short for {bands} log-spaced bands"
+            )
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    _rate, samples = decode_wav(bytes(content))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    continue
+                x = np.asarray(samples, dtype=np.float64)
+                if x.ndim > 1:  # mixdown
+                    x = x.mean(axis=1)
+                usable = min(len(x) // frame, n_frames)
+                sig = 0
+                if usable >= 1:
+                    fr = x[: usable * frame].reshape(usable, frame)
+                    power = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+                    # band log-energy per frame; +1 floors the log
+                    e = np.log1p(
+                        np.add.reduceat(power[:, : frame // 2 + 1],
+                                        edges[:-1], axis=1)
+                    )
+                    contrast = e > e.mean(axis=1, keepdims=True)
+                    bits = np.zeros((n_frames, bands), dtype=bool)
+                    bits[:usable] = contrast
+                    sig = _pack_bits(bits)
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                out_col: pd.Series(sigs, dtype="object"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(fp_batch, schema)
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame: int = 1024,
+    n_frames: int = 8,
+    fp_bands: int = 8,
+    max_hamming: int = 6,
+    join_bands: int = 8,
+    clean_bands: int = 2,
+    errors: str = "raise",
+) -> DataFrame:
+    """Near-duplicate audio pairs: fingerprint + banded Hamming join —
+    the audio twin of :func:`image_dup_pairs`, same one-scan/one-shuffle
+    scale shape (incl. the ``clean_bands=2`` compound bucket keys).
+    Signature width is ``n_frames * fp_bands`` bits, padded to the next
+    multiple of ``join_bands``."""
+    bits = n_frames * fp_bands
+    bits += (-bits) % join_bands
+    sig = audio_fingerprint(df, id_col, content_col, frame, n_frames,
+                            fp_bands, errors)
+    return hamming_pairs(sig, id_col, "afp", bits=bits,
+                         max_hamming=max_hamming, bands=join_bands,
+                         clean_bands=clean_bands)

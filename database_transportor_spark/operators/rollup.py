@@ -187,8 +187,10 @@ def time_rollup(
 ) -> dict[str, DataFrame]:
     """Build the rollup hierarchy.
 
-    ``measures``: output name → (agg, source col) with agg in
-    :data:`MERGEABLE` (source col ignored for count).
+    ``measures``: output name → (agg, source col) with agg either a
+    name in :data:`MERGEABLE` (source col ignored for count) or a
+    custom ``(leaf_fn, merge_fn)`` pair with the same contract — e.g.
+    :func:`~.sketches.hist_measure`'s mergeable fixed-bin histograms.
     ``levels``: window widths coarse-ward, e.g. ``["1 minute", "1 hour",
     "1 day"]`` — each must evenly nest in the next (minute boundaries align
     with hour boundaries etc.), which is what makes merge-from-previous
@@ -197,12 +199,27 @@ def time_rollup(
     Returns {level: DataFrame} where each frame has ``bucket_start``,
     ``keys...`` and the measure columns.
     """
-    for name, (agg, _col) in measures.items():
-        if agg not in MERGEABLE:
+    def fns(name, agg):
+        if isinstance(agg, str):
+            if agg not in MERGEABLE:
+                raise ValueError(
+                    f"measure {name!r}: {agg!r} is not decomposable "
+                    f"(supported: {sorted(MERGEABLE)}, or a "
+                    f"(leaf_fn, merge_fn) pair)"
+                )
+            return MERGEABLE[agg]
+        leaf, merge = agg  # custom decomposable measure
+        if not (callable(leaf) and callable(merge)):
             raise ValueError(
-                f"measure {name!r}: {agg!r} is not decomposable "
-                f"(supported: {sorted(MERGEABLE)})"
+                f"measure {name!r}: custom agg must be a "
+                f"(leaf_fn, merge_fn) pair of callables"
             )
+        return leaf, merge
+
+    resolved = {
+        name: (fns(name, agg), col)
+        for name, (agg, col) in measures.items()
+    }
 
     out: dict[str, DataFrame] = {}
     prev: DataFrame | None = None
@@ -212,13 +229,13 @@ def time_rollup(
         bucket = F.window(F.col(prev_ts), level).getField("start")
         if prev is None:
             aggs = [
-                MERGEABLE[agg][0](col).alias(name)
-                for name, (agg, col) in measures.items()
+                leaf(col).alias(name)
+                for name, ((leaf, _merge), col) in resolved.items()
             ]
         else:
             aggs = [
-                MERGEABLE[agg][1](name).alias(name)
-                for name, (agg, _col) in measures.items()
+                merge(name).alias(name)
+                for name, ((_leaf, merge), _col) in resolved.items()
             ]
         cur = (
             src.groupBy(bucket.alias("bucket_start"), *keys)

@@ -30,6 +30,9 @@ __all__ = [
     "kmv_sketch",
     "kmv_distinct",
     "kmv_pairwise",
+    "hist_bin",
+    "hist_measure",
+    "hist_quantiles",
 ]
 
 
@@ -285,3 +288,162 @@ def kmv_pairwise(
         .otherwise(F.lit(0.0))
         .alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histograms: percentiles that roll up
+# ---------------------------------------------------------------------------
+#
+# percentile_approx results cannot be merged (a p95 of p95s is not a
+# p95), so incremental rollups (`refresh_rollup`) and coarse-from-fine
+# hierarchies (`time_rollup`) could carry counts/sums/HLL but not
+# quantiles.  A fixed-bin histogram CAN: counts are longs, merging is
+# element-wise addition — associative, commutative, exact — and any
+# quantile is read off the cumulative histogram with at-most-bin-width
+# error.  That is the classic monitoring-system trade (Prometheus
+# histograms): pick the bin layout once, merge forever.
+
+def _hist_edges(lo: float, hi: float, bins: int, log: bool) -> list[float]:
+    if not (hi > lo):
+        raise ValueError(f"hist: need hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"hist: bins must be >= 1, got {bins}")
+    if log:
+        if lo <= 0:
+            raise ValueError("hist: log spacing needs lo > 0")
+        ratio = (hi / lo) ** (1.0 / bins)
+        return [lo * ratio ** i for i in range(bins + 1)]
+    w = (hi - lo) / bins
+    return [lo + w * i for i in range(bins + 1)]
+
+
+def hist_bin(col, lo: float, hi: float, bins: int, log: bool = False):
+    """Bin index expression for ``col`` over ``[lo, hi)``: 0 = underflow,
+    1..bins = interior, bins+1 = overflow; NULL for NULL input.  Pure
+    column math (codegen), shared by the leaf aggregate and any direct
+    bucketing use."""
+    _hist_edges(lo, hi, bins, log)  # validate
+    x = F.col(col) if isinstance(col, str) else col
+    xd = x.cast("double")
+    if log:
+        import math
+
+        pos = F.log(xd / F.lit(float(lo))) / F.lit(math.log(hi / lo))
+        raw = F.floor(pos * bins) + 1
+    else:
+        raw = F.floor((xd - F.lit(float(lo)))
+                      / F.lit((hi - lo) / bins)) + 1
+    return (
+        F.when(xd.isNull(), F.lit(None).cast("long"))
+        .when(xd < lo, F.lit(0))
+        .when(xd >= hi, F.lit(bins + 1))
+        .otherwise(F.least(F.greatest(raw, F.lit(1)), F.lit(bins)))
+        .cast("long")
+    )
+
+
+def hist_measure(lo: float, hi: float, bins: int = 64, log: bool = False):
+    """A decomposable histogram measure for
+    :func:`~.rollup.time_rollup` / :func:`~.rollup.refresh_rollup`:
+    returns the ``(leaf_fn, merge_fn)`` pair — leaf aggregates raw
+    values into a ``bins+2``-long count array (underflow + interior +
+    overflow), merge adds arrays element-wise.  Merging is EXACT (sums
+    of longs), so a day-level histogram provably equals one built
+    straight from raw data — the property approximate percentiles can
+    never have.  Read quantiles out with :func:`hist_quantiles`.
+
+    Cost: ``bins+2`` conditional-sum aggregates at the leaf — one
+    map-side-combinable shuffle whose payload is one array per
+    (group, bucket); keep ``bins`` ≤ a few hundred.
+    """
+    _hist_edges(lo, hi, bins, log)
+
+    def leaf(col) -> "F.Column":
+        b = hist_bin(col, lo, hi, bins, log)
+        return F.array(*[
+            F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
+            for i in range(bins + 2)
+        ])
+
+    def merge(name: str):
+        c = F.col(name) if isinstance(name, str) else name
+        return F.array(*[
+            F.sum(F.element_at(c, i + 1)).cast("long")
+            for i in range(bins + 2)
+        ])
+
+    return leaf, merge
+
+
+def hist_quantiles(
+    df: DataFrame,
+    hist_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int | None = None,
+    log: bool = False,
+    prefix: str = "p",
+) -> DataFrame:
+    """Quantile estimates from a histogram column — one output column
+    per q (``p50``, ``p95``, …), linear interpolation within the bin,
+    error ≤ one bin width by construction.
+
+    All zero-shuffle array expressions on the group-count-sized
+    histogram table: cumulative counts via slice-aggregate (O(bins²)
+    expression work per row — bins are small by contract), bin lookup
+    via ``filter``/``size`` on the cumulative array, edges as literal
+    arrays.  Underflow/overflow mass clamps to ``lo``/``hi`` (the
+    sketch cannot see beyond its range — pick the range from a
+    profiling pass, ``maintenance.profile_table``).
+    """
+    n = bins if bins is not None else (
+        None  # resolved below from the array size contract
+    )
+    if n is None:
+        raise ValueError("hist_quantiles: pass bins explicitly")
+    edges = _hist_edges(lo, hi, n, log)
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"hist_quantiles: q must be in [0,1], got {q}")
+    h = F.col(hist_col)
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    # cumulative counts: cum[i] = sum(h[1..i]) (1-based slice semantics)
+    cum = F.transform(
+        F.sequence(F.lit(1), F.size(h)),
+        lambda i: F.aggregate(
+            F.slice(h, F.lit(1), i), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    # literal edge arrays for the interior bins: bin b (1-based among
+    # the bins+2 histogram slots) spans [edge_lo[b], edge_lo[b] + w[b])
+    edge_lo = F.array(*[F.lit(float(edges[max(0, i - 1)]))
+                        for i in range(n + 2)])
+    width = F.array(*[
+        F.lit(float(edges[i] - edges[i - 1]) if 1 <= i <= n else 0.0)
+        for i in range(n + 2)
+    ])
+    out = df
+    for q in qs:
+        target = F.lit(float(q)) * total.cast("double")
+        # first 0-based slot whose cumulative count reaches the target
+        idx = F.size(F.filter(cum, lambda c: c.cast("double") < target))
+        idx = F.least(idx, F.lit(n + 1))
+        prev_cum = F.when(idx == 0, F.lit(0).cast("long")).otherwise(
+            F.element_at(cum, idx)
+        )
+        in_bin = F.element_at(h, idx + 1).cast("double")
+        frac = F.when(
+            in_bin > 0, (target - prev_cum.cast("double")) / in_bin
+        ).otherwise(F.lit(0.0))
+        est = (
+            F.element_at(edge_lo, idx + 1)
+            + frac * F.element_at(width, idx + 1)
+        )
+        est = F.when(total == 0, F.lit(None).cast("double")).otherwise(
+            F.least(F.greatest(est, F.lit(float(lo))), F.lit(float(hi)))
+        )
+        name = f"{prefix}{int(q * 100) if (q * 100) == int(q * 100) else q}"
+        out = out.withColumn(name, F.round(est, 6))
+    return out

@@ -1,0 +1,157 @@
+"""Perceptual media near-dup: dHash/aHash invariances, banded Hamming
+pair recall/soundness, audio fingerprint gain-invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from database_transportor_spark.operators.media_dedup import (
+    _area_resize,
+    ahash_images,
+    audio_dup_pairs,
+    audio_fingerprint,
+    dhash_images,
+    image_dup_pairs,
+)
+from database_transportor_spark.operators.multimodal import (
+    encode_png,
+    encode_wav,
+)
+
+
+def _img(seed: int, h: int = 24, w: int = 24) -> np.ndarray:
+    """Deterministic pseudo-random grayscale image, pixels in 0..250
+    (headroom so brightness shifts never clip)."""
+    import hashlib
+
+    need, blocks = h * w, []
+    i = 0
+    while sum(len(b) for b in blocks) < need:
+        blocks.append(hashlib.sha256(f"{seed}:{i}".encode()).digest())
+        i += 1
+    raw = b"".join(blocks)[:need]
+    return (np.frombuffer(raw, dtype=np.uint8) % 251).reshape(h, w, 1)
+
+
+def _media_df(spark, items):
+    """items: list of (id, png_bytes)."""
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in items], "doc_id long, content binary"
+    )
+
+
+class TestAreaResize:
+    def test_exact_block_means(self):
+        g = np.arange(16, dtype=np.float64).reshape(4, 4)
+        out = _area_resize(g, 2, 2)
+        assert out.shape == (2, 2)
+        assert out[0, 0] == np.mean([0, 1, 4, 5])
+        assert out[1, 1] == np.mean([10, 11, 14, 15])
+
+    def test_upscale_degenerates_to_nearest(self):
+        g = np.array([[1.0, 2.0]])
+        out = _area_resize(g, 2, 4)
+        assert out.shape == (2, 4)
+        assert set(np.unique(out)) <= {1.0, 2.0}
+
+
+class TestDHash:
+    def test_brightness_shift_is_invariant(self, spark):
+        base = _img(7)
+        bright = np.clip(base.astype(np.int64) + 3, 0, 255).astype(np.uint8)
+        df = _media_df(spark, [(1, encode_png(base)), (2, encode_png(bright))])
+        got = {r["doc_id"]: r["dhash"] for r in dhash_images(df).collect()}
+        assert got[1] == got[2]
+
+    def test_distinct_images_far_apart(self, spark):
+        df = _media_df(spark, [(i, encode_png(_img(i))) for i in range(8)])
+        sigs = [r["dhash"] for r in dhash_images(df).collect()]
+        assert len(set(sigs)) == 8
+        for i in range(8):
+            for j in range(i + 1, 8):
+                assert bin(sigs[i] ^ sigs[j]).count("1") > 6
+
+    def test_local_edit_flips_few_bits(self, spark):
+        base = _img(11)
+        edited = base.copy()
+        edited[0:3, 0:3, 0] = 250  # one corner patch
+        df = _media_df(spark, [(1, encode_png(base)), (2, encode_png(edited))])
+        got = {r["doc_id"]: r["dhash"] for r in dhash_images(df).collect()}
+        ham = bin(got[1] ^ got[2]).count("1")
+        assert 0 < ham <= 6
+
+    def test_rgb_and_gray_supported(self, spark):
+        rgb = np.repeat(_img(3), 3, axis=2)
+        df = _media_df(spark, [(1, encode_png(_img(3))), (2, encode_png(rgb))])
+        got = {r["doc_id"]: r["dhash"] for r in dhash_images(df).collect()}
+        # gray replicated to RGB has identical luma -> identical hash
+        assert got[1] == got[2]
+
+    def test_errors_skip_drops_garbage(self, spark):
+        df = _media_df(spark, [(1, encode_png(_img(1))), (2, b"not a png")])
+        with pytest.raises(Exception):
+            dhash_images(df).collect()
+        out = dhash_images(df, errors="skip").collect()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_ahash_differs_from_dhash_but_same_shape(self, spark):
+        df = _media_df(spark, [(1, encode_png(_img(5)))])
+        a = ahash_images(df).collect()[0]
+        assert a["ahash"] is not None
+
+
+class TestImageDupPairs:
+    def test_pairs_found_and_sound(self, spark):
+        items = []
+        for g in range(6):
+            base = _img(100 + g)
+            jitter = np.clip(base.astype(np.int64) + 3, 0, 255).astype(np.uint8)
+            jitter[0:2, 0:2, 0] = 250
+            items.append((2 * g, encode_png(base)))
+            items.append((2 * g + 1, encode_png(jitter)))
+        df = _media_df(spark, items)
+        got = {(r["id_a"], r["id_b"]) for r in image_dup_pairs(df).collect()}
+        assert got == {(2 * g, 2 * g + 1) for g in range(6)}
+
+    def test_band_guards(self, spark):
+        df = _media_df(spark, [(1, encode_png(_img(1)))])
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_dup_pairs(df, max_hamming=8, bands=8).collect()
+
+
+class TestAudioFingerprint:
+    def _wav(self, freqs, n=1024 * 8, rate=16_000, amp=8000):
+        t = np.arange(n) / rate
+        x = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+        return encode_wav((amp / len(freqs) * x).astype(np.int16), rate)
+
+    def test_gain_invariant(self, spark):
+        a = self._wav([440, 880], amp=8000)
+        b = self._wav([440, 880], amp=2000)  # 12 dB quieter
+        df = _media_df(spark, [(1, a), (2, b)])
+        got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+        assert got[1] == got[2] != 0
+
+    def test_different_content_differs(self, spark):
+        df = _media_df(
+            spark, [(1, self._wav([440])), (2, self._wav([3123, 5077]))]
+        )
+        got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+        assert got[1] != got[2]
+
+    def test_short_clip_hashes_to_zero(self, spark):
+        df = _media_df(spark, [(1, encode_wav(np.zeros(10, np.int16)))])
+        assert audio_fingerprint(df).collect()[0]["afp"] == 0
+
+    def test_dup_pairs_end_to_end(self, spark):
+        a = self._wav([440, 880], amp=8000)
+        b = self._wav([440, 880], amp=3000)
+        c = self._wav([1237, 2971], amp=8000)
+        df = _media_df(spark, [(1, a), (2, b), (3, c)])
+        got = {(r["id_a"], r["id_b"]) for r in audio_dup_pairs(df).collect()}
+        assert got == {(1, 2)}
+
+    def test_width_guard(self, spark):
+        df = _media_df(spark, [(1, self._wav([440]))])
+        with pytest.raises(ValueError, match="<= 64"):
+            audio_fingerprint(df, n_frames=32, bands=4).collect()

@@ -52,6 +52,11 @@ ALLOWED_NESTED_LOOP = {
     # variant-pair theta join runs on the per-variant aggregate — a table
     # bounded by the variant domain (single digits), never on events
     "ab_test": "variant-pair join on the variant-count-sized aggregate",
+    # KMV pairwise overlap: the `group_a < group_b` theta self-join runs
+    # on the SKETCH table — one row per group by construction (the
+    # corpus was already collapsed to bottom-k arrays), so the build
+    # side is group-count-sized and broadcastable, never the corpus
+    "kmv_overlap": "theta self-join on the one-row-per-group sketch table",
 }
 
 STREAMING = {

@@ -243,3 +243,97 @@ class TestKMV:
             kmv_sketch(df, ["g"], "v", k=1)
         with pytest.raises(ValueError, match="one group column"):
             kmv_pairwise(sk, ["g", "h"], k=16)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histograms
+# ---------------------------------------------------------------------------
+
+class TestHist:
+    def test_rollup_merge_is_exact(self, spark):
+        """Day-level histogram merged from hours equals one built
+        straight from raw data — the whole point of the measure."""
+        from database_transportor_spark.operators.rollup import time_rollup
+        from database_transportor_spark.operators.sketches import (
+            hist_measure,
+        )
+
+        rows = [
+            (f"2024-01-01 {h:02d}:{m:02d}:00", float(h * 60 + m))
+            for h in range(4) for m in range(0, 60, 7)
+        ]
+        df = spark.createDataFrame(rows, "ts string, x double").select(
+            F.col("ts").cast("timestamp").alias("ts"), "x"
+        )
+        hm = hist_measure(0.0, 240.0, bins=12)
+        out = time_rollup(df, "ts", [], {"h": (hm, "x")},
+                          ["1 hour", "1 day"])
+        merged = out["1 day"].collect()[0]["h"]
+        direct = (
+            df.groupBy().agg(hm[0]("x").alias("h")).collect()[0]["h"]
+        )
+        assert list(merged) == list(direct)
+        assert sum(merged) == len(rows)
+
+    def test_quantiles_within_bin_width(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            hist_measure, hist_quantiles,
+        )
+
+        df = spark.range(0, 10_000).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("x")
+        )
+        hm = hist_measure(0.0, 10_000.0, bins=100)
+        h = df.groupBy("g").agg(hm[0]("x").alias("h"))
+        got = hist_quantiles(h, "h", [0.5, 0.95], 0.0, 10_000.0,
+                             bins=100).collect()[0]
+        bin_w = 100.0
+        assert abs(got["p50"] - 5_000) <= bin_w
+        assert abs(got["p95"] - 9_500) <= bin_w
+
+    def test_under_over_flow_and_empty(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            hist_measure, hist_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("g", -5.0), ("g", 500.0), ("g", 3.0), ("h", None)],
+            "g string, x double",
+        )
+        hm = hist_measure(0.0, 10.0, bins=5)
+        h = df.groupBy("g").agg(hm[0]("x").alias("h"))
+        rows = {r["g"]: r for r in
+                hist_quantiles(h, "h", [0.0, 1.0], 0.0, 10.0,
+                               bins=5).collect()}
+        g = rows["g"]
+        assert g["h"][0] == 1 and g["h"][-1] == 1  # under/overflow slots
+        assert g["p0"] == 0.0 and g["p100"] == 10.0  # clamped to range
+        assert rows["h"]["p100"] is None  # NULL-only group: no estimate
+
+    def test_log_bins_and_guards(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.sketches import (
+            hist_bin, hist_measure,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (10.0,), (100.0,), (999.0,)], "x double"
+        )
+        b = df.select(hist_bin("x", 1.0, 1000.0, 3, log=True).alias("b"))
+        assert [r["b"] for r in b.collect()] == [1, 2, 3, 3]
+        with pytest.raises(ValueError, match="lo > 0"):
+            hist_measure(0.0, 10.0, bins=4, log=True)
+        with pytest.raises(ValueError, match="hi > lo"):
+            hist_measure(5.0, 5.0, bins=4)
+
+    def test_custom_measure_rejects_non_callable(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.rollup import time_rollup
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1.0)], "ts string, x double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "x")
+        with pytest.raises(ValueError, match="pair of callables"):
+            time_rollup(df, "ts", [], {"m": ((1, 2), "x")}, ["1 hour"])
