@@ -8387,3 +8387,62 @@ GROUP BY o_orderstatus, l_returnflag
 
 _EXTENSION_QUERIES.update({"join_view": q_join_view})
 _EXTENSION_ORACLES.update({"join_view": SQL_JOIN_VIEW})
+
+
+def q_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram percentiles
+    (`operators/sketches.py:hist_measure`/`hist_quantiles` +
+    `operators/rollup.py:time_rollup` custom measures): per-returnflag
+    price histograms built at the week level and MERGED up to a coarse
+    level by element-wise addition — the decomposable-quantile story
+    approx percentiles can't tell (a p95 of p95s is not a p95).  The
+    projection returns the EXACT total carried by the merged histogram
+    plus contract flags that each histogram-read quantile landed within
+    one bin width (1000) of the true percentile, which the oracle
+    computes exactly."""
+    from database_transportor_spark.operators.sketches import (
+        hist_measure,
+        hist_quantiles,
+    )
+
+    lo, hi, bins = 0.0, 120_000.0, 120
+    hm = hist_measure(lo, hi, bins=bins)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # leaf histograms per (flag, linestatus) merged down to per-flag — the
+    # same leaf/merge pair time_rollup runs through its level hierarchy
+    leaf = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(hm[0]("l_extendedprice").alias("h"))
+    )
+    merged = leaf.groupBy("l_returnflag").agg(hm[1]("h").alias("h"))
+    est = hist_quantiles(merged, "h", [0.5, 0.95], lo, hi, bins=bins)
+    exact = l.groupBy("l_returnflag").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("x50"),
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .alias("x95"),
+    )
+    w = (hi - lo) / bins
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.aggregate("h", F.lit(0).cast("long"), lambda a, x: a + x)
+            .alias("n_rows"),
+            (F.abs(F.col("p50") - F.col("x50")) <= w).alias("p50_ok"),
+            (F.abs(F.col("p95") - F.col("x95")) <= w).alias("p95_ok"),
+        )
+    )
+
+
+SQL_HIST_ROLLUP = """
+SELECT l_returnflag,
+       count(l_extendedprice) AS n_rows,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+_EXTENSION_QUERIES.update({"hist_rollup": q_hist_rollup})
+_EXTENSION_ORACLES.update({"hist_rollup": SQL_HIST_ROLLUP})
