@@ -8446,3 +8446,107 @@ GROUP BY l_returnflag
 
 _EXTENSION_QUERIES.update({"hist_rollup": q_hist_rollup})
 _EXTENSION_ORACLES.update({"hist_rollup": SQL_HIST_ROLLUP})
+
+
+def q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source-free BFS shortest paths
+    (`operators/graph.py:shortest_paths`): hop distance from every node
+    of the undirected customer-supplier trade graph to supplier node 1,
+    discovered frontier-by-frontier (first discovery IS the shortest
+    distance, so no min-merge).  Oracle: DuckDB recursive CTE over the
+    same symmetrized edge set, `min(dist)` per node, both sides capped
+    at 6 hops."""
+    from database_transportor_spark.operators.graph import shortest_paths
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    )
+    out = shortest_paths(e, [1], directed=False, max_iterations=6)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("landmark").cast("long").alias("landmark"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+SQL_BFS_DIST = """
+WITH RECURSIVE d AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS (
+    SELECT src, dst FROM d UNION SELECT dst, src FROM d
+), r(node, dist) AS (
+    SELECT CAST(1 AS BIGINT), 0
+    UNION
+    SELECT e.src, r.dist + 1 FROM r JOIN e ON e.dst = r.node
+    WHERE r.dist < 6
+)
+SELECT node, CAST(1 AS BIGINT) AS landmark,
+       CAST(min(dist) AS BIGINT) AS dist
+FROM r GROUP BY node
+"""
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (`operators/graph.py:label_propagation`, 3 rounds, count-desc/
+    label-asc tie-break) over the undirected trade graph; output is the
+    community size table.  Oracle: the same three rounds unrolled as
+    DuckDB CTEs — join, count, row_number pick — which is possible
+    precisely because the tie-break makes every round deterministic."""
+    from database_transportor_spark.operators.graph import (
+        label_propagation,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    )
+    labels = label_propagation(e, iterations=3)
+    return labels.groupBy(F.col("label").cast("long").alias("community")) \
+        .agg(F.count("*").alias("n_members"))
+
+
+def _lpa_oracle_sql(iterations: int) -> str:
+    parts = ["""
+WITH d AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS (
+    SELECT src, dst FROM d UNION SELECT dst, src FROM d
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS label FROM e
+)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", c{i} AS (
+    SELECT e.src AS node, l{i - 1}.label, count(*) AS c
+    FROM e JOIN l{i - 1} ON l{i - 1}.node = e.dst
+    GROUP BY 1, 2
+), l{i} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c{i}
+    ) t WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT CAST(label AS BIGINT) AS community, count(*) AS n_members
+FROM l{iterations} GROUP BY 1""")
+    return "".join(parts)
+
+
+SQL_COMMUNITIES = _lpa_oracle_sql(3)
+
+
+_EXTENSION_QUERIES.update({"bfs_dist": q_bfs_dist,
+                           "communities": q_communities})
+_EXTENSION_ORACLES.update({"bfs_dist": SQL_BFS_DIST,
+                           "communities": SQL_COMMUNITIES})

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from .pins import pin
 
-__all__ = ["degrees", "symmetrize", "pagerank", "triangle_count"]
+__all__ = ["degrees", "symmetrize", "pagerank", "triangle_count",
+           "shortest_paths", "label_propagation"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -237,3 +238,114 @@ def triangle_count(
     return wedges.join(closing, ["y", "z"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: list,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path distances from every reachable node TO
+    each landmark, following edge direction (GraphFrames
+    ``shortestPaths`` semantics): ``(node, landmark, dist)``; pairs with
+    no path are absent.
+
+    Frontier BFS as relational algebra: the frontier (nodes whose
+    distance was discovered last round) joins the edge list on ``dst``,
+    proposing ``dist+1`` for each in-neighbor; an anti-join against the
+    known set keeps only first discoveries — which in BFS ARE the
+    shortest distances, so no min-merge is ever needed.
+
+    Scale shape: per round, one equi-join of edges against the
+    frontier (frontier-sized build side — broadcastable while small),
+    one aggregate, one anti-join; the known table grows to
+    |reachable| × |landmarks| rows.  Control plane is ONE ``isEmpty``
+    per round (bounded, and the loop stops at the graph's diameter or
+    ``max_iterations``, whichever is first).  Known/frontier lineage is
+    truncated per round with ``localCheckpoint`` — on a real cluster
+    prefer reliable ``checkpoint`` (same caveat as :func:`pagerank`).
+    """
+    if not landmarks:
+        raise ValueError("shortest_paths: at least one landmark required")
+    if max_iterations < 1:
+        raise ValueError("shortest_paths: max_iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = symmetrize(e)
+    e = e.distinct().localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    seed = spark.createDataFrame(
+        [(lm, lm, 0) for lm in landmarks], ["node", "landmark", "dist"]
+    )
+    known = seed.localCheckpoint(eager=True)
+    frontier = known
+    for _ in range(max_iterations):
+        cand = (
+            e.join(frontier, e.dst == frontier.node)
+            .groupBy(F.col("src").alias("node"), "landmark")
+            .agg((F.min("dist") + 1).alias("dist"))
+        )
+        new = cand.join(
+            known.select("node", "landmark"), ["node", "landmark"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        known = known.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return known
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    UNDIRECTED view of the edge list: every node starts as its own
+    label; each round a node adopts the most frequent label among its
+    neighbors (ties broken by smallest label — fully deterministic, so
+    the result is oracle-checkable, unlike randomized LPA).  Returns
+    ``(node, label)`` after ``iterations`` rounds.
+
+    Each round is one equi-join of the (node, label) table against the
+    symmetrized edges, one (node, label) count aggregate, and one
+    row_number window over the per-node candidate labels (candidate set
+    per node ≤ its degree).  The edge table is materialized once; label
+    lineage is truncated per round.  Fixed iterations — synchronous LPA
+    on bipartite-ish graphs can oscillate rather than converge, so a
+    convergence test is deliberately NOT the stop condition.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("label_propagation: iterations must be >= 1")
+    e = symmetrize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        counted = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

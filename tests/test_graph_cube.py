@@ -231,3 +231,93 @@ def test_triangle_count_hub_graph_orientations_agree(spark):
 
     with pytest.raises(ValueError):
         triangle_count(edges, orient="random")
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest paths + label propagation
+# ---------------------------------------------------------------------------
+
+class TestShortestPaths:
+    def _chain(self, spark):
+        # 1 -> 2 -> 3 -> 4, plus a shortcut 1 -> 3 and an island 9 -> 10
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 3), (9, 10)], "src long, dst long"
+        )
+
+    def test_directed_distances(self, spark):
+        from database_transportor_spark.operators.graph import shortest_paths
+
+        got = {
+            (r["node"], r["landmark"]): r["dist"]
+            for r in shortest_paths(self._chain(spark), [4]).collect()
+        }
+        # distance TO landmark 4 following edge direction
+        assert got == {(4, 4): 0, (3, 4): 1, (2, 4): 2, (1, 4): 2}
+
+    def test_multiple_landmarks_und_undirected(self, spark):
+        from database_transportor_spark.operators.graph import shortest_paths
+
+        got = {
+            (r["node"], r["landmark"]): r["dist"]
+            for r in shortest_paths(
+                self._chain(spark), [1, 10], directed=False
+            ).collect()
+        }
+        assert got[(4, 1)] == 2  # 4-3-1 via the shortcut
+        assert got[(9, 10)] == 1
+        assert (1, 10) not in got  # disconnected components stay absent
+
+    def test_max_iterations_caps_radius(self, spark):
+        from database_transportor_spark.operators.graph import shortest_paths
+
+        got = {
+            r["node"]
+            for r in shortest_paths(
+                self._chain(spark), [4], max_iterations=1
+            ).collect()
+        }
+        assert got == {4, 3}
+
+    def test_guards(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.graph import shortest_paths
+
+        with pytest.raises(ValueError, match="landmark"):
+            shortest_paths(self._chain(spark), [])
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from database_transportor_spark.operators.graph import (
+            label_propagation,
+        )
+
+        clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+        clique2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+        edges = spark.createDataFrame(
+            clique1 + clique2 + [(3, 7)], "src long, dst long"
+        )
+        got = {r["node"]: r["label"] for r in
+               label_propagation(edges, iterations=4).collect()}
+        # each clique collapses to one label; the two cliques differ
+        assert len({got[1], got[2], got[3]}) == 1
+        assert len({got[7], got[8], got[9]}) == 1
+        assert got[1] != got[9]
+
+    def test_deterministic_tiebreak(self, spark):
+        from database_transportor_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # a single edge: both nodes see one neighbor label; min-label
+        # tie-break is vacuous here but the result must be stable
+        edges = spark.createDataFrame([(5, 6)], "src long, dst long")
+        a = {(r["node"], r["label"]) for r in
+             label_propagation(edges, iterations=3).collect()}
+        b = {(r["node"], r["label"]) for r in
+             label_propagation(edges, iterations=3).collect()}
+        assert a == b
+        # after odd/even swaps each node carries the other's start label
+        # or its own — only these two labels exist
+        assert {l for _, l in a} <= {5, 6}
