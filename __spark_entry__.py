@@ -8550,3 +8550,53 @@ _EXTENSION_QUERIES.update({"bfs_dist": q_bfs_dist,
                            "communities": q_communities})
 _EXTENSION_ORACLES.update({"bfs_dist": SQL_BFS_DIST,
                            "communities": SQL_COMMUNITIES})
+
+
+def q_approx_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP with error bars (`operators/sketches.py:approx_agg`): revenue
+    and row-count per return flag estimated from a 10% Bernoulli sample,
+    scaled by the Horvitz-Thompson estimator, with 4-sigma CLT
+    intervals.  Contract oracle: the EXACT aggregates (computed
+    independently) plus flags asserting each interval covers the truth
+    and the estimate sits within 10% of it — the sample is
+    seed-deterministic, so the flags are stable."""
+    from database_transportor_spark.operators.sketches import approx_agg
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = approx_agg(
+        l, ["l_returnflag"],
+        {"n": ("count", None), "rev": ("sum", "l_extendedprice")},
+        fraction=0.1,
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("exact_n"),
+        F.sum("l_extendedprice").alias("exact_rev"),
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_n",
+            F.round("exact_rev", 2).alias("exact_rev"),
+            ((F.col("n_lo") <= F.col("exact_n"))
+             & (F.col("exact_n") <= F.col("n_hi"))).alias("n_covered"),
+            ((F.col("rev_lo") <= F.col("exact_rev"))
+             & (F.col("exact_rev") <= F.col("rev_hi"))).alias("rev_covered"),
+            (F.abs(F.col("n") - F.col("exact_n"))
+             <= F.col("exact_n") * 0.1).alias("n_close"),
+        )
+    )
+
+
+SQL_APPROX_REVENUE = """
+SELECT l_returnflag,
+       count(*) AS exact_n,
+       round(sum(l_extendedprice), 2) AS exact_rev,
+       TRUE AS n_covered, TRUE AS rev_covered, TRUE AS n_close
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+_EXTENSION_QUERIES.update({"approx_revenue": q_approx_revenue})
+_EXTENSION_ORACLES.update({"approx_revenue": SQL_APPROX_REVENUE})

@@ -33,6 +33,7 @@ __all__ = [
     "hist_bin",
     "hist_measure",
     "hist_quantiles",
+    "approx_agg",
 ]
 
 
@@ -447,3 +448,68 @@ def hist_quantiles(
         name = f"{prefix}{int(q * 100) if (q * 100) == int(q * 100) else q}"
         out = out.withColumn(name, F.round(est, 6))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: sampled aggregates WITH error bars
+# ---------------------------------------------------------------------------
+
+
+def approx_agg(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+    fraction: float,
+    seed: int = 42,
+    sigmas: float = 4.0,
+) -> DataFrame:
+    """Sampled group aggregates with principled confidence intervals —
+    the AQP answer for dashboard-class queries over 100 TB: scan the
+    ``fraction`` Bernoulli sample (one pass, no shuffle beyond the
+    group agg), scale up with the Horvitz-Thompson estimator, and emit
+    a ``±sigmas`` CLT interval per measure so the consumer KNOWS the
+    error instead of guessing it.
+
+    ``measures``: output name → ("sum"|"count", source col).  For each
+    measure the output carries ``<name>`` (the estimate), ``<name>_lo``
+    and ``<name>_hi``.  Under row-wise Bernoulli(f) sampling::
+
+        est     = Σ_kept x / f                    (unbiased)
+        Var(est)= Σ_all x² (1-f)/f  ≈  Σ_kept x² (1-f)/f²
+
+    (count is sum with x=1).  The interval is ``est ± sigmas·√Var``.
+
+    Accuracy scales with the group's sampled mass, not the corpus: a
+    group with ~10⁴ sampled rows has ~1% relative error on count at 4σ.
+    Rare groups (few sampled rows) get honest WIDE intervals — and may
+    be missed entirely when no row survives the sample; AQP is for
+    dominant-mass questions, not needle lookups.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"approx_agg: fraction must be in (0, 1], got {fraction}")
+    for name, (kind, _col) in measures.items():
+        if kind not in ("sum", "count"):
+            raise ValueError(
+                f"approx_agg: measure {name!r} must be sum|count, got {kind!r}"
+            )
+        if kind == "sum" and _col is None:
+            raise ValueError(f"approx_agg: sum measure {name!r} needs a column")
+    s = df.sample(fraction=fraction, seed=seed)
+    aggs = []
+    for name, (kind, col) in measures.items():
+        x = F.lit(1.0) if kind == "count" else F.col(col).cast("double")
+        aggs.append(F.sum(x).alias(f"__s_{name}"))
+        aggs.append(F.sum(x * x).alias(f"__q_{name}"))
+    g = s.groupBy(*keys).agg(*aggs)
+    out_cols = [F.col(k) for k in keys]
+    inv = 1.0 / fraction
+    var_scale = (1.0 - fraction) / (fraction * fraction)
+    for name in measures:
+        est = F.coalesce(F.col(f"__s_{name}"), F.lit(0.0)) * F.lit(inv)
+        se = F.sqrt(
+            F.coalesce(F.col(f"__q_{name}"), F.lit(0.0)) * F.lit(var_scale)
+        )
+        out_cols.append(F.round(est, 6).alias(name))
+        out_cols.append(F.round(est - F.lit(sigmas) * se, 6).alias(f"{name}_lo"))
+        out_cols.append(F.round(est + F.lit(sigmas) * se, 6).alias(f"{name}_hi"))
+    return g.select(*out_cols)

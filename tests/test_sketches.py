@@ -337,3 +337,51 @@ class TestHist:
         ).select(F.col("ts").cast("timestamp").alias("ts"), "x")
         with pytest.raises(ValueError, match="pair of callables"):
             time_rollup(df, "ts", [], {"m": ((1, 2), "x")}, ["1 hour"])
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing (sampled aggregates with error bars)
+# ---------------------------------------------------------------------------
+
+class TestApproxAgg:
+    def test_intervals_cover_truth(self, spark):
+        from database_transportor_spark.operators.sketches import approx_agg
+
+        df = spark.range(0, 50_000).select(
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") % 100).cast("double").alias("x"),
+        )
+        out = approx_agg(
+            df, ["g"],
+            {"n": ("count", None), "sx": ("sum", "x")},
+            fraction=0.1,
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            true_n, true_sx = 12_500, 12_500 * 49.5
+            assert r["n_lo"] <= true_n <= r["n_hi"]
+            assert r["sx_lo"] <= true_sx <= r["sx_hi"]
+            # 4-sigma bars at this mass are tight-ish: within 10%
+            assert abs(r["n"] - true_n) < true_n * 0.1
+
+    def test_fraction_one_is_exact_with_zero_width(self, spark):
+        from database_transportor_spark.operators.sketches import approx_agg
+
+        df = spark.createDataFrame(
+            [("a", 2.0), ("a", 3.0)], "g string, x double"
+        )
+        r = approx_agg(df, ["g"], {"sx": ("sum", "x")}, fraction=1.0).collect()[0]
+        assert r["sx"] == r["sx_lo"] == r["sx_hi"] == 5.0
+
+    def test_guards(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.sketches import approx_agg
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError, match="fraction"):
+            approx_agg(df, ["g"], {"n": ("count", None)}, fraction=0.0)
+        with pytest.raises(ValueError, match="sum|count"):
+            approx_agg(df, ["g"], {"m": ("avg", "x")}, fraction=0.5)
+        with pytest.raises(ValueError, match="needs a column"):
+            approx_agg(df, ["g"], {"m": ("sum", None)}, fraction=0.5)
