@@ -8600,3 +8600,47 @@ GROUP BY l_returnflag
 
 _EXTENSION_QUERIES.update({"approx_revenue": q_approx_revenue})
 _EXTENSION_ORACLES.update({"approx_revenue": SQL_APPROX_REVENUE})
+
+
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold edit-distance self-join
+    (`operators/fuzzy.py:edit_distance_join`): all part-name pairs
+    within Levenshtein distance 2 — trigram blocking pruned by the
+    count-filtering bound (an edit destroys ≤ n grams), then Spark's
+    thresholded `levenshtein` verify.  The oracle brute-forces the same
+    threshold with DuckDB's `levenshtein` over the (bounded) key slice,
+    so every blocked-out pair the operator misses would surface as a
+    row mismatch — blocking soundness IS the contract."""
+    from database_transportor_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", "p_name")
+    )
+    out = edit_distance_join(p, p, "p_partkey", "p_name",
+                             "p_partkey", "p_name", max_distance=2)
+    return (
+        out.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "distance")
+    )
+
+
+SQL_EDIT_JOIN = """
+WITH p AS (
+    SELECT p_partkey, lower(trim(p_name)) AS t
+    FROM part WHERE p_partkey < 500
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS distance
+FROM p a JOIN p b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.t) - length(b.t)) <= 2
+ AND levenshtein(a.t, b.t) <= 2
+"""
+
+
+_EXTENSION_QUERIES.update({"edit_join": q_edit_join})
+_EXTENSION_ORACLES.update({"edit_join": SQL_EDIT_JOIN})

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngram_hashes", "fuzzy_join", "fuzzy_pairs"]
+__all__ = ["char_ngram_hashes", "fuzzy_join", "fuzzy_pairs",
+           "edit_distance_join"]
 
 
 def char_ngram_hashes(col: Column | str, n: int = 3) -> Column:
@@ -139,3 +140,95 @@ def fuzzy_pairs(
         .filter(F.col("intersection") >= F.lit(threshold) * F.col("union_size"))
     )
     return out.select("id_a", "id_b", "intersection", "union_size")
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_distance: int = 2,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact-threshold edit-distance join: all (left, right) pairs whose
+    normalized strings (``lower(trim(…))`` — the same normalization the
+    gram index uses) are within Levenshtein distance ``max_distance``.
+    Returns ``(id_a, id_b, distance)``.
+
+    Two tiers, as in every scalable record-linkage stack:
+
+    1. **Block** on shared character n-grams (the :func:`fuzzy_join`
+       inverted index), pruned by the count-filtering bound: one edit
+       operation destroys at most ``n`` distinct grams, so a true match
+       shares at least ``|grams| − n·max_distance`` grams WITH EACH
+       SIDE — plus the length filter ``|len_a − len_b| ≤ max_distance``.
+       Both prune before any string comparison runs.
+    2. **Verify** survivors with Spark's thresholded ``levenshtein``
+       (early-exits once the running distance exceeds the budget, so a
+       verify costs O(len·max_distance), not O(len²)).
+
+    Recall guarantee: a pair within ``max_distance`` is found whenever
+    the shorter normalized string has more than ``n·max_distance``
+    distinct grams (below that, edits can destroy every shared gram —
+    raise recall for very short strings by dropping ``n`` to 2).
+    ``max_df`` caps stopword-grade grams exactly as in
+    :func:`fuzzy_join`; a capped gram weakens the count bound on
+    affected pairs (the bound subtracts capped grams, kept sound by
+    counting per-side sizes over surviving grams only).
+
+    Scale shape: the gram equi-join is the only candidate generator
+    (never N×M); verification adds two keyed joins to fetch the strings
+    and one narrow projection.
+    """
+    if max_distance < 0:
+        raise ValueError(
+            f"edit_distance_join: max_distance must be >= 0, got {max_distance}"
+        )
+    lg = _gram_table(left, left_id, left_col, n, "a")
+    rg = _gram_table(right, right_id, right_col, n, "b")
+    if max_df is not None:
+        hot = (
+            lg.select("g").unionAll(rg.select("g"))
+            .groupBy("g").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        lg = lg.join(F.broadcast(hot), "g", "left_anti")
+        rg = rg.join(F.broadcast(hot), "g", "left_anti")
+    sa = lg.groupBy("id_a").agg(F.count("*").alias("n_a"))
+    sb = rg.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    slack = n * max_distance
+    cand = (
+        lg.join(rg, "g")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("inter") >= F.col("n_a") - slack)
+            & (F.col("inter") >= F.col("n_b") - slack)
+        )
+        .select("id_a", "id_b")
+    )
+    ltxt = left.select(
+        F.col(left_id).alias("id_a"),
+        F.lower(F.trim(F.col(left_col))).alias("__ta"),
+    )
+    rtxt = right.select(
+        F.col(right_id).alias("id_b"),
+        F.lower(F.trim(F.col(right_col))).alias("__tb"),
+    )
+    dist = F.levenshtein("__ta", "__tb", max_distance)
+    return (
+        cand.join(ltxt, "id_a")
+        .join(rtxt, "id_b")
+        .filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_distance
+        )
+        .withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+    )

@@ -72,3 +72,73 @@ def test_fuzzy_pairs_max_df_drops_universal_gram(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join (blocked + thresholded-levenshtein verify)
+# ---------------------------------------------------------------------------
+
+class TestEditDistanceJoin:
+    def _py_lev(self, a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def test_matches_brute_force(self, spark):
+        from database_transportor_spark.operators.fuzzy import (
+            edit_distance_join,
+        )
+
+        names = [
+            "aquamarine steel", "aquamarine steal", "aquamarine stele",
+            "burnished copper", "burnished coppers", "chartreuse zinc",
+            "completely different thing",
+        ]
+        rows = list(enumerate(names))
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in edit_distance_join(
+                df, df, "id", "name", "id", "name", max_distance=2
+            ).collect()
+            if r["id_a"] < r["id_b"]
+        }
+        want = {}
+        for i, a in rows:
+            for j, b in rows:
+                if i < j and self._py_lev(a, b) <= 2:
+                    want[(i, j)] = self._py_lev(a, b)
+        assert got == want
+        assert got[(0, 1)] == 1 and got[(3, 4)] == 1
+
+    def test_normalization_matches_index(self, spark):
+        from database_transportor_spark.operators.fuzzy import (
+            edit_distance_join,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "  Acme Corp "), (2, "acme corp")], "id long, name string"
+        )
+        got = edit_distance_join(df, df, "id", "name", "id", "name",
+                                 max_distance=0).collect()
+        # lower+trim collapse them to distance 0 (all 4 ordered pairs)
+        assert {(r["id_a"], r["id_b"], r["distance"]) for r in got} == {
+            (1, 1, 0), (2, 2, 0), (1, 2, 0), (2, 1, 0)
+        }
+
+    def test_guard(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.fuzzy import (
+            edit_distance_join,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id long, name string")
+        with pytest.raises(ValueError, match="max_distance"):
+            edit_distance_join(df, df, "id", "name", "id", "name",
+                               max_distance=-1)
