@@ -71,6 +71,18 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "linear_fit", "x_col": ..., "y_col": ..., "group_cols": [...]}
     {"op": "linear_fit_multi", "feature_cols": [...], "label_col": ...,
      "group_cols": [...], "ridge": 0.0}
+    {"op": "kmv_distinct", "keys": [...], "value_col": ..., "k": 512}
+    {"op": "hist_quantiles", "keys": [...], "value_col": ..., "lo": L,
+     "hi": H, "bins": 64, "qs": [0.5, 0.95], "log": False}
+    {"op": "approx_agg", "keys": [...], "fraction": 0.1,
+     "measures": {"n": ["count"], "rev": ["sum", "price"]}}
+    {"op": "image_dups", "id_col": ..., "content_col": ..., "max_hamming": 6}
+    {"op": "audio_dups", "id_col": ..., "content_col": ..., "max_hamming": 6}
+    {"op": "shortest_paths", "landmarks": [...], "src": ..., "dst": ...,
+     "directed": True, "max_iterations": 20}
+    {"op": "label_propagation", "src": ..., "dst": ..., "iterations": 5}
+    {"op": "edit_join", "id_col": ..., "text_col": ..., "max_distance": 2,
+     "table": "<other table, optional — self-join when omitted>"}
 
 Relational stages (the declarative analytics tier — the same generic
 relational algebra the Q-shaped queries compile to, so a spec can express
@@ -1074,4 +1086,130 @@ def _pca(df: DataFrame, p: dict) -> DataFrame:
         k=p.get("k", 8),
         scale=p.get("scale", 10**6),
         out_col=p.get("out_col", "pca"),
+    )
+
+
+@register_post_op("kmv_distinct")
+def _kmv_distinct(df: DataFrame, p: dict) -> DataFrame:
+    # bottom-k distinct sketch + estimate per group; see
+    # operators/sketches.py:kmv_sketch for the bucketed-sort plan shape
+    from .sketches import kmv_distinct, kmv_sketch
+
+    k = p.get("k", 512)
+    sk = kmv_sketch(df, p["keys"], p["value_col"], k=k,
+                    fanout=p.get("fanout", 64))
+    return kmv_distinct(sk, k=k).drop("kmv")
+
+
+@register_post_op("hist_quantiles")
+def _hist_quantiles(df: DataFrame, p: dict) -> DataFrame:
+    # mergeable fixed-bin histogram per group + quantile read-off; see
+    # operators/sketches.py:hist_measure / hist_quantiles
+    from .sketches import hist_measure, hist_quantiles
+
+    lo, hi = float(p["lo"]), float(p["hi"])
+    bins = p.get("bins", 64)
+    log = p.get("log", False)
+    leaf, _merge = hist_measure(lo, hi, bins=bins, log=log)
+    h = df.groupBy(*p["keys"]).agg(leaf(p["value_col"]).alias("hist"))
+    out = hist_quantiles(h, "hist", p.get("qs", [0.5]), lo, hi,
+                         bins=bins, log=log)
+    return out if p.get("keep_hist", False) else out.drop("hist")
+
+
+@register_post_op("approx_agg")
+def _approx_agg(df: DataFrame, p: dict) -> DataFrame:
+    # sampled group aggregates with HT scaling + CLT error bars; see
+    # operators/sketches.py:approx_agg
+    from .sketches import approx_agg
+
+    measures = {
+        name: (spec[0], spec[1] if len(spec) > 1 else None)
+        for name, spec in p["measures"].items()
+    }
+    return approx_agg(df, p["keys"], measures, fraction=p["fraction"],
+                      seed=p.get("seed", 42), sigmas=p.get("sigmas", 4.0))
+
+
+@register_post_op("image_dups")
+def _image_dups(df: DataFrame, p: dict) -> DataFrame:
+    # perceptual dHash near-dup pairs; see operators/media_dedup.py
+    from .media_dedup import image_dup_pairs
+
+    return image_dup_pairs(
+        df,
+        id_col=p.get("id_col", "doc_id"),
+        content_col=p.get("content_col", "content"),
+        hash_size=p.get("hash_size", 8),
+        max_hamming=p.get("max_hamming", 6),
+        errors=p.get("errors", "raise"),
+    )
+
+
+@register_post_op("audio_dups")
+def _audio_dups(df: DataFrame, p: dict) -> DataFrame:
+    # spectral-contrast fingerprint near-dup pairs; see
+    # operators/media_dedup.py:audio_dup_pairs
+    from .media_dedup import audio_dup_pairs
+
+    return audio_dup_pairs(
+        df,
+        id_col=p.get("id_col", "doc_id"),
+        content_col=p.get("content_col", "content"),
+        max_hamming=p.get("max_hamming", 6),
+        errors=p.get("errors", "raise"),
+    )
+
+
+@register_post_op("shortest_paths")
+def _shortest_paths(df: DataFrame, p: dict) -> DataFrame:
+    # frontier BFS distances to a landmark set; see operators/graph.py
+    from .graph import shortest_paths
+
+    return shortest_paths(
+        df,
+        landmarks=p["landmarks"],
+        src=p.get("src", "src"),
+        dst=p.get("dst", "dst"),
+        directed=p.get("directed", True),
+        max_iterations=p.get("max_iterations", 20),
+    )
+
+
+@register_post_op("label_propagation")
+def _label_propagation(df: DataFrame, p: dict) -> DataFrame:
+    # deterministic synchronous LPA communities; see operators/graph.py
+    from .graph import label_propagation
+
+    return label_propagation(
+        df,
+        src=p.get("src", "src"),
+        dst=p.get("dst", "dst"),
+        iterations=p.get("iterations", 5),
+    )
+
+
+@register_post_op("edit_join")
+def _edit_join(df: DataFrame, p: dict) -> DataFrame:
+    # exact-threshold Levenshtein linkage against another table (or the
+    # frame itself when "table" is omitted); see operators/fuzzy.py
+    from .fuzzy import edit_distance_join
+
+    if "table" in p:
+        resolve = p["_resolve"]
+        if resolve is None:
+            raise SpecError(
+                f"{p['_where']}: edit_join with 'table' needs the engine "
+                f"catalog resolver"
+            )
+        right = resolve(p.get("side", "original"), p["table"])
+    else:
+        right = df
+    return edit_distance_join(
+        df, right,
+        p["id_col"], p["text_col"],
+        p.get("right_id", p["id_col"]), p.get("right_col", p["text_col"]),
+        max_distance=p.get("max_distance", 2),
+        n=p.get("n", 3),
+        max_df=p.get("max_df"),
     )

@@ -653,3 +653,87 @@ def test_pca_stage(spark):
     rows = out.collect()
     assert len(rows) == 10 and all(len(r["pca"]) == 2 for r in rows)
     assert "pca" in eng.write_columns("out")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 declarative stages: sketches, AQP, media, graph, linkage
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+class TestRound6Stages:
+    def _apply(self, df, ops):
+        from database_transportor_spark.operators.post_ops import (
+            apply_post_ops,
+        )
+
+        return apply_post_ops(df, tuple(ops), "test", resolve=None)
+
+    def test_kmv_distinct_stage(self, spark):
+        df = spark.range(0, 300).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 60).alias("v")
+        )
+        out = self._apply(
+            df, [{"op": "kmv_distinct", "keys": ["g"], "value_col": "v"}]
+        )
+        assert {r["distinct_est"] for r in out.collect()} == {20}
+
+    def test_hist_quantiles_stage(self, spark):
+        df = spark.range(0, 1000).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("x")
+        )
+        out = self._apply(df, [{
+            "op": "hist_quantiles", "keys": ["g"], "value_col": "x",
+            "lo": 0.0, "hi": 1000.0, "bins": 100, "qs": [0.5],
+        }]).collect()[0]
+        assert abs(out["p50"] - 500) <= 10
+        assert "hist" not in out.asDict()
+
+    def test_approx_agg_stage(self, spark):
+        df = spark.range(0, 20_000).select(
+            F.lit("g").alias("g"), F.lit(1.0).alias("x")
+        )
+        out = self._apply(df, [{
+            "op": "approx_agg", "keys": ["g"], "fraction": 0.2,
+            "measures": {"n": ["count"], "sx": ["sum", "x"]},
+        }]).collect()[0]
+        assert out["n_lo"] <= 20_000 <= out["n_hi"]
+        assert out["sx_lo"] <= 20_000 <= out["sx_hi"]
+
+    def test_graph_stages(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        d = self._apply(edges, [{
+            "op": "shortest_paths", "landmarks": [3], "directed": True,
+        }])
+        assert {(r["node"], r["dist"]) for r in d.collect()} == {
+            (3, 0), (2, 1), (1, 2)
+        }
+        c = self._apply(edges, [{"op": "label_propagation",
+                                 "iterations": 2}])
+        assert c.count() == 3
+
+    def test_edit_join_stage_self(self, spark):
+        df = spark.createDataFrame(
+            [(1, "acme corp"), (2, "acme corp.")], "id long, name string"
+        )
+        out = self._apply(df, [{
+            "op": "edit_join", "id_col": "id", "text_col": "name",
+            "max_distance": 1,
+        }])
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (1, 2) in got and (2, 1) in got
+
+    def test_edit_join_stage_needs_resolver_for_table(self, spark):
+        import pytest
+
+        from database_transportor_spark.spec import SpecError
+
+        df = spark.createDataFrame([(1, "x")], "id long, name string")
+        with pytest.raises(SpecError, match="catalog resolver"):
+            self._apply(df, [{
+                "op": "edit_join", "id_col": "id", "text_col": "name",
+                "table": "other",
+            }])
