@@ -8644,3 +8644,54 @@ FROM p a JOIN p b
 
 _EXTENSION_QUERIES.update({"edit_join": q_edit_join})
 _EXTENSION_ORACLES.update({"edit_join": SQL_EDIT_JOIN})
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution
+    (`operators/fuzzy.py:resolve_entities`): part names within
+    Levenshtein 1 collapse transitively (blocked edit-distance pairs →
+    connected components → keep-min-id canonical row).  Oracle: DuckDB
+    recursive CTE computes the same transitive closure (min reachable
+    id per node) over brute-forced distance-1 pairs, then picks each
+    entity's canonical row — chaining semantics and survivor choice
+    both pinned."""
+    from database_transportor_spark.operators.fuzzy import (
+        resolve_entities,
+    )
+
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", "p_name")
+    )
+    out = resolve_entities(p, "p_partkey", "p_name", max_distance=1)
+    return out.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "p_name",
+    )
+
+
+SQL_ENTITIES = """
+WITH RECURSIVE p AS (
+    SELECT p_partkey AS id, lower(trim(p_name)) AS t, p_name
+    FROM part WHERE p_partkey < 500
+), pr AS (
+    SELECT a.id AS ia, b.id AS ib
+    FROM p a JOIN p b
+      ON a.id <> b.id
+     AND abs(length(a.t) - length(b.t)) <= 1
+     AND levenshtein(a.t, b.t) <= 1
+), r(node, label) AS (
+    SELECT id, id FROM p
+    UNION
+    SELECT pr.ia, r.label FROM pr JOIN r ON r.node = pr.ib
+), c AS (
+    SELECT node AS id, min(label) AS entity_id FROM r GROUP BY node
+)
+SELECT DISTINCT c.entity_id, p.p_name
+FROM c JOIN p ON p.id = c.entity_id
+"""
+
+
+_EXTENSION_QUERIES.update({"entities": q_entities})
+_EXTENSION_ORACLES.update({"entities": SQL_ENTITIES})

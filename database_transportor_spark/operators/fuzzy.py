@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["char_ngram_hashes", "fuzzy_join", "fuzzy_pairs",
-           "edit_distance_join"]
+           "edit_distance_join", "resolve_entities"]
 
 
 def char_ngram_hashes(col: Column | str, n: int = 3) -> Column:
@@ -231,4 +231,54 @@ def edit_distance_join(
         .withColumn("distance", dist)
         .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    n: int = 3,
+    max_df: int | None = None,
+    order_col: str | None = None,
+    keep: str = "min",
+    cluster_col: str = "entity_id",
+) -> DataFrame:
+    """End-to-end entity resolution over one table: near-identical
+    strings (Levenshtein ≤ ``max_distance`` after normalization)
+    collapse to one canonical row per entity.
+
+    Three stages, each the scale-shaped operator it names:
+
+    1. :func:`edit_distance_join` self-join — blocked match pairs
+       (never N×M);
+    2. connected components over the pair graph
+       (:func:`~.dedup.dedup_clusters`) — transitive closure, so
+       "Acme Corp" ~ "Acme Corp." ~ "ACME  Corp" land in ONE entity
+       even when the endpoints exceed the pairwise threshold;
+    3. keep-one (:func:`~.dedup.dedup_keep_best`) — the ``keep``
+       extreme of ``order_col`` (default: the id) survives per entity.
+
+    Returns the surviving rows with ``cluster_col`` attached (the
+    entity's min reachable id) — the dimension table a migration can
+    then `refer` against.  Transitive closure is the right semantic for
+    entity keys but DOES chain: raise ``max_distance`` with care.
+    """
+    pairs = edit_distance_join(
+        df, df, id_col, text_col, id_col, text_col,
+        max_distance=max_distance, n=n, max_df=max_df,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    from .dedup import dedup_clusters, dedup_keep_best
+
+    clusters = dedup_clusters(df.select(id_col), pairs, id_col=id_col)
+    survivors = dedup_keep_best(
+        df, clusters, id_col, order_col=order_col, keep=keep,
+    )
+    return survivors.join(
+        clusters.select(F.col(id_col), F.col("cluster_id").alias(cluster_col)),
+        id_col,
+        "left",
+    ).withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
     )

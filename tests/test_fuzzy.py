@@ -142,3 +142,39 @@ class TestEditDistanceJoin:
         with pytest.raises(ValueError, match="max_distance"):
             edit_distance_join(df, df, "id", "name", "id", "name",
                                max_distance=-1)
+
+
+class TestResolveEntities:
+    def test_transitive_chain_collapses(self, spark):
+        from database_transportor_spark.operators.fuzzy import (
+            resolve_entities,
+        )
+
+        rows = [
+            (1, "acme corporation"),
+            (2, "acme corporation."),     # dist 1 from 1
+            (3, "acme corporation.."),    # dist 1 from 2, dist 2 from 1
+            (4, "zenith industries"),
+            (5, "zenith industried"),     # dist 1 from 4
+            (6, "wholly unrelated name"),
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        out = resolve_entities(df, "id", "name", max_distance=1)
+        got = {r["id"]: r["entity_id"] for r in out.collect()}
+        # chain 1-2-3 collapses transitively even though (1,3) is dist 2
+        assert set(got) == {1, 4, 6}
+        assert got[1] == 1 and got[4] == 4 and got[6] == 6
+
+    def test_keep_best_by_order_col(self, spark):
+        from database_transportor_spark.operators.fuzzy import (
+            resolve_entities,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "acme corp", 0.2), (2, "acme corp.", 0.9)],
+            "id long, name string, quality double",
+        )
+        out = resolve_entities(df, "id", "name", max_distance=1,
+                               order_col="quality", keep="max").collect()
+        assert len(out) == 1 and out[0]["id"] == 2
+        assert out[0]["entity_id"] == 1  # entity key = min reachable id
