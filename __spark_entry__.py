@@ -8695,3 +8695,70 @@ FROM c JOIN p ON p.id = c.entity_id
 
 _EXTENSION_QUERIES.update({"entities": q_entities})
 _EXTENSION_ORACLES.update({"entities": SQL_ENTITIES})
+
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition
+    (`operators/temporal.py:seasonal_decompose`): a planted
+    line + period-7 pattern per nation (slope 1/2 and integer pattern
+    keep every intermediate binary-exact, so trend/seasonal/residual are
+    EXACT, not approximate).  The oracle emits the closed form: trend =
+    the line (NULL at the 3-row edges), seasonal = the centered pattern,
+    residual = 0 — any deviation in the window math, phase indexing, or
+    centering shows up as a value mismatch."""
+    from database_transportor_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    pattern = [6.0, -2.0, -4.0, 1.0, 3.0, -5.0, 1.0]  # sums to 0
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    series = (
+        n.select(
+            "n_nationkey",
+            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("t"),
+        )
+        .withColumn(
+            "v",
+            F.lit(10.0)
+            + F.col("n_nationkey")
+            + F.col("t") * 0.5
+            + F.element_at(
+                F.array(*[F.lit(p) for p in pattern]),
+                (F.col("t") % 7 + 1).cast("int"),
+            ),
+        )
+    )
+    out = seasonal_decompose(series, ["n_nationkey"], "t", "v", period=7)
+    return out.select(
+        "n_nationkey",
+        F.col("t").cast("long").alias("t"),
+        F.round("v", 6).alias("v"),
+        "trend", "seasonal", "residual",
+    )
+
+
+SQL_SEASONAL = """
+WITH s AS (
+    SELECT n_nationkey, t.t AS t,
+           CAST(10.0 + n_nationkey + t.t * 0.5
+           + (CASE t.t % 7 WHEN 0 THEN 6.0 WHEN 1 THEN -2.0
+              WHEN 2 THEN -4.0 WHEN 3 THEN 1.0 WHEN 4 THEN 3.0
+              WHEN 5 THEN -5.0 ELSE 1.0 END) AS DOUBLE) AS v
+    FROM nation, generate_series(0, 27) AS t(t)
+)
+SELECT n_nationkey, CAST(t AS BIGINT) AS t,
+       CAST(round(v, 6) AS DOUBLE) AS v,
+       CAST(CASE WHEN t BETWEEN 3 AND 24
+            THEN round(10.0 + n_nationkey + t * 0.5, 6) END AS DOUBLE)
+           AS trend,
+       CAST(round(CASE t % 7 WHEN 0 THEN 6.0 WHEN 1 THEN -2.0
+                 WHEN 2 THEN -4.0 WHEN 3 THEN 1.0 WHEN 4 THEN 3.0
+                 WHEN 5 THEN -5.0 ELSE 1.0 END, 6) AS DOUBLE) AS seasonal,
+       CAST(CASE WHEN t BETWEEN 3 AND 24 THEN 0.0 END AS DOUBLE)
+           AS residual
+FROM s
+"""
+
+
+_EXTENSION_QUERIES.update({"seasonal": q_seasonal})
+_EXTENSION_ORACLES.update({"seasonal": SQL_SEASONAL})

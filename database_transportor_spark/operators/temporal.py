@@ -33,6 +33,7 @@ __all__ = [
     "rolling_distinct",
     "time_weighted_avg",
     "interval_concurrency",
+    "seasonal_decompose",
 ]
 
 
@@ -852,4 +853,72 @@ def interval_concurrency(
         deltas.withColumn(out_col, F.sum("__d").over(w).cast("long"))
         .drop("__d")
         .distinct()
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classic additive seasonal decomposition per key:
+    ``value = trend + seasonal + residual``.
+
+    Expects a REGULAR series (one row per key per bucket — run
+    :func:`gap_fill` first if the series has holes; the phase index is
+    the row's rank in its key's timeline, so a missing bucket shifts
+    every later phase).
+
+    - **trend**: centered moving average of width ``period`` (the
+      textbook 2×P weighted MA when ``period`` is even — mean of the
+      two half-offset P-row averages); NULL at the edges where the full
+      window doesn't exist, exactly like statsmodels.
+    - **seasonal**: per-phase mean of the detrended series
+      (phase = row_rank mod period), centered so phases sum to zero.
+    - **residual**: the rest; NULL wherever trend is NULL.
+
+    Scale shape: one shuffle on the key for the ordered windows, one
+    (key, phase)-keyed aggregate of the detrended values (map-side
+    combinable, ≤ ``period`` rows per key), one broadcastable join
+    back.  All column math — no Python, no collect.
+    """
+    if period < 2:
+        raise ValueError(f"seasonal_decompose: period must be >= 2, got {period}")
+    half = period // 2
+    wk = Window.partitionBy(*keys).orderBy(ts_col)
+    x = F.col(value_col).cast("double")
+    df2 = df.withColumn("__rn", F.row_number().over(wk) - 1)
+    if period % 2:
+        wma = wk.rowsBetween(-half, half)
+        full = F.count(x).over(wma) == period
+        trend = F.when(full, F.avg(x).over(wma))
+    else:
+        w1 = wk.rowsBetween(-half, half - 1)
+        w2 = wk.rowsBetween(-half + 1, half)
+        full = (F.count(x).over(w1) == period) & (
+            F.count(x).over(w2) == period
+        )
+        trend = F.when(full, (F.avg(x).over(w1) + F.avg(x).over(w2)) / 2)
+    df2 = df2.withColumn("__trend", trend)
+    df2 = df2.withColumn("__phase", F.pmod(F.col("__rn"), F.lit(period)))
+    seas = (
+        df2.groupBy(*keys, "__phase")
+        .agg(F.avg(x - F.col("__trend")).alias("__s_raw"))
+    )
+    wp = Window.partitionBy(*keys)
+    seas = seas.withColumn(
+        "__seasonal", F.col("__s_raw") - F.avg("__s_raw").over(wp)
+    ).select(*keys, "__phase", "__seasonal")
+    out = df2.join(seas, [*keys, "__phase"], "left")
+    return (
+        out.withColumn("trend", F.round("__trend", round_to))
+        .withColumn("seasonal", F.round("__seasonal", round_to))
+        .withColumn(
+            "residual",
+            F.round(x - F.col("__trend") - F.col("__seasonal"), round_to),
+        )
+        .drop("__rn", "__trend", "__phase", "__seasonal")
     )

@@ -789,3 +789,57 @@ def test_interval_concurrency_same_instant_settles(spark):
     got = {r.ts: r.concurrent for r in rows}
     assert len(rows) == len(got) == 3  # one row per instant
     assert got == {t0: 1, t1: 3, t2: 0}
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition
+# ---------------------------------------------------------------------------
+
+class TestSeasonalDecompose:
+    def test_recovers_planted_seasonality(self, spark):
+        from database_transportor_spark.operators.temporal import (
+            seasonal_decompose,
+        )
+
+        # value = linear trend + planted period-4 pattern, no noise
+        pattern = [3.0, -1.0, -2.0, 0.0]
+        rows = [
+            ("k", i, 10.0 + 0.5 * i + pattern[i % 4]) for i in range(24)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        out = {r["t"]: r for r in
+               seasonal_decompose(df, ["k"], "t", "v", period=4).collect()}
+        # edges: first/last two rows have no full centered window
+        assert out[0]["trend"] is None and out[23]["residual"] is None
+        # interior: trend recovers the line, seasonal the pattern,
+        # residual vanishes (exact arithmetic, only rounding at 1e-6)
+        for t in range(2, 22):
+            assert abs(out[t]["trend"] - (10.0 + 0.5 * t)) < 1e-6
+            assert abs(out[t]["seasonal"] - pattern[t % 4]) < 1e-6
+            assert abs(out[t]["residual"]) < 1e-6
+
+    def test_odd_period_and_per_key_isolation(self, spark):
+        from database_transportor_spark.operators.temporal import (
+            seasonal_decompose,
+        )
+
+        rows = [("a", i, float(i % 3)) for i in range(12)] + [
+            ("b", i, 100.0) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        out = seasonal_decompose(df, ["k"], "t", "v", period=3).collect()
+        b = [r for r in out if r["k"] == "b" and r["trend"] is not None]
+        # constant series: trend = the constant, seasonal/residual = 0
+        assert all(abs(r["trend"] - 100.0) < 1e-6 for r in b)
+        assert all(abs(r["seasonal"]) < 1e-6 for r in b)
+
+    def test_guard(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.temporal import (
+            seasonal_decompose,
+        )
+
+        df = spark.createDataFrame([("k", 1, 1.0)], "k string, t long, v double")
+        with pytest.raises(ValueError, match="period"):
+            seasonal_decompose(df, ["k"], "t", "v", period=1)
