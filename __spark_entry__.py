@@ -8762,3 +8762,59 @@ FROM s
 
 _EXTENSION_QUERIES.update({"seasonal": q_seasonal})
 _EXTENSION_ORACLES.update({"seasonal": SQL_SEASONAL})
+
+
+def q_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded Bellman-Ford (`operators/graph.py:weighted_paths`):
+    cheapest 3-hop cost from every node of a pruned undirected trade
+    graph (customers < 100, suppliers < 20; edge weight = the pair's
+    min line quantity) to supplier node 1.  Oracle: DuckDB recursive
+    path enumeration with the same hop cap, min(cost) per node — every
+    relaxation round must equal one more edge of path freedom."""
+    from database_transportor_spark.operators.graph import weighted_paths
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_custkey") < 100) & (F.col("l_suppkey") < 20))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("double")).alias("weight"))
+    )
+    out = weighted_paths(e, [1], directed=False, hops=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("landmark").cast("long").alias("landmark"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+SQL_CHEAPEST_PATHS = """
+WITH RECURSIVE d AS (
+    SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+           CAST(min(l.l_quantity) AS DOUBLE) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey < 100 AND l.l_suppkey < 20
+    GROUP BY 1, 2
+), e AS (
+    SELECT src, dst, w FROM d
+    UNION ALL
+    SELECT dst, src, w FROM d
+), r(node, dist, hops) AS (
+    SELECT CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+    UNION ALL
+    SELECT e.src, r.dist + e.w, r.hops + 1
+    FROM r JOIN e ON e.dst = r.node
+    WHERE r.hops < 3
+)
+SELECT node, CAST(1 AS BIGINT) AS landmark,
+       CAST(round(min(dist), 6) AS DOUBLE) AS dist
+FROM r GROUP BY node
+"""
+
+
+_EXTENSION_QUERIES.update({"cheapest_paths": q_cheapest_paths})
+_EXTENSION_ORACLES.update({"cheapest_paths": SQL_CHEAPEST_PATHS})

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .pins import pin
 
 __all__ = ["degrees", "symmetrize", "pagerank", "triangle_count",
-           "shortest_paths", "label_propagation"]
+           "shortest_paths", "label_propagation", "weighted_paths"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -349,3 +349,71 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def weighted_paths(
+    edges: DataFrame,
+    landmarks: list,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    directed: bool = True,
+    hops: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hop-bounded Bellman-Ford: cheapest path cost from every node TO
+    each landmark over at most ``hops`` edges, following edge direction.
+    Returns ``(node, landmark, dist)``; unreachable-within-``hops``
+    pairs are absent.  Non-negative weights are NOT required for
+    correctness of the hop-bounded semantic (each round relaxes exactly
+    one more edge), but negative cycles make the unbounded problem
+    ill-defined — the hop bound is the contract, as in SQL recursive
+    implementations.
+
+    Per round: one edges-vs-dist equi-join proposing ``dist + w``, one
+    min-aggregate merging proposals with the standing distances — the
+    shuffle carries (node, landmark) rows, never paths.  Fixed ``hops``
+    rounds, no convergence action (pair with a caller loop when early
+    stop matters); lineage truncated per round.  BFS
+    (:func:`shortest_paths`) is the weight-1 special case with a
+    cheaper frontier/anti-join plan — prefer it when weights are
+    uniform.
+    """
+    if not landmarks:
+        raise ValueError("weighted_paths: at least one landmark required")
+    if hops < 1:
+        raise ValueError(f"weighted_paths: hops must be >= 1, got {hops}")
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    # parallel edges: keep the cheapest — relaxation only ever uses it
+    e = (
+        e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(lm, lm, 0.0) for lm in landmarks], ["node", "landmark", "dist"]
+    ).localCheckpoint(eager=True)
+    for _ in range(hops):
+        cand = (
+            e.join(dist, e.dst == dist.node)
+            .select(
+                F.col("src").alias("node"),
+                "landmark",
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node", "landmark")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.withColumn("dist", F.round("dist", round_to))

@@ -80,6 +80,7 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "audio_dups", "id_col": ..., "content_col": ..., "max_hamming": 6}
     {"op": "shortest_paths", "landmarks": [...], "src": ..., "dst": ...,
      "directed": True, "max_iterations": 20}
+    {"op": "weighted_paths", "landmarks": [...], "weight": ..., "hops": 10}
     {"op": "label_propagation", "src": ..., "dst": ..., "iterations": 5}
     {"op": "edit_join", "id_col": ..., "text_col": ..., "max_distance": 2,
      "table": "<other table, optional — self-join when omitted>"}
@@ -1212,4 +1213,20 @@ def _edit_join(df: DataFrame, p: dict) -> DataFrame:
         max_distance=p.get("max_distance", 2),
         n=p.get("n", 3),
         max_df=p.get("max_df"),
+    )
+
+
+@register_post_op("weighted_paths")
+def _weighted_paths(df: DataFrame, p: dict) -> DataFrame:
+    # hop-bounded Bellman-Ford cheapest paths; see operators/graph.py
+    from .graph import weighted_paths
+
+    return weighted_paths(
+        df,
+        landmarks=p["landmarks"],
+        src=p.get("src", "src"),
+        dst=p.get("dst", "dst"),
+        weight=p.get("weight", "weight"),
+        directed=p.get("directed", True),
+        hops=p.get("hops", 10),
     )

@@ -321,3 +321,51 @@ class TestLabelPropagation:
         # after odd/even swaps each node carries the other's start label
         # or its own — only these two labels exist
         assert {l for _, l in a} <= {5, 6}
+
+
+class TestWeightedPaths:
+    def test_cheapest_beats_fewest_hops(self, spark):
+        from database_transportor_spark.operators.graph import weighted_paths
+
+        # 1->3 direct costs 10; 1->2->3 costs 3
+        edges = spark.createDataFrame(
+            [(1, 3, 10.0), (1, 2, 1.0), (2, 3, 2.0)],
+            "src long, dst long, weight double",
+        )
+        got = {r["node"]: r["dist"] for r in
+               weighted_paths(edges, [3], hops=3).collect()}
+        assert got == {3: 0.0, 2: 2.0, 1: 3.0}
+
+    def test_hop_bound_is_the_contract(self, spark):
+        from database_transportor_spark.operators.graph import weighted_paths
+
+        edges = spark.createDataFrame(
+            [(1, 3, 10.0), (1, 2, 1.0), (2, 3, 2.0)],
+            "src long, dst long, weight double",
+        )
+        got = {r["node"]: r["dist"] for r in
+               weighted_paths(edges, [3], hops=1).collect()}
+        assert got == {3: 0.0, 2: 2.0, 1: 10.0}  # 2-hop shortcut not yet relaxed
+
+    def test_parallel_edges_and_undirected(self, spark):
+        from database_transportor_spark.operators.graph import weighted_paths
+
+        edges = spark.createDataFrame(
+            [(1, 2, 5.0), (1, 2, 2.0)], "src long, dst long, weight double"
+        )
+        got = {r["node"]: r["dist"] for r in
+               weighted_paths(edges, [1], directed=False, hops=2).collect()}
+        assert got == {1: 0.0, 2: 2.0}
+
+    def test_guards(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.graph import weighted_paths
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0)], "src long, dst long, weight double"
+        )
+        with pytest.raises(ValueError, match="landmark"):
+            weighted_paths(edges, [])
+        with pytest.raises(ValueError, match="hops"):
+            weighted_paths(edges, [1], hops=0)
