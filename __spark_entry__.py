@@ -8818,3 +8818,64 @@ FROM r GROUP BY node
 
 _EXTENSION_QUERIES.update({"cheapest_paths": q_cheapest_paths})
 _EXTENSION_ORACLES.update({"cheapest_paths": SQL_CHEAPEST_PATHS})
+
+
+def q_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping report over a clustered layout
+    (`operators/maintenance.py:file_stats`/`pruning_report`): lineitem
+    rewritten into 10 range-bucketed files (one file per bucket by
+    construction), then the report counts how many files a min/max
+    zone-map reader skips for `l_orderkey BETWEEN 1000 AND 2000`.
+    Because file ↔ bucket is 1:1, the oracle reproduces the exact
+    numbers from plain SQL over the same bucket expression — the
+    layout-physics claim (clustering ⇒ ~9/10 files skipped) becomes a
+    value-checked contract."""
+    import tempfile
+
+    from database_transportor_spark.operators.maintenance import (
+        pruning_report,
+    )
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    w = l.agg((F.floor(F.max("l_orderkey") / 10) + 1).alias("w")).first()["w"]
+    out = tempfile.mkdtemp(prefix="zone_prune_")
+    (
+        l.withColumn("bucket", F.floor(F.col("l_orderkey") / F.lit(int(w))))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return pruning_report(back, "l_orderkey", 1000, 2000).select(
+        F.col("files_total").cast("long").alias("files_total"),
+        F.col("files_skippable").cast("long").alias("files_skippable"),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_skippable").cast("long").alias("rows_skippable"),
+    )
+
+
+SQL_ZONE_PRUNE = """
+WITH m AS (
+    SELECT CAST(floor(max(l_orderkey) / 10) + 1 AS BIGINT) AS w
+    FROM lineitem
+), b AS (
+    SELECT CAST(floor(l_orderkey / m.w) AS BIGINT) AS bucket, l_orderkey
+    FROM lineitem, m
+), s AS (
+    SELECT bucket, count(*) AS n,
+           min(l_orderkey) AS mn, max(l_orderkey) AS mx
+    FROM b GROUP BY bucket
+)
+SELECT CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN mx < 1000 OR mn > 2000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_skippable,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN mx < 1000 OR mn > 2000 THEN n ELSE 0 END)
+            AS BIGINT) AS rows_skippable
+FROM s
+"""
+
+
+_EXTENSION_QUERIES.update({"zone_prune": q_zone_prune})
+_EXTENSION_ORACLES.update({"zone_prune": SQL_ZONE_PRUNE})

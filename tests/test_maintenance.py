@@ -209,3 +209,62 @@ def test_null_patterns_counts_and_shares(spark):
 
     with _pytest.raises(ValueError):
         null_patterns(df, cols=[])
+
+
+# ---------------------------------------------------------------------------
+# File-level zone maps + data-skipping report
+# ---------------------------------------------------------------------------
+
+class TestFileStats:
+    def _layout(self, spark, tmp_path, clustered):
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+        out = str(tmp_path / ("c" if clustered else "u"))
+        if clustered:
+            df.repartitionByRange(10, "k").write.parquet(out)
+        else:
+            df.repartition(10).write.parquet(out)  # round-robin: full overlap
+        return spark.read.parquet(out)
+
+    def test_file_stats_shape(self, spark, tmp_path):
+        from database_transportor_spark.operators.maintenance import (
+            file_stats,
+        )
+
+        d = self._layout(spark, tmp_path, clustered=True)
+        rows = file_stats(d, ["k"]).collect()
+        assert len(rows) == 10
+        assert sum(r["n_rows"] for r in rows) == 10_000
+        assert all(r["k_min"] <= r["k_max"] for r in rows)
+        assert all(r["k_nulls"] == 0 for r in rows)
+
+    def test_clustered_layout_prunes_unclustered_does_not(self, spark, tmp_path):
+        from database_transportor_spark.operators.maintenance import (
+            pruning_report,
+        )
+
+        clustered = self._layout(spark, tmp_path, clustered=True)
+        r = pruning_report(clustered, "k", 100, 200).collect()[0]
+        assert r["files_total"] == 10
+        # range-partitioned: every file but the one covering [100, 200]
+        # has a disjoint envelope
+        assert r["files_skippable"] >= 8
+        shuffled = self._layout(spark, tmp_path, clustered=False)
+        r2 = pruning_report(shuffled, "k", 100, 200).collect()[0]
+        assert r2["files_skippable"] == 0  # every file spans ~the full range
+
+    def test_null_only_file_is_skippable(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from database_transportor_spark.operators.maintenance import (
+            pruning_report,
+        )
+
+        out = str(tmp_path / "n")
+        spark.range(0, 10).select(
+            F.lit(None).cast("long").alias("k")
+        ).coalesce(1).write.parquet(out)
+        d = spark.read.parquet(out)
+        r = pruning_report(d, "k", 0, 5).collect()[0]
+        assert r["files_total"] == 1 and r["files_skippable"] == 1
