@@ -8879,3 +8879,62 @@ FROM s
 
 _EXTENSION_QUERIES.update({"zone_prune": q_zone_prune})
 _EXTENSION_ORACLES.update({"zone_prune": SQL_ZONE_PRUNE})
+
+
+def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only PNG metadata extraction
+    (`operators/multimodal.py:png_metadata`): every document gets a real
+    PNG with planted tEXt chunks (generator/license derived from
+    doc_id); the extractor walks the chunk directory without ever
+    inflating IDAT, and the projection pulls typed fields out of the
+    metadata map.  Oracle: the closed-form planted values."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        encode_png, png_metadata,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_png(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 2 + d % 5, 3 + d % 4
+                arr = np.full((h, w, 1), d % 251, dtype=np.uint8)
+                out.append(encode_png(arr, text={
+                    "Software": f"gen-{d % 7}",
+                    "Copyright": "cc-by" if d % 3 == 0 else "unknown",
+                }))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_png, schema)
+    meta = png_metadata(media)
+    return meta.select(
+        "doc_id", "width", "height",
+        F.col("meta")["Software"].alias("software"),
+        F.col("meta")["Copyright"].alias("license"),
+    )
+
+
+SQL_PNG_META = """
+SELECT doc_id,
+       CAST(3 + doc_id % 4 AS BIGINT) AS width,
+       CAST(2 + doc_id % 5 AS BIGINT) AS height,
+       'gen-' || CAST(doc_id % 7 AS VARCHAR) AS software,
+       CASE WHEN doc_id % 3 = 0 THEN 'cc-by' ELSE 'unknown' END AS license
+FROM documents
+"""
+
+
+_EXTENSION_QUERIES.update({"png_meta": q_png_meta})
+_EXTENSION_ORACLES.update({"png_meta": SQL_PNG_META})

@@ -48,6 +48,7 @@ __all__ = [
     "jpeg_dimensions",
     "resize_image",
     "sample_frames",
+    "png_metadata",
 ]
 
 #: typed metadata carried alongside the opaque payload
@@ -115,10 +116,14 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def encode_png(arr) -> bytes:
+def encode_png(arr, text: dict | None = None) -> bytes:
     """Encode an ``(h, w)`` or ``(h, w, channels)`` uint8 numpy array as a
     real PNG (filter 0, zlib stream) — pure stdlib, used by the round-trip
-    tests and available to sinks that need genuine image bytes."""
+    tests and available to sinks that need genuine image bytes.
+
+    ``text`` writes standard ``tEXt`` metadata chunks (keyword →
+    latin-1 value, spec-compliant 1-79-char keywords), readable back by
+    :func:`png_metadata` and by any compliant viewer."""
     import struct
     import zlib
 
@@ -138,9 +143,16 @@ def encode_png(arr) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    texts = b""
+    for k, v in (text or {}).items():
+        kb = str(k).encode("latin-1")
+        if not 1 <= len(kb) <= 79 or b"\x00" in kb:
+            raise ValueError(f"encode_png: invalid tEXt keyword {k!r}")
+        texts += chunk(b"tEXt", kb + b"\x00" + str(v).encode("latin-1"))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + texts
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -1071,3 +1083,95 @@ def decode_video_frames(
             ])
 
     return df.select(id_col, content_col).mapInPandas(sample, schema)
+
+
+def png_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    errors: str = "raise",
+) -> DataFrame:
+    """Extract PNG header + ``tEXt``/``zTXt`` metadata WITHOUT decoding
+    pixels: ``(id, width, height, channels, meta map<string,string>)``.
+
+    A training pipeline routinely filters scraped images on embedded
+    metadata (generator tags, copyright, software) before paying for a
+    decode — this walk reads only the chunk directory (IHDR + text
+    chunks; IDAT is skipped wholesale), so it costs header bytes, not
+    pixel bytes.  ``zTXt`` values are zlib-inflated (the real format);
+    non-latin-1 ``iTXt`` is skipped (needs utf-8 handling per spec —
+    keys are reported with a ``itxt:`` prefix and empty value so their
+    presence is still visible).  ``errors`` as in :func:`decode_image`.
+    """
+    if errors not in ("raise", "skip", "null"):
+        raise ValueError(f"png_metadata: errors must be raise|skip|null, got {errors!r}")
+    from pyspark.sql.types import MapType, StringType
+
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ])
+
+    def walk(b: bytes):
+        import struct
+        import zlib
+
+        if b[:8] != _PNG_SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos, meta, dims = 8, {}, None
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            tag = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, _depth, ctype, _c, _f, _i = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                dims = (w, h, _PNG_CHANNELS.get(ctype))
+            elif tag == b"tEXt":
+                k, _, v = data.partition(b"\x00")
+                meta[k.decode("latin-1")] = v.decode("latin-1")
+            elif tag == b"zTXt":
+                k, _, rest = data.partition(b"\x00")
+                if rest[:1] == b"\x00":  # compression method 0 = zlib
+                    meta[k.decode("latin-1")] = zlib.decompress(
+                        rest[1:]
+                    ).decode("latin-1")
+            elif tag == b"iTXt":
+                k, _, _rest = data.partition(b"\x00")
+                meta["itxt:" + k.decode("latin-1")] = ""
+            elif tag == b"IEND":
+                break
+        if dims is None:
+            raise ValueError("truncated PNG (missing IHDR)")
+        return dims, meta
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, metas = [], [], [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    (w, h, ch), meta = walk(bytes(content))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    if errors == "skip":
+                        continue
+                    w = h = ch = None
+                    meta = None
+                ids.append(doc_id)
+                ws.append(w); hs.append(h); chs.append(ch)
+                metas.append(meta)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "width": pd.Series(ws, dtype="object"),
+                "height": pd.Series(hs, dtype="object"),
+                "channels": pd.Series(chs, dtype="object"),
+                "meta": pd.Series(metas, dtype="object"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema)

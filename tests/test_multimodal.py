@@ -455,3 +455,71 @@ def test_decode_video_frames_avi_tier(spark):
     strided = decode_video_frames(df, stride=2, max_frames=1).collect()
     assert sorted((r["doc_id"], r["frame_idx"]) for r in strided) == [
         (1, 0), (2, 0), (3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# PNG metadata (tEXt / zTXt) extraction
+# ---------------------------------------------------------------------------
+
+class TestPngMetadata:
+    def test_text_round_trip(self, spark):
+        import numpy as np
+
+        from database_transportor_spark.operators.multimodal import (
+            encode_png, png_metadata,
+        )
+
+        arr = np.zeros((4, 5, 1), dtype=np.uint8)
+        png = encode_png(arr, text={"Title": "hello", "Software": "dbt"})
+        df = spark.createDataFrame(
+            [(1, bytearray(png))], "doc_id long, content binary"
+        )
+        r = png_metadata(df).collect()[0]
+        assert (r["width"], r["height"], r["channels"]) == (5, 4, 1)
+        assert r["meta"] == {"Title": "hello", "Software": "dbt"}
+
+    def test_ztxt_and_no_pixel_decode(self, spark):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from database_transportor_spark.operators.multimodal import (
+            encode_png, png_metadata,
+        )
+
+        png = encode_png(np.zeros((2, 2, 1), dtype=np.uint8))
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ztxt = chunk(b"zTXt", b"Comment\x00\x00" + zlib.compress(b"deep"))
+        # splice the zTXt before IEND; ALSO corrupt the IDAT payload —
+        # metadata extraction must not touch pixel data
+        iend = png[-12:]
+        corrupted = png[:33] + ztxt + b"\x00" * 20 + iend
+        df = spark.createDataFrame(
+            [(1, bytearray(corrupted))], "doc_id long, content binary"
+        )
+        r = png_metadata(df).collect()[0]
+        assert r["meta"]["Comment"] == "deep"
+
+    def test_errors_modes_and_keyword_guard(self, spark):
+        import numpy as np
+        import pytest
+
+        from database_transportor_spark.operators.multimodal import (
+            encode_png, png_metadata,
+        )
+
+        with pytest.raises(ValueError, match="keyword"):
+            encode_png(np.zeros((1, 1, 1), np.uint8), text={"": "x"})
+        df = spark.createDataFrame(
+            [(1, b"garbage")], "doc_id long, content binary"
+        )
+        with pytest.raises(Exception):
+            png_metadata(df).collect()
+        assert png_metadata(df, errors="skip").count() == 0
+        r = png_metadata(df, errors="null").collect()[0]
+        assert r["width"] is None and r["meta"] is None
