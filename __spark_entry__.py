@@ -8938,3 +8938,68 @@ FROM documents
 
 _EXTENSION_QUERIES.update({"png_meta": q_png_meta})
 _EXTENSION_ORACLES.update({"png_meta": SQL_PNG_META})
+
+
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curves
+    (`operators/experiment.py:kaplan_meier`): per line-status curves
+    over duration = quantity with return ('R') as the event — the
+    at-risk bookkeeping (censored rows leave the risk set without a
+    step) and the exp∘sum∘log product are mirrored exactly by the
+    oracle's window SQL, including the everyone-dies zeroing."""
+    from database_transportor_spark.operators.experiment import (
+        kaplan_meier,
+    )
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("d"),
+        (F.col("l_returnflag") == "R").alias("e"),
+    )
+    out = kaplan_meier(l, "d", "e", ["l_linestatus"])
+    return out.select(
+        "l_linestatus",
+        F.col("t").cast("long").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "survival",
+    )
+
+
+SQL_SURVIVAL = """
+WITH src AS (
+    SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS d,
+           (l_returnflag = 'R') AS e
+    FROM lineitem
+), per_t AS (
+    SELECT l_linestatus, d AS t,
+           sum(CASE WHEN e THEN 1 ELSE 0 END) AS n_events,
+           count(*) AS n_exits
+    FROM src GROUP BY 1, 2
+), risk AS (
+    SELECT *,
+           sum(n_exits) OVER (PARTITION BY l_linestatus)
+           - coalesce(sum(n_exits) OVER (
+                 PARTITION BY l_linestatus ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM per_t
+), curve AS (
+    SELECT *,
+           CASE WHEN max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY l_linestatus ORDER BY t) = 1
+                THEN 0.0
+                ELSE exp(sum(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk))
+                         OVER (PARTITION BY l_linestatus ORDER BY t))
+           END AS s
+    FROM risk
+)
+SELECT l_linestatus, t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(round(s, 6) AS DOUBLE) AS survival
+FROM curve WHERE n_events > 0
+"""
+
+
+_EXTENSION_QUERIES.update({"survival": q_survival})
+_EXTENSION_ORACLES.update({"survival": SQL_SURVIVAL})

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test", "linear_fit", "linear_fit_multi"]
+__all__ = ["ab_test", "linear_fit", "linear_fit_multi", "kaplan_meier"]
 
 PPM = 1_000_000
 
@@ -259,3 +259,67 @@ def linear_fit_multi(
             yield pd.DataFrame(rows, columns=names)
 
     return stats.mapInPandas(_solve, schema=out_fields)
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group: at each distinct EVENT
+    time ``t`` (times with only censored exits are folded into the risk
+    math but emit no step, the standard estimator)::
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    with ``d_i`` events at ``t_i`` and ``n_i`` subjects still at risk
+    (duration ≥ t_i).  ``event_col`` is boolean-ish: truthy = the event
+    occurred at ``duration``, falsy = censored then.  Output:
+    ``group…, t, n_risk, n_events, survival``.
+
+    Shape: one (group, duration) aggregate collapses the corpus to the
+    distinct-time table, then ordered windows over THAT (cumulative
+    exits for n_risk, cumulative Σlog(1−d/n) for the product via
+    exp∘sum∘log — Spark has no cumprod).  The everyone-dies time
+    (``d == n``) needs explicit zeroing: Spark's ``log(0)`` is NULL,
+    not −inf, and a NULL silently drops out of ``sum`` — so a
+    cumulative died-out flag pins survival to exactly 0 from that time
+    on.  All corpus-sized work is the one aggregate; windows run on
+    |distinct durations| rows per group.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    ev = F.when(F.col(event_col).cast("boolean"), 1).otherwise(0)
+    per_t = (
+        df.filter(F.col(duration_col).isNotNull())
+        .groupBy(*gcols, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(ev).alias("n_events"),
+            F.count("*").alias("n_exits"),
+        )
+    )
+    w = Window.partitionBy(*gcols).orderBy("t")
+    prior_exits = F.coalesce(
+        F.sum("n_exits").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("n_exits").over(Window.partitionBy(*gcols))
+    per_t = per_t.withColumn("n_risk", total - prior_exits)
+    died_out = F.max(
+        (F.col("n_events") == F.col("n_risk")).cast("int")
+    ).over(w) == 1
+    surv = F.when(died_out, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("n_events") / F.col("n_risk"))
+            ).over(w)
+        )
+    )
+    return (
+        per_t.withColumn("survival", F.round(surv, round_to))
+        .filter(F.col("n_events") > 0)
+        .select(*gcols, "t", "n_risk", "n_events", "survival")
+    )

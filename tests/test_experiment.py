@@ -125,3 +125,48 @@ def test_linear_fit_multi_ridge_and_empty_features(spark):
     # prediction quality is the contract (coefficients are non-unique)
     pred = r["intercept"] + r["coefficients"][0] * 10 + r["coefficients"][1] * 20
     assert abs(pred - 30.0) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        from database_transportor_spark.operators.experiment import (
+            kaplan_meier,
+        )
+
+        # classic toy: events at t=1 (1 of 5), t=3 (1 of 3); censored at
+        # t=2 and t=3; survivor at t=4
+        rows = [(1, True), (2, False), (3, True), (3, False), (4, False)]
+        df = spark.createDataFrame(rows, "d long, e boolean")
+        out = {r["t"]: r for r in kaplan_meier(df, "d", "e").collect()}
+        assert set(out) == {1, 3}
+        assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+        assert abs(out[1]["survival"] - 0.8) < 1e-9
+        # at t=3: risk set = 3 (t=2 censor gone), one event
+        assert out[3]["n_risk"] == 3
+        assert abs(out[3]["survival"] - 0.8 * (2 / 3)) < 1e-6
+
+    def test_full_death_hits_zero_and_stays(self, spark):
+        from database_transportor_spark.operators.experiment import (
+            kaplan_meier,
+        )
+
+        rows = [(1, True), (2, True)]
+        df = spark.createDataFrame(rows, "d long, e boolean")
+        out = {r["t"]: r["survival"] for r in
+               kaplan_meier(df, "d", "e").collect()}
+        assert abs(out[1] - 0.5) < 1e-9 and out[2] == 0.0
+
+    def test_groups_isolated(self, spark):
+        from database_transportor_spark.operators.experiment import (
+            kaplan_meier,
+        )
+
+        rows = [("a", 1, True), ("a", 2, False), ("b", 1, False)]
+        df = spark.createDataFrame(rows, "g string, d long, e boolean")
+        out = kaplan_meier(df, "d", "e", ["g"]).collect()
+        assert len(out) == 1 and out[0]["g"] == "a"
+        assert abs(out[0]["survival"] - 0.5) < 1e-9
