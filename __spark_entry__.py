@@ -9003,3 +9003,57 @@ FROM curve WHERE n_events > 0
 
 _EXTENSION_QUERIES.update({"survival": q_survival})
 _EXTENSION_ORACLES.update({"survival": SQL_SURVIVAL})
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage
+    (`operators/text.py:vocab_coverage`): occurrences and distinct
+    types covered by the same top-500/min-df-2 vocabulary
+    `build_vocab` produces — the OOV-rate readout a pipeline checks
+    before freezing a tokenizer.  Exact integers; oracle recomputes
+    both the vocabulary and the coverage in SQL."""
+    from database_transportor_spark.operators.text import (
+        build_vocab, vocab_coverage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, min_df=2, max_vocab=500)
+    return vocab_coverage(docs, vocab)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+), toks_ne AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), counts AS (
+    SELECT token, count(*) AS tf
+    FROM toks_ne GROUP BY token
+    HAVING count(DISTINCT doc_id) >= 2
+), vocab AS (
+    SELECT token FROM counts ORDER BY tf DESC, token ASC LIMIT 500
+), marked AS (
+    SELECT t.doc_id, t.token, (v.token IS NOT NULL) AS covered
+    FROM toks_ne t LEFT JOIN vocab v ON v.token = t.token
+), per_doc AS (
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN covered THEN 1 ELSE 0 END) AS n_covered,
+           count(DISTINCT token) AS n_types,
+           count(DISTINCT CASE WHEN covered THEN token END)
+               AS n_types_covered
+    FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+       CAST(coalesce(n_types_covered, 0) AS BIGINT) AS n_types_covered
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+_EXTENSION_QUERIES.update({"vocab_coverage": q_vocab_coverage})
+_EXTENSION_ORACLES.update({"vocab_coverage": SQL_VOCAB_COVERAGE})

@@ -47,6 +47,7 @@ __all__ = [
     "char_entropy",
     "inverted_index",
     "STOPWORDS",
+    "vocab_coverage",
 ]
 
 #: Small per-language stopword lists for the heuristic language ID.
@@ -1011,3 +1012,49 @@ def inverted_index(
         )
     )
     return dfreq.join(capped, "term")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document vocabulary coverage — the tokenizer-evaluation
+    metric a pipeline checks before committing to a vocab: what
+    fraction of each document's token OCCURRENCES (and distinct types)
+    the vocabulary covers.  Output: ``id, n_tokens, n_covered,
+    n_types, n_types_covered`` — exact integers, ratios are the
+    caller's division so the result stays engine-portable.
+
+    Shape: explode + ONE broadcast left-semi-style join against the
+    vocabulary (vocab tables are ≤ a few 100k rows — always broadcast)
+    + one groupBy(id) with map-side combine.  Zero-token documents
+    survive with all-zero counts (left join from the doc table).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).filter(F.col("__t") != "")
+    v = F.broadcast(vocab.select(F.col(token_col).alias("__t")).distinct()
+                    .withColumn("__in", F.lit(1)))
+    marked = toks.join(v, "__t", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce("__in", F.lit(0))).alias("n_covered"),
+        F.count_distinct("__t").alias("n_types"),
+        F.count_distinct(F.when(F.col("__in") == 1, F.col("__t")))
+        .alias("n_types_covered"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("n_tokens", "n_covered", "n_types",
+                          "n_types_covered")
+            ],
+        )
+    )

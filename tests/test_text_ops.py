@@ -270,3 +270,26 @@ def test_dedup_paragraphs_keep_rejects_unknown(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="keep"):
         dedup_paragraphs(df, keep="last")
+
+
+class TestVocabCoverage:
+    def test_counts_and_zero_token_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_transportor_spark.operators.text import (
+            vocab_coverage,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c"), (2, "x y"), (3, "")],
+            "doc_id long, text string",
+        )
+        vocab = spark.createDataFrame([("a",), ("x",)], "token string")
+        got = {r["doc_id"]: r for r in
+               vocab_coverage(docs, vocab).collect()}
+        assert got[1]["n_tokens"] == 4 and got[1]["n_covered"] == 2
+        assert got[1]["n_types"] == 3 and got[1]["n_types_covered"] == 1
+        assert got[2]["n_covered"] == 1
+        assert tuple(got[3][c] for c in
+                     ("n_tokens", "n_covered", "n_types",
+                      "n_types_covered")) == (0, 0, 0, 0)
