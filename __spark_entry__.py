@@ -9057,3 +9057,51 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 
 _EXTENSION_QUERIES.update({"vocab_coverage": q_vocab_coverage})
 _EXTENSION_ORACLES.update({"vocab_coverage": SQL_VOCAB_COVERAGE})
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (`operators/corpus.py:quantile_bin`):
+    per-returnflag price quartiles with exact interpolated thresholds,
+    aggregated to (flag, bucket) counts plus each bucket's exact price
+    span.  Oracle: DuckDB reproduces the thresholds with
+    `percentile_cont` (both engines compute exact linear-interpolation
+    percentiles) and the same threshold-count bucketing."""
+    from database_transportor_spark.operators.corpus import quantile_bin
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    binned = quantile_bin(l, "l_extendedprice", 4,
+                          group_cols=["l_returnflag"])
+    return binned.groupBy("l_returnflag", "bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+SQL_QUANTILE_BINS = """
+WITH q AS (
+    SELECT l_returnflag,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS q2,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+    FROM lineitem GROUP BY 1
+), b AS (
+    SELECT l.l_returnflag, l.l_extendedprice,
+           (CASE WHEN q.q1 <= l.l_extendedprice THEN 1 ELSE 0 END
+            + CASE WHEN q.q2 <= l.l_extendedprice THEN 1 ELSE 0 END
+            + CASE WHEN q.q3 <= l.l_extendedprice THEN 1 ELSE 0 END)
+               AS bucket
+    FROM lineitem l JOIN q USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM b GROUP BY 1, 2
+"""
+
+
+_EXTENSION_QUERIES.update({"quantile_bins": q_quantile_bins})
+_EXTENSION_ORACLES.update({"quantile_bins": SQL_QUANTILE_BINS})

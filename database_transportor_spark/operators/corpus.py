@@ -49,6 +49,7 @@ __all__ = [
     "quantile_bins",
     "detect_pii",
     "PII_PATTERNS",
+    "quantile_bin",
 ]
 
 KNUTH = 2654435761  # 2^32 * golden ratio conjugate; classic multiplicative mix
@@ -1003,3 +1004,47 @@ def corpus_report(
         )
         .drop("__top_cnt")
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Quantile bucketing: assign each row the index (0-based) of its
+    per-group quantile bin — the feature-discretization step before
+    curriculum ordering, stratified sampling, or monotone-binned
+    models.  Bucket ``i`` holds values in ``[q_{i/n}, q_{(i+1)/n})``
+    with EXACT interpolated percentile thresholds, so the semantic is
+    value-based (ties land in the same bucket), unlike ``ntile`` which
+    splits equal ROW counts and tears ties apart nondeterministically.
+
+    Scale shape: same as :func:`winsorize` — one sort-based percentile
+    aggregate (one row per group) broadcast back, then a narrow
+    projection counting thresholds ≤ the value.  NULL values get NULL
+    buckets; rows with NULL group keys survive via the LEFT join.
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"quantile_bin: n_buckets must be >= 2, got {n_buckets}"
+        )
+    gcols = list(group_cols or [])
+    probs = F.array(*[
+        F.lit(i / n_buckets) for i in range(1, n_buckets)
+    ])
+    bounds = df.groupBy(*gcols).agg(
+        F.percentile(value_col, probs).alias("__qs")
+    )
+    if gcols:
+        joined = df.join(F.broadcast(bounds), gcols, "left")
+    else:
+        joined = df.join(F.broadcast(bounds))
+    x = F.col(value_col).cast("double")
+    bucket = F.size(F.filter("__qs", lambda q: q <= x))
+    return joined.withColumn(
+        out_col,
+        F.when(x.isNull(), F.lit(None).cast("long"))
+        .otherwise(bucket.cast("long")),
+    ).drop("__qs")

@@ -548,3 +548,49 @@ def test_corpus_report_no_lang(spark):
     df = spark.createDataFrame([(1, "a b", 3)], ["doc_id", "text", "n_chars"])
     r = corpus_report(df, lang_col=None).collect()[0]
     assert "top_lang" not in r.asDict() and r["total_tokens"] == 2
+
+
+class TestQuantileBin:
+    def test_value_based_buckets_and_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_transportor_spark.operators.corpus import (
+            quantile_bin,
+        )
+
+        df = spark.range(0, 100).select(
+            F.col("id").cast("double").alias("x")
+        )
+        out = quantile_bin(df, "x", 4)
+        got = {r["x"]: r["bucket"] for r in out.collect()}
+        # exact interpolated quartiles of 0..99: 24.75 / 49.5 / 74.25
+        assert got[0.0] == 0 and got[24.0] == 0
+        assert got[25.0] == 1 and got[49.0] == 1
+        assert got[50.0] == 2 and got[74.0] == 2
+        assert got[75.0] == 3 and got[99.0] == 3
+
+    def test_grouped_and_nulls(self, spark):
+        from database_transportor_spark.operators.corpus import (
+            quantile_bin,
+        )
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+                ("b", 100.0), ("b", 200.0), (None, 5.0), ("a", None)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = quantile_bin(df, "x", 2, group_cols=["g"])
+        assert out.count() == 8  # NULL group + NULL value rows survive
+        got = {(r["g"], r["x"]): r["bucket"] for r in out.collect()}
+        assert got[("a", 1.0)] == 0 and got[("a", 4.0)] == 1
+        assert got[("b", 100.0)] == 0 and got[("b", 200.0)] == 1
+        assert got[("a", None)] is None
+
+    def test_guard(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.corpus import (
+            quantile_bin,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="n_buckets"):
+            quantile_bin(df, "x", 1)
