@@ -8558,8 +8558,9 @@ def q_approx_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled by the Horvitz-Thompson estimator, with 4-sigma CLT
     intervals.  Contract oracle: the EXACT aggregates (computed
     independently) plus flags asserting each interval covers the truth
-    and the estimate sits within 10% of it — the sample is
-    seed-deterministic, so the flags are stable."""
+    and the count estimate sits within a 4.5-sigma envelope of it — the
+    sample is seed-deterministic, so the flags are stable at any
+    fixture scale."""
     from database_transportor_spark.operators.sketches import approx_agg
 
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -8582,8 +8583,13 @@ def q_approx_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("exact_n") <= F.col("n_hi"))).alias("n_covered"),
             ((F.col("rev_lo") <= F.col("exact_rev"))
              & (F.col("exact_rev") <= F.col("rev_hi"))).alias("rev_covered"),
+            # sigma-scaled closeness: Var(est) = N(1-f)/f under
+            # Bernoulli(f), so a 4.5-sigma + slack bound holds at EVERY
+            # fixture scale (a fixed 10% bound is ~1.5 sigma at sf0.001
+            # and flaps)
             (F.abs(F.col("n") - F.col("exact_n"))
-             <= F.col("exact_n") * 0.1).alias("n_close"),
+             <= F.lit(4.5) * F.sqrt(F.col("exact_n") * 9.0) + 5)
+            .alias("n_close"),
         )
     )
 
