@@ -179,6 +179,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "runs": runs,
+        # Protocol note for round-over-round reads: since the round-6
+        # bench, every run drains operator cache pins after its terminal
+        # action (release_pins above), so each query pays its OWN cache
+        # builds.  Pre-round-6 artifacts let later queries ride caches
+        # built by earlier ones (ngram_jaccard timed 0.38 s only because
+        # the dedup family had already built its posting caches) — so
+        # totals across that boundary measure different protocols, not a
+        # code regression.
+        "protocol": "isolated: per-query pin drain + median of runs",
     }
     print(json.dumps(payload))
     # The driver's capture keeps only the TAIL of stdout, which truncates
