@@ -9111,3 +9111,40 @@ FROM b GROUP BY 1, 2
 
 _EXTENSION_QUERIES.update({"quantile_bins": q_quantile_bins})
 _EXTENSION_ORACLES.update({"quantile_bins": SQL_QUANTILE_BINS})
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (`operators/temporal.py:asof_join_forward`):
+    for every view, the NEXT purchase (at or after the view) by the
+    same user — time-to-convert attribution's other half.  DuckDB's
+    native ASOF with the inequality flipped is the oracle."""
+    from database_transportor_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    events = _read_events(spark, sf_dir)
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join_forward(views, purchases, "user_id", "ts")
+    return out.select("event_id", "user_id", "value", "purchase_value")
+
+
+SQL_ASOF_FORWARD = """
+SELECT v.event_id, v.user_id, v.value, p.purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2) p
+  ON v.user_id = p.user_id AND p.ts >= v.ts
+"""
+
+
+_EXTENSION_QUERIES.update({"asof_forward": q_asof_forward})
+_EXTENSION_ORACLES.update({"asof_forward": SQL_ASOF_FORWARD})

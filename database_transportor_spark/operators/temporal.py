@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "asof_join_forward",
     "range_join",
     "build_scd2",
     "rolling_agg",
@@ -922,3 +923,51 @@ def seasonal_decompose(
         )
         .drop("__rn", "__trend", "__phase", "__seasonal")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    tolerance: Column | str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward as-of join: for every left row, the EARLIEST right row
+    with ``right_ts >= left_ts`` sharing the key(s) — pandas
+    ``merge_asof(direction="forward")``; no match ⇒ NULLs.
+
+    Implemented by time negation over :func:`asof_join` (forward on t is
+    backward on −t), so it inherits the whole backward contract: the
+    single-sort scale shape, ``>=`` tie visibility, and the
+    deterministic payload-hash tiebreak among right rows sharing
+    (key, ts).  Timestamps negate via ``unix_micros``; numeric axes
+    negate directly.  ``tolerance`` bounds how far AHEAD the match may
+    be (string intervals are converted to microseconds on timestamp
+    axes).  The hot-key ``bucket`` escape hatch is backward-only — the
+    negated axis loses calendar alignment; pre-split hot keys upstream
+    if needed.
+    """
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    if "__negts" in left.columns or "__negts" in right.columns:
+        raise ValueError("asof_join_forward reserves column name '__negts'")
+    is_ts = isinstance(
+        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+    )
+
+    def neg(c: Column) -> Column:
+        return (-F.unix_micros(c)) if is_ts else (-c)
+
+    tol = tolerance
+    if tolerance is not None and is_ts:
+        t = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        tol = F.unix_micros(F.timestamp_micros(F.lit(0)) + t)
+    l2 = left.withColumn("__negts", neg(F.col(left_ts)))
+    r2 = right.withColumn("__negts", neg(F.col(rts)))
+    out = asof_join(l2, r2, keys, "__negts", "__negts",
+                    tolerance=tol, suffix=suffix)
+    return out.drop("__negts")

@@ -843,3 +843,57 @@ class TestSeasonalDecompose:
         df = spark.createDataFrame([("k", 1, 1.0)], "k string, t long, v double")
         with pytest.raises(ValueError, match="period"):
             seasonal_decompose(df, ["k"], "t", "v", period=1)
+
+
+class TestAsofForward:
+    def test_earliest_at_or_after_wins(self, spark):
+        from database_transportor_spark.operators.temporal import (
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame(
+            [("k", 10), ("k", 25), ("k", 40)], "k string, ts long"
+        )
+        right = spark.createDataFrame(
+            [("k", 10, "a"), ("k", 20, "b"), ("k", 30, "c")],
+            "k string, ts long, v string",
+        )
+        got = {r["ts"]: r["v"] for r in
+               asof_join_forward(left, right, "k", "ts").collect()}
+        # ties are visible (>=): ts=10 matches the right row AT 10
+        assert got == {10: "a", 25: "c", 40: None}
+
+    def test_tolerance_numeric_axis(self, spark):
+        from database_transportor_spark.operators.temporal import (
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame([("k", 0)], "k string, ts long")
+        right = spark.createDataFrame(
+            [("k", 100, "far")], "k string, ts long, v string"
+        )
+        near = asof_join_forward(left, right, "k", "ts",
+                                 tolerance=F.lit(50)).collect()[0]
+        assert near["v"] is None
+        far = asof_join_forward(left, right, "k", "ts",
+                                tolerance=F.lit(200)).collect()[0]
+        assert far["v"] == "far"
+
+    def test_timestamp_axis_with_interval_tolerance(self, spark):
+        from database_transportor_spark.operators.temporal import (
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame(
+            [("k", "2024-01-01 00:00:00")], "k string, ts string"
+        ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [("k", "2024-01-01 02:00:00", 7.0)],
+            "k string, ts string, v double",
+        ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+        hit = asof_join_forward(left, right, "k", "ts",
+                                tolerance="INTERVAL 3 HOUR").collect()[0]
+        assert hit["v"] == 7.0
+        miss = asof_join_forward(left, right, "k", "ts",
+                                 tolerance="INTERVAL 1 HOUR").collect()[0]
+        assert miss["v"] is None
