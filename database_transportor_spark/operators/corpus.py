@@ -1021,21 +1021,26 @@ def quantile_bin(
     value-based (ties land in the same bucket), unlike ``ntile`` which
     splits equal ROW counts and tears ties apart nondeterministically.
 
-    Scale shape: same as :func:`winsorize` — one sort-based percentile
-    aggregate (one row per group) broadcast back, then a narrow
-    projection counting thresholds ≤ the value.  NULL values get NULL
-    buckets; rows with NULL group keys survive via the LEFT join.
+    Scale shape: thresholds come from
+    :func:`~.sketches.grouped_percentiles_scalable` — exact interpolated
+    percentiles whose plan never buffers a whole group in one reducer
+    (Spark's ``percentile`` aggregate does, which measured 27× at x50 on
+    the 3-group price fixture) — broadcast back as one row per group,
+    then a narrow projection counts thresholds ≤ the value.  NULL
+    values get NULL buckets; rows with NULL group keys survive via the
+    LEFT join.
     """
     if n_buckets < 2:
         raise ValueError(
             f"quantile_bin: n_buckets must be >= 2, got {n_buckets}"
         )
+    from .sketches import grouped_percentiles_scalable
+
     gcols = list(group_cols or [])
-    probs = F.array(*[
-        F.lit(i / n_buckets) for i in range(1, n_buckets)
-    ])
-    bounds = df.groupBy(*gcols).agg(
-        F.percentile(value_col, probs).alias("__qs")
+    bounds = grouped_percentiles_scalable(
+        df, gcols, value_col,
+        [i / n_buckets for i in range(1, n_buckets)],
+        out_col="__qs",
     )
     if gcols:
         joined = df.join(F.broadcast(bounds), gcols, "left")

@@ -385,3 +385,69 @@ class TestApproxAgg:
             approx_agg(df, ["g"], {"m": ("avg", "x")}, fraction=0.5)
         with pytest.raises(ValueError, match="needs a column"):
             approx_agg(df, ["g"], {"m": ("sum", None)}, fraction=0.5)
+
+
+class TestScalablePercentiles:
+    def _check(self, spark, rows, probs, keys=["g"]):
+        from database_transportor_spark.operators.sketches import (
+            grouped_percentiles_scalable,
+        )
+
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            tuple(r[k] for k in keys): r["percentiles"]
+            for r in grouped_percentiles_scalable(
+                df, keys, "x", probs, coarse_bins=8
+            ).collect()
+        }
+        probs_arr = F.array(*[F.lit(p) for p in probs])
+        want = {
+            tuple(r[k] for k in keys): r["p"]
+            for r in df.groupBy(*keys)
+            .agg(F.percentile("x", probs_arr).alias("p"))
+            .collect()
+        }
+        for k, w in want.items():
+            g = got[k]
+            if w is None:
+                assert g is None or all(v is None for v in g)
+                continue
+            for a, b in zip(g, w):
+                assert (a is None and b is None) or abs(a - b) < 1e-9, (k, g, w)
+
+    def test_matches_spark_percentile_varied(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = [("a", float(rnd.randint(0, 100))) for _ in range(500)]
+        rows += [("b", rnd.uniform(-5, 5)) for _ in range(333)]
+        rows += [("c", 42.0)] * 17                      # constant group
+        rows += [("d", 1.0)]                            # single row
+        rows += [("e", float(v)) for v in (1, 1, 1, 1, 2, 9, 9, 9)]  # dup-heavy
+        self._check(spark, rows, [0.0, 0.25, 0.5, 0.9, 0.95, 1.0])
+
+    def test_all_null_group(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            grouped_percentiles_scalable,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("z", None)], "g string, x double"
+        )
+        got = {r["g"]: r["percentiles"] for r in
+               grouped_percentiles_scalable(df, ["g"], "x", [0.5]).collect()}
+        assert got["a"] == [1.0]
+        assert "z" not in got  # no non-null values -> no stats row
+
+    def test_guards(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.sketches import (
+            grouped_percentiles_scalable,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError, match="probabilities"):
+            grouped_percentiles_scalable(df, ["g"], "x", [])
+        with pytest.raises(ValueError, match="outside"):
+            grouped_percentiles_scalable(df, ["g"], "x", [1.5])
