@@ -8416,11 +8416,19 @@ def q_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = leaf.groupBy("l_returnflag").agg(hm[1]("h").alias("h"))
     est = hist_quantiles(merged, "h", [0.5, 0.95], lo, hi, bins=bins)
-    exact = l.groupBy("l_returnflag").agg(
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-        .alias("x50"),
-        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
-        .alias("x95"),
+    # exact contract side via the rank-locating plan — percentile_cont
+    # buffers each flag's 10M+ prices in one reducer at x50 (SCALE.md)
+    from database_transportor_spark.operators.sketches import (
+        grouped_percentiles_scalable,
+    )
+
+    exact = grouped_percentiles_scalable(
+        l, ["l_returnflag"], "l_extendedprice", [0.5, 0.95],
+        out_col="__p",
+    ).select(
+        "l_returnflag",
+        F.element_at("__p", 1).alias("x50"),
+        F.element_at("__p", 2).alias("x95"),
     )
     w = (hi - lo) / bins
     return (
