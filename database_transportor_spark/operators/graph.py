@@ -295,7 +295,11 @@ def shortest_paths(
         ).localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        known = known.unionAll(new).localCheckpoint(eager=True)
+        # the union stays LAZY: both operands are already materialized
+        # checkpoints, so the plan is a flat union tree over cached
+        # pieces — re-checkpointing here would rewrite the ENTIRE known
+        # table every round (O(rounds × |known|) extra materialization)
+        known = known.unionAll(new)
         frontier = new
     return known
 
