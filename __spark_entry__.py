@@ -9156,3 +9156,67 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS purchase_value
 
 _EXTENSION_QUERIES.update({"asof_forward": q_asof_forward})
 _EXTENSION_ORACLES.update({"asof_forward": SQL_ASOF_FORWARD})
+
+
+def q_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histograms as streaming state
+    (`streaming/events.py:stream_hist_agg` +
+    `operators/sketches.py:hist_measure`): per-(window, type) leaf
+    histograms computed under a watermark by a genuinely streamed
+    query (availableNow), then MERGED across windows to per-type
+    quantiles after the stream — no event replay.  Contract oracle:
+    exact per-type counts (carried by the merged histogram) plus flags
+    that the histogram p50/p95 land within one bin width of the exact
+    percentiles."""
+    import uuid
+
+    from database_transportor_spark.operators.sketches import (
+        grouped_percentiles_scalable,
+        hist_measure,
+        hist_quantiles,
+    )
+    from database_transportor_spark.streaming.events import (
+        stream_hist_agg,
+    )
+
+    lo, hi, bins = 0.0, 500.0, 100
+    snap = stream_hist_agg(
+        spark, f"{sf_dir}/events.parquet",
+        lo=lo, hi=hi, bins=bins,
+        sink_table=f"sh_{uuid.uuid4().hex[:8]}",
+    )
+    hm = hist_measure(lo, hi, bins=bins)
+    merged = snap.groupBy("event_type").agg(
+        hm[1]("hist").alias("hist"), F.sum("n").alias("n_events")
+    )
+    est = hist_quantiles(merged, "hist", [0.5, 0.95], lo, hi, bins=bins)
+    events = _read_events(spark, sf_dir)
+    exact = grouped_percentiles_scalable(
+        events, ["event_type"], "value", [0.5, 0.95], out_col="__p"
+    ).select(
+        "event_type",
+        F.element_at("__p", 1).alias("x50"),
+        F.element_at("__p", 2).alias("x95"),
+    )
+    w = (hi - lo) / bins
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.abs(F.col("p50") - F.col("x50")) <= w).alias("p50_ok"),
+            (F.abs(F.col("p95") - F.col("x95")) <= w).alias("p95_ok"),
+        )
+    )
+
+
+SQL_STREAM_HIST = """
+SELECT event_type, count(*) AS n_events,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_hist": q_stream_hist})
+_EXTENSION_ORACLES.update({"stream_hist": SQL_STREAM_HIST})

@@ -23,6 +23,7 @@ __all__ = [
     "stream_dedup_count",
     "stream_enrich_agg",
     "topn_per_key",
+    "stream_hist_agg",
 ]
 
 
@@ -489,6 +490,59 @@ def stream_enrich_agg(
             "min_value",
             "max_value",
         )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+@_scoped_nanos_conf
+def stream_hist_agg(
+    spark: SparkSession,
+    source_dir: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    bins: int = 100,
+    sink_table: str = "stream_hist",
+) -> DataFrame:
+    """Mergeable histograms as STREAMING state: per (window, key) the
+    leaf histogram from :func:`~..operators.sketches.hist_measure` plus
+    an exact count, computed under a watermark with ``availableNow``
+    and snapshotted by a memory sink.
+
+    This is the sketch-meets-streaming contract: the leaf is ordinary
+    conditional-sum aggregation, so Spark's streaming state store
+    carries one ``bins+2`` long-array per live window — bounded by the
+    watermark exactly like the plain windowed counts — and because the
+    merge is element-wise addition, window-level histograms roll up to
+    per-key (or global) quantiles AFTER the stream, without ever
+    replaying events.  Returns the snapshot: ``window_start, key,
+    hist, n``.
+    """
+    from ..operators.sketches import hist_measure
+
+    leaf, _merge = hist_measure(lo, hi, bins=bins)
+    stream = _stream_reader(spark, source_dir, ts_col)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w"), F.col(key_col))
+        .agg(
+            leaf(F.col(value_col)).alias("hist"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("__w.start").alias("window_start"), key_col,
+                "hist", "n")
     )
     q = (
         agg.writeStream.format("memory")

@@ -44,3 +44,45 @@ def test_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, p)
+
+
+def test_stream_hist_equals_batch_histogram(spark, tmp_path):
+    """The streamed leaf histograms, merged across windows, must equal
+    the batch histogram over the same events — sketch-in-streaming-state
+    round trip."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.sketches import hist_measure
+    from database_transportor_spark.streaming.events import stream_hist_agg
+
+    rows = [
+        (i, f"2024-01-01 {i % 4:02d}:15:00", "t" + str(i % 2), float(i % 50))
+        for i in range(200)
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    ).write.parquet(src)
+
+    hm = hist_measure(0.0, 50.0, bins=10)
+    snap = stream_hist_agg(
+        spark, src, lo=0.0, hi=50.0, bins=10,
+        sink_table=f"shx_{uuid.uuid4().hex[:8]}",
+    )
+    merged = {
+        r["event_type"]: list(r["h"])
+        for r in snap.groupBy("event_type")
+        .agg(hm[1]("hist").alias("h")).collect()
+    }
+    batch = {
+        r["event_type"]: list(r["h"])
+        for r in spark.read.parquet(src)
+        .groupBy("event_type").agg(hm[0]("value").alias("h")).collect()
+    }
+    assert merged == batch
+    assert sum(sum(v) for v in merged.values()) == 200
