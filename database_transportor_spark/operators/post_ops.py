@@ -84,6 +84,16 @@ Built-in stages (each a thin adapter over ``operators/``):
     {"op": "label_propagation", "src": ..., "dst": ..., "iterations": 5}
     {"op": "edit_join", "id_col": ..., "text_col": ..., "max_distance": 2,
      "table": "<other table, optional — self-join when omitted>"}
+    {"op": "seasonal_decompose", "keys": [...], "ts_col": ...,
+     "value_col": ..., "period": P}
+    {"op": "kaplan_meier", "duration_col": ..., "event_col": ...,
+     "group_cols": [...]}
+    {"op": "quantile_bin", "value_col": ..., "n_buckets": N,
+     "group_cols": [...]}
+    {"op": "vocab_coverage", "vocab_table": ..., "side": "original",
+     "text_col": "text", "id_col": "doc_id"}
+    {"op": "asof_refer_forward", "table": ..., "on": [...],
+     "left_ts": ..., "tolerance": ..., "select": [...]}
 
 Relational stages (the declarative analytics tier — the same generic
 relational algebra the Q-shaped queries compile to, so a spec can express
@@ -1229,4 +1239,82 @@ def _weighted_paths(df: DataFrame, p: dict) -> DataFrame:
         weight=p.get("weight", "weight"),
         directed=p.get("directed", True),
         hops=p.get("hops", 10),
+    )
+
+
+@register_post_op("seasonal_decompose")
+def _seasonal_decompose(df: DataFrame, p: dict) -> DataFrame:
+    # additive trend/seasonal/residual per key; see operators/temporal.py
+    from .temporal import seasonal_decompose
+
+    return seasonal_decompose(
+        df, p.get("keys", []), p["ts_col"], p["value_col"],
+        period=p["period"],
+    )
+
+
+@register_post_op("kaplan_meier")
+def _kaplan_meier(df: DataFrame, p: dict) -> DataFrame:
+    # KM survival curve per group; see operators/experiment.py
+    from .experiment import kaplan_meier
+
+    return kaplan_meier(
+        df, p["duration_col"], p["event_col"],
+        group_cols=p.get("group_cols"),
+    )
+
+
+@register_post_op("quantile_bin")
+def _quantile_bin(df: DataFrame, p: dict) -> DataFrame:
+    # exact-threshold quantile bucketing; see operators/corpus.py
+    from .corpus import quantile_bin
+
+    return quantile_bin(
+        df, p["value_col"], p["n_buckets"],
+        group_cols=p.get("group_cols"),
+        out_col=p.get("out_col", "bucket"),
+    )
+
+
+@register_post_op("vocab_coverage")
+def _vocab_coverage(df: DataFrame, p: dict) -> DataFrame:
+    # per-doc OOV readout vs a vocabulary table resolved through the
+    # engine catalog; see operators/text.py
+    from .text import vocab_coverage
+
+    resolve = p["_resolve"]
+    if resolve is None:
+        raise SpecError(
+            f"{p['_where']}: vocab_coverage needs the engine catalog "
+            f"resolver for its vocab table"
+        )
+    vocab = resolve(p.get("side", "original"), p["vocab_table"])
+    return vocab_coverage(
+        df, vocab,
+        text_col=p.get("text_col", "text"),
+        id_col=p.get("id_col", "doc_id"),
+        token_col=p.get("token_col", "token"),
+    )
+
+
+@register_post_op("asof_refer_forward")
+def _asof_forward_stage(df: DataFrame, p: dict) -> DataFrame:
+    # forward as-of attach against another table; see
+    # operators/temporal.py:asof_join_forward
+    from .temporal import asof_join_forward
+
+    resolve = p["_resolve"]
+    if resolve is None:
+        raise SpecError(
+            f"{p['_where']}: asof_refer_forward needs the engine catalog "
+            f"resolver"
+        )
+    right = resolve(p.get("side", "original"), p["table"])
+    if "select" in p:
+        right = right.selectExpr(*p["select"])
+    return asof_join_forward(
+        df, right, p["on"], p["left_ts"],
+        right_ts=p.get("right_ts"),
+        tolerance=p.get("tolerance"),
+        suffix=p.get("suffix", "_right"),
     )

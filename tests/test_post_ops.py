@@ -737,3 +737,65 @@ class TestRound6Stages:
                 "op": "edit_join", "id_col": "id", "text_col": "name",
                 "table": "other",
             }])
+
+
+class TestRound6LateStages:
+    def _apply(self, df, ops, resolve=None):
+        from database_transportor_spark.operators.post_ops import (
+            apply_post_ops,
+        )
+
+        return apply_post_ops(df, tuple(ops), "test", resolve=resolve)
+
+    def test_quantile_bin_and_km(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, True), (2.0, False), (3.0, True), (4.0, False)],
+            "x double, e boolean",
+        )
+        out = self._apply(df, [{"op": "quantile_bin", "value_col": "x",
+                                "n_buckets": 2}])
+        assert {r["bucket"] for r in out.collect()} == {0, 1}
+        km = self._apply(
+            df.selectExpr("CAST(x AS LONG) AS d", "e"),
+            [{"op": "kaplan_meier", "duration_col": "d", "event_col": "e"}],
+        )
+        assert km.count() == 2  # two event times
+
+    def test_seasonal_stage(self, spark):
+        rows = [("k", i, float(i % 3)) for i in range(9)]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        out = self._apply(df, [{
+            "op": "seasonal_decompose", "keys": ["k"], "ts_col": "t",
+            "value_col": "v", "period": 3,
+        }])
+        assert {"trend", "seasonal", "residual"} <= set(out.columns)
+
+    def test_vocab_and_asof_forward_resolve(self, spark):
+        import pytest
+
+        from database_transportor_spark.spec import SpecError
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        with pytest.raises(SpecError, match="resolver"):
+            self._apply(docs, [{"op": "vocab_coverage",
+                                "vocab_table": "v"}])
+        vocab = spark.createDataFrame([("a",)], "token string")
+        out = self._apply(
+            docs, [{"op": "vocab_coverage", "vocab_table": "v"}],
+            resolve=lambda side, t: vocab,
+        ).collect()[0]
+        assert out["n_tokens"] == 2 and out["n_covered"] == 1
+
+        left = spark.createDataFrame([("k", 1)], "k string, ts long")
+        right = spark.createDataFrame(
+            [("k", 5, "nxt")], "k string, ts long, v string"
+        )
+        got = self._apply(
+            left,
+            [{"op": "asof_refer_forward", "table": "r", "on": ["k"],
+              "left_ts": "ts"}],
+            resolve=lambda side, t: right,
+        ).collect()[0]
+        assert got["v"] == "nxt"
