@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from .pins import pin
 
 __all__ = ["degrees", "symmetrize", "pagerank", "triangle_count",
-           "shortest_paths", "label_propagation", "weighted_paths"]
+           "shortest_paths", "label_propagation", "weighted_paths",
+           "connected_components"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -421,3 +422,36 @@ def weighted_paths(
             .localCheckpoint(eager=True)
         )
     return dist.withColumn("dist", F.round("dist", round_to))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    max_local_edges: int = 5_000_000,
+) -> DataFrame:
+    """Connected components of an undirected edge list: ``(node,
+    cluster_id)`` with cluster_id = the minimum reachable node id.
+
+    Graph-API front door for the dual-strategy engine that near-dup
+    clustering uses (`operators/dedup.py:dedup_clusters`): driver
+    union-find for ids-only edge lists up to ``max_local_edges``,
+    distributed min-label propagation with pointer halving past it —
+    see that docstring for the 100 TB contract.  Every endpoint appears
+    in the output (isolated nodes of the edge list are their own
+    cluster).
+    """
+    from .dedup import dedup_clusters
+
+    vertices = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    return dedup_clusters(
+        vertices, pairs, id_col="node",
+        max_iterations=max_iterations,
+        max_local_edges=max_local_edges,
+    ).select("node", "cluster_id")

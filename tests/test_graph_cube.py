@@ -369,3 +369,16 @@ class TestWeightedPaths:
             weighted_paths(edges, [])
         with pytest.raises(ValueError, match="hops"):
             weighted_paths(edges, [1], hops=0)
+
+
+def test_connected_components_front_door(spark):
+    from database_transportor_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "src long, dst long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in
+           connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
