@@ -268,3 +268,73 @@ class TestFileStats:
         d = spark.read.parquet(out)
         r = pruning_report(d, "k", 0, 5).collect()[0]
         assert r["files_total"] == 1 and r["files_skippable"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Plan-census diff gate (tools/plan_diff.py — pure parsing, no Spark)
+# ---------------------------------------------------------------------------
+
+class TestPlanDiff:
+    OLD = """| query | exch | bhj | smj | cart | pushed | notes |
+|---|---|---|---|---|---|---|
+| q_ok | 2 | 1 | 0 | 0 | yes |  |
+| q_cart | 1 | 0 | 0 | 0 | - |  |
+| q_jump | 1 | 0 | 0 | 0 | - |  |
+| q_pushed | 1 | 0 | 0 | 0 | yes |  |
+| q_smj | 3 | 2 | 0 | 0 | - |  |
+| q_gone | 1 | 0 | 0 | 0 | - |  |
+| q_stream | - | - | - | - | - | streaming |
+"""
+    NEW = """| query | exch | bhj | smj | cart | pushed | notes |
+|---|---|---|---|---|---|---|
+| q_ok | 3 | 1 | 0 | 0 | yes |  |
+| q_cart | 1 | 0 | 0 | 1 | - |  |
+| q_jump | 5 | 0 | 0 | 0 | - |  |
+| q_pushed | 1 | 0 | 0 | 0 | - |  |
+| q_smj | 3 | 1 | 1 | 0 | - |  |
+| q_new | 1 | 0 | 0 | 0 | - |  |
+| q_stream | - | - | - | - | - | streaming |
+"""
+
+    def _run(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.plan_diff import diff, parse
+
+        old_p, new_p = tmp_path / "old.md", tmp_path / "new.md"
+        old_p.write_text(self.OLD)
+        new_p.write_text(self.NEW)
+        return diff(parse(str(old_p)), parse(str(new_p)))
+
+    def test_flags_each_regression_class(self, tmp_path):
+        regressions, infos = self._run(tmp_path)
+        text = "\n".join(regressions)
+        assert "q_cart: cartesian" in text
+        assert "q_jump: hash exchanges 1 -> 5" in text
+        assert "q_pushed: pushed filters LOST" in text
+        assert "q_smj" in text and "fallback" in text
+        # within-threshold exchange growth is NOT a regression
+        assert "q_ok" not in text
+
+    def test_registry_changes_informational(self, tmp_path):
+        _, infos = self._run(tmp_path)
+        assert "removed: q_gone" in infos
+        assert "added:   q_new" in infos
+
+    def test_streaming_rows_skipped(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.plan_diff import parse
+
+        p = tmp_path / "s.md"
+        p.write_text(self.OLD)
+        assert "q_stream" not in parse(str(p))
+
+    def test_real_census_parses(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.plan_diff import parse
+
+        rows = parse("/root/repo/PLANS.md")
+        assert len(rows) > 150
+        assert rows["flagship"]["pushed"] is True
