@@ -9231,3 +9231,56 @@ GROUP BY event_type
 
 _EXTENSION_QUERIES.update({"stream_hist": q_stream_hist})
 _EXTENSION_ORACLES.update({"stream_hist": SQL_STREAM_HIST})
+
+
+def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental join-view maintenance
+    (`streaming/join_view_sink.py`): lineitem arrives as two file
+    batches; each micro-batch appends only its `batch ⋈ orders` delta
+    (broadcast small-big join, commit-marker idempotent) to the stored
+    view — the big-big shuffle never runs.  The aggregated view must
+    equal the one-shot join, which is what the oracle computes."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.join_view_sink import (
+        stream_join_view_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"sjv_{uuid.uuid4().hex[:6]}_")
+    src = f"{work}/facts"
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    cat.write(orders, "dim", mode="overwrite")
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_returnflag",
+    )
+    ckpt = f"{work}/ckpt"
+    for half in (items.filter(F.col("k") % 2 == 0),
+                 items.filter(F.col("k") % 2 == 1)):
+        half.coalesce(1).write.mode("append").parquet(src)
+        stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                              checkpoint=ckpt)
+    return (
+        cat.read("view")
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum("qty").alias("sum_qty"))
+    )
+
+
+SQL_STREAM_JOIN_VIEW = """
+SELECT o_orderstatus, l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_join_view": q_stream_join_view})
+_EXTENSION_ORACLES.update({"stream_join_view": SQL_STREAM_JOIN_VIEW})

@@ -281,3 +281,106 @@ def test_cdc_merge_rejects_live_only_columns(spark):
                                  "k long, v long, seq long, op string")
     with _pytest.raises(ValueError, match="silently drop"):
         cdc_merge(live, feed, "k", op_col="op", seq_col="seq")
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental join-view sink
+# ---------------------------------------------------------------------------
+
+class TestJoinViewSink:
+    def _setup(self, spark, tmp_path):
+        from database_transportor_spark import ParquetCatalog
+
+        src = str(tmp_path / "facts")
+        cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+        dim = spark.createDataFrame(
+            [(1, "one"), (2, "two")], "k long, name string"
+        )
+        cat.write(dim, "dim", mode="overwrite")
+        return src, cat
+
+    def _facts(self, spark, src, rows, part):
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        spark.createDataFrame(rows, "k long, v long").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def test_incremental_appends_equal_batch_join(self, spark, tmp_path):
+        from database_transportor_spark.streaming.join_view_sink import (
+            stream_join_view_sink,
+        )
+
+        src, cat = self._setup(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        self._facts(spark, src, [(1, 10), (2, 20), (9, 90)], 1)
+        n1 = stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                                   checkpoint=ckpt)
+        assert n1 == 1
+        self._facts(spark, src, [(1, 11)], 2)
+        n2 = stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                                   checkpoint=ckpt)
+        assert n2 == 1
+        got = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in cat.read("view").collect()
+        )
+        # k=9 has no dim row (inner join); both batches present
+        assert got == [(1, 10, "one"), (1, 11, "one"), (2, 20, "two")]
+
+    def test_drained_checkpoint_appends_nothing(self, spark, tmp_path):
+        from database_transportor_spark.streaming.join_view_sink import (
+            stream_join_view_sink,
+        )
+
+        src, cat = self._setup(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        self._facts(spark, src, [(1, 10)], 1)
+        stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                              checkpoint=ckpt)
+        n = stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                                  checkpoint=ckpt)
+        assert n == 0
+        assert cat.read("view").count() == 1
+
+    def test_replay_marker_skips_double_append(self, spark, tmp_path):
+        """Simulate a replay: second sink run with a FRESH checkpoint but
+        view rows already carrying that checkpoint's markers must still
+        append (different namespace); a same-namespace duplicate must
+        not."""
+        import shutil
+
+        from database_transportor_spark.streaming.join_view_sink import (
+            stream_join_view_sink,
+        )
+
+        src, cat = self._setup(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        self._facts(spark, src, [(1, 10)], 1)
+        stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                              checkpoint=ckpt)
+        # crash-replay: wipe ONLY the checkpoint's commits so batch 0
+        # re-fires under the SAME checkpoint path (same namespace)
+        shutil.rmtree(ckpt)
+        n = stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                                  checkpoint=ckpt)
+        assert n == 0  # marker detected, nothing double-appended
+        assert cat.read("view").count() == 1
+
+    def test_dim_updates_enrich_future_batches_only(self, spark, tmp_path):
+        from database_transportor_spark.streaming.join_view_sink import (
+            stream_join_view_sink,
+        )
+
+        src, cat = self._setup(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        self._facts(spark, src, [(1, 10)], 1)
+        stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                              checkpoint=ckpt)
+        dim2 = spark.createDataFrame([(1, "uno")], "k long, name string")
+        cat.write(dim2, "dim", mode="overwrite")
+        self._facts(spark, src, [(1, 12)], 2)
+        stream_join_view_sink(spark, src, cat, "view", "dim", "k",
+                              checkpoint=ckpt)
+        got = {(r["v"], r["name"]) for r in cat.read("view").collect()}
+        assert got == {(10, "one"), (12, "uno")}
