@@ -120,6 +120,16 @@ def run_stream_spec(
     Only stateless stages (filter/derive/select/join) may precede a merge
     sink — the foreachBatch MERGE is the stateful step; returns the merged
     target table.
+
+    A ``"join_view"`` sink routes the stream through
+    :func:`~database_transportor_spark.streaming.join_view_sink.stream_join_view_sink`
+    — declarative incremental view materialization (append-only
+    ``batch ⋈ dim`` deltas, never the big-big shuffle)::
+
+        "sink": {"join_view": {"view": "v", "dim": "orders",
+                 "on": ["k"], "checkpoint": "/ckpt"}}   # ckpt optional
+
+    Same stateless-stages rule; returns the refreshed view table.
     """
     where = "stream spec"
     src = spec.get("source")
@@ -135,12 +145,7 @@ def run_stream_spec(
         def resolve(side: str, table: str) -> DataFrame:  # noqa: ANN001
             return catalog.read(table)
 
-    if "merge" in sink:
-        from .merge_sink import stream_merge_sink
-
-        m = sink["merge"]
-        if target is None:
-            raise SpecError(f"{where}: a merge sink needs target= (a Catalog)")
+    def _stateless_transform(kind: str):
         stateful = [
             st["op"] for st in spec.get("stages", ())
             if isinstance(st, dict)
@@ -148,8 +153,8 @@ def run_stream_spec(
         ]
         if stateful:
             raise SpecError(
-                f"{where}: merge sink only takes stateless stages, got "
-                f"{stateful} (the foreachBatch MERGE is the stateful step)"
+                f"{where}: {kind} sink only takes stateless stages, got "
+                f"{stateful} (the foreachBatch apply is the stateful step)"
             )
 
         def _transform(stream: DataFrame) -> DataFrame:
@@ -162,6 +167,36 @@ def run_stream_spec(
                     stream, st, resolve, ts_col, watermark, where
                 )
             return stream
+
+        return _transform
+
+    if "join_view" in sink:
+        from .join_view_sink import stream_join_view_sink
+
+        jv = sink["join_view"]
+        if target is None:
+            raise SpecError(
+                f"{where}: a join_view sink needs target= (a Catalog)"
+            )
+        stream_join_view_sink(
+            spark,
+            src["path"],
+            target,
+            jv["view"],
+            jv["dim"],
+            jv["on"],
+            checkpoint=jv.get("checkpoint"),
+            transform=_stateless_transform("join_view"),
+        )
+        return target.read(jv["view"])
+
+    if "merge" in sink:
+        from .merge_sink import stream_merge_sink
+
+        m = sink["merge"]
+        if target is None:
+            raise SpecError(f"{where}: a merge sink needs target= (a Catalog)")
+        _transform = _stateless_transform("merge")
 
         stream_merge_sink(
             spark,

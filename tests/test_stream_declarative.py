@@ -152,3 +152,65 @@ def test_stream_spec_sliding_window_matches_batch(spark):
         .withColumn("window_start", F.col("__w.start")).drop("__w")
     )
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_join_view_sink_spec(spark, tmp_path):
+    """Declarative incremental view: a stream spec with a join_view sink
+    appends batch-joined-dim deltas; the view equals the batch join of
+    everything streamed so far, and a filter stage applies pre-join."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.declarative import (
+        run_stream_spec,
+    )
+
+    src = str(tmp_path / "facts")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    cat.write(
+        spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string"),
+        "dim", mode="overwrite",
+    )
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10), (2, "2024-01-01 00:00:00", -5),
+         (2, "2024-01-01 01:00:00", 20)],
+        "k long, ts string, v long",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v") \
+        .coalesce(1).write.parquet(src)
+
+    spec = {
+        "source": {"path": src, "ts_col": "ts"},
+        "stages": [{"op": "filter", "condition": "v > 0"}],
+        "sink": {"join_view": {"view": "v", "dim": "dim", "on": ["k"],
+                               "checkpoint": str(tmp_path / "ck")}},
+    }
+    out = run_stream_spec(spark, spec, target=cat)
+    got = sorted((r["k"], r["v"], r["name"]) for r in out.collect())
+    assert got == [(1, 10, "one"), (2, 20, "two")]  # v=-5 filtered pre-join
+
+
+def test_join_view_sink_rejects_stateful_stages(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.spec import SpecError
+    from database_transportor_spark.streaming.declarative import (
+        run_stream_spec,
+    )
+
+    src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts")) \
+        .write.parquet(src)
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    spec = {
+        "source": {"path": src},
+        "watermark": "1 hour",
+        "stages": [{"op": "stream_window", "window": "1 hour",
+                    "keys": ["k"], "aggs": {"n": "count(*)"}}],
+        "sink": {"join_view": {"view": "v", "dim": "dim", "on": ["k"]}},
+    }
+    with pytest.raises(SpecError, match="stateless"):
+        run_stream_spec(spark, spec, target=cat)
