@@ -9261,9 +9261,13 @@ def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
     )
     ckpt = f"{work}/ckpt"
+    # each half lands as a parallel multi-file append — the sink's
+    # availableNow run drains whatever files are new, so nothing needs
+    # the serial coalesce(1) bottleneck a one-file-per-batch layout
+    # would cost at scale
     for half in (items.filter(F.col("k") % 2 == 0),
                  items.filter(F.col("k") % 2 == 1)):
-        half.coalesce(1).write.mode("append").parquet(src)
+        half.write.mode("append").parquet(src)
         stream_join_view_sink(spark, src, cat, "view", "dim", "k",
                               checkpoint=ckpt)
     return (
