@@ -338,3 +338,65 @@ class TestPlanDiff:
         rows = parse("/root/repo/PLANS.md")
         assert len(rows) > 150
         assert rows["flagship"]["pushed"] is True
+
+
+# ---------------------------------------------------------------------------
+# Runtime byte-metrics census (tools/metrics_report.py — rendering is pure;
+# the sweep itself is exercised by the recorded full-registry artifacts)
+# ---------------------------------------------------------------------------
+
+class TestMetricsReport:
+    ROWS = {
+        "q_shuffler": {"input": 1024, "shuffle_write": 4096,
+                       "shuffle_read": 4096, "mem_spill": 0,
+                       "disk_spill": 0, "stages": 3},
+        "q_mapper": {"input": 2048, "shuffle_write": 0, "shuffle_read": 0,
+                     "mem_spill": 0, "disk_spill": 0, "stages": 1},
+    }
+
+    def _tools(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools import metrics_report
+        return metrics_report
+
+    def test_artifact_name_keys_on_sf(self):
+        mr = self._tools()
+        assert mr.artifact_name("/root/testdata/sf0.01") == "METRICS.json"
+        assert mr.artifact_name("/root/testdata/sf0.1/") == "METRICS_sf0.1.json"
+
+    def test_render_without_growth(self, tmp_path):
+        import json
+        mr = self._tools()
+        (tmp_path / "METRICS.json").write_text(
+            json.dumps({"sf_dir": "/x/sf0.01", "queries": self.ROWS}))
+        mr.render(str(tmp_path))
+        md = (tmp_path / "METRICS.md").read_text()
+        # sorted by shuffle-write; no growth column without the sf0.1 sweep
+        assert md.index("q_shuffler") < md.index("q_mapper")
+        assert "| shw ×10sf" not in md  # no growth column without the sweep
+        assert "| 4.00 " in md  # shw/in = 4096/1024
+
+    def test_render_with_growth_column(self, tmp_path):
+        import json
+        mr = self._tools()
+        (tmp_path / "METRICS.json").write_text(
+            json.dumps({"sf_dir": "/x/sf0.01", "queries": self.ROWS}))
+        big = {"q_shuffler": dict(self.ROWS["q_shuffler"],
+                                  shuffle_write=4096 * 7)}
+        (tmp_path / "METRICS_sf0.1.json").write_text(
+            json.dumps({"sf_dir": "/x/sf0.1", "queries": big}))
+        mr.render(str(tmp_path))
+        md = (tmp_path / "METRICS.md").read_text()
+        assert "| shw ×10sf" in md
+        assert "| 7.0 " in md  # measured growth for q_shuffler
+        # zero-shuffle / missing-in-big rows render a dash, not a crash
+        assert "| - " in md
+
+    def test_real_artifact_covers_registry_with_zero_spill(self):
+        import json
+        with open("/root/repo/METRICS.json") as f:
+            rows = json.load(f)["queries"]
+        assert len(rows) > 150
+        assert all(m["mem_spill"] + m["disk_spill"] == 0 for m in rows.values())
+        assert not any("err" in m for m in rows.values())
