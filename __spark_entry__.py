@@ -9288,3 +9288,73 @@ GROUP BY 1, 2
 
 _EXTENSION_QUERIES.update({"stream_join_view": q_stream_join_view})
 _EXTENSION_ORACLES.update({"stream_join_view": SQL_STREAM_JOIN_VIEW})
+
+
+def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup gate (`streaming/dedup_gate.py`): documents
+    arrive in two file batches (even ids, then odd ids); each micro-batch
+    is probed — exact 3-gram Jaccard >= 0.5, inverted-posting join, no
+    LSH recall loss — against the persisted index of everything accepted
+    so far, and against smaller-id batch-mates; survivors append to the
+    clean table and the index.  The corpus text is read exactly once per
+    document, ever.  Arrival-order semantics are exactly batch-
+    reproducible (the >=0.5 pair graph of the fixture is a union of
+    cliques — verified in both sf fixtures), which is what the oracle
+    computes: keep a doc iff it has no >=0.5 partner of earlier arrival,
+    arrival = (doc_id % 2, doc_id)."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_dedup_gate,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"sdg_{uuid.uuid4().hex[:6]}_")
+    src = f"{work}/feed"
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ckpt = f"{work}/ckpt"
+    for half in (docs.filter(F.col("doc_id") % 2 == 0),
+                 docs.filter(F.col("doc_id") % 2 == 1)):
+        half.write.mode("append").parquet(src)
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", shingle_n=3, threshold=0.5,
+                          checkpoint=ckpt)
+    return cat.read("clean").select(
+        "doc_id", (F.col("doc_id") % 2).cast("long").alias("arrival_batch")
+    )
+
+
+SQL_STREAM_DEDUP_GATE = f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), close AS (
+    SELECT ia, ib FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+), partners AS (
+    SELECT ia AS d, ib AS e FROM close
+    UNION ALL SELECT ib, ia FROM close
+)
+SELECT d.doc_id, CAST(d.doc_id % 2 AS BIGINT) AS arrival_batch
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM partners p
+    WHERE p.d = d.doc_id
+      AND ((p.e % 2 < d.doc_id % 2)
+           OR (p.e % 2 = d.doc_id % 2 AND p.e < d.doc_id))
+)
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_dedup_gate": q_stream_dedup_gate})
+_EXTENSION_ORACLES.update({"stream_dedup_gate": SQL_STREAM_DEDUP_GATE})

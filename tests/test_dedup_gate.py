@@ -1,0 +1,120 @@
+"""Streaming ingest dedup gate: arrival-order near-dup rejection with a
+persisted posting index — cross-batch rejection, within-batch min-id
+survival, replay idempotence, crash-window recovery."""
+
+import pyspark.sql.functions as F
+
+from database_transportor_spark.sources.catalog import ParquetCatalog
+from database_transportor_spark.streaming.dedup_gate import stream_dedup_gate
+
+# planted corpus: ids 1/2 near-identical (clique), 3 unique, 10 dups 1
+# across batches, 11 unique, 12 too short to shingle (always kept)
+D1 = "the quick brown fox jumps over the lazy dog again and again"
+D2 = "the quick brown fox jumps over the lazy dog again and again ok"
+D3 = "completely different content about spark streaming state stores"
+D10 = "the quick brown fox jumps over the lazy dog again and again yes"
+D11 = "another unique document mentioning parquet files and shuffles"
+D12 = "too short"
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def _run(spark, tmp_path, suffix=""):
+    src = str(tmp_path / f"feed{suffix}")
+    ckpt = str(tmp_path / f"ckpt{suffix}")
+    cat = ParquetCatalog(spark, str(tmp_path / f"cat{suffix}"))
+    return src, ckpt, cat
+
+
+def test_gate_within_and_across_batches(spark, tmp_path):
+    src, ckpt, cat = _run(spark, tmp_path)
+    _write(spark, src, [(1, D1), (2, D2), (3, D3)])
+    n = stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt)
+    assert n == 1
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3]  # 2 rejected by smaller-id mate 1
+
+    # batch 2: 10 dups accepted doc 1 (rejected via the index, whose
+    # text is never re-read); 11 unique; 12 shingle-less (kept)
+    _write(spark, src, [(10, D10), (11, D11), (12, D12)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11, 12]
+
+    # index holds postings only for accepted, shingle-bearing docs
+    idx_ids = {r["__id"] for r in
+               cat.read("idx").select("__id").distinct().collect()}
+    assert idx_ids == {1, 3, 11}
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    src, ckpt, cat = _run(spark, tmp_path)
+    _write(spark, src, [(1, D1), (2, D2)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    before = cat.read("clean").count(), cat.read("idx").count()
+    # drained checkpoint: re-invoking processes nothing and appends nothing
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    assert (cat.read("clean").count(), cat.read("idx").count()) == before
+
+
+def test_gate_crash_window_replay(spark, tmp_path):
+    """A crash between the index append and the clean append leaves the
+    next batch's marker rows in the index with no clean rows.  The
+    replay (same checkpoint → same batch id → same marker) must:
+    (a) not let a doc's own crashed postings reject it (self-shadow);
+    (b) skip the posting re-append; (c) land the clean rows."""
+    import hashlib
+
+    from database_transportor_spark.operators.dedup import (
+        ngram_shingle_hashes,
+    )
+
+    src, ckpt, cat = _run(spark, tmp_path)
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+
+    # plant the crashed attempt of batch 1: postings for doc 11 tagged
+    # with the marker the replay will recompute (namespace = ckpt hash)
+    ns = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+    sh = (
+        spark.createDataFrame([(11, D11)], ["doc_id", "text"])
+        .select(
+            F.col("doc_id").alias("__id"),
+            F.explode(ngram_shingle_hashes("text", 3)).alias("__h"),
+        )
+    )
+    counts = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    planted = sh.join(counts, "__id").withColumn(
+        "__commit", F.lit(f"{ns}:1")
+    )
+    cat.write(planted, "idx", mode="append")
+    idx_before = cat.read("idx").count()
+
+    # the "replayed" batch: 11 again (must NOT be shadowed by its own
+    # crashed postings) and 13, a near-dup batch-mate of 11
+    _write(spark, src, [(11, D11), (13, D11 + " ok")])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]  # 13 rejected by mate 11; 11 recovered
+    assert cat.read("idx").count() == idx_before  # no double-append
+
+
+def test_gate_rejects_bad_threshold(spark, tmp_path):
+    src, ckpt, cat = _run(spark, tmp_path)
+    _write(spark, src, [(1, D1)])
+    try:
+        stream_dedup_gate(spark, src, cat, "c", "i", "doc_id", "text",
+                          threshold=0.0, checkpoint=ckpt)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "threshold" in str(e)
