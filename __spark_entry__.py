@@ -9358,3 +9358,93 @@ WHERE NOT EXISTS (
 
 _EXTENSION_QUERIES.update({"stream_dedup_gate": q_stream_dedup_gate})
 _EXTENSION_ORACLES.update({"stream_dedup_gate": SQL_STREAM_DEDUP_GATE})
+
+
+def q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sibling of `stream_dedup_gate`
+    (`streaming/dedup_gate.py:stream_semantic_gate`): vectors arrive in
+    two batches (even ids, then odd); each batch is bucket-assigned by
+    the same deterministic stride-centroid rule as `cosine_pairs`
+    (nearest centroid, ties to lowest cid) and rejected iff cosine >=
+    0.35 against an accepted same-bucket vector or a smaller-id
+    same-bucket batch-mate; survivors append to the clean table and the
+    vector index.  The oracle reproduces the gate's exact policy with
+    no graph-shape assumption: batch 0's accepted set is closed-form
+    ("no smaller even bucket-partner"), batch 1 checks against exactly
+    that set plus smaller odd mates — two non-recursive levels."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"ssg_{uuid.uuid4().hex[:6]}_")
+    src = f"{work}/feed"
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cat.write(
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(64)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
+        "cent",
+        mode="overwrite",
+    )
+    ckpt = f"{work}/ckpt"
+    for half in (emb.filter(F.col("vec_id") % 2 == 0),
+                 emb.filter(F.col("vec_id") % 2 == 1)):
+        half.write.mode("append").parquet(src)
+        stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                             "embedding", "cent", threshold=0.35,
+                             checkpoint=ckpt)
+    return cat.read("clean").select(
+        "vec_id", (F.col("vec_id") % 2).cast("long").alias("arrival_batch")
+    )
+
+
+SQL_STREAM_SEMANTIC_GATE = """
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 64
+), assign AS (
+    SELECT vec_id, embedding, bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+), pairs AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib
+    FROM assign a JOIN assign b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+), sym AS (
+    SELECT ia AS d, ib AS e FROM pairs
+    UNION ALL SELECT ib, ia FROM pairs
+), kept0 AS (
+    SELECT vec_id FROM embeddings e0
+    WHERE vec_id % 2 = 0 AND NOT EXISTS (
+        SELECT 1 FROM sym
+        WHERE sym.d = e0.vec_id AND sym.e % 2 = 0 AND sym.e < e0.vec_id)
+), kept1 AS (
+    SELECT vec_id FROM embeddings e1
+    WHERE vec_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM sym JOIN kept0 k ON sym.e = k.vec_id
+        WHERE sym.d = e1.vec_id)
+      AND NOT EXISTS (
+        SELECT 1 FROM sym
+        WHERE sym.d = e1.vec_id AND sym.e % 2 = 1 AND sym.e < e1.vec_id)
+)
+SELECT vec_id, CAST(0 AS BIGINT) AS arrival_batch FROM kept0
+UNION ALL
+SELECT vec_id, CAST(1 AS BIGINT) AS arrival_batch FROM kept1
+"""
+
+
+_EXTENSION_QUERIES.update({"stream_semantic_gate": q_stream_semantic_gate})
+_EXTENSION_ORACLES.update({"stream_semantic_gate": SQL_STREAM_SEMANTIC_GATE})

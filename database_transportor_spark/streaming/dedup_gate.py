@@ -1,53 +1,49 @@
-"""Streaming ingest dedup gate: greedy arrival-order near-dup rejection.
+"""Streaming ingest dedup gates: arrival-order near-dup rejection.
 
-The batch dedup family (``operators/dedup.py``) answers "which documents
-in this CORPUS duplicate each other"; an ingest pipeline asks the online
-question instead: *a batch of new documents just arrived — which are
-near-dups of anything already accepted?*  This sink answers it without
-ever re-scanning the accepted corpus: it maintains a persisted inverted
-shingle-posting index (the incremental sibling of
-``_shingle_index_intersections``, reference dedup semantics per
-SURVEY §2 extensions), probes each micro-batch against it, and appends
-only the survivors — to the clean table AND to the index, so the next
-batch dedups against everything accepted so far.
+The batch dedup family (``operators/dedup.py``, ``operators/
+similarity.py``) answers "which documents in this CORPUS duplicate each
+other"; an ingest pipeline asks the online question instead: *a batch of
+new documents just arrived — which are near-dups of anything already
+accepted?*  The two gates here answer it without ever re-reading the
+accepted corpus' content — each maintains a persisted feature index,
+probes every micro-batch against it, and appends only the survivors, to
+the clean table AND the index, so the next batch dedups against
+everything accepted so far:
 
-Semantics (deterministic, one pass per batch): a document is REJECTED
-iff its exact n-gram Jaccard reaches ``threshold`` against (a) any
-previously ACCEPTED document, or (b) any batch-mate with a smaller id —
-whether or not that mate itself survives.  (b) is deliberately the
-one-pass parallel policy, not sequential greedy ("smaller-id SURVIVING
-mate"): true greedy is order-sequential within a batch, while this rule
-is a single self-join.  The two coincide exactly when near-dup groups
-are CLIQUES at the threshold — the shape near-identical copies actually
-produce, and the shape of the test fixtures (verified) — and the
-conservative rule never accepts a document greedy would reject.
-Arrival order is the contract either way: you cannot reject a document
-you already accepted, and the whole run is exactly reproducible by a
-batch computation, which is what the oracle does.
+- :func:`stream_dedup_gate` — LEXICAL: exact n-gram Jaccard over an
+  inverted shingle-posting index (the incremental sibling of
+  ``_shingle_index_intersections``; no LSH banding, so no recall loss);
+- :func:`stream_semantic_gate` — EMBEDDING: cosine over an IVF-bucketed
+  vector index (the incremental sibling of ``cosine_pairs``: only
+  same-nearest-centroid vectors are compared — bucket-local equi-join,
+  never batch×corpus).
 
-Exactness: the probe is the same inverted-index + exact-Jaccard verify
-as :func:`~..operators.dedup.ngram_jaccard_pairs` — no LSH banding, so
-no recall loss; the trade is that hot shingles keep full posting lists.
-At 100 TB apply the same ``max_df`` stop-phrase cap the batch operators
-expose (drop postings with df > cap at INDEX time, using a static
-stoplist snapshot so batch and index agree on the shingle space).
-
-Plan shape per batch: one shingle pass over the BATCH only (pinned),
-one shuffle keyed on 8-byte shingle hashes joining batch postings to
-index postings (Catalyst prunes nothing from the index scan here — at
-scale, partition the index table by a shard of the hash so the probe
-join co-locates), one (batch_id, corpus_id) count shuffle, and map-only
-appends.  The accepted corpus's TEXT is never read again — the index
-rows (hash, id, size) are the only state.
+Semantics (both gates; deterministic, one pass per batch): a document
+is REJECTED iff it matches (a) any previously ACCEPTED document, or
+(b) any batch-mate with a smaller id — whether or not that mate itself
+survives.  (b) is deliberately the one-pass parallel policy, not
+sequential greedy ("smaller-id SURVIVING mate"): true greedy is
+order-sequential within a batch, while this rule is a single
+equi-join, and it never accepts a document greedy would reject.  On
+clique-shaped match groups — what near-identical copies produce — the
+two policies coincide exactly.  Either way the run is exactly
+reproducible by a batch computation: batch k's accepted set is a
+closed-form function of the accepted sets before it, which is what the
+oracles compute level by level.
 
 Exactly-once: checkpointed file stream + commit-marker columns on BOTH
 output tables, namespaced by checkpoint (same contract as
 ``join_view_sink``).  The index is appended FIRST: a crash between the
 two appends leaves marker rows in the index but none in the clean
 table; the replay excludes current-marker index rows from its probe
-(so batch-mates planted by the crashed attempt cannot shadow the
-within-batch ordering), recomputes the identical survivor set, skips
-the already-present posting append, and lands the clean rows.
+(so a document's own crashed index rows cannot reject it, nor shadow
+the within-batch ordering), recomputes the identical survivor set,
+skips the already-present index append, and lands the clean rows.
+
+Plan shape per batch: one feature pass over the BATCH only, one
+equi-join against the index (shingle-hash keys / centroid buckets —
+at 100 TB partition the index table by a shard of the join key so the
+probe co-locates), one pair-verify shuffle, and map-only appends.
 """
 
 from __future__ import annotations
@@ -60,43 +56,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import ngram_shingle_hashes
-from ..operators.pins import pin_scope
+from ..operators.pins import pin, pin_scope
 from ..sources.catalog import Catalog
 
-__all__ = ["stream_dedup_gate"]
+__all__ = ["stream_dedup_gate", "stream_semantic_gate"]
 
 
-def stream_dedup_gate(
+def _run_ingest_gate(
     spark: SparkSession,
     source_dir: str,
     target: Catalog,
     clean_table: str,
     index_table: str,
     id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    schema=None,
-    checkpoint: str | None = None,
+    schema,
+    checkpoint: str | None,
+    ckpt_prefix: str,
+    make_compute,
 ) -> int:
-    """Stream document files from ``source_dir``; per micro-batch, keep
-    only documents that near-dup neither the accepted corpus nor a
-    smaller-id batch-mate, appending survivors to
-    ``target``/``clean_table`` and their shingle postings to
-    ``index_table``.  Returns the number of micro-batches applied
-    (replayed batches drain but append nothing).
-
-    Zero-shingle documents (shorter than ``shingle_n`` tokens) have an
-    empty posting set, match nothing, and are always accepted.
-    """
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    """Shared gate scaffold: schema/checkpoint defaults, the
+    availableNow stream, and per-batch replay / crash-window / append
+    mechanics.  ``make_compute(batch, index_df_or_None)`` returns
+    ``(rejected, index_rows_for)``: a 1-column ``__id`` frame of batch
+    ids to drop, and a callable mapping the kept batch rows to their
+    index rows (sans ``__commit``)."""
     if schema is None:
         try:
             schema = spark.read.parquet(source_dir).schema
         except Exception as exc:
             raise ValueError(
-                "stream_dedup_gate: cannot infer schema from an empty "
+                f"{ckpt_prefix}: cannot infer schema from an empty "
                 f"source dir {source_dir!r}; pass schema= explicitly"
             ) from exc
     if checkpoint is None:
@@ -107,7 +96,7 @@ def stream_dedup_gate(
             ).encode()
         ).hexdigest()[:16]
         checkpoint = os.path.join(
-            tempfile.gettempdir(), f"dedup_gate_ckpt_{clean_table}_{ident}"
+            tempfile.gettempdir(), f"{ckpt_prefix}_ckpt_{clean_table}_{ident}"
         )
     ckpt_ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
     applied = {"n": 0}
@@ -135,88 +124,21 @@ def stream_dedup_gate(
                 if replayed:
                     return
             batch = batch.dropDuplicates([id_col])
-            # batch postings: (__id, __h) + per-doc capped set size __n —
-            # pinned: feeds the size agg, the probe join, the self-join,
-            # and the survivor posting append
-            from ..operators.pins import pin
-
-            posting = pin(
-                batch.select(
-                    F.col(id_col).alias("__id"),
-                    F.explode(
-                        ngram_shingle_hashes(text_col, shingle_n)
-                    ).alias("__h"),
-                )
-            )
-            sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
-            posting = posting.join(sizes, "__id")
-
-            jac = lambda i, na, nb: i / (na + nb - i)  # noqa: E731
-            rejected_cols = []
+            idx = None
             if target.exists(index_table):
                 # exclude THIS marker's rows: a crashed prior attempt of
                 # this batch must not count as "previously accepted"
                 idx = target.read(index_table).filter(
                     F.col("__commit") != marker
                 )
-                hits = (
-                    posting.join(
-                        idx.select(
-                            "__h",
-                            F.col("__id").alias("__cid"),
-                            F.col("__n").alias("__cn"),
-                        ),
-                        "__h",
-                    )
-                    .groupBy("__id", "__cid")
-                    .agg(
-                        F.count("*").alias("__i"),
-                        F.first("__n").alias("__bn"),
-                        F.first("__cn").alias("__cn2"),
-                    )
-                    .filter(
-                        jac(F.col("__i"), F.col("__bn"), F.col("__cn2"))
-                        >= threshold
-                    )
-                    .select("__id")
-                    .distinct()
-                )
-                rejected_cols.append(hits)
-            a, b = posting.alias("a"), posting.alias("b")
-            mates = (
-                a.join(
-                    b,
-                    (F.col("a.__h") == F.col("b.__h"))
-                    & (F.col("b.__id") < F.col("a.__id")),
-                )
-                .groupBy(
-                    F.col("a.__id").alias("__id"),
-                    F.col("b.__id").alias("__mate"),
-                )
-                .agg(
-                    F.count("*").alias("__i"),
-                    F.first("a.__n").alias("__na"),
-                    F.first("b.__n").alias("__nb"),
-                )
-                .filter(
-                    jac(F.col("__i"), F.col("__na"), F.col("__nb"))
-                    >= threshold
-                )
-                .select("__id")
-                .distinct()
-            )
-            rejected_cols.append(mates)
-            rejected = rejected_cols[0]
-            for r in rejected_cols[1:]:
-                rejected = rejected.unionByName(r)
+            rejected, index_rows_for = make_compute(batch, idx)
             kept = batch.join(
                 rejected.withColumnRenamed("__id", id_col).distinct(),
                 id_col,
                 "left_anti",
             )
-
             # index first (see module docstring for the crash contract);
-            # skip if a crashed attempt already landed these postings
+            # skip if a crashed attempt already landed these rows
             index_has_marker = target.exists(index_table) and not (
                 target.read(index_table)
                 .filter(F.col("__commit") == marker)
@@ -224,14 +146,13 @@ def stream_dedup_gate(
                 .isEmpty()
             )
             if not index_has_marker:
-                kept_postings = (
-                    posting.join(
-                        kept.select(F.col(id_col).alias("__id")), "__id"
-                    )
-                    .select("__id", "__h", "__n")
-                    .withColumn("__commit", F.lit(marker))
+                target.write(
+                    index_rows_for(kept).withColumn(
+                        "__commit", F.lit(marker)
+                    ),
+                    index_table,
+                    mode="append",
                 )
-                target.write(kept_postings, index_table, mode="append")
             target.write(
                 kept.withColumn("__commit", F.lit(marker)),
                 clean_table,
@@ -248,3 +169,221 @@ def stream_dedup_gate(
     )
     q.awaitTermination()
     return applied["n"]
+
+
+def stream_dedup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    target: Catalog,
+    clean_table: str,
+    index_table: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    schema=None,
+    checkpoint: str | None = None,
+) -> int:
+    """Stream document files from ``source_dir``; per micro-batch, keep
+    only documents whose exact ``shingle_n``-gram Jaccard stays below
+    ``threshold`` against both the accepted corpus and smaller-id
+    batch-mates, appending survivors to ``target``/``clean_table`` and
+    their shingle postings — ``(__id, __h, __n)`` — to ``index_table``.
+    Returns the number of micro-batches applied (replayed batches drain
+    but append nothing).
+
+    Zero-shingle documents (shorter than ``shingle_n`` tokens) have an
+    empty posting set, match nothing, and are always accepted.  At
+    100 TB apply the same ``max_df`` stop-phrase discipline as the batch
+    pair generators via a static stoplist snapshot (batch and index must
+    agree on the shingle space).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def compute(batch: DataFrame, idx):
+        # batch postings: (__id, __h) + per-doc set size __n — pinned:
+        # feeds the size agg, the probe join, the self-join, and the
+        # survivor posting append
+        posting = pin(
+            batch.select(
+                F.col(id_col).alias("__id"),
+                F.explode(
+                    ngram_shingle_hashes(text_col, shingle_n)
+                ).alias("__h"),
+            )
+        )
+        sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
+        posting = posting.join(sizes, "__id")
+
+        jac = lambda i, na, nb: i / (na + nb - i)  # noqa: E731
+        parts = []
+        if idx is not None:
+            parts.append(
+                posting.join(
+                    idx.select(
+                        "__h",
+                        F.col("__id").alias("__cid"),
+                        F.col("__n").alias("__cn"),
+                    ),
+                    "__h",
+                )
+                .groupBy("__id", "__cid")
+                .agg(
+                    F.count("*").alias("__i"),
+                    F.first("__n").alias("__bn"),
+                    F.first("__cn").alias("__cn2"),
+                )
+                .filter(
+                    jac(F.col("__i"), F.col("__bn"), F.col("__cn2"))
+                    >= threshold
+                )
+                .select("__id")
+            )
+        a, b = posting.alias("a"), posting.alias("b")
+        parts.append(
+            a.join(
+                b,
+                (F.col("a.__h") == F.col("b.__h"))
+                & (F.col("b.__id") < F.col("a.__id")),
+            )
+            .groupBy(
+                F.col("a.__id").alias("__id"),
+                F.col("b.__id").alias("__mate"),
+            )
+            .agg(
+                F.count("*").alias("__i"),
+                F.first("a.__n").alias("__na"),
+                F.first("b.__n").alias("__nb"),
+            )
+            .filter(
+                jac(F.col("__i"), F.col("__na"), F.col("__nb")) >= threshold
+            )
+            .select("__id")
+        )
+        rejected = parts[0]
+        for p in parts[1:]:
+            rejected = rejected.unionByName(p)
+
+        def index_rows_for(kept: DataFrame) -> DataFrame:
+            return posting.join(
+                kept.select(F.col(id_col).alias("__id")), "__id"
+            ).select("__id", "__h", "__n")
+
+        return rejected.distinct(), index_rows_for
+
+    return _run_ingest_gate(
+        spark, source_dir, target, clean_table, index_table, id_col,
+        schema, checkpoint, "dedup_gate", compute,
+    )
+
+
+def stream_semantic_gate(
+    spark: SparkSession,
+    source_dir: str,
+    target: Catalog,
+    clean_table: str,
+    index_table: str,
+    id_col: str,
+    vec_col: str,
+    centroid_table: str,
+    threshold: float = 0.9,
+    schema=None,
+    checkpoint: str | None = None,
+) -> int:
+    """Embedding sibling of :func:`stream_dedup_gate`: reject a vector
+    iff its cosine reaches ``threshold`` against an accepted vector or a
+    smaller-id batch-mate IN THE SAME IVF BUCKET (nearest centroid,
+    ties to the lowest centroid id — the exact
+    ``operators/similarity.py:cosine_pairs`` assignment rule, so gate
+    decisions match the batch pair generator's bucketing).  Survivors
+    append to ``clean_table`` and, as ``(__id, __v, __bucket)`` rows, to
+    ``index_table``.
+
+    ``centroid_table`` (columns ``cid``, ``ce``) lives in ``target`` and
+    is re-read per batch — the production IVF pattern: a FIXED codebook
+    (trained once, stored) so every batch and every restart buckets
+    identically; bucket-local probing trades the recall any IVF index
+    trades (raise the codebook quality / add multi-probe for more — see
+    SCALE.md's measured recall@k rows for the family).
+
+    The bucket join is an equi-join: batch×corpus cosine is never
+    computed all-pairs.
+    """
+    import numpy as np
+
+    from ..operators.similarity import _bucket_assigner, cosine_scores
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def compute(batch: DataFrame, idx):
+        cent = sorted(
+            (r["cid"], r["ce"])
+            for r in target.read(centroid_table).collect()
+        )
+        if not cent:
+            raise ValueError(
+                f"stream_semantic_gate: centroid table {centroid_table!r} "
+                "is empty"
+            )
+        ids = np.array([c for c, _ in cent], dtype=np.int64)
+        cmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cent])
+        norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        cmat = cmat / norms
+
+        assigned = pin(
+            batch.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                _bucket_assigner(ids, cmat, 1)(F.col(vec_col))
+                .getItem(0)
+                .alias("__bucket"),
+            )
+        )
+        parts = []
+        if idx is not None:
+            parts.append(
+                assigned.join(
+                    idx.select(
+                        F.col("__bucket"),
+                        F.col("__v").alias("__cv"),
+                        F.col("__id").alias("__cid"),
+                    ),
+                    "__bucket",
+                )
+                .withColumn(
+                    "__cos", cosine_scores(F.col("__v"), F.col("__cv"))
+                )
+                .filter(F.col("__cos") >= threshold)
+                .select("__id")
+            )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        parts.append(
+            a.join(
+                b,
+                (F.col("a.__bucket") == F.col("b.__bucket"))
+                & (F.col("b.__id") < F.col("a.__id")),
+            )
+            .withColumn(
+                "__cos", cosine_scores(F.col("a.__v"), F.col("b.__v"))
+            )
+            .filter(F.col("__cos") >= threshold)
+            .select(F.col("a.__id").alias("__id"))
+        )
+        rejected = parts[0]
+        for p in parts[1:]:
+            rejected = rejected.unionByName(p)
+
+        def index_rows_for(kept: DataFrame) -> DataFrame:
+            return assigned.join(
+                kept.select(F.col(id_col).alias("__id")), "__id"
+            ).select("__id", "__v", "__bucket")
+
+        return rejected.distinct(), index_rows_for
+
+    return _run_ingest_gate(
+        spark, source_dir, target, clean_table, index_table, id_col,
+        schema, checkpoint, "semantic_gate", compute,
+    )

@@ -118,3 +118,116 @@ def test_gate_rejects_bad_threshold(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "threshold" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding) gate
+# ---------------------------------------------------------------------------
+
+V1 = [1.0, 0.0, 0.0, 0.0]
+V2 = [0.99, 0.1, 0.0, 0.0]   # cos(V1, V2) ≈ 0.995 — near-dup of V1
+V3 = [0.0, 1.0, 0.0, 0.0]
+V10 = [0.98, 0.05, 0.0, 0.0]  # near-dup of V1, later batch
+V11 = [0.0, 0.0, 1.0, 0.0]
+CENTROIDS = [(0, [1.0, 0.0, 0.0, 0.0]), (100, [0.0, 1.0, 0.0, 0.0]),
+             (200, [0.0, 0.0, 1.0, 0.0])]
+
+
+def _write_vecs(spark, src, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def _semantic_setup(spark, tmp_path):
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+
+    src = str(tmp_path / "vfeed")
+    ckpt = str(tmp_path / "vckpt")
+    cat = ParquetCatalog(spark, str(tmp_path / "vcat"))
+    cat.write(
+        spark.createDataFrame(CENTROIDS, "cid long, ce array<double>"),
+        "cent", mode="overwrite",
+    )
+    return src, ckpt, cat
+
+
+def test_semantic_gate_within_and_across_batches(spark, tmp_path):
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    src, ckpt, cat = _semantic_setup(spark, tmp_path)
+    _write_vecs(spark, src, [(1, V1), (2, V2), (3, V3)])
+    n = stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                             "embedding", "cent", threshold=0.9,
+                             checkpoint=ckpt)
+    assert n == 1
+    kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3]  # 2 rejected by smaller-id bucket-mate 1
+
+    _write_vecs(spark, src, [(10, V10), (11, V11)])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]  # 10 rejected via the index
+
+    # index rows carry bucket assignments for accepted vectors only
+    got = {r["__id"]: r["__bucket"] for r in cat.read("idx").collect()}
+    assert got == {1: 0, 3: 100, 11: 200}
+
+
+def test_semantic_gate_replay_and_crash_window(spark, tmp_path):
+    import hashlib
+
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    src, ckpt, cat = _semantic_setup(spark, tmp_path)
+    _write_vecs(spark, src, [(1, V1), (3, V3)])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    # crashed attempt of batch 1 planted vec 11's index row already
+    ns = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+    planted = spark.createDataFrame(
+        [(11, V11, 200, f"{ns}:1")],
+        "__id long, __v array<double>, __bucket long, __commit string",
+    )
+    cat.write(planted, "idx", mode="append")
+    idx_before = cat.read("idx").count()
+
+    _write_vecs(spark, src, [(11, V11)])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]  # self-shadow excluded, clean row landed
+    assert cat.read("idx").count() == idx_before  # no double-append
+
+    # drained checkpoint: no-op
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    assert cat.read("clean").count() == 3
+
+
+def test_semantic_gate_empty_centroids_actionable(spark, tmp_path):
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    src, ckpt, cat = _semantic_setup(spark, tmp_path)
+    cat.write(
+        spark.createDataFrame([], "cid long, ce array<double>"),
+        "cent", mode="overwrite",
+    )
+    _write_vecs(spark, src, [(1, V1)])
+    try:
+        stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                             "embedding", "cent", checkpoint=ckpt)
+        raise AssertionError("expected failure")
+    except Exception as e:
+        assert "centroid table" in str(e)
