@@ -130,6 +130,21 @@ def run_stream_spec(
                  "on": ["k"], "checkpoint": "/ckpt"}}   # ckpt optional
 
     Same stateless-stages rule; returns the refreshed view table.
+
+    A ``"dedup_gate"`` / ``"semantic_gate"`` sink routes the stream
+    through the matching ingest gate in
+    :mod:`~database_transportor_spark.streaming.dedup_gate` —
+    declarative arrival-order near-dup rejection against a persisted
+    index (lexical exact-Jaccard / IVF-bucketed cosine)::
+
+        "sink": {"dedup_gate": {"clean": "clean", "index": "idx",
+                 "id": "doc_id", "text": "text",
+                 "threshold": 0.5, "shingle_n": 3}}     # defaults shown
+        "sink": {"semantic_gate": {"clean": "clean", "index": "idx",
+                 "id": "vec_id", "vec": "embedding",
+                 "centroids": "cent", "threshold": 0.9}}
+
+    Same stateless-stages rule; returns the clean table.
     """
     where = "stream spec"
     src = spec.get("source")
@@ -189,6 +204,43 @@ def run_stream_spec(
             transform=_stateless_transform("join_view"),
         )
         return target.read(jv["view"])
+
+    if "dedup_gate" in sink or "semantic_gate" in sink:
+        kind = "dedup_gate" if "dedup_gate" in sink else "semantic_gate"
+        g = sink[kind]
+        if target is None:
+            raise SpecError(
+                f"{where}: a {kind} sink needs target= (a Catalog)"
+            )
+        for req in ("clean", "index", "id") + (
+            ("text",) if kind == "dedup_gate" else ("vec", "centroids")
+        ):
+            if req not in g:
+                raise SpecError(f"{where}: {kind} sink needs {req!r}")
+        common = dict(
+            checkpoint=g.get("checkpoint"),
+            transform=_stateless_transform(kind),
+        )
+        if kind == "dedup_gate":
+            from .dedup_gate import stream_dedup_gate
+
+            stream_dedup_gate(
+                spark, src["path"], target, g["clean"], g["index"],
+                g["id"], g["text"],
+                shingle_n=g.get("shingle_n", 3),
+                threshold=g.get("threshold", 0.5),
+                **common,
+            )
+        else:
+            from .dedup_gate import stream_semantic_gate
+
+            stream_semantic_gate(
+                spark, src["path"], target, g["clean"], g["index"],
+                g["id"], g["vec"], g["centroids"],
+                threshold=g.get("threshold", 0.9),
+                **common,
+            )
+        return target.read(g["clean"])
 
     if "merge" in sink:
         from .merge_sink import stream_merge_sink

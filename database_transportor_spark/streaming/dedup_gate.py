@@ -73,13 +73,16 @@ def _run_ingest_gate(
     checkpoint: str | None,
     ckpt_prefix: str,
     make_compute,
+    transform=None,
 ) -> int:
     """Shared gate scaffold: schema/checkpoint defaults, the
     availableNow stream, and per-batch replay / crash-window / append
     mechanics.  ``make_compute(batch, index_df_or_None)`` returns
     ``(rejected, index_rows_for)``: a 1-column ``__id`` frame of batch
     ids to drop, and a callable mapping the kept batch rows to their
-    index rows (sans ``__commit``)."""
+    index rows (sans ``__commit``).  ``transform``: optional stateless
+    ``DataFrame -> DataFrame`` hook applied to the stream before
+    gating (filter/derive stages)."""
     if schema is None:
         try:
             schema = spark.read.parquet(source_dir).schema
@@ -161,6 +164,8 @@ def _run_ingest_gate(
             applied["n"] += 1
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    if transform is not None:
+        stream = transform(stream)
     q = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
@@ -183,6 +188,7 @@ def stream_dedup_gate(
     threshold: float = 0.5,
     schema=None,
     checkpoint: str | None = None,
+    transform=None,
 ) -> int:
     """Stream document files from ``source_dir``; per micro-batch, keep
     only documents whose exact ``shingle_n``-gram Jaccard stays below
@@ -274,7 +280,7 @@ def stream_dedup_gate(
 
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,
-        schema, checkpoint, "dedup_gate", compute,
+        schema, checkpoint, "dedup_gate", compute, transform=transform,
     )
 
 
@@ -290,6 +296,7 @@ def stream_semantic_gate(
     threshold: float = 0.9,
     schema=None,
     checkpoint: str | None = None,
+    transform=None,
 ) -> int:
     """Embedding sibling of :func:`stream_dedup_gate`: reject a vector
     iff its cosine reaches ``threshold`` against an accepted vector or a
@@ -385,5 +392,5 @@ def stream_semantic_gate(
 
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,
-        schema, checkpoint, "semantic_gate", compute,
+        schema, checkpoint, "semantic_gate", compute, transform=transform,
     )

@@ -214,3 +214,82 @@ def test_join_view_sink_rejects_stateful_stages(spark, tmp_path):
     }
     with pytest.raises(SpecError, match="stateless"):
         run_stream_spec(spark, spec, target=cat)
+
+
+def test_dedup_gate_sink_spec(spark, tmp_path):
+    """Declarative ingest dedup: a stream spec with a dedup_gate sink
+    rejects near-dups of already-accepted docs; a filter stage applies
+    before gating (filtered-out docs are neither kept nor indexed)."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.declarative import (
+        run_stream_spec,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    src = str(tmp_path / "docs")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    spark.createDataFrame(
+        [(1, base, 1), (2, base + " ok", 1), (3, "entirely different "
+          "content about shuffle partitions", 1), (4, base, 0)],
+        "doc_id long, text string, keep long",
+    ).coalesce(1).write.parquet(src)
+
+    spec = {
+        "source": {"path": src, "ts_col": "ts"},
+        "stages": [{"op": "filter", "condition": "keep = 1"}],
+        "sink": {"dedup_gate": {"clean": "clean", "index": "idx",
+                                "id": "doc_id", "text": "text",
+                                "checkpoint": str(tmp_path / "ck")}},
+    }
+    out = run_stream_spec(spark, spec, target=cat)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 2 near-dups 1 (rejected); 4 is filtered OUT before gating — it
+    # neither survives nor rejects anyone
+    assert kept == [1, 3]
+    idx_ids = {r["__id"] for r in
+               cat.read("idx").select("__id").distinct().collect()}
+    assert idx_ids == {1, 3}
+
+
+def test_semantic_gate_sink_spec_and_validation(spark, tmp_path):
+    import pytest
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.spec import SpecError
+    from database_transportor_spark.streaming.declarative import (
+        run_stream_spec,
+    )
+
+    src = str(tmp_path / "vecs")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    cat.write(
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (100, [0.0, 1.0])], "cid long, ce array<double>"
+        ),
+        "cent", mode="overwrite",
+    )
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(src)
+
+    # missing required key -> actionable SpecError
+    bad = {
+        "source": {"path": src},
+        "sink": {"semantic_gate": {"clean": "c", "index": "i",
+                                   "id": "vec_id", "vec": "embedding"}},
+    }
+    with pytest.raises(SpecError, match="centroids"):
+        run_stream_spec(spark, bad, target=cat)
+
+    spec = {
+        "source": {"path": src},
+        "sink": {"semantic_gate": {"clean": "clean", "index": "idx",
+                                   "id": "vec_id", "vec": "embedding",
+                                   "centroids": "cent", "threshold": 0.9,
+                                   "checkpoint": str(tmp_path / "ck")}},
+    }
+    out = run_stream_spec(spark, spec, target=cat)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
