@@ -187,7 +187,17 @@ def main() -> None:
         # the dedup family had already built its posting caches) — so
         # totals across that boundary measure different protocols, not a
         # code regression.
-        "protocol": "isolated: per-query pin drain + median of runs",
+        # Known measurement artifact: after ~600 query runs in one JVM
+        # the heaviest streaming queries at the registry TAIL read 2-3x
+        # their isolated time (stream_semantic_gate 27 s here vs 7.2 s
+        # in a fresh session with identical confs; not reproducible
+        # with 60 batch warmups nor with the streaming family alone —
+        # whole-suite JVM aging).  Round-over-round comparisons are
+        # unaffected (every round ages identically); SCALE.md records
+        # the isolated per-query numbers.
+        "protocol": "isolated: per-query pin drain + median of runs; "
+                    "tail streaming queries carry whole-suite JVM aging "
+                    "(isolated numbers in SCALE.md)",
     }
     print(json.dumps(payload))
     # The driver's capture keeps only the TAIL of stdout, which truncates
