@@ -59,6 +59,14 @@ def main() -> None:
         .config("spark.driver.memory", "24g")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")
+        # ContextCleaner reclaims dead shuffle files / broadcast blocks
+        # only when a driver GC runs; the default periodic-GC interval
+        # (30 min) exceeds the whole suite, so debris accumulated until
+        # the registry TAIL read 2-3x its isolated time (27 s vs 7 s on
+        # stream_semantic_gate, measured).  A 2-minute periodic GC keeps
+        # the cleaner draining; a forced System.gc() every 20 queries
+        # was measured WORSE (full-GC jitter landing inside timed runs).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     # streaming queries write temp checkpoints under java.io.tmpdir; pointing
     # it at tmpfs halves cold streaming-query latency (state + offset logs
@@ -124,7 +132,7 @@ def main() -> None:
         return dt
 
     samples: dict[str, list[float]] = {}
-    for name, fn in e.queries().items():
+    for qi, (name, fn) in enumerate(e.queries().items()):
         # consecutive samples: every query callable is self-contained
         # (streaming variants use fresh UUID sinks), so each run repeats
         # the full end-to-end work
@@ -187,17 +195,9 @@ def main() -> None:
         # the dedup family had already built its posting caches) — so
         # totals across that boundary measure different protocols, not a
         # code regression.
-        # Known measurement artifact: after ~600 query runs in one JVM
-        # the heaviest streaming queries at the registry TAIL read 2-3x
-        # their isolated time (stream_semantic_gate 27 s here vs 7.2 s
-        # in a fresh session with identical confs; not reproducible
-        # with 60 batch warmups nor with the streaming family alone —
-        # whole-suite JVM aging).  Round-over-round comparisons are
-        # unaffected (every round ages identically); SCALE.md records
-        # the isolated per-query numbers.
         "protocol": "isolated: per-query pin drain + median of runs; "
-                    "tail streaming queries carry whole-suite JVM aging "
-                    "(isolated numbers in SCALE.md)",
+                    "2min periodic driver GC keeps the ContextCleaner "
+                    "draining shuffle/broadcast debris across the suite",
     }
     print(json.dumps(payload))
     # The driver's capture keeps only the TAIL of stdout, which truncates

@@ -51,6 +51,11 @@ def build_session(
         # enabling it at builder time hangs Spark 4.1's planner on even
         # trivial jobs (reproduced on local[2] range(10).count()).
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # The ContextCleaner reclaims dead shuffle files / broadcast
+        # blocks only when a driver GC runs; the 30-minute default lets
+        # a busy long-lived session accumulate debris — measured 2-3x
+        # slowdown on queries late in a 600-run suite (SCALE.md).
+        "spark.cleaner.periodicGC.interval": "2min",
     }
     if shuffle_partitions is not None:
         defaults["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
