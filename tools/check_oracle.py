@@ -62,6 +62,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # drain shuffle/broadcast debris across the ~200-query sweep
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
