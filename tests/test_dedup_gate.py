@@ -231,3 +231,26 @@ def test_semantic_gate_empty_centroids_actionable(spark, tmp_path):
         raise AssertionError("expected failure")
     except Exception as e:
         assert "centroid table" in str(e)
+
+
+def test_gate_index_survives_compaction(spark, tmp_path):
+    """The index accrues one file set per batch; the existing compaction
+    maintenance rewrites it through the staged swap — markers and
+    rejection behavior must survive the rewrite."""
+    from database_transportor_spark.operators.maintenance import (
+        compact_table,
+    )
+
+    src, ckpt, cat = _run(spark, tmp_path)
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    n_files = compact_table(cat, "idx")
+    assert n_files >= 1
+    # post-compaction: a dup of accepted doc 1 must still be rejected
+    # via the rewritten index, and a fresh doc accepted
+    _write(spark, src, [(10, D10), (11, D11)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]
