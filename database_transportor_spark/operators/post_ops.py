@@ -129,7 +129,9 @@ the reference's recursive-dependency trigger (J4) does for lookups.
 
 Register custom stages with :func:`register_post_op`; the callable gets
 ``(df, params)`` and returns the new DataFrame.  Params starting with
-``_`` are reserved for engine-injected context.
+``_`` are reserved for engine-injected context — custom stages receive
+NONE of them unless registered with ``register_post_op(name,
+context=True)``, which opts in to ``_resolve``/``_where``.
 """
 
 from __future__ import annotations
@@ -147,10 +149,21 @@ PostOp = Callable[[DataFrame, dict], DataFrame]
 
 POST_OPS: dict[str, PostOp] = {}
 
+# Stages that receive the engine-injected ``_resolve``/``_where`` context
+# keys.  Built-ins are all context-aware (they use ``_where`` for error
+# provenance); user-registered stages must opt in with ``context=True`` —
+# otherwise their params dict carries ONLY the spec's own keys, so strict
+# param validation in pre-existing custom handlers keeps working.
+_CONTEXT_OPS: set[str] = set()
 
-def register_post_op(name: str):
+
+def register_post_op(name: str, context: bool = False):
     def deco(fn: PostOp) -> PostOp:
         POST_OPS[name] = fn
+        if context:
+            _CONTEXT_OPS.add(name)
+        else:
+            _CONTEXT_OPS.discard(name)
         return fn
 
     return deco
@@ -174,8 +187,9 @@ def apply_post_ops(
             raise SpecError(
                 f"{where}: unknown post_op {name!r} (known: {sorted(POST_OPS)})"
             )
-        params["_resolve"] = resolve
-        params["_where"] = where
+        if name in _CONTEXT_OPS:
+            params["_resolve"] = resolve
+            params["_where"] = where
         df = POST_OPS[name](df, params)
     return df
 
@@ -1318,3 +1332,11 @@ def _asof_forward_stage(df: DataFrame, p: dict) -> DataFrame:
         tolerance=p.get("tolerance"),
         suffix=p.get("suffix", "_right"),
     )
+
+
+# Every stage registered above is a built-in: all take the engine context
+# keys (at minimum ``_where`` for error provenance).  Snapshot them into
+# the context set HERE, after the last built-in decorator has run — user
+# registrations happen post-import and stay context-free unless they pass
+# ``register_post_op(name, context=True)``.
+_CONTEXT_OPS.update(POST_OPS)

@@ -316,7 +316,7 @@ def join_view_delta(
     right_delta: DataFrame | None,
     on: list[str],
     broadcast_deltas: bool = True,
-) -> DataFrame:
+) -> DataFrame | None:
     """The exact delta of an INNER equi-join view under append-only
     inputs — classic incremental view maintenance:
 
@@ -335,7 +335,11 @@ def join_view_delta(
     merge view).
 
     ``None`` stands for an empty/absent side (first build).  Raises if
-    both deltas are ``None`` (no change ⇒ no delta to compute).
+    both deltas are ``None`` (no change ⇒ no delta to compute).  Returns
+    ``None`` (not a frame) when the delta is provably empty AND its
+    schema is underivable — a one-sided first build where the opposite
+    side has never been seen; :func:`refresh_join_view` handles that by
+    bootstrapping an empty view.
     """
     if left_delta is None and right_delta is None:
         raise ValueError("join_view_delta: at least one delta is required")
@@ -396,4 +400,22 @@ def refresh_join_view(
         catalog.write(left_batch, left_table, mode="append")
     if right_batch is not None:
         catalog.write(right_batch, right_table, mode="append")
-    return catalog.read(view_table)
+    if catalog.exists(view_table):
+        return catalog.read(view_table)
+    # One-sided first build: the delta was None so the view table was
+    # never created.  Return an empty, correctly-schemed view from the
+    # base tables that DO exist (a side never seen can't contribute
+    # columns yet — the schema widens on its first batch).
+    left_now = catalog.read(left_table) if catalog.exists(left_table) else None
+    right_now = (
+        catalog.read(right_table) if catalog.exists(right_table) else None
+    )
+    if left_now is not None and right_now is not None:
+        return left_now.limit(0).join(right_now.limit(0), on, "inner")
+    only = left_now if left_now is not None else right_now
+    if only is None:
+        raise ValueError(
+            "refresh_join_view: no batches and no base tables — nothing "
+            "to build a view from"
+        )
+    return only.limit(0)

@@ -738,6 +738,11 @@ def pca_project(
     Returns the projected frame; the fitted model is exposed on it as
     ``df.pca_components`` (k×d numpy array) / ``df.pca_mean`` /
     ``df.pca_eigenvalues`` for callers that need to project new data.
+
+    ``on_invalid`` governs BOTH passes: with ``'skip'`` the fit ignores
+    NULL/ragged vectors and the projection emits NULL ``out_col`` for
+    them (all input rows are kept); with ``'raise'`` either pass fails
+    with the per-row actionable error.
     """
     pts, dim = _quantized_points(
         df, id_col, vec_col, scale, dim, on_invalid, "pca_project"
@@ -767,15 +772,48 @@ def pca_project(
     mean = mean_q / float(scale)
     Wb, mb = W.copy(), mean.copy()
 
+    # The projection pass must honour on_invalid like the fit did: a NULL
+    # or ragged vector sharing an Arrow batch with valid rows would crash
+    # np.stack ("all input arrays must have the same shape").  Skip mode
+    # masks them to NULL Spark-side and the UDF scatters NULL back; raise
+    # mode keeps the same per-row actionable raise_error as the fit.
+    invalid = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != F.lit(dim))
+    if on_invalid == "skip":
+        vec_expr = F.when(~invalid, F.col(vec_col).cast("array<double>"))
+    else:
+        vec_expr = F.when(
+            invalid,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pca_project: row {id_col}="),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                    F.lit(" has a "),
+                    F.coalesce(
+                        F.concat(F.size(F.col(vec_col)).cast("string"),
+                                 F.lit("-element")),
+                        F.lit("NULL"),
+                    ),
+                    F.lit(f" {vec_col} but dim={dim}; clean the input or "
+                          "pass on_invalid='skip'"),
+                )
+            ).cast("array<double>"),
+        ).otherwise(F.col(vec_col).cast("array<double>"))
+
     @pandas_udf(ArrayType(DoubleType()))
     def proj(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        X = np.stack(vs.to_numpy()).astype(np.float64)
-        Y = (X - mb[None, :]) @ Wb.T
-        return pd.Series(list(Y))
+        mask = vs.notna().to_numpy()
+        out_vals = np.empty(len(vs), dtype=object)
+        out_vals[:] = None
+        if mask.any():
+            X = np.stack(vs.to_numpy()[mask]).astype(np.float64)
+            Y = (X - mb[None, :]) @ Wb.T
+            for i, row in zip(np.flatnonzero(mask), Y):
+                out_vals[i] = row
+        return pd.Series(out_vals)
 
-    out = df.withColumn(out_col, proj(F.col(vec_col).cast("array<double>")))
+    out = df.withColumn(out_col, proj(vec_expr))
     out.pca_components = W
     out.pca_mean = mean
     out.pca_eigenvalues = lam

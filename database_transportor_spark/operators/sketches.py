@@ -571,10 +571,12 @@ def grouped_percentiles_scalable(
 
     x = F.col(col).cast("double")
     nn = df.filter(x.isNotNull()).select(*keys, x.alias("__x"))
-    stats = nn.groupBy(*keys).agg(
-        F.count("*").alias("__n"),
-        F.min("__x").alias("__mn"),
-        F.max("__x").alias("__mx"),
+    # stats over ALL rows (count/min/max ignore NULLs) so all-NULL groups
+    # keep a __n=0 row and surface as NULL percentiles instead of vanishing
+    stats = df.groupBy(*keys).agg(
+        F.count(x).alias("__n"),
+        F.min(x).alias("__mn"),
+        F.max(x).alias("__mx"),
     )
     B = coarse_bins
     # bin index 0..B-1; the max value folds into the last bin
@@ -598,7 +600,8 @@ def grouped_percentiles_scalable(
         ),
     )
     # target 0-based ranks per group: floor and ceil of q*(n-1)
-    ranks = stats.select(
+    # (__n=0 groups would produce negative ranks — they get NULL output)
+    ranks = stats.filter(F.col("__n") > 0).select(
         *keys,
         "__n",
         F.explode(
@@ -656,5 +659,6 @@ def grouped_percentiles_scalable(
         vhi = F.element_at("__kv", hi)
         exprs.append(vlo + (pos - lo) * (vhi - vlo))
     return out.select(
-        *keys, F.array(*exprs).alias(out_col)
+        *keys,
+        F.when(F.col("__n") > 0, F.array(*exprs)).alias(out_col),
     )

@@ -305,12 +305,17 @@ class TestJoinView:
             refresh_join_view,
         )
 
-        left, _ = self._bases(spark)
+        left, right = self._bases(spark)
         cat = MemoryCatalog()
-        import pytest
-
-        # view never materializes: no right side yet -> no join rows,
-        # and reading the absent view raises the catalog's read error
-        with pytest.raises(KeyError):
-            refresh_join_view(cat, "v", "l", "r", ["k"], left_batch=left)
+        # no right side yet -> no join rows; the refresh returns an
+        # EMPTY frame (left schema: the right side has never been seen)
+        # instead of failing on the absent view table
+        view = refresh_join_view(cat, "v", "l", "r", ["k"], left_batch=left)
+        assert view.count() == 0
+        assert view.columns == left.columns
         assert cat.exists("l") and not cat.exists("v")
+        # the right side arriving later completes the view normally
+        view = refresh_join_view(cat, "v", "l", "r", ["k"],
+                                 right_batch=right)
+        want = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
+        assert sorted(tuple(r) for r in view.collect()) == want

@@ -799,3 +799,45 @@ class TestRound6LateStages:
             resolve=lambda side, t: right,
         ).collect()[0]
         assert got["v"] == "nxt"
+
+
+def test_custom_post_op_sees_only_its_own_params(spark):
+    # ADVICE r6: _resolve/_where were silently injected into EVERY
+    # stage's params, breaking custom handlers that strictly validate
+    # their params dict
+    from database_transportor_spark.operators.post_ops import (
+        POST_OPS,
+        _CONTEXT_OPS,
+        apply_post_ops,
+        register_post_op,
+    )
+
+    seen = {}
+
+    @register_post_op("__strict_custom")
+    def _strict(df, params):
+        seen.update(params)
+        unexpected = [k for k in params if k.startswith("_")]
+        assert not unexpected, f"reserved keys leaked: {unexpected}"
+        return df
+
+    @register_post_op("__ctx_custom", context=True)
+    def _ctx(df, params):
+        assert "_resolve" in params and params["_where"] == "w"
+        return df
+
+    try:
+        df = spark.createDataFrame([(1,)], "a long")
+        apply_post_ops(
+            df,
+            ({"op": "__strict_custom", "x": 1}, {"op": "__ctx_custom"}),
+            "w",
+            resolve=lambda side, t: df,
+        )
+        assert seen == {"x": 1}
+        # built-ins still get their context (join needs _resolve)
+        assert "join" in _CONTEXT_OPS and "derive" in _CONTEXT_OPS
+    finally:
+        for name in ("__strict_custom", "__ctx_custom"):
+            POST_OPS.pop(name, None)
+            _CONTEXT_OPS.discard(name)

@@ -350,3 +350,50 @@ def test_pca_project_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="k must be"):
         pca_project(df, k=3)
+
+
+def test_pca_project_skip_emits_null_for_invalid_rows(spark):
+    # ADVICE r6: the projection pass used to np.stack the raw column, so
+    # a NULL/ragged vector sharing an Arrow batch with valid rows crashed
+    # with "all input arrays must have the same shape"
+    from database_transportor_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, None),
+            (3, [4.0, 5.0, 6.0]),
+            (4, [7.0, 8.0]),          # ragged
+            (5, [9.0, 1.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)  # force all rows into ONE Arrow batch
+    out = pca_project(df, k=2, on_invalid="skip")
+    rows = {r["vec_id"]: r["pca"] for r in out.collect()}
+    assert len(rows) == 5  # skip keeps every input row
+    assert rows[2] is None and rows[4] is None
+    for vid in (1, 3, 5):
+        assert rows[vid] is not None and len(rows[vid]) == 2
+
+
+def test_pca_project_raise_names_bad_row_in_projection(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from database_transportor_spark.operators.similarity import pca_project
+
+    clean = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # fit on clean data, then project a frame with a ragged row: the
+    # projection pass itself must raise the per-row actionable error
+    model = pca_project(clean, k=1)
+    import pytest
+
+    dirty = clean.unionByName(
+        spark.createDataFrame([(9, [1.0, 2.0, 3.0])],
+                              "vec_id long, embedding array<double>")
+    )
+    with pytest.raises(Exception, match="vec_id=9"):
+        pca_project(dirty, k=1, dim=2).collect()
+    assert model is not None

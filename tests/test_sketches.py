@@ -437,7 +437,9 @@ class TestScalablePercentiles:
         got = {r["g"]: r["percentiles"] for r in
                grouped_percentiles_scalable(df, ["g"], "x", [0.5]).collect()}
         assert got["a"] == [1.0]
-        assert "z" not in got  # no non-null values -> no stats row
+        # the all-NULL group keeps its row with NULL percentiles — the
+        # docstring's contract (it used to vanish from the output)
+        assert "z" in got and got["z"] is None
 
     def test_guards(self, spark):
         import pytest
