@@ -40,11 +40,13 @@ def main() -> None:
     # sf0.1 numbers)
     prev_queries: dict[str, float] = {}
     prev_sf = None
+    prev_protocol = None
     try:
         with open(artifact) as f:
             prev = json.load(f)
         prev_queries = prev.get("queries", {})
         prev_sf = prev.get("sf")
+        prev_protocol = prev.get("protocol")
     except (OSError, ValueError):
         pass
 
@@ -141,9 +143,19 @@ def main() -> None:
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
-    # round-over-round deltas, classified signal-or-noise by the spread
+    protocol = (
+        "isolated: per-query pin drain + median of runs; "
+        "2min periodic driver GC keeps the ContextCleaner "
+        "draining shuffle/broadcast debris across the suite"
+    )
+    # round-over-round deltas, classified signal-or-noise by the spread —
+    # only against a previous artifact recorded at the SAME scale factor
+    # AND the SAME protocol (the round-6 dedup_best "+1.96 s signal" was a
+    # shared-vs-isolated protocol comparison, attributed in SCALE.md, not
+    # a regression; never let that class of misread recur)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    if prev_sf != sf_val:
+    if prev_sf != sf_val or (prev_protocol is not None
+                             and prev_protocol != protocol):
         prev_queries = {}
     delta: dict[str, dict] = {}
     for n, med in timings.items():
@@ -195,9 +207,7 @@ def main() -> None:
         # the dedup family had already built its posting caches) — so
         # totals across that boundary measure different protocols, not a
         # code regression.
-        "protocol": "isolated: per-query pin drain + median of runs; "
-                    "2min periodic driver GC keeps the ContextCleaner "
-                    "draining shuffle/broadcast debris across the suite",
+        "protocol": protocol,
     }
     print(json.dumps(payload))
     # The driver's capture keeps only the TAIL of stdout, which truncates
