@@ -453,3 +453,80 @@ class TestScalablePercentiles:
             grouped_percentiles_scalable(df, ["g"], "x", [])
         with pytest.raises(ValueError, match="outside"):
             grouped_percentiles_scalable(df, ["g"], "x", [1.5])
+
+
+class TestKMVExactContract:
+    def test_pairwise_matches_exact_selfjoin(self, spark):
+        # The heavy verification the benched kmv_overlap query no longer
+        # carries (round-7): estimates from 512-hash sketches vs the
+        # EXACT distinct×distinct self-join on the real lineitem fixture.
+        from database_transportor_spark.operators.sketches import (
+            kmv_pairwise, kmv_sketch,
+        )
+
+        l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        k = 512
+        sk = kmv_sketch(l, ["l_returnflag"], "l_orderkey", k=k)
+        pw = {(r["group_a"], r["group_b"]): r
+              for r in kmv_pairwise(sk, ["l_returnflag"], k=k).collect()}
+
+        d = l.select("l_returnflag", "l_orderkey").distinct()
+        counts = {r["l_returnflag"]: r["n"]
+                  for r in d.groupBy("l_returnflag")
+                  .agg(F.count("*").alias("n")).collect()}
+        a, b = d.alias("a"), d.alias("b")
+        exact = {
+            (r["ga"], r["gb"]): r["i"]
+            for r in a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_returnflag") < F.col("b.l_returnflag")),
+            )
+            .groupBy(F.col("a.l_returnflag").alias("ga"),
+                     F.col("b.l_returnflag").alias("gb"))
+            .agg(F.count("*").alias("i"))
+            .collect()
+        }
+        assert len(pw) == 3  # C(3,2) return-flag pairs
+        for (ga, gb), row in pw.items():
+            ei = exact.get((ga, gb), 0)
+            eu = counts[ga] + counts[gb] - ei
+            tol = eu * 0.2 + 5  # the 4.5-sigma envelope the query asserted
+            assert abs(row["inter_est"] - ei) <= tol, (ga, gb, row, ei)
+            assert abs(row["union_est"] - eu) <= tol, (ga, gb, row, eu)
+            assert abs(row["jaccard_est"] - ei / eu) <= 0.1
+
+    def test_flagset_pair_explosion_equals_selfjoin(self, spark):
+        # the linear exact-contract computation the reworked kmv_overlap
+        # query uses must agree with the self-join it replaced
+        import __spark_entry__ as e
+
+        out = {
+            (r["group_a"], r["group_b"]): (r["exact_inter"], r["exact_union"])
+            for r in e.queries()["kmv_overlap"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        d = l.select("l_returnflag", "l_orderkey").distinct()
+        counts = {r["l_returnflag"]: r["n"]
+                  for r in d.groupBy("l_returnflag")
+                  .agg(F.count("*").alias("n")).collect()}
+        a, b = d.alias("a"), d.alias("b")
+        exact = {
+            (r["ga"], r["gb"]): r["i"]
+            for r in a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_returnflag") < F.col("b.l_returnflag")),
+            )
+            .groupBy(F.col("a.l_returnflag").alias("ga"),
+                     F.col("b.l_returnflag").alias("gb"))
+            .agg(F.count("*").alias("i"))
+            .collect()
+        }
+        assert len(out) == 3
+        for pair, (ei, eu) in out.items():
+            want_i = exact.get(pair, 0)
+            want_u = counts[pair[0]] + counts[pair[1]] - want_i
+            assert (ei, eu) == (want_i, want_u), (pair, ei, eu, want_i, want_u)
