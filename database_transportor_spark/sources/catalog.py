@@ -263,6 +263,7 @@ class JDBCCatalog(Catalog):
         fetchsize: int = 10_000,
         batchsize: int = 10_000,
         partition_options: Optional[dict[str, dict[str, Any]]] = None,
+        string_type: Optional[str] = None,
     ):
         self.spark = spark
         self.url = url
@@ -270,6 +271,13 @@ class JDBCCatalog(Catalog):
         self.fetchsize = fetchsize
         self.batchsize = batchsize
         self.partition_options = dict(partition_options or {})
+        # Some dialects map Spark StringType to a LOB by default (Derby →
+        # CLOB, where even `col = 'x'` comparisons are illegal, so pushed
+        # filters FAIL AT RUNTIME after planning fine).  string_type (e.g.
+        # "VARCHAR(255)") is applied to every string column of created
+        # tables via createTableColumnTypes; values longer than the
+        # declared width fail the insert — size it to the data.
+        self.string_type = string_type
 
     def identity(self) -> str:
         return f"{type(self).__name__}:{self.url}"
@@ -295,6 +303,18 @@ class JDBCCatalog(Catalog):
             .option("batchsize", self.batchsize)
             .mode(mode)
         )
+        if self.string_type:
+            from pyspark.sql.types import StringType
+
+            strs = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, StringType)
+            ]
+            if strs:
+                writer = writer.option(
+                    "createTableColumnTypes",
+                    ", ".join(f"{c} {self.string_type}" for c in strs),
+                )
         for k, v in self.properties.items():
             writer = writer.option(k, v)
         writer.save()
