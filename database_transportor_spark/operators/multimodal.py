@@ -4,13 +4,14 @@ Media are opaque ``binary`` columns plus a typed metadata struct; all
 decode/feature work runs in Arrow-batched Pandas stages via
 ``mapInPandas`` so bytes never round-trip row-at-a-time through Python.
 
-Decode tiers: pillow when importable (JPEG/PNG/WebP/…), else a REAL
-pure-Python PNG codec (:func:`decode_png`/:func:`encode_png` — stdlib
-zlib + numpy de-filtering, no fake) for images, and a REAL pure-Python
+Decode tiers: pillow when importable (JPEG/PNG/WebP/…), else REAL
+pure-Python codecs — PNG (:func:`decode_png`/:func:`encode_png`, stdlib
+zlib + numpy de-filtering), baseline-sequential JPEG
+(:mod:`.jpeg` — actual DCT/Huffman per ITU-T T.81, round 7), and a
 PCM-16 RIFF/WAVE codec (:func:`decode_wav`/:func:`encode_wav`) for
-audio; only video frame-grabbing remains a deterministic byte-slicer
-stand-in (:func:`sample_frames` — PyAV/ffmpeg are not in this
-container).
+audio.  Containers (AVI RIFF, APNG) demux for real; the only remaining
+stand-in is the generic byte-slicing :func:`sample_frames` for formats
+with no in-container codec (PyAV/ffmpeg are not in this container).
 """
 
 from __future__ import annotations
@@ -241,9 +242,10 @@ def decode_image(
     raw pixel bytes): ``(id, width, height, channels[, pixels])``.
 
     REAL decode, two tiers: pillow when importable (JPEG/PNG/WebP/…);
-    otherwise the built-in pure-Python PNG decoder (:func:`decode_png` —
+    otherwise the built-in pure-Python codecs (:func:`decode_png` —
     stdlib zlib + numpy, genuinely decompresses and de-filters the pixel
-    data, no fake).  Bytes neither tier can decode follow ``errors``:
+    data — and the baseline-sequential JPEG decoder
+    :func:`~.jpeg.decode_jpeg`).  Bytes neither tier can decode follow ``errors``:
     ``"raise"`` fails the job, ``"skip"`` drops the row, ``"null"``
     emits NULL dims — the quarantine-friendly mode for web-scraped
     corpora where a percent of payloads is always garbage.
@@ -283,6 +285,10 @@ def decode_image(
                 if arr.ndim == 2:
                     arr = arr[:, :, None]
                 return arr
+            if b[:2] == b"\xff\xd8":
+                from .jpeg import decode_jpeg
+
+                return decode_jpeg(b)
             return decode_png(b)
 
         for pdf in batches:
@@ -982,10 +988,13 @@ def decode_video_frames(
       :func:`decode_avi` — MJPEG-in-AVI and PNG-in-AVI (``MPNG``), the
       formats scraped web video actually arrives in.  Per-frame delay is
       the stream timing (``dwScale/dwRate``).  PNG payloads decode fully
-      (dims + exact ``pixel_sum``); JPEG payloads get REAL header dims
-      via :func:`jpeg_dimensions` and, without an image library for the
-      DCT/Huffman stage, a NULL ``pixel_sum`` (pillow, when importable,
-      fills it).
+      (dims + exact ``pixel_sum``); JPEG payloads decode through the
+      built-in baseline-sequential decoder (:func:`~.jpeg.decode_jpeg` —
+      real DCT/Huffman, deterministic in every environment, used even
+      when pillow is importable so ``pixel_sum`` never depends on a
+      libjpeg IDCT variant).  Payloads outside the baseline process
+      (progressive JPEG) degrade to REAL header dims via
+      :func:`jpeg_dimensions` + NULL ``pixel_sum``.
 
     Scale shape: ``mapInPandas`` fan-out, Arrow-batched, no shuffle —
     identical plumbing to :func:`sample_frames`, but over genuinely
@@ -1009,18 +1018,7 @@ def decode_video_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        try:  # pragma: no cover - pillow absent in this container
-            import io
-
-            from PIL import Image
-
-            def jpeg_pixels(p: bytes):
-                a = np.asarray(Image.open(io.BytesIO(p)))
-                if a.ndim == 2:
-                    a = a[:, :, None]
-                return a
-        except ImportError:
-            jpeg_pixels = None
+        from .jpeg import decode_jpeg
 
         def demux(data: bytes):
             """→ [(w, h, ch, delay_num, delay_den, pixel_sum), ...] —
@@ -1037,13 +1035,20 @@ def decode_video_frames(
                         h, w, ch = arr.shape
                         out.append((w, h, ch, dn, dd,
                                     int(arr.astype(np.int64).sum())))
-                    elif p[:2] == b"\xff\xd8":  # MJPEG: header dims
-                        if jpeg_pixels is not None:  # pragma: no cover
-                            arr = jpeg_pixels(p)
+                    elif p[:2] == b"\xff\xd8":
+                        # MJPEG: the built-in baseline decoder, ALWAYS —
+                        # never pillow here even when importable: libjpeg
+                        # IDCT variants differ by ±1/pixel, which would
+                        # make pixel_sum environment-dependent and break
+                        # oracle hashes across machines.  Payloads the
+                        # baseline decoder rejects (progressive JPEG)
+                        # degrade to REAL header dims + NULL pixel_sum.
+                        try:
+                            arr = decode_jpeg(p)
                             h, w, ch = arr.shape
                             out.append((w, h, ch, dn, dd,
                                         int(arr.astype(np.int64).sum())))
-                        else:
+                        except ValueError:
                             w, h, ch = jpeg_dimensions(p)
                             out.append((w, h, ch, dn, dd, None))
                     else:
