@@ -1855,6 +1855,104 @@ FROM fr
 """
 
 
+def q_lang_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spec data (round-7 discipline): a text-quality stage composed
+    with a relational agg through the declarative planner — no DataFrame
+    code.  Integer-exact: quality ∈ {0,⅓,⅔,1} aggregates as
+    sum(round(q·3))."""
+    maps = {"lang_mix": {
+        "original_table": "documents",
+        "columns": {"doc_id": "doc_id", "lang": "lang", "text": "text"},
+        "post_ops": [
+            {"op": "quality_score", "text_col": "text"},
+            {"op": "agg", "group_by": ["lang"],
+             "aggs": ["count(*) AS n_docs",
+                      "cast(sum(round(quality * 3)) as bigint)"
+                      " AS quality_points"]},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "lang_mix")
+
+
+SQL_LANG_QUALITY_MIX = r"""
+WITH t AS (
+    SELECT lang,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars / greatest(n_tokens, 1)
+                   BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END
+            + CASE WHEN len(list_intersect(toks,
+                  ['the','a','and','of','to','in','is','it','that','for']))
+                   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_points
+FROM t GROUP BY lang
+"""
+
+
+def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative wide pivot as spec data: one conditional-agg shuffle
+    (see `operators/rollup.py:pivot_table` — never Spark's two-exchange
+    native pivot), categories pinned by the spec's `values` list."""
+    maps = {"status_pivot": {
+        "original_table": "orders",
+        "columns": {"status": "o_orderstatus",
+                    "priority": "o_orderpriority"},
+        "post_ops": [
+            {"op": "pivot", "group_cols": ["status"],
+             "pivot_col": "priority",
+             "values": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                        "4-NOT SPECIFIED", "5-LOW"],
+             "agg": "count"},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "status_pivot")
+
+
+SQL_STATUS_PRIORITY_PIVOT = """
+SELECT o_orderstatus AS status,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+         AS "4-NOT SPECIFIED",
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_source_lang_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-2 languages by document count — agg + partitioned
+    window_rank, both as spec stages (deterministic tiebreak on lang)."""
+    maps = {"src_rank": {
+        "original_table": "documents",
+        "columns": {"source": "source", "lang": "lang"},
+        "post_ops": [
+            {"op": "agg", "group_by": ["source", "lang"],
+             "aggs": ["count(*) AS n_docs"]},
+            {"op": "window_rank", "partition_by": ["source"],
+             "order_by": ["n_docs desc", "lang asc"], "rank_col": "rank",
+             "method": "row_number", "top": 2},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "src_rank")
+
+
+SQL_SOURCE_LANG_RANK = """
+WITH c AS (
+    SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_docs DESC, lang) AS rank
+    FROM c
+)
+SELECT source, lang, n_docs, rank FROM r WHERE rank <= 2
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE: train 60 merges on the corpus word-frequency dict
     (`operators/text.py:train_bpe`), encode every document distributed
@@ -4671,6 +4769,9 @@ _EXTENSION_QUERIES = {
     "video_frames": q_video_frames,
     "avi_frames": q_avi_frames,
     "mjpeg_frames": q_mjpeg_frames,
+    "lang_quality_mix": q_lang_quality_mix,
+    "status_priority_pivot": q_status_priority_pivot,
+    "source_lang_rank": q_source_lang_rank,
     "dedup_lines": q_dedup_lines,
     "temperature_mix": q_temperature_mix,
     "char_entropy": q_char_entropy,
@@ -4787,6 +4888,9 @@ _EXTENSION_ORACLES = {
     "video_frames": SQL_VIDEO_FRAMES,
     "avi_frames": SQL_AVI_FRAMES,
     "mjpeg_frames": SQL_MJPEG_FRAMES,
+    "lang_quality_mix": SQL_LANG_QUALITY_MIX,
+    "status_priority_pivot": SQL_STATUS_PRIORITY_PIVOT,
+    "source_lang_rank": SQL_SOURCE_LANG_RANK,
     "dedup_lines": SQL_DEDUP_LINES,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "char_entropy": SQL_CHAR_ENTROPY,
