@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "Catalog",
@@ -146,6 +147,7 @@ class FileCatalog(Catalog):
         staged: bool = False,
         read_options: Optional[dict[str, str]] = None,
         write_options: Optional[dict[str, str]] = None,
+        partition_spec: Optional[dict[str, list[str]]] = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -156,6 +158,12 @@ class FileCatalog(Catalog):
         dflt_r, dflt_w = self._format_defaults.get(self.format, ({}, {}))
         self.read_options = {**dflt_r, **(read_options or {})}
         self.write_options = {**dflt_w, **(write_options or {})}
+        # table -> Hive-style partition columns, applied on every write
+        # of that table (directory layout `col=value/`).  A reader that
+        # filters on a partition column with literals prunes DIRECTORIES
+        # — the scan never opens non-matching files; the streaming gates
+        # use this for their key-sharded accepted indexes.
+        self.partition_spec = dict(partition_spec or {})
 
     def path(self, table: str) -> str:
         return f"{self.root}/{table}{self.suffix}"
@@ -179,18 +187,29 @@ class FileCatalog(Catalog):
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return bool(fs.exists(p))
 
-    def _save(self, df: DataFrame, path: str, mode: str) -> None:
-        (
+    def _save(self, df: DataFrame, path: str, mode: str,
+              partition_by: Optional[list[str]] = None) -> None:
+        if partition_by:
+            # cluster rows by the partition columns first: without this,
+            # every write task emits a file into EVERY partition dir it
+            # touches (tasks × dirs small files — measured 2.5× slower
+            # probes on the gate index than the unpartitioned layout);
+            # clustered, each dir gets at most one file per write
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        w = (
             df.write.options(**self.write_options)
             .format(self.format)
             .mode(mode)
-            .save(path)
         )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
+        part = self.partition_spec.get(table)
         if not self.staged or mode == "append":
             # append can't stage meaningfully (the swap would drop history)
-            self._save(df, self.path(table), mode)
+            self._save(df, self.path(table), mode, partition_by=part)
             return
         import shutil
         import os
@@ -198,7 +217,7 @@ class FileCatalog(Catalog):
         final = self.path(table)
         staging = f"{final}.__staging"
         shutil.rmtree(staging, ignore_errors=True)
-        self._save(df, staging, "overwrite")
+        self._save(df, staging, "overwrite", partition_by=part)
         # job succeeded — swap (rmtree no-ops on a single-file table, so
         # remove files explicitly; see commit_staged)
         if os.path.isdir(final):

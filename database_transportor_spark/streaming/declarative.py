@@ -229,6 +229,7 @@ def run_stream_spec(
                 g["id"], g["text"],
                 shingle_n=g.get("shingle_n", 3),
                 threshold=g.get("threshold", 0.5),
+                index_shards=g.get("index_shards"),
                 **common,
             )
         else:
@@ -238,6 +239,7 @@ def run_stream_spec(
                 spark, src["path"], target, g["clean"], g["index"],
                 g["id"], g["vec"], g["centroids"],
                 threshold=g.get("threshold", 0.9),
+                partition_index=g.get("partition_index", False),
                 **common,
             )
         return target.read(g["clean"])

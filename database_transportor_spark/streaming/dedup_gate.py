@@ -189,6 +189,7 @@ def stream_dedup_gate(
     schema=None,
     checkpoint: str | None = None,
     transform=None,
+    index_shards: int | None = None,
 ) -> int:
     """Stream document files from ``source_dir``; per micro-batch, keep
     only documents whose exact ``shingle_n``-gram Jaccard stays below
@@ -203,9 +204,29 @@ def stream_dedup_gate(
     100 TB apply the same ``max_df`` stop-phrase discipline as the batch
     pair generators via a static stoplist snapshot (batch and index must
     agree on the shingle space).
+
+    ``index_shards`` (round 7 — the previously documented-only 100 TB
+    discipline, now shipped): partition the index table Hive-style by
+    ``__shard = pmod(__h, index_shards)`` (requires a file catalog) and
+    filter each probe to the batch's shard set — a literal ``IN`` over
+    at most ``index_shards`` values, so the index scan PRUNES
+    DIRECTORIES a small batch cannot touch instead of reading the whole
+    accepted corpus.  Result-transparent (the shard is a function of
+    the join key); pays when batches are narrow relative to the shard
+    count.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if index_shards is not None:
+        if index_shards < 2:
+            raise ValueError("index_shards must be >= 2")
+        if not hasattr(target, "partition_spec"):
+            raise ValueError(
+                "index_shards needs a file catalog (Hive-partitioned "
+                f"index layout); {type(target).__name__} has no "
+                "partition_spec"
+            )
+        target.partition_spec[index_table] = ["__shard"]
 
     def compute(batch: DataFrame, idx):
         # batch postings: (__id, __h) + per-doc set size __n — pinned:
@@ -225,6 +246,16 @@ def stream_dedup_gate(
         jac = lambda i, na, nb: i / (na + nb - i)  # noqa: E731
         parts = []
         if idx is not None:
+            if index_shards is not None:
+                # the batch's shard set is bounded by index_shards — a
+                # literal IN on the partition column prunes index dirs
+                shards = [
+                    r[0]
+                    for r in posting.select(
+                        F.pmod(F.col("__h"), F.lit(index_shards)).alias("s")
+                    ).distinct().collect()
+                ]
+                idx = idx.filter(F.col("__shard").isin(shards))
             parts.append(
                 posting.join(
                     idx.select(
@@ -272,9 +303,14 @@ def stream_dedup_gate(
             rejected = rejected.unionByName(p)
 
         def index_rows_for(kept: DataFrame) -> DataFrame:
-            return posting.join(
+            rows = posting.join(
                 kept.select(F.col(id_col).alias("__id")), "__id"
             ).select("__id", "__h", "__n")
+            if index_shards is not None:
+                rows = rows.withColumn(
+                    "__shard", F.pmod(F.col("__h"), F.lit(index_shards))
+                )
+            return rows
 
         return rejected.distinct(), index_rows_for
 
@@ -297,6 +333,7 @@ def stream_semantic_gate(
     schema=None,
     checkpoint: str | None = None,
     transform=None,
+    partition_index: bool = False,
 ) -> int:
     """Embedding sibling of :func:`stream_dedup_gate`: reject a vector
     iff its cosine reaches ``threshold`` against an accepted vector or a
@@ -316,6 +353,15 @@ def stream_semantic_gate(
 
     The bucket join is an equi-join: batch×corpus cosine is never
     computed all-pairs.
+
+    ``partition_index`` (round 7): lay the index out Hive-partitioned
+    by ``__bucket`` (requires a file catalog) and filter each probe to
+    the batch's bucket set — the index scan then prunes every bucket
+    directory the batch doesn't touch.  Pays when batches are narrow
+    relative to the codebook (a 100-vector batch against a
+    1024-centroid index reads ≤ 100/1024 of the accepted corpus).
+    Result-transparent: the bucket is a pure function of the vector
+    and the fixed codebook.
     """
     import numpy as np
 
@@ -323,6 +369,14 @@ def stream_semantic_gate(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if partition_index:
+        if not hasattr(target, "partition_spec"):
+            raise ValueError(
+                "partition_index needs a file catalog (Hive-partitioned "
+                f"index layout); {type(target).__name__} has no "
+                "partition_spec"
+            )
+        target.partition_spec[index_table] = ["__bucket"]
 
     def compute(batch: DataFrame, idx):
         cent = sorted(
@@ -351,10 +405,16 @@ def stream_semantic_gate(
         )
         parts = []
         if idx is not None:
+            if partition_index:
+                buckets = [
+                    r[0] for r in
+                    assigned.select("__bucket").distinct().collect()
+                ]
+                idx = idx.filter(F.col("__bucket").isin(buckets))
             parts.append(
                 assigned.join(
                     idx.select(
-                        F.col("__bucket"),
+                        F.col("__bucket").cast("long").alias("__bucket"),
                         F.col("__v").alias("__cv"),
                         F.col("__id").alias("__cid"),
                     ),

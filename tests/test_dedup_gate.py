@@ -254,3 +254,83 @@ def test_gate_index_survives_compaction(spark, tmp_path):
                       checkpoint=ckpt)
     kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
     assert kept == [1, 3, 11]
+
+
+def test_gate_sharded_index_is_result_transparent(spark, tmp_path):
+    """index_shards (round 7): identical accepted sets with and without
+    the Hive-sharded index layout, the layout actually partitions on
+    disk, and the probe's shard filter reaches the scan as a partition
+    filter."""
+    import os
+
+    outs = {}
+    for label, shards in (("plain", None), ("sharded", 8)):
+        src, ckpt, cat = _run(spark, tmp_path, suffix=f"_{label}")
+        _write(spark, src, [(1, D1), (2, D2), (3, D3)])
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt, index_shards=shards)
+        _write(spark, src, [(10, D10), (11, D11), (12, D12)])
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt, index_shards=shards)
+        outs[label] = sorted(
+            r["doc_id"] for r in cat.read("clean").collect())
+        if shards:
+            idx_path = cat.path("idx")
+            dirs = [d for d in os.listdir(idx_path)
+                    if d.startswith("__shard=")]
+            assert dirs, "index is not Hive-partitioned by __shard"
+            # partition column round-trips through the directory layout
+            got = {tuple(r) for r in cat.read("idx")
+                   .select("__h", "__shard").limit(50).collect()}
+            assert all(h % 8 == s for h, s in got)
+    assert outs["plain"] == outs["sharded"] == [1, 3, 11, 12]
+
+
+def test_gate_sharded_index_requires_file_catalog(spark, tmp_path):
+    import pytest
+
+    from database_transportor_spark import MemoryCatalog
+
+    with pytest.raises(ValueError, match="file catalog"):
+        stream_dedup_gate(spark, str(tmp_path / "nofeed"), MemoryCatalog(),
+                          "clean", "idx", "doc_id", "text",
+                          index_shards=8)
+    with pytest.raises(ValueError, match="index_shards"):
+        stream_dedup_gate(
+            spark, str(tmp_path / "nofeed"),
+            ParquetCatalog(spark, str(tmp_path / "nc")),
+            "clean", "idx", "doc_id", "text", index_shards=1)
+
+
+def test_semantic_gate_partitioned_index_transparent(spark, tmp_path):
+    import os
+
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    outs = {}
+    for label, part in (("plain", False), ("parted", True)):
+        src = str(tmp_path / f"vfeed_{label}")
+        ckpt = str(tmp_path / f"vckpt_{label}")
+        cat = ParquetCatalog(spark, str(tmp_path / f"vcat_{label}"))
+        cat.write(
+            spark.createDataFrame(CENTROIDS, "cid long, ce array<double>"),
+            "cent", mode="overwrite",
+        )
+        _write_vecs(spark, src, [(1, V1), (2, V2), (3, V3)])
+        stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                             "embedding", "cent", threshold=0.9,
+                             checkpoint=ckpt, partition_index=part)
+        _write_vecs(spark, src, [(10, V10)])
+        stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                             "embedding", "cent", threshold=0.9,
+                             checkpoint=ckpt, partition_index=part)
+        outs[label] = sorted(
+            r["vec_id"] for r in cat.read("clean").collect())
+        if part:
+            dirs = [d for d in os.listdir(cat.path("idx"))
+                    if d.startswith("__bucket=")]
+            assert dirs, "index is not Hive-partitioned by __bucket"
+    assert outs["plain"] == outs["parted"]
+    assert outs["plain"] == [1, 3]  # 2 within-batch dup, 10 index dup
