@@ -148,17 +148,12 @@ def _canonical_codes(bits, values):
 
 
 def _decode_table(bits, values):
-    """(bits, values) -> {(length, code): symbol} for the bit reader."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length]):
-            out[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """(bits, values) -> {(length, code): symbol} for the bit reader —
+    the same canonical-code walk as :func:`_canonical_codes`, inverted."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, values).items()
+    }
 
 
 def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
@@ -336,14 +331,11 @@ def encode_jpeg(arr, quality: int = 90, subsampling: str = "4:4:4",
         for ci in range(ncomp)
     )
     out.append(seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps))
-    for t, (bits, values) in enumerate([_DC_LUMA, _DC_CHROMA][:ncomp and 2]):
-        if t >= (2 if ncomp == 3 else 1):
-            break
+    n_tables = 2 if ncomp == 3 else 1
+    for t, (bits, values) in enumerate([_DC_LUMA, _DC_CHROMA][:n_tables]):
         out.append(seg(0xC4, bytes([t]) + bytes(bits[1:])
                        + bytes(values)))
-    for t, (bits, values) in enumerate([_AC_LUMA, _AC_CHROMA]):
-        if t >= (2 if ncomp == 3 else 1):
-            break
+    for t, (bits, values) in enumerate([_AC_LUMA, _AC_CHROMA][:n_tables]):
         out.append(seg(0xC4, bytes([0x10 | t]) + bytes(bits[1:])
                        + bytes(values)))
     if restart_interval:
@@ -432,7 +424,23 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Decode baseline-sequential JPEG bytes to an ``(h, w, channels)``
     uint8 array.  Grayscale decodes to channels=1; 3-component scans
-    YCbCr→RGB.  Progressive/arithmetic modes raise ``ValueError``."""
+    YCbCr→RGB.  Raises ``ValueError`` for EVERY malformed or unsupported
+    input (progressive/arithmetic modes, truncation, bad tables, unknown
+    component references) — callers degrade on one exception type."""
+    try:
+        return _decode_jpeg_impl(b)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, StopIteration, struct.error,
+            OverflowError) as exc:
+        # malformed streams hit these through slicing/table/unpack paths;
+        # normalize so the documented degrade contract needs ONE type
+        raise ValueError(
+            f"corrupt JPEG ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg_impl(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -443,8 +451,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("corrupt JPEG (marker desync)")
-        marker = b[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
+        marker = b[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -515,8 +528,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
 def _decode_scan(b, pos, frame, scomps, qtabs, htabs, restart):
     fh, fw = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scomps)
-    vmax = max(c["v"] for c, _, _ in scomps)
+    if len(scomps) == 1:
+        # T.81 A.2: a ONE-component scan is NON-interleaved — the MCU is
+        # a single data unit and the component covers the frame at its
+        # own full block grid, regardless of declared sampling factors.
+        # (The interleaved loop below would mis-tile a single-component
+        # frame whose SOF declares h=v=2, as some encoders emit.)
+        hmax = vmax = 1
+        scomps = [(dict(scomps[0][0], h=1, v=1), scomps[0][1],
+                   scomps[0][2])]
+    else:
+        hmax = max(c["h"] for c, _, _ in scomps)
+        vmax = max(c["v"] for c, _, _ in scomps)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
     planes = []

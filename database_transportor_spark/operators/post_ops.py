@@ -176,10 +176,11 @@ def apply_post_ops(
     resolve: Callable[[str, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Apply the stages in order.  ``resolve(side, table)`` is the engine's
-    catalog resolver; it is injected into each stage's params under the
-    reserved ``_resolve`` key so relational stages (``join``) can read
-    other tables / upstream map outputs through the same resolution path
-    as lookups."""
+    catalog resolver; it is injected under the reserved ``_resolve`` key
+    into BUILT-IN stages and custom stages registered with
+    ``context=True`` (so relational stages like ``join`` read other
+    tables / upstream map outputs through the same resolution path as
+    lookups) — plain custom stages receive only the spec's own params."""
     for spec in post_ops:
         params = {k: v for k, v in spec.items() if k != "op"}
         name = spec["op"]

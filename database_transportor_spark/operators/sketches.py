@@ -567,6 +567,17 @@ def grouped_percentiles_scalable(
         right = hint(b) if hint is not None else b
         if cols:
             return a.join(right, cols, how)
+        if how == "left":
+            # crossJoin drops a's row when b is EMPTY (global all-NULL:
+            # kvmap has no row) — a constant-key equi-join keeps the
+            # left row so the NULL-percentiles contract holds for
+            # keys=[] too
+            return (
+                a.withColumn("__k1", F.lit(1))
+                .join(F.broadcast(b.withColumn("__k1", F.lit(1))),
+                      ["__k1"], "left")
+                .drop("__k1")
+            )
         return a.crossJoin(F.broadcast(b))
 
     x = F.col(col).cast("double")

@@ -205,8 +205,19 @@ class FileCatalog(Catalog):
             w = w.partitionBy(*partition_by)
         w.save(path)
 
+    def _partition_cols(self, table: str) -> Optional[list[str]]:
+        # staging writes (write_staged / compact_table) land in
+        # `<table>__staging` and are renamed over the final table — they
+        # MUST inherit the final table's partition layout or the swap
+        # replaces a Hive-partitioned table with flat files and the next
+        # partitioned append corrupts the directory structure
+        got = self.partition_spec.get(table)
+        if got is None and table.endswith("__staging"):
+            got = self.partition_spec.get(table[: -len("__staging")])
+        return got
+
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
-        part = self.partition_spec.get(table)
+        part = self._partition_cols(table)
         if not self.staged or mode == "append":
             # append can't stage meaningfully (the swap would drop history)
             self._save(df, self.path(table), mode, partition_by=part)

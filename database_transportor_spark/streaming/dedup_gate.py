@@ -62,6 +62,43 @@ from ..sources.catalog import Catalog
 __all__ = ["stream_dedup_gate", "stream_semantic_gate"]
 
 
+def _require_partitioned_index(target, index_table: str, col: str,
+                               option: str) -> None:
+    """Guard the sharded-index options against a PRE-EXISTING index laid
+    out differently: appending ``col=value/`` partition dirs beside flat
+    data files produces a directory structure Spark cannot read
+    ('Conflicting directory structures'), silently bricking the gate.
+    Raises an actionable migration error instead."""
+    if not hasattr(target, "partition_spec"):
+        raise ValueError(
+            f"{option} needs a file catalog (Hive-partitioned index "
+            f"layout); {type(target).__name__} has no partition_spec"
+        )
+    if not target.exists(index_table):
+        return
+    cols = target.read(index_table).columns
+    jvm = target.spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(target.path(index_table))
+    fs = p.getFileSystem(target.spark._jsc.hadoopConfiguration())
+    has_part_dirs = has_root_files = False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{col}="):
+            has_part_dirs = True
+        elif st.isFile() and not name.startswith(("_", ".")):
+            has_root_files = True
+    if col not in cols or has_root_files or not has_part_dirs:
+        raise ValueError(
+            f"{option}: index table {index_table!r} already exists with a "
+            f"non-partitioned layout (missing {col}= directories"
+            + ("" if col in cols else f" and the {col} column")
+            + "); rebuild it under the new layout first — read the old "
+            "index, derive the partition column, and write it through a "
+            f"catalog whose partition_spec[{index_table!r}] = [{col!r}] "
+            "(or compact_table after setting the spec)"
+        )
+
+
 def _run_ingest_gate(
     spark: SparkSession,
     source_dir: str,
@@ -220,11 +257,25 @@ def stream_dedup_gate(
     if index_shards is not None:
         if index_shards < 2:
             raise ValueError("index_shards must be >= 2")
-        if not hasattr(target, "partition_spec"):
-            raise ValueError(
-                "index_shards needs a file catalog (Hive-partitioned "
-                f"index layout); {type(target).__name__} has no "
-                "partition_spec"
+        _require_partitioned_index(target, index_table, "__shard",
+                                   "index_shards")
+        # pin the shard count: probing pmod(h, N') against an index laid
+        # out with pmod(h, N) silently LOSES matches (recall, not speed)
+        meta_table = f"{index_table}__shardmeta"
+        if target.exists(meta_table):
+            stored = int(target.read(meta_table).first()["shards"])
+            if stored != index_shards:
+                raise ValueError(
+                    f"index_shards={index_shards} does not match the "
+                    f"existing index layout ({stored} shards recorded in "
+                    f"{meta_table!r}); probing with a different modulus "
+                    "would silently miss matches — rebuild the index or "
+                    f"pass index_shards={stored}"
+                )
+        else:
+            target.write(
+                spark.createDataFrame([(index_shards,)], "shards int"),
+                meta_table, mode="overwrite",
             )
         target.partition_spec[index_table] = ["__shard"]
 
@@ -370,12 +421,8 @@ def stream_semantic_gate(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if partition_index:
-        if not hasattr(target, "partition_spec"):
-            raise ValueError(
-                "partition_index needs a file catalog (Hive-partitioned "
-                f"index layout); {type(target).__name__} has no "
-                "partition_spec"
-            )
+        _require_partitioned_index(target, index_table, "__bucket",
+                                   "partition_index")
         target.partition_spec[index_table] = ["__bucket"]
 
     def compute(batch: DataFrame, idx):

@@ -334,3 +334,65 @@ def test_semantic_gate_partitioned_index_transparent(spark, tmp_path):
             assert dirs, "index is not Hive-partitioned by __bucket"
     assert outs["plain"] == outs["parted"]
     assert outs["plain"] == [1, 3]  # 2 within-batch dup, 10 index dup
+
+
+def test_gate_sharding_existing_unsharded_index_is_rejected(spark, tmp_path):
+    # review r7: enabling index_shards over a pre-existing flat index
+    # would append partition dirs beside flat files -> unreadable mixed
+    # layout; the gate must refuse with a migration message instead
+    import pytest
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_mig")
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    _write(spark, src, [(11, D11)])
+    with pytest.raises(ValueError, match="non-partitioned layout"):
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt, index_shards=8)
+
+
+def test_gate_shard_count_is_pinned(spark, tmp_path):
+    # probing pmod(h, N') against a pmod(h, N) layout silently loses
+    # matches — a different shard count must be rejected
+    import pytest
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_pin")
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    _write(spark, src, [(11, D11)])
+    with pytest.raises(ValueError, match="8 shards"):
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt, index_shards=16)
+    # the recorded count keeps working
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]
+
+
+def test_sharded_index_survives_staged_compaction(spark, tmp_path):
+    # review r7: write_staged used to drop the partition layout, so a
+    # compaction rewrote the index flat and the next partitioned append
+    # corrupted the directory structure
+    from database_transportor_spark.operators.maintenance import (
+        compact_table,
+    )
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_cmp")
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    compact_table(cat, "idx")
+    import os
+
+    dirs = [d for d in os.listdir(cat.path("idx"))
+            if d.startswith("__shard=")]
+    assert dirs, "compaction dropped the Hive partition layout"
+    # the gate keeps working against the compacted index
+    _write(spark, src, [(10, D10), (11, D11)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]

@@ -145,3 +145,47 @@ class TestSparkIntegration:
             pd.DataFrame({"doc_id": [7], "content": [b]}), schema)
         row = decode_image(df, "doc_id", "content").collect()[0]
         assert (row["width"], row["height"], row["channels"]) == (20, 12, 3)
+
+
+class TestRobustness:
+    # review r7: every malformed input must surface as ValueError so the
+    # video/image degrade paths need exactly one exception type
+
+    def test_malformed_inputs_raise_valueerror_only(self):
+        good = encode_jpeg(_gradient(16, 16), quality=90)
+        cases = {
+            "truncated after lone FF": good[: good.index(b"\xff\xdb") + 1],
+            "missing DQT": good[:2] + good[good.index(b"\xff\xc0"):],
+            "half scan": good[: len(good) * 2 // 3],
+            "random garbage": b"\xff\xd8" + bytes(range(256)),
+        }
+        for label, payload in cases.items():
+            with pytest.raises(ValueError):
+                decode_jpeg(payload)
+
+    def test_unknown_scan_component_is_valueerror(self):
+        good = bytearray(encode_jpeg(_gradient(8, 8, 1), quality=90))
+        sos = good.index(b"\xff\xda")
+        good[sos + 5] = 9  # scan references component id 9 (frame has 1)
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(good))
+
+    def test_fill_bytes_before_markers(self):
+        # T.81 B.1.1.2: 0xFF padding before a marker is legal
+        good = encode_jpeg(_gradient(16, 16), quality=90)
+        ref = decode_jpeg(good)
+        i = good.index(b"\xff\xdb")
+        padded = good[:i] + b"\xff\xff\xff" + good[i:]
+        assert np.array_equal(decode_jpeg(padded), ref)
+
+    def test_single_component_scan_is_non_interleaved(self):
+        # T.81 A.2: a one-component scan ignores sampling factors; a
+        # grayscale SOF declaring h=v=2 must decode like the 1x1 stream
+        good = bytearray(encode_jpeg(_gradient(24, 40, 1), quality=95))
+        ref = decode_jpeg(bytes(good))
+        sof = bytes(good).index(b"\xff\xc0")
+        # FF C0 (2) len (2) prec (1) h (2) w (2) nc (1) id (1) -> hv
+        assert good[sof + 11] == 0x11
+        good[sof + 11] = 0x22  # declare h=v=2 on the only component
+        out = decode_jpeg(bytes(good))
+        assert np.array_equal(out, ref)

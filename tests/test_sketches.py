@@ -530,3 +530,20 @@ class TestKMVExactContract:
             want_i = exact.get(pair, 0)
             want_u = counts[pair[0]] + counts[pair[1]] - want_i
             assert (ei, eu) == (want_i, want_u), (pair, ei, eu, want_i, want_u)
+
+
+def test_global_percentiles_all_null(spark):
+    # review r7: keys=[] with an all-NULL column must emit ONE row with
+    # NULL percentiles (the left-join used to degrade to a crossJoin
+    # that dropped the stats row against the empty kv side)
+    from database_transportor_spark.operators.sketches import (
+        grouped_percentiles_scalable,
+    )
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = grouped_percentiles_scalable(df, [], "x", [0.5, 0.9]).collect()
+    assert len(rows) == 1 and rows[0]["percentiles"] is None
+    # and the normal global path still works
+    df2 = spark.createDataFrame([(1.0,), (3.0,), (None,)], "x double")
+    got = grouped_percentiles_scalable(df2, [], "x", [0.5]).collect()
+    assert len(got) == 1 and got[0]["percentiles"] == [2.0]

@@ -17,7 +17,10 @@ instead of creating artificial hot shingles.  A fixed probe batch — half
 exact copies of indexed documents (must be rejected), half fresh content
 (must be accepted) — is then streamed through the REAL gate (fresh
 checkpoint, real foreachBatch, real appends) and timed.  Each (gate, S)
-cell runs twice; both samples print.
+cell runs twice against ITS OWN COPY of the seed state (a run's
+appends must not grow the index the other run probes, and both runs
+must accept/reject the same docs), so the pair is two true repeat
+samples; run 1 still carries session first-touch/codegen.
 
 Output: one JSON line per (gate, scale) with wall seconds, index rows,
 rejected/accepted counts — the reject/accept split doubles as a
@@ -240,8 +243,16 @@ def main(scales: list[str]) -> None:
                     base = semantic_state(spark, cat, mult)
                     semantic_probe(spark, base, src)
                 idx_rows = cat.read("idx").count()
-                runs = [run_gate(spark, kind, work, cat, src)
-                        for _ in range(2)]
+                runs = []
+                for i in range(2):
+                    # each run probes a COPY of the seed state: run 1's
+                    # accepted appends must not change run 2's workload
+                    rdir = f"{work}/cat_run{i}"
+                    shutil.copytree(f"{work}/cat", rdir)
+                    from database_transportor_spark import ParquetCatalog
+
+                    runs.append(run_gate(spark, kind, work,
+                                         ParquetCatalog(spark, rdir), src))
                 print(json.dumps({
                     "gate": kind, "scale": s, "index_rows": idx_rows,
                     "probe_docs": PROBE_N,
