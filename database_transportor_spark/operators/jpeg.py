@@ -425,14 +425,16 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     """Decode baseline-sequential JPEG bytes to an ``(h, w, channels)``
     uint8 array.  Grayscale decodes to channels=1; 3-component scans
     YCbCr→RGB.  Raises ``ValueError`` for EVERY malformed or unsupported
-    input (progressive/arithmetic modes, truncation, bad tables, unknown
-    component references) — callers degrade on one exception type."""
+    input (progressive/arithmetic modes, non-interleaved multi-scan
+    files, truncation, bad tables, out-of-range sampling factors,
+    unknown component references) — callers degrade on one exception
+    type."""
     try:
         return _decode_jpeg_impl(b)
     except ValueError:
         raise
     except (IndexError, KeyError, StopIteration, struct.error,
-            OverflowError) as exc:
+            OverflowError, ZeroDivisionError) as exc:
         # malformed streams hit these through slicing/table/unpack paths;
         # normalize so the documented degrade contract needs ONE type
         raise ValueError(
@@ -501,8 +503,16 @@ def _decode_jpeg_impl(b: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                h_, v_ = hv >> 4, hv & 0x0F
+                # T.81 B.2.2: sampling factors are 1-4; 0 would divide
+                # by zero in the upsample step (review r8), >4 is
+                # out of spec
+                if not (1 <= h_ <= 4 and 1 <= v_ <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG (SOF sampling factors {h_}x{v_} "
+                        f"for component {cid}; spec range is 1-4)"
+                    )
+                comps.append({"id": cid, "h": h_, "v": v_, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -516,6 +526,18 @@ def _decode_jpeg_impl(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG (SOS before SOF)")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a legal baseline file may carry one scan PER COMPONENT
+                # (non-interleaved multi-scan); this decoder returns
+                # after the first scan, which would silently yield a
+                # grayscale Y plane for a color frame (review r8) —
+                # refuse loudly so callers degrade instead
+                raise ValueError(
+                    f"multi-scan baseline JPEG not supported (scan has "
+                    f"{ns} of the frame's {len(frame['comps'])} "
+                    "components; only single-scan interleaved files "
+                    "decode)"
+                )
             scomps = []
             for si in range(ns):
                 cs, tt = seg[1 + si * 2:3 + si * 2]

@@ -62,6 +62,22 @@ from ..sources.catalog import Catalog
 __all__ = ["stream_dedup_gate", "stream_semantic_gate"]
 
 
+def _has_partition_dirs(target, index_table: str, col: str) -> bool:
+    """True iff ``index_table`` exists under a file catalog with
+    ``col=value/`` Hive partition directories — the cheap layout sniff
+    both direction guards share.  Non-file catalogs have no directory
+    layout to conflict with and report False."""
+    if not hasattr(target, "partition_spec") or not target.exists(index_table):
+        return False
+    jvm = target.spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(target.path(index_table))
+    fs = p.getFileSystem(target.spark._jsc.hadoopConfiguration())
+    return any(
+        st.isDirectory() and st.getPath().getName().startswith(f"{col}=")
+        for st in fs.listStatus(p)
+    )
+
+
 def _require_partitioned_index(target, index_table: str, col: str,
                                option: str) -> None:
     """Guard the sharded-index options against a PRE-EXISTING index laid
@@ -99,6 +115,22 @@ def _require_partitioned_index(target, index_table: str, col: str,
         )
 
 
+def _count_data_files(target, table: str) -> int:
+    """Recursive data-file count of a file-catalog table via the Hadoop
+    FileSystem API (works for any Spark-supported URI scheme); hidden
+    files (``_SUCCESS``, ``.crc``) excluded."""
+    jvm = target.spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(target.path(table))
+    fs = p.getFileSystem(target.spark._jsc.hadoopConfiguration())
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
 def _run_ingest_gate(
     spark: SparkSession,
     source_dir: str,
@@ -111,6 +143,8 @@ def _run_ingest_gate(
     ckpt_prefix: str,
     make_compute,
     transform=None,
+    compact_files: int | None = None,
+    post_batch=None,
 ) -> int:
     """Shared gate scaffold: schema/checkpoint defaults, the
     availableNow stream, and per-batch replay / crash-window / append
@@ -119,7 +153,22 @@ def _run_ingest_gate(
     ids to drop, and a callable mapping the kept batch rows to their
     index rows (sans ``__commit``).  ``transform``: optional stateless
     ``DataFrame -> DataFrame`` hook applied to the stream before
-    gating (filter/derive stages)."""
+    gating (filter/derive stages).  ``compact_files``: after a batch's
+    appends, if the index table holds more than this many data files,
+    rewrite it via ``compact_table`` (staged swap, partition layout
+    preserved) — bounds the per-micro-batch file accrual that probe
+    wall tracks.  ``post_batch``: optional no-arg maintenance hook run
+    after each APPLIED batch (still inside the writer lock), e.g. the
+    semantic gate's codebook-retrain milestone check."""
+    if compact_files is not None:
+        if compact_files < 1:
+            raise ValueError("compact_files must be >= 1")
+        if not hasattr(target, "path"):
+            raise ValueError(
+                "compact_files needs a file catalog (file-count "
+                f"threshold on the index layout); {type(target).__name__} "
+                "has no path()"
+            )
     if schema is None:
         try:
             schema = spark.read.parquet(source_dir).schema
@@ -198,6 +247,14 @@ def _run_ingest_gate(
                 clean_table,
                 mode="append",
             )
+            if compact_files is not None and (
+                _count_data_files(target, index_table) > compact_files
+            ):
+                from ..operators.maintenance import compact_table
+
+                compact_table(target, index_table)
+            if post_batch is not None:
+                post_batch()
             applied["n"] += 1
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -227,6 +284,7 @@ def stream_dedup_gate(
     checkpoint: str | None = None,
     transform=None,
     index_shards: int | None = None,
+    compact_files: int | None = None,
 ) -> int:
     """Stream document files from ``source_dir``; per micro-batch, keep
     only documents whose exact ``shingle_n``-gram Jaccard stays below
@@ -250,10 +308,41 @@ def stream_dedup_gate(
     DIRECTORIES a small batch cannot touch instead of reading the whole
     accepted corpus.  Result-transparent (the shard is a function of
     the join key); pays when batches are narrow relative to the shard
-    count.
+    count.  A later run that omits ``index_shards`` against a sharded
+    index auto-adopts the pinned shard count from the meta table —
+    both layout-migration directions are guarded (appending flat files
+    beside ``__shard=`` dirs would brick the index just like the
+    reverse).
+
+    ``compact_files`` (round 8): rewrite the index through
+    ``operators/maintenance.compact_table`` (staged swap, partition
+    layout preserved) whenever its data-file count exceeds this after
+    a batch append.  A gate accrues one file set per micro-batch, and
+    probe wall tracks FILE COUNT, not bytes (SCALE.md "gate-index
+    fragmentation"); compaction restores ≤1 file per shard.  Decisions
+    are unaffected — the rewrite carries every row and marker.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if index_shards is None:
+        # reverse-direction layout guard (review r7): running WITHOUT
+        # index_shards against an already-sharded index would append flat
+        # files beside the __shard= dirs — the mixed layout fails every
+        # later read ('Conflicting directory structures'), bricking the
+        # index.  The shard count is result-transparent and pinned in the
+        # meta table, so ADOPT it instead of making the caller repeat it.
+        meta_table = f"{index_table}__shardmeta"
+        if target.exists(meta_table):
+            index_shards = int(target.read(meta_table).first()["shards"])
+        elif _has_partition_dirs(target, index_table, "__shard"):
+            raise ValueError(
+                f"index table {index_table!r} is Hive-partitioned by "
+                f"__shard but its shard-count meta table {meta_table!r} is "
+                "missing — appending unsharded rows would corrupt the "
+                "layout, and the probe modulus cannot be recovered; "
+                "restore the meta table (one row: the shard count the "
+                "index was written with) or rebuild the index"
+            )
     if index_shards is not None:
         if index_shards < 2:
             raise ValueError("index_shards must be >= 2")
@@ -368,6 +457,7 @@ def stream_dedup_gate(
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,
         schema, checkpoint, "dedup_gate", compute, transform=transform,
+        compact_files=compact_files,
     )
 
 
@@ -385,6 +475,12 @@ def stream_semantic_gate(
     checkpoint: str | None = None,
     transform=None,
     partition_index: bool = False,
+    compact_files: int | None = None,
+    retrain_at: float | None = None,
+    retrain_target_rows: int = 128,
+    retrain_sample: int = 100_000,
+    retrain_iters: int = 8,
+    retrain_max_k: int = 65_536,
 ) -> int:
     """Embedding sibling of :func:`stream_dedup_gate`: reject a vector
     iff its cosine reaches ``threshold`` against an accepted vector or a
@@ -412,14 +508,56 @@ def stream_semantic_gate(
     relative to the codebook (a 100-vector batch against a
     1024-centroid index reads ≤ 100/1024 of the accepted corpus).
     Result-transparent: the bucket is a pure function of the vector
-    and the fixed codebook.
+    and the fixed codebook.  If the index already carries a
+    ``__bucket=`` layout, a run with ``partition_index=False``
+    auto-adopts it instead of appending flat files beside the
+    partition dirs (which would brick the index).
+
+    ``compact_files``: as in :func:`stream_dedup_gate` — rewrite the
+    index via ``compact_table`` when its data-file count exceeds the
+    threshold after a batch.
+
+    ``retrain_at`` (round 8): the fixed-codebook cost model is the one
+    measured lever left in SCALE.md's x200 gate sweep — as the index
+    grows past the corpus the codebook was trained for, every bucket
+    densifies and probe cost climbs (3.2× at a 200× index with 64
+    frozen centroids).  With ``retrain_at=G``, after any batch that
+    leaves the index ≥ G× the size recorded at the last (re)train, the
+    gate retrains the codebook itself: a deterministic bounded sample
+    of ≤ ``retrain_sample`` index vectors (id-hash stride — never the
+    full corpus to the driver), ``retrain_iters`` Lloyd iterations in
+    numpy, and ``k = clamp(n / retrain_target_rows, k_current,
+    retrain_max_k)`` so per-bucket density returns to the target and
+    probe cost stays flat instead of tracking index growth.  The index
+    is then re-bucketed in ONE distributed pass through the partitioned
+    writer's staged swap, and the new codebook replaces
+    ``centroid_table`` via its own staged swap (commit order: index
+    first, codebook last — the crash window between the two renames is
+    narrow and a re-run of the milestone is idempotent).  Geometric
+    milestones (G=10) bound total rewrite work at ~1.11× the final
+    index size.  Bucketing changes at a retrain, so post-boundary
+    decisions are those of the NEW codebook — the same recall trade
+    every IVF re-index makes; planted-copy recall across the boundary
+    is asserted in tests and measured in SCALE.md.
     """
+    import math
+
     import numpy as np
 
     from ..operators.similarity import _bucket_assigner, cosine_scores
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if retrain_at is not None and retrain_at <= 1.0:
+        raise ValueError(
+            f"retrain_at is a growth factor and must be > 1, got {retrain_at}"
+        )
+    if not partition_index and _has_partition_dirs(target, index_table,
+                                                   "__bucket"):
+        # reverse-direction layout guard (review r7): appending flat
+        # files beside an existing __bucket= layout would brick the
+        # index; the layout is result-transparent, so adopt it
+        partition_index = True
     if partition_index:
         _require_partitioned_index(target, index_table, "__bucket",
                                    "partition_index")
@@ -497,7 +635,79 @@ def stream_semantic_gate(
 
         return rejected.distinct(), index_rows_for
 
+    def maybe_retrain() -> None:
+        """Milestone check + retrain (see docstring).  Runs inside the
+        writer lock after each applied batch; every step is bounded —
+        the only driver-side data is the ≤ retrain_sample vector sample
+        and the k×dim codebook."""
+        if retrain_at is None or not target.exists(index_table):
+            return
+        n = target.read(index_table).count()
+        meta_table = f"{index_table}__trainmeta"
+        if not target.exists(meta_table):
+            # first contact: the current index size is the baseline the
+            # first milestone measures growth against
+            target.write(
+                spark.createDataFrame([(int(n),)], "rows_at_train long"),
+                meta_table, mode="overwrite",
+            )
+            return
+        baseline = int(target.read(meta_table).first()["rows_at_train"])
+        if n < retrain_at * max(baseline, 1):
+            return
+        # ---- bounded deterministic sample to the driver ----
+        idx = target.read(index_table)
+        stride = max(1, n // retrain_sample)
+        sample = [
+            np.asarray(r["__v"], dtype=np.float64)
+            for r in idx.filter(
+                F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
+            ).select("__v").collect()
+        ]
+        k_old = target.read(centroid_table).count()
+        k = int(min(retrain_max_k,
+                    max(k_old, math.ceil(n / retrain_target_rows))))
+        k = max(1, min(k, len(sample)))
+        M = np.stack(sample)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        M = M / norms
+        # Lloyd on the unit sphere (cosine = dot): evenly-strided init
+        # over the sample, empty clusters keep their previous centroid
+        cmat = M[:: max(1, len(M) // k)][:k].copy()
+        for _ in range(retrain_iters):
+            assign = np.argmax(M @ cmat.T, axis=1)
+            for ci in range(len(cmat)):
+                members = M[assign == ci]
+                if len(members):
+                    c = members.mean(axis=0)
+                    nz = np.linalg.norm(c)
+                    if nz > 0:
+                        cmat[ci] = c / nz
+        ids = np.arange(len(cmat), dtype=np.int64)
+        codebook = spark.createDataFrame(
+            [(int(i), [float(x) for x in cmat[i]]) for i in ids],
+            "cid long, ce array<double>",
+        )
+        # commit order: stage codebook → rewrite index under the NEW
+        # assignment → commit codebook; the stale window is the two
+        # renames, and a re-triggered milestone is idempotent
+        target.write_staged(codebook, centroid_table)
+        rebucketed = idx.withColumn(
+            "__bucket",
+            _bucket_assigner(ids, cmat, 1)(F.col("__v")).getItem(0),
+        )
+        target.write_staged(rebucketed, index_table)
+        target.commit_staged(index_table)
+        target.commit_staged(centroid_table)
+        target.write(
+            spark.createDataFrame([(int(n),)], "rows_at_train long"),
+            meta_table, mode="overwrite",
+        )
+
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,
         schema, checkpoint, "semantic_gate", compute, transform=transform,
+        compact_files=compact_files,
+        post_batch=maybe_retrain if retrain_at is not None else None,
     )

@@ -396,3 +396,162 @@ def test_sharded_index_survives_staged_compaction(spark, tmp_path):
                       checkpoint=ckpt, index_shards=8)
     kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
     assert kept == [1, 3, 11]
+
+
+def test_gate_unsharded_rerun_adopts_shard_layout(spark, tmp_path):
+    """Reverse-direction guard (review r8): omitting index_shards
+    against a sharded index must ADOPT the pinned shard count (the meta
+    table knows it), not append flat files beside the __shard= dirs."""
+    import os
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_adopt")
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    _write(spark, src, [(10, D10), (11, D11)])
+    # no index_shards passed — must adopt 8 from the meta table
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]  # 10 rejected via the index => probe worked
+    root = cat.path("idx")
+    flat = [f for f in os.listdir(root)
+            if os.path.isfile(os.path.join(root, f))
+            and not f.startswith(("_", "."))]
+    assert not flat, f"flat files appended beside __shard= dirs: {flat}"
+    assert any(d.startswith("__shard=") for d in os.listdir(root))
+
+
+def test_gate_sharded_dirs_without_meta_are_rejected(spark, tmp_path):
+    """If the meta table is gone the probe modulus is unrecoverable —
+    an unsharded rerun must refuse, not brick the layout."""
+    import shutil
+
+    import pytest
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_nometa")
+    _write(spark, src, [(1, D1), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    shutil.rmtree(cat.path("idx__shardmeta"))
+    _write(spark, src, [(11, D11)])
+    with pytest.raises(ValueError, match="meta table"):
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt)
+
+
+def test_semantic_gate_unpartitioned_rerun_adopts_layout(spark, tmp_path):
+    import os
+
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    src = str(tmp_path / "vfeed_adopt")
+    ckpt = str(tmp_path / "vckpt_adopt")
+    cat = ParquetCatalog(spark, str(tmp_path / "vcat_adopt"))
+    cat.write(
+        spark.createDataFrame(CENTROIDS, "cid long, ce array<double>"),
+        "cent", mode="overwrite",
+    )
+    _write_vecs(spark, src, [(1, V1), (3, V3)])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt, partition_index=True)
+    _write_vecs(spark, src, [(10, V10), (11, V11)])
+    # partition_index omitted — must adopt the __bucket= layout
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]  # 10 rejected via the index
+    root = cat.path("idx")
+    flat = [f for f in os.listdir(root)
+            if os.path.isfile(os.path.join(root, f))
+            and not f.startswith(("_", "."))]
+    assert not flat, f"flat files appended beside __bucket= dirs: {flat}"
+
+
+def test_gate_compaction_threshold(spark, tmp_path):
+    """compact_files (round 8): a gate run past the threshold leaves
+    <=1 file per shard and identical accept/reject decisions."""
+    import os
+
+    batches = [
+        [(1, D1), (2, D2), (3, D3)],
+        [(10, D10), (11, D11)],
+        [(20, D11 + " zz"), (21, "fresh words entirely new content here")],
+    ]
+    outs = {}
+    for label, cf in (("plain", None), ("compacted", 8)):
+        src, ckpt, cat = _run(spark, tmp_path, suffix=f"_cf_{label}")
+        for rows in batches:
+            _write(spark, src, rows)
+            stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                              "text", checkpoint=ckpt, index_shards=8,
+                              compact_files=cf)
+        outs[label] = sorted(
+            r["doc_id"] for r in cat.read("clean").collect())
+        if cf is not None:
+            root = cat.path("idx")
+            for d in os.listdir(root):
+                if not d.startswith("__shard="):
+                    continue
+                files = [f for f in os.listdir(os.path.join(root, d))
+                         if not f.startswith(("_", "."))]
+                assert len(files) <= 1, f"{d} holds {len(files)} files"
+    assert outs["plain"] == outs["compacted"]
+    assert outs["plain"] == [1, 3, 11, 21]
+
+
+def test_gate_compaction_requires_file_catalog(spark, tmp_path):
+    import pytest
+
+    from database_transportor_spark import MemoryCatalog
+
+    with pytest.raises(ValueError, match="file catalog"):
+        stream_dedup_gate(spark, str(tmp_path / "nofeed2"), MemoryCatalog(),
+                          "clean", "idx", "doc_id", "text",
+                          compact_files=4)
+
+
+def test_semantic_gate_retrain_milestone(spark, tmp_path):
+    """retrain_at (round 8): crossing the growth milestone retrains the
+    codebook (k scaled to the density target), re-buckets the index, and
+    planted near-dups are still rejected ACROSS the retrain boundary."""
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    src = str(tmp_path / "vfeed_rt")
+    ckpt = str(tmp_path / "vckpt_rt")
+    cat = ParquetCatalog(spark, str(tmp_path / "vcat_rt"))
+    # degenerate 1-centroid codebook: every vector lands in one bucket
+    cat.write(
+        spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "cid long, ce array<double>"),
+        "cent", mode="overwrite",
+    )
+
+    def run():
+        return stream_semantic_gate(
+            spark, src, cat, "clean", "idx", "vec_id", "embedding",
+            "cent", threshold=0.9, checkpoint=ckpt,
+            retrain_at=2.0, retrain_target_rows=1)
+
+    _write_vecs(spark, src, [(1, V1), (3, V3)])
+    run()  # baseline recorded: 2 rows at (first) train
+    assert int(cat.read("idx__trainmeta").first()["rows_at_train"]) == 2
+    _write_vecs(spark, src, [(20, [0.0, 0.0, 1.0, 0.0]),
+                             (21, [0.0, 0.0, 0.0, 1.0])])
+    run()  # index 4 rows >= 2x baseline -> retrain, k = n/target = 4
+    assert cat.read("cent").count() == 4
+    assert int(cat.read("idx__trainmeta").first()["rows_at_train"]) == 4
+    # the index was re-bucketed under the new codebook: 4 distinct buckets
+    assert cat.read("idx").select("__bucket").distinct().count() == 4
+    # across the boundary: a planted copy of vec 1 still rejected, a
+    # genuinely new direction still accepted
+    _write_vecs(spark, src, [(30, V2), (31, [0.5, 0.5, 0.5, 0.5])])
+    run()
+    kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 20, 21, 31]

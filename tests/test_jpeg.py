@@ -189,3 +189,30 @@ class TestRobustness:
         good[sof + 11] = 0x22  # declare h=v=2 on the only component
         out = decode_jpeg(bytes(good))
         assert np.array_equal(out, ref)
+
+    def test_zero_sampling_factor_is_valueerror(self):
+        # review r8: h or v = 0 in SOF used to escape as raw
+        # ZeroDivisionError from the upsample step
+        good = bytearray(encode_jpeg(_gradient(8, 8, 1), quality=90))
+        sof = bytes(good).index(b"\xff\xc0")
+        for hv in (0x01, 0x10, 0x00, 0x51, 0x15):  # zero or >4 factors
+            bad = bytearray(good)
+            bad[sof + 11] = hv
+            with pytest.raises(ValueError, match="sampling factors"):
+                decode_jpeg(bytes(bad))
+
+    def test_multi_scan_baseline_is_valueerror(self):
+        # review r8: a per-component (non-interleaved) scan sequence is
+        # legal baseline; decoding only the first scan would silently
+        # return grayscale for a color frame — must refuse loudly
+        import struct
+
+        good = encode_jpeg(_gradient(16, 16, 3), quality=90)
+        sos = good.index(b"\xff\xda")
+        # original SOS: len=12, ns=3; replace with a Y-only first scan
+        assert good[sos + 4] == 3
+        y_only = (b"\xff\xda" + struct.pack(">H", 8)
+                  + bytes([1, 1, 0x00, 0, 0x3F, 0]))
+        patched = good[:sos] + y_only + good[sos + 14:]
+        with pytest.raises(ValueError, match="multi-scan"):
+            decode_jpeg(patched)
