@@ -1855,6 +1855,86 @@ FROM fr
 """
 
 
+def q_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF demux tier (round 8, `multimodal.encode_mp4`/
+    `decode_mp4`): synthesize a genuine MP4 per document — ftyp + mdat
+    + a full moov sample table (stsd/stts/stsc/stsz/stco) holding
+    constant-color baseline JPEG samples with VARYING per-sample stts
+    deltas, one sample per chunk (exercises the stsc/stco expansion) —
+    then demux by walking the sample table to absolute mdat offsets and
+    entropy-decode every JPEG payload.  pixel_sum = w*h*ch*value in
+    closed form (constant blocks reconstruct exactly); delay is the
+    stts delta over the mdhd timescale, both data-dependent, so a hash
+    match proves the chunk map, the timing table, AND the scan decode."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.jpeg import encode_jpeg
+    from database_transportor_spark.operators.multimodal import (
+        decode_video_frames, encode_mp4)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_mp4(batches):
+        import numpy as np
+
+        memo: dict = {}  # fixture-build cost only, as in q_mjpeg_frames
+
+        def jpg(w, h, ch, val):
+            k = (w, h, ch, val)
+            if k not in memo:
+                memo[k] = encode_jpeg(
+                    np.full((h, w, ch), val, dtype=np.uint8), quality=90,
+                    subsampling="4:2:0" if ch == 3 else "4:4:4",
+                )
+            return memo[k]
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, ch = 5 + d % 4, 4 + d % 3, 1 + 2 * (d % 2)
+                nf, ts = 2 + d % 2, 500 + d % 7
+                out.append(encode_mp4(
+                    [jpg(w, h, ch, (41 * d + 97 * f) % 256)
+                     for f in range(nf)],
+                    width=w, height=h, timescale=ts,
+                    sample_deltas=[100 + 50 * f for f in range(nf)],
+                    samples_per_chunk=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_mp4, schema)
+    return decode_video_frames(media, "doc_id", "content")
+
+
+SQL_MP4_FRAMES = """
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         1 + 2 * (doc_id % 2) AS ch, 2 + doc_id % 2 AS nf,
+         500 + doc_id % 7 AS ts
+  FROM documents
+), fr AS (
+  SELECT d.*, f FROM dims d, UNNEST(range(0, 3)) AS r(f) WHERE f < d.nf
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(100 + 50 * f AS BIGINT) AS delay_num,
+       CAST(ts AS BIGINT) AS delay_den,
+       CAST(w * h * ch * ((41 * doc_id + 97 * f) % 256) AS BIGINT)
+         AS pixel_sum
+FROM fr
+"""
+
+
 def q_lang_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure spec data (round-7 discipline): a text-quality stage composed
     with a relational agg through the declarative planner — no DataFrame
@@ -4769,6 +4849,7 @@ _EXTENSION_QUERIES = {
     "video_frames": q_video_frames,
     "avi_frames": q_avi_frames,
     "mjpeg_frames": q_mjpeg_frames,
+    "mp4_frames": q_mp4_frames,
     "lang_quality_mix": q_lang_quality_mix,
     "status_priority_pivot": q_status_priority_pivot,
     "source_lang_rank": q_source_lang_rank,
@@ -4888,6 +4969,7 @@ _EXTENSION_ORACLES = {
     "video_frames": SQL_VIDEO_FRAMES,
     "avi_frames": SQL_AVI_FRAMES,
     "mjpeg_frames": SQL_MJPEG_FRAMES,
+    "mp4_frames": SQL_MP4_FRAMES,
     "lang_quality_mix": SQL_LANG_QUALITY_MIX,
     "status_priority_pivot": SQL_STATUS_PRIORITY_PIVOT,
     "source_lang_rank": SQL_SOURCE_LANG_RANK,

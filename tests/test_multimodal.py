@@ -523,3 +523,91 @@ class TestPngMetadata:
         assert png_metadata(df, errors="skip").count() == 0
         r = png_metadata(df, errors="null").collect()[0]
         assert r["width"] is None and r["meta"] is None
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container (round 8)
+# ---------------------------------------------------------------------------
+
+def test_mp4_round_trip_single_and_multi_chunk():
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4, encode_mp4, encode_png)
+
+    payloads = [encode_png(f) for f in _mk_png_frames(5)]
+    deltas = [100, 100, 250, 250, 400]
+    for spc in (None, 1, 2, 3):
+        b = encode_mp4(payloads, width=4, height=5, timescale=1000,
+                       sample_deltas=deltas, codec=b"png ",
+                       samples_per_chunk=spc)
+        meta, got, d = decode_mp4(b)
+        assert got == payloads, f"spc={spc}"  # byte-identical samples
+        assert d == deltas
+        assert (meta["width"], meta["height"]) == (4, 5)
+        assert meta["timescale"] == 1000 and meta["n_frames"] == 5
+        assert meta["codec"] == "png "
+
+
+def test_mp4_co64_offsets():
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4, encode_mp4, encode_png)
+
+    payloads = [encode_png(f) for f in _mk_png_frames(3)]
+    b = encode_mp4(payloads, width=4, height=5, samples_per_chunk=2,
+                   co64=True)
+    assert b"co64" in b and b"stco" not in b
+    _, got, _ = decode_mp4(b)
+    assert got == payloads
+
+
+def test_mp4_rejects_garbage_and_truncation():
+    import pytest
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4, encode_mp4, encode_png)
+
+    with pytest.raises(ValueError, match="ftyp"):
+        decode_mp4(b"\x00" * 64)
+    good = encode_mp4([encode_png(f) for f in _mk_png_frames(2)], 4, 5)
+    with pytest.raises(ValueError, match="truncated MP4"):
+        decode_mp4(good[:-40])  # moov box cut
+    # an audio-only file (hdlr != vide) has no video track
+    soun = good.replace(b"vide", b"soun")
+    with pytest.raises(ValueError, match="no video track"):
+        decode_mp4(soun)
+
+
+def test_decode_video_frames_mp4_tier(spark):
+    """MP4 rows in the same binary column as AVI/APNG: JPEG samples
+    fully entropy-decode (exact pixel_sum), per-frame delay is the stts
+    delta over the mdhd timescale."""
+    import numpy as np
+
+    from database_transportor_spark.operators.jpeg import encode_jpeg
+    from database_transportor_spark.operators.multimodal import (
+        decode_video_frames, encode_mp4, encode_png)
+
+    vals = (17, 130)
+    jpgs = [encode_jpeg(np.full((4, 6, 3), v, dtype=np.uint8)) for v in vals]
+    mp4_jpg = encode_mp4(jpgs, width=6, height=4, timescale=600,
+                         sample_deltas=[200, 400])
+    png_frames = _mk_png_frames(2)
+    mp4_png = encode_mp4([encode_png(f) for f in png_frames], width=4,
+                         height=5, timescale=30, codec=b"png ",
+                         samples_per_chunk=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4_jpg)), (2, bytearray(mp4_png))],
+        "doc_id long, content binary",
+    )
+    out = {(r["doc_id"], r["frame_idx"]): r
+           for r in decode_video_frames(df).collect()}
+    assert len(out) == 4
+    for i, v in enumerate(vals):
+        r = out[(1, i)]
+        assert (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+        # constant-color baseline JPEG reconstructs exactly
+        assert r["pixel_sum"] == 6 * 4 * 3 * v
+        assert (r["delay_num"], r["delay_den"]) == ([200, 400][i], 600)
+    for i, f in enumerate(png_frames):
+        r = out[(2, i)]
+        assert r["pixel_sum"] == int(f.astype(np.int64).sum())
+        assert (r["delay_num"], r["delay_den"]) == (30, 30)
