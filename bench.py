@@ -14,6 +14,18 @@ signal or noise BY THE MEASURED SPREAD — so a 0.2 s wobble on a query
 whose own samples span 0.3 s is never misread as a regression.  The
 classification rule: a delta is ``signal`` only if it exceeds all of
 (a) 15% of the previous median, (b) 3× this round's spread, (c) 0.1 s.
+
+Session-robust confirmation (round 8): within-session spread understates
+CROSS-SESSION variance — two same-protocol runs of one tree produced two
+different signal sets in round 7 (suite-position cost, GC phase, JIT
+state).  So every signal-classed delta now triggers an automatic
+ISOLATED re-measure of that query in a FRESH session (``--isolated``
+subprocess: own JVM, own warmup, nothing else timed); the artifact
+records ``confirmed: true/false`` with the re-measured median — true iff
+the fresh-session median still passes the same signal rule against the
+previous round.  No prose exonerations needed: the artifact is
+self-documenting.  ``SPARK_GRAFT_BENCH_CONFIRM=0`` disables the pass
+(and is what the --isolated child sets, so confirmation never recurses).
 """
 
 from __future__ import annotations
@@ -21,35 +33,19 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: a delta is SIGNAL only if it exceeds all three bars vs the previous
+#: median: relative, spread-scaled, absolute
+def _is_signal(delta: float, prev: float, spread: float) -> bool:
+    return abs(delta) > 0.15 * prev and abs(delta) > 3 * spread and abs(delta) > 0.1
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    here = os.path.dirname(os.path.abspath(__file__))
-    artifact = os.path.join(here, "BENCH_local.json")
 
-    # previous round's medians, read BEFORE overwriting the artifact;
-    # only comparable if the previous run used the SAME scale factor (a
-    # local sf0.001 iteration must not be "compared" against the driver's
-    # sf0.1 numbers)
-    prev_queries: dict[str, float] = {}
-    prev_sf = None
-    prev_protocol = None
-    try:
-        with open(artifact) as f:
-            prev = json.load(f)
-        prev_queries = prev.get("queries", {})
-        prev_sf = prev.get("sf")
-        prev_protocol = prev.get("protocol")
-    except (OSError, ValueError):
-        pass
-
+def _make_session(cpus: str):
     from pyspark.sql import SparkSession
 
     builder = (
@@ -84,9 +80,6 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as e
-    from database_transportor_spark.operators.pins import release_pins
-
     # Steady-state warmup: first-job JVM/codegen spin-up and Python-UDF
     # worker fork otherwise land on whichever query happens to run first
     # and dominate its number.  One trivial JVM job + one trivial Arrow
@@ -118,27 +111,99 @@ def main() -> None:
             F.aggregate("arr", F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b))
         )
     ).collect()
+    return spark
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+def _measure(spark, sf_dir: str, names, runs: int) -> dict[str, list[float]]:
+    """Median-of-runs wall per query; each run is a full noop write with
+    a pin drain after (so run N+1 repeats the FULL work instead of
+    reading run N's cache)."""
+    import __spark_entry__ as e
+    from database_transportor_spark.operators.pins import release_pins
+
+    registry = e.queries()
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        # the noop write was the terminal action: drop any multi-consumer
-        # intermediates this query pinned so cached blocks (and their
-        # MEMORY_AND_DISK spill) never accumulate across the suite — and
-        # so run N+1 repeats the FULL work instead of reading run N's cache
         release_pins()
         return dt
 
     samples: dict[str, list[float]] = {}
-    for qi, (name, fn) in enumerate(e.queries().items()):
-        # consecutive samples: every query callable is self-contained
-        # (streaming variants use fresh UUID sinks), so each run repeats
-        # the full end-to-end work
-        samples[name] = [round(run_once(fn), 3) for _ in range(runs)]
+    for name in names:
+        samples[name] = [round(run_once(registry[name]), 3) for _ in range(runs)]
+    return samples
+
+
+def _isolated_remeasure(names, runs: int) -> dict | None:
+    """Fresh-session re-measure of ``names``: a subprocess with its own
+    JVM, warmup, and nothing else timed.  Returns {"queries": {...},
+    "spread": {...}} parsed from the child's stdout, or None on failure."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_CONFIRM"] = "0"  # never recurse
+    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated", *names],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # confirmation is best-effort evidence
+        print(f"# isolated re-measure failed: {exc}", file=sys.stderr)
+        return None
+
+
+def _isolated_main(names) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    spark = _make_session(cpus)
+    samples = _measure(spark, sf_dir, names, runs)
+    spark.stop()
+    print(json.dumps({
+        "queries": {n: round(statistics.median(s), 3)
+                    for n, s in samples.items()},
+        "spread": {n: round(max(s) - min(s), 3) for n, s in samples.items()},
+        "samples": samples,
+    }))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    confirm = os.environ.get("SPARK_GRAFT_BENCH_CONFIRM", "1") != "0"
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifact = os.path.join(here, "BENCH_local.json")
+
+    # previous round's medians, read BEFORE overwriting the artifact;
+    # only comparable if the previous run used the SAME scale factor (a
+    # local sf0.001 iteration must not be "compared" against the driver's
+    # sf0.1 numbers)
+    prev_queries: dict[str, float] = {}
+    prev_sf = None
+    prev_protocol = None
+    try:
+        with open(artifact) as f:
+            prev = json.load(f)
+        prev_queries = prev.get("queries", {})
+        prev_sf = prev.get("sf")
+        prev_protocol = prev.get("protocol")
+    except (OSError, ValueError):
+        pass
+
+    spark = _make_session(cpus)
+
+    import __spark_entry__ as e
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # consecutive samples: every query callable is self-contained
+    # (streaming variants use fresh UUID sinks), so each run repeats
+    # the full end-to-end work
+    samples = _measure(spark, sf_dir, list(e.queries()), runs)
+    spark.stop()
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
@@ -163,31 +228,58 @@ def main() -> None:
             continue
         prev = prev_queries[n]
         d = round(med - prev, 3)
-        is_signal = (
-            abs(d) > 0.15 * prev and abs(d) > 3 * spread[n] and abs(d) > 0.1
-        )
         delta[n] = {
             "prev": prev,
             "median": med,
             "delta": d,
             "spread": spread[n],
-            "class": "signal" if is_signal else "noise",
+            "class": "signal" if _is_signal(d, prev, spread[n]) else "noise",
         }
     signals = {n: v for n, v in delta.items() if v["class"] == "signal"}
+
+    # ---- fresh-session confirmation of every signal-classed delta ----
+    # (capped at 8 by |delta|; a protocol change that flags everything
+    # should be compared by hand, not re-measured 200 times)
+    if confirm and signals:
+        to_confirm = sorted(signals, key=lambda n: -abs(signals[n]["delta"]))[:8]
+        if len(signals) > len(to_confirm):
+            print(f"# confirming top {len(to_confirm)} of {len(signals)} "
+                  "signals (cap 8)", file=sys.stderr)
+        iso = _isolated_remeasure(to_confirm, runs)
+        for n in to_confirm:
+            v = delta[n]
+            if iso is None or n not in iso.get("queries", {}):
+                v["confirmed"] = None  # re-measure unavailable
+                continue
+            im, isp = iso["queries"][n], iso["spread"].get(n, 0.0)
+            v["isolated_median"] = im
+            v["isolated_spread"] = isp
+            v["confirmed"] = _is_signal(
+                round(im - v["prev"], 3), v["prev"], isp)
+
     # human-readable delta table → stderr (stdout stays the one JSON line)
     if delta:
+        n_conf = sum(1 for v in signals.values() if v.get("confirmed") is True)
         print(
-            f"# round-over-round deltas ({len(signals)} signal / "
+            f"# round-over-round deltas ({len(signals)} signal "
+            f"[{n_conf} confirmed fresh-session] / "
             f"{len(delta) - len(signals)} noise; runs={runs})",
             file=sys.stderr,
         )
         for n, v in sorted(
             delta.items(), key=lambda kv: -abs(kv[1]["delta"])
         )[:15]:
+            conf = ""
+            if "confirmed" in v:
+                conf = (" CONFIRMED" if v["confirmed"]
+                        else " UNCONFIRMED" if v["confirmed"] is False
+                        else " UNVERIFIED")
+                if "isolated_median" in v:
+                    conf += f" (isolated {v['isolated_median']:.3f})"
             print(
                 f"#   {n:28s} {v['prev']:7.3f} -> {v['median']:7.3f} "
                 f"(d={v['delta']:+.3f}, spread={v['spread']:.3f}) "
-                f"{v['class'].upper()}",
+                f"{v['class'].upper()}{conf}",
                 file=sys.stderr,
             )
 
@@ -224,8 +316,10 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolated":
+        _isolated_main(sys.argv[2:])
+    else:
+        main()

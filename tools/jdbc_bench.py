@@ -242,6 +242,57 @@ def main() -> None:
         print(f"numPartitions={np_}: lineitem agg "
               f"{time.perf_counter() - t0:6.2f}s", flush=True)
 
+    # --- write-side knobs (round 8): batchsize x writer-count sweep ----
+    # The read side is measured above; the write side has two symmetric
+    # levers: JDBC batchsize (rows per executeBatch round trip) and the
+    # writer count (one JDBC connection per partition).  orders (150k
+    # rows at sf0.1) is the sweep table; each cell is a fresh overwrite.
+    orders_df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_orders = orders_df.count()
+    for bs in (100, 1_000, 10_000):
+        for writers in (1, 8):
+            c = JDBCCatalog(spark, url, batchsize=bs,
+                            string_type="VARCHAR(255)")
+            t0 = time.perf_counter()
+            c.write(orders_df.repartition(writers), "orders_w",
+                    mode="overwrite")
+            dt = time.perf_counter() - t0
+            print(f"write batchsize={bs:6d} writers={writers}: "
+                  f"{dt:6.2f}s ({n_orders / dt:,.0f} rows/s)", flush=True)
+
+    # --- refresh strategies: plain overwrite vs truncate vs staged swap
+    # (the X7 story, measured): plain overwrite drops + recreates the
+    # table (readers see a missing table mid-run); truncate=true reuses
+    # it (readers see it empty mid-run); the staged swap writes next to
+    # it and renames (readers always see a complete table — and the
+    # RENAME cost is what this measures).
+    wcat = JDBCCatalog(spark, url, batchsize=10_000,
+                       string_type="VARCHAR(255)",
+                       properties={"truncate": "false"})
+    wcat.write(orders_df.repartition(8), "orders_r", mode="overwrite")
+    strategies = {
+        "plain_overwrite": lambda: wcat.write(
+            orders_df.repartition(8), "orders_r", mode="overwrite"),
+        "truncate_overwrite": lambda: JDBCCatalog(
+            spark, url, batchsize=10_000, string_type="VARCHAR(255)",
+            properties={"truncate": "true"},
+        ).write(orders_df.repartition(8), "orders_r", mode="overwrite"),
+    }
+
+    def staged():
+        wcat.write_staged(orders_df.repartition(8), "orders_r")
+        wcat.commit_staged("orders_r")
+
+    strategies["staged_swap"] = staged
+    for label, fn in strategies.items():
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        got = wcat.read("orders_r").count()
+        assert got == n_orders, (label, got, n_orders)
+        print(f"refresh {label:18s}: {dt:6.2f}s "
+              f"({n_orders / dt:,.0f} rows/s)", flush=True)
+
     spark.stop()
 
 
