@@ -9743,3 +9743,74 @@ SELECT vec_id, CAST(1 AS BIGINT) AS arrival_batch FROM kept1
 
 _EXTENSION_QUERIES.update({"stream_semantic_gate": q_stream_semantic_gate})
 _EXTENSION_ORACLES.update({"stream_semantic_gate": SQL_STREAM_SEMANTIC_GATE})
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked lexical retrieval (`operators/text.py:bm25_topk`):
+    Lucene-variant BM25 top-10 docs for three fixed queries over the
+    documents corpus.  Scores round to 6 decimals before ranking (ulp
+    armor, same contract as tfidf_terms); ties break by doc_id.  The
+    oracle recomputes BM25 end-to-end in SQL with the identical
+    expression tree (same literal constants, same association order), so
+    score values AND the rank cut are hash-checked."""
+    from database_transportor_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+SQL_BM25_SEARCH = """
+WITH q(query_id, qtext) AS (
+    VALUES (1, 'spark window join'), (2, 'fast hash merge'),
+           (3, 'stream batch sort')
+), toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM toks WHERE token <> '' GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+), stats AS (
+    SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+), dfreq AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY 1
+), qt AS (
+    SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS token
+        FROM q
+    ) WHERE token <> ''
+), scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           ), 6) AS score
+    FROM qt
+    JOIN tf USING (token)
+    JOIN dfreq d USING (token)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       score,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
+_EXTENSION_QUERIES.update({"bm25_search": q_bm25_search})
+_EXTENSION_ORACLES.update({"bm25_search": SQL_BM25_SEARCH})

@@ -48,6 +48,7 @@ __all__ = [
     "inverted_index",
     "STOPWORDS",
     "vocab_coverage",
+    "bm25_topk",
 ]
 
 #: Small per-language stopword lists for the heuristic language ID.
@@ -1056,5 +1057,117 @@ def vocab_coverage(
                 for c in ("n_tokens", "n_covered", "n_types",
                           "n_types_covered")
             ],
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Ranked retrieval: top-``k`` documents per query under Lucene-style
+    BM25 — the standard lexical-relevance scorer corpus pipelines use for
+    decontamination probes, eval-set retrieval, and seed expansion.
+
+    Scoring per (query, doc): ``sum over shared terms of
+    idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
+    ``idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the Lucene
+    non-negative variant).  Query term multiplicity is ignored (distinct
+    query terms, qtf = 1, as Lucene does).  Scores are ROUNDED to 6
+    decimals before ranking — ``ln`` can differ by an ulp across engines
+    and per-(q,d) sum order is nondeterministic, so the raw double would
+    let dust reorder mathematically-tied scores (same contract as
+    :func:`tfidf_top_terms`); rank ties break by ascending doc id.
+    Returns ``(query_id, doc_id, score DOUBLE, rank)``, rank 1-based.
+
+    Scale shape: the corpus text moves through ONE exchange — explode →
+    ``groupBy(id, token)`` for tf; doc length and the vocabulary df both
+    re-aggregate THAT frame (tf-sized and vocab-sized respectively, never
+    the corpus), and df is broadcast back.  The query set is human-sized
+    and broadcast, so the match join is map-side; the matched frame is
+    ``sum over query terms of df(t)`` rows, NOT corpus x queries.  The
+    per-query top-k is a window on the (q, d)-aggregated frame.  The one
+    genuine 100 TB hazard is a stopword query term whose posting list IS
+    the corpus — ``max_df_ratio`` drops query terms with
+    ``df/N > ratio`` before the match join (the poor man's WAND; Lucene
+    solves the same blow-up with impact-ordered skipping), at the cost of
+    ignoring those terms' (near-zero-idf) contributions.
+
+    Reference has no search surface (src/DBT.php — none); extension tier
+    alongside ``inverted_index``/``tfidf_top_terms``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n")
+    ).first()["n"]
+    if not n_docs:
+        raise ValueError("bm25_topk: empty corpus")
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = exploded.groupBy("__id", "token").agg(F.count("*").alias("tf"))
+    tf = pin(tf)  # consumed three times: dl, df, and the match join
+    dl = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
+    # dl values are integral, so sum/count are exact in double and avgdl
+    # is reproducible regardless of aggregation order
+    row = dl.select(
+        F.sum("dl").alias("s"), F.count("*").alias("c")
+    ).first()
+    avgdl = float(row["s"]) / float(row["c"])
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df_ratio is not None:
+        dfreq = dfreq.filter(
+            F.col("df") <= float(max_df_ratio) * float(n_docs)
+        )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(tokens(query_text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    matched = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "__id")
+    )
+    scored = matched.groupBy("__qid", "__id").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col("__id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            "score",
+            "rank",
         )
     )

@@ -293,3 +293,82 @@ class TestVocabCoverage:
         assert tuple(got[3][c] for c in
                      ("n_tokens", "n_covered", "n_types",
                       "n_types_covered")) == (0, 0, 0, 0)
+
+
+class TestBM25TopK:
+    """bm25_topk — Lucene-variant BM25 ranked retrieval."""
+
+    def _corpus(self, spark):
+        return _docs(spark, [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana banana durian"),
+            (4, "cherry durian elderberry"),
+        ])
+
+    def test_hand_computed_score(self, spark):
+        from database_transportor_spark.operators.text import bm25_topk
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame([(1, "apple")], ["query_id", "query"])
+        out = {r["doc_id"]: r for r in bm25_topk(docs, q, k=10).collect()}
+        # N=4, df(apple)=2, idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+        # dl: d1=3, d2=2, d3=4, d4=3 -> avgdl=3
+        # d1: tf=2 -> ln2 * 2*2.2 / (2 + 1.2*(0.25+0.75*3/3))
+        k1, b = 1.2, 0.75
+        exp1 = math.log(2) * (2 * 2.2) / (2 + k1 * (0.25 + b * 3 / 3))
+        exp2 = math.log(2) * (1 * 2.2) / (1 + k1 * (0.25 + b * 2 / 3))
+        assert out[1]["score"] == round(exp1, 6)
+        assert out[2]["score"] == round(exp2, 6)
+        assert set(out) == {1, 2}  # only docs containing a query term
+        assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+    def test_topk_cut_and_doc_id_tiebreak(self, spark):
+        from database_transportor_spark.operators.text import bm25_topk
+
+        # two docs with IDENTICAL text => identical scores; tie breaks
+        # by ascending doc_id and k=1 keeps only the lower id
+        docs = _docs(spark, [(7, "zebra"), (3, "zebra"), (9, "other")])
+        q = spark.createDataFrame([(1, "zebra")], ["query_id", "query"])
+        out = bm25_topk(docs, q, k=1).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 3
+
+    def test_max_df_ratio_drops_stopword_terms(self, spark):
+        from database_transportor_spark.operators.text import bm25_topk
+
+        # "apple" is in 2/4 docs (ratio .5); cap at .4 -> apple ignored,
+        # so a pure-apple query matches nothing
+        docs = self._corpus(spark)
+        q = spark.createDataFrame([(1, "apple")], ["query_id", "query"])
+        assert bm25_topk(docs, q, max_df_ratio=0.4).count() == 0
+        # cherry df=2 also dropped; durian df=2 dropped; elderberry df=1
+        # survives ratio .3
+        q2 = spark.createDataFrame(
+            [(2, "elderberry cherry")], ["query_id", "query"])
+        out = bm25_topk(docs, q2, max_df_ratio=0.3).collect()
+        assert [r["doc_id"] for r in out] == [4]
+
+    def test_multi_query_independent_rankings(self, spark):
+        from database_transportor_spark.operators.text import bm25_topk
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame(
+            [(1, "apple"), (2, "banana durian")], ["query_id", "query"])
+        out = bm25_topk(docs, q, k=10)
+        got = {(r["query_id"], r["rank"]): r["doc_id"]
+               for r in out.collect()}
+        assert got[(1, 1)] == 1          # tf=2 apple doc wins q1
+        assert got[(2, 1)] == 3          # banana-heavy doc wins q2
+        # q2 matches docs 1 (banana), 3, 4 (durian)
+        assert sum(1 for (qq, _) in got if qq == 2) == 3
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from database_transportor_spark.operators.text import bm25_topk
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame([(1, "apple")], ["query_id", "query"])
+        with _pytest.raises(ValueError, match="k must be"):
+            bm25_topk(docs, q, k=0)
+        with _pytest.raises(ValueError, match="empty corpus"):
+            bm25_topk(docs.filter("doc_id > 99"), q)
