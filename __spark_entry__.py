@@ -8698,17 +8698,18 @@ def q_hist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.sketches import (
         hist_measure,
         hist_quantiles,
+        hist_table,
     )
 
     lo, hi, bins = 0.0, 120_000.0, 120
     hm = hist_measure(lo, hi, bins=bins)
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # leaf histograms per (flag, linestatus) merged down to per-flag — the
-    # same leaf/merge pair time_rollup runs through its level hierarchy
-    leaf = (
-        l.groupBy("l_returnflag", "l_linestatus")
-        .agg(hm[0]("l_extendedprice").alias("h"))
-    )
+    # same leaf/merge hierarchy time_rollup runs, with the leaf built by
+    # the two-level bin-count plan (hist_table: bit-identical arrays,
+    # ~5x cheaper than the conditional-sum measure leaf at 120 bins)
+    leaf = hist_table(l, ["l_returnflag", "l_linestatus"],
+                      "l_extendedprice", lo, hi, bins=bins)
     merged = leaf.groupBy("l_returnflag").agg(hm[1]("h").alias("h"))
     est = hist_quantiles(merged, "h", [0.5, 0.95], lo, hi, bins=bins)
     # exact contract side via the rank-locating plan — percentile_cont

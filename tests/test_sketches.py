@@ -547,3 +547,63 @@ def test_global_percentiles_all_null(spark):
     df2 = spark.createDataFrame([(1.0,), (3.0,), (None,)], "x double")
     got = grouped_percentiles_scalable(df2, [], "x", [0.5]).collect()
     assert len(got) == 1 and got[0]["percentiles"] == [2.0]
+
+
+class TestHistTable:
+    """hist_table — two-level leaf plan, bit-identical to the measure."""
+
+    def test_matches_measure_leaf(self, spark):
+        from database_transportor_spark.operators.sketches import (
+            hist_measure, hist_table,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 15.0), ("a", 15.0), ("a", None),
+             ("b", -3.0), ("b", 999.0),       # under + overflow
+             ("c", None)],                    # all-NULL group
+            ["g", "x"],
+        )
+        hm = hist_measure(0.0, 20.0, bins=4)
+        want = {
+            r["g"]: r["h"]
+            for r in df.groupBy("g").agg(hm[0]("x").alias("h")).collect()
+        }
+        got = {
+            r["g"]: r["h"]
+            for r in hist_table(df, ["g"], "x", 0.0, 20.0,
+                                bins=4).collect()
+        }
+        assert got == want
+        assert got["c"] == [0] * 6            # group kept, zero counts
+        assert got["b"][0] == 1 and got["b"][5] == 1
+
+    def test_merge_parity_with_measure(self, spark):
+        from pyspark.sql import functions as F
+
+        from database_transportor_spark.operators.sketches import (
+            hist_measure, hist_quantiles, hist_table,
+        )
+
+        df = spark.createDataFrame(
+            [(g, s, float(v)) for g in ("x", "y") for s in ("p", "q")
+             for v in range(0, 100, 7)],
+            ["g", "s", "v"],
+        )
+        hm = hist_measure(0.0, 100.0, bins=10)
+        leaf = hist_table(df, ["g", "s"], "v", 0.0, 100.0, bins=10)
+        merged = leaf.groupBy("g").agg(hm[1]("h").alias("h"))
+        direct = hist_table(df, ["g"], "v", 0.0, 100.0, bins=10)
+        a = {r["g"]: r["h"] for r in merged.collect()}
+        b = {r["g"]: r["h"] for r in direct.collect()}
+        assert a == b
+        q = hist_quantiles(merged, "h", [0.5], 0.0, 100.0, bins=10)
+        assert all(r["p50"] is not None for r in q.collect())
+
+    def test_requires_group_cols(self, spark):
+        import pytest as _pytest
+
+        from database_transportor_spark.operators.sketches import hist_table
+
+        df = spark.createDataFrame([("a", 1.0)], ["g", "x"])
+        with _pytest.raises(ValueError, match="group column"):
+            hist_table(df, [], "x", 0.0, 1.0)
