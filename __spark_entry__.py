@@ -9815,3 +9815,76 @@ WHERE rn <= 10
 
 _EXTENSION_QUERIES.update({"bm25_search": q_bm25_search})
 _EXTENSION_ORACLES.update({"bm25_search": SQL_BM25_SEARCH})
+
+
+def q_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/M4A PCM audio tier (round 8, `multimodal.encode_mp4_audio`/
+    `decode_mp4_audio` via the container sniff in `decode_audio`):
+    synthesize a genuine ISO-BMFF audio file per document — ftyp +
+    mdat (raw int16 PCM) + a soun-trak sample table chunked every 16
+    PCM frames (exercises the stsc/stco expansion), byte order
+    alternating sowt/twos by doc — then decode back to exact integer
+    signal statistics.  Every output column is in closed form over the
+    deterministic ramp, so a hash match proves the audio sample-entry
+    parse, the chunk walk, and both endianness paths."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_audio, encode_mp4_audio)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_m4a(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + 1000 * (d % 3)
+                ch = 1 + d % 2
+                n = 40 + d % 7
+                vals = ((7 * d + 3 * np.arange(n * ch)) % 401 - 200
+                        ).astype(np.int16).reshape(n, ch)
+                out.append(encode_mp4_audio(
+                    vals, rate,
+                    codec=b"sowt" if d % 2 == 0 else b"twos",
+                    samples_per_chunk=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_m4a, schema)
+    return decode_audio(media, "doc_id", "content")
+
+
+SQL_MP4_AUDIO = """
+WITH p AS (
+  SELECT doc_id, 8000 + 1000 * (doc_id % 3) AS rate,
+         1 + doc_id % 2 AS ch, 40 + doc_id % 7 AS n
+  FROM documents
+), v AS (
+  SELECT doc_id, rate, ch, n, ((7 * doc_id + 3 * j) % 401) - 200 AS val
+  FROM p, UNNEST(range(0, 100)) AS r(j) WHERE j < n * ch
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(max(abs(val)) AS BIGINT) AS peak,
+       CAST(sum(val) AS BIGINT) AS sum_samples,
+       CAST(sum(val * val) AS BIGINT) AS sum_squares
+FROM v GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+_EXTENSION_QUERIES.update({"mp4_audio": q_mp4_audio})
+_EXTENSION_ORACLES.update({"mp4_audio": SQL_MP4_AUDIO})

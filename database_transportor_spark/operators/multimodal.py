@@ -43,10 +43,12 @@ __all__ = [
     "decode_png",
     "decode_video_frames",
     "decode_mp4",
+    "decode_mp4_audio",
     "decode_wav",
     "encode_apng",
     "encode_avi",
     "encode_mp4",
+    "encode_mp4_audio",
     "encode_png",
     "encode_wav",
     "jpeg_dimensions",
@@ -532,6 +534,16 @@ def decode_wav(b: bytes):
     return rate, samples
 
 
+def _decode_audio_bytes(b: bytes):
+    """Container sniff shared by every audio operator: MP4/ISO-BMFF
+    (``ftyp`` at offset 4) → :func:`decode_mp4_audio`, otherwise RIFF
+    WAV → :func:`decode_wav`.  Both return ``(sample_rate, (n, ch)
+    int16 array)``, so callers are container-agnostic."""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return decode_mp4_audio(b)
+    return decode_wav(b)
+
+
 def decode_audio(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -541,7 +553,8 @@ def decode_audio(
     """Decode an audio binary column to real signal statistics:
     ``(id, sample_rate, n_channels, n_samples, duration_ms, peak,
     sum_samples, sum_squares)`` — REAL decode via the built-in PCM-16
-    WAV parser (:func:`decode_wav`); ``peak``/``sum_samples``/
+    parsers (WAV :func:`decode_wav`, MP4/M4A :func:`decode_mp4_audio`;
+    container sniffed per row); ``peak``/``sum_samples``/
     ``sum_squares`` are exact integers over the decoded samples, so
     downstream RMS/loudness math (and the correctness oracle) is
     bit-reproducible.  ``errors`` as in :func:`decode_image`.
@@ -571,7 +584,7 @@ def decode_audio(
             rows = []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    rate, samples = decode_wav(bytes(content))
+                    rate, samples = _decode_audio_bytes(bytes(content))
                 except Exception:
                     if errors == "raise":
                         raise
@@ -605,7 +618,8 @@ def audio_frames(
     errors: str = "raise",
 ) -> DataFrame:
     """Windowed audio frame features — the real STFT-prep shape: decode
-    (:func:`decode_wav`), slide a ``frame_len`` window by ``hop`` over
+    (WAV or MP4 PCM, sniffed per row like :func:`decode_audio`),
+    slide a ``frame_len`` window by ``hop`` over
     channel 0, and emit one row per frame with exact integer statistics:
     ``(id, frame_idx, frame_start, n, energy, zero_crossings, peak)``
     where ``energy = Σ s²`` and ``zero_crossings`` counts strict sign
@@ -640,7 +654,7 @@ def audio_frames(
             rows = []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    _rate, samples = decode_wav(bytes(content))
+                    _rate, samples = _decode_audio_bytes(bytes(content))
                 except Exception:
                     if errors == "raise":
                         raise
@@ -1083,21 +1097,109 @@ def encode_mp4(
     return ftyp + mdat + moov
 
 
-def decode_mp4(b: bytes):
-    """REAL ISO-BMFF (MP4) demux, pure stdlib ``struct`` — the
-    sample-table walk of the public ISO/IEC 14496-12 structure, the
-    same way :func:`decode_avi` walks RIFF: top-level box scan →
-    ``moov`` → first ``vide``-handler ``trak`` → ``stbl``, expanding
-    ``stts`` (per-sample deltas), ``stsz`` (sizes), and
-    ``stsc``+``stco``/``co64`` (chunk map → ABSOLUTE file offsets) into
-    per-sample byte ranges sliced straight out of ``mdat``.  Returns
-    ``(meta, frames, deltas)``: ``meta`` carries ``width``/``height``
-    (from the visual sample entry), ``timescale`` (from ``mdhd``),
-    ``codec`` (sample-entry FourCC), ``n_frames``; ``frames`` is the
-    raw payload list and ``deltas`` the per-frame durations in
-    ``timescale`` units.  64-bit ``co64`` offsets and size-0
-    (to-EOF) / size-1 (largesize) boxes are handled; a missing video
-    trak or truncated sample table raises ``ValueError``."""
+def encode_mp4_audio(
+    samples,
+    sample_rate: int = 16_000,
+    codec: bytes = b"sowt",
+    samples_per_chunk: int = 4096,
+    co64: bool = False,
+) -> bytes:
+    """Encode an ``(n,)`` or ``(n, channels)`` int16 array as a REAL
+    ISO-BMFF audio file (the M4A shape): ``ftyp`` + ``mdat`` (raw PCM)
+    + trailing ``moov`` with a ``soun``-handler track whose ``stbl``
+    follows the standard uncompressed-PCM layout — one table sample per
+    PCM frame (``stsz`` fixed size ``2·channels``, ``stts`` a single
+    ``(n, 1)`` run, ``mdhd`` timescale = the sample rate), chunked
+    every ``samples_per_chunk`` frames through ``stsc``/``stco`` (or
+    ``co64``).  ``codec`` picks the sample-entry FourCC and byte
+    order: ``sowt`` (little-endian, the WAV-matching default) or
+    ``twos`` (big-endian).  Pure stdlib ``struct`` + numpy — the audio
+    sibling of :func:`encode_mp4`, giving :func:`decode_mp4_audio` a
+    genuine producer for round-trip tests and fixture queries."""
+    import struct
+
+    import numpy as np
+
+    if codec not in (b"sowt", b"twos"):
+        raise ValueError("encode_mp4_audio: codec must be sowt or twos")
+    if samples_per_chunk < 1:
+        raise ValueError("encode_mp4_audio: samples_per_chunk must be >= 1")
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if n < 1:
+        raise ValueError("encode_mp4_audio: at least one sample required")
+    dt = "<i2" if codec == b"sowt" else ">i2"
+    data = np.ascontiguousarray(arr.astype(dt)).tobytes()
+    fsize = 2 * ch
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat = box(b"mdat", data)
+    spc = samples_per_chunk
+    chunk_offsets, off = [], len(ftyp) + 8
+    for i in range(0, n, spc):
+        chunk_offsets.append(off)
+        off += fsize * min(spc, n - i)
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIIIIHH8x", 0, 0, sample_rate, n, 0x10000, 0x100, 0
+    ) + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, 7, struct.pack(
+        ">III4xIQHHHH", 0, 0, 1, n, 0, 0, 0, 0x100, 0
+    ) + matrix + struct.pack(">II", 0, 0))
+    mdhd = full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, sample_rate, n, 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0,
+                b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"audio\x00")
+    smhd = full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b""))
+    dinf = box(b"dinf", dref)
+    # AudioSampleEntry: 6 reserved + data_ref_index, then version/
+    # revision/vendor, channelcount, samplesize, compression_id,
+    # packet_size, samplerate as 16.16 fixed
+    entry = box(codec, struct.pack(
+        ">6xHHH4xHHHHI", 1, 0, 0, ch, 16, 0, 0,
+        (sample_rate & 0xFFFF) << 16))
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc_entries = [(1, min(spc, n), 1)]
+    if n % spc and n > spc:
+        stsc_entries.append((len(chunk_offsets), n % spc, 1))
+    stsc = full(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
+                + b"".join(struct.pack(">III", *e) for e in stsc_entries))
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", fsize, n))
+    if co64:
+        stco = full(b"co64", 0, 0, struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+    else:
+        stco = full(b"stco", 0, 0, struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", smhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_sample_table(b: bytes, handler: bytes, kind: str):
+    """Shared ISO-BMFF track walk for :func:`decode_mp4` (``vide``) and
+    :func:`decode_mp4_audio` (``soun``): top-level box scan → ``moov``
+    → first ``handler``-matching ``trak`` → ``stbl``, expanding
+    ``stts``/``stsz``/``stsc``+``stco``/``co64`` into per-sample byte
+    slices of ``mdat``.  Returns ``(timescale, entry_start, samples,
+    deltas)`` where ``entry_start`` indexes the first ``stsd`` sample
+    entry's box header (callers parse their own visual/audio entry
+    layout).  ``kind`` names the track in error messages."""
     import struct
 
     if len(b) < 12 or b[4:8] != b"ftyp":
@@ -1132,7 +1234,7 @@ def decode_mp4(b: bytes):
     if moov is None:
         raise ValueError("truncated MP4 (no moov box)")
 
-    video = None
+    track = None
     for t, s, e in children(b, *moov):
         if t != b"trak":
             continue
@@ -1140,20 +1242,20 @@ def decode_mp4(b: bytes):
         if mdia is None:
             continue
         hdlr = find(b, *mdia, b"hdlr")
-        if hdlr and b[hdlr[0] + 8:hdlr[0] + 12] == b"vide":
-            video = mdia
+        if hdlr and b[hdlr[0] + 8:hdlr[0] + 12] == handler:
+            track = mdia
             break
-    if video is None:
-        raise ValueError("MP4 has no video track")
+    if track is None:
+        raise ValueError(f"MP4 has no {kind} track")
 
-    mdhd = find(b, *video, b"mdhd")
+    mdhd = find(b, *track, b"mdhd")
     if mdhd is None:
         raise ValueError("truncated MP4 (no mdhd)")
     version = b[mdhd[0]]
     timescale = struct.unpack(
         ">I", b[mdhd[0] + (20 if version == 1 else 12):][:4])[0]
 
-    minf = find(b, *video, b"minf")
+    minf = find(b, *track, b"minf")
     stbl = find(b, *minf, b"stbl") if minf else None
     if stbl is None:
         raise ValueError("truncated MP4 (no stbl)")
@@ -1165,12 +1267,9 @@ def decode_mp4(b: bytes):
     if b"stco" not in tabs and b"co64" not in tabs:
         raise ValueError("truncated MP4 (no stco/co64)")
 
-    # stsd: first visual sample entry -> codec FourCC + dims
+    # stsd: fullbox header + entry_count, then the first sample entry
     s, e = tabs[b"stsd"]
-    entry_start = s + 8  # fullbox header + entry_count
-    codec = b[entry_start + 4:entry_start + 8].decode("ascii",
-                                                      errors="replace")
-    w, h = struct.unpack(">HH", b[entry_start + 32:entry_start + 36])
+    entry_start = s + 8
 
     s, _ = tabs[b"stts"]
     (nruns,) = struct.unpack(">I", b[s + 4:s + 8])
@@ -1223,9 +1322,77 @@ def decode_mp4(b: bytes):
             f"truncated MP4 (chunk map covers {si} of {n} samples)")
     if len(deltas) < n:
         deltas.extend([deltas[-1] if deltas else timescale] * (n - len(deltas)))
-    meta = {"width": int(w), "height": int(h), "timescale": int(timescale),
-            "codec": codec, "n_frames": n}
-    return meta, frames, deltas[:n]
+    return int(timescale), entry_start, frames, deltas[:n]
+
+
+def decode_mp4(b: bytes):
+    """REAL ISO-BMFF (MP4) demux, pure stdlib ``struct`` — the
+    sample-table walk of the public ISO/IEC 14496-12 structure, the
+    same way :func:`decode_avi` walks RIFF: top-level box scan →
+    ``moov`` → first ``vide``-handler ``trak`` → ``stbl``, expanding
+    ``stts`` (per-sample deltas), ``stsz`` (sizes), and
+    ``stsc``+``stco``/``co64`` (chunk map → ABSOLUTE file offsets) into
+    per-sample byte ranges sliced straight out of ``mdat``.  Returns
+    ``(meta, frames, deltas)``: ``meta`` carries ``width``/``height``
+    (from the visual sample entry), ``timescale`` (from ``mdhd``),
+    ``codec`` (sample-entry FourCC), ``n_frames``; ``frames`` is the
+    raw payload list and ``deltas`` the per-frame durations in
+    ``timescale`` units.  64-bit ``co64`` offsets and size-0
+    (to-EOF) / size-1 (largesize) boxes are handled; a missing video
+    trak or truncated sample table raises ``ValueError``."""
+    import struct
+
+    timescale, entry_start, frames, deltas = _mp4_sample_table(
+        b, b"vide", "video")
+    codec = b[entry_start + 4:entry_start + 8].decode("ascii",
+                                                      errors="replace")
+    w, h = struct.unpack(">HH", b[entry_start + 32:entry_start + 36])
+    meta = {"width": int(w), "height": int(h), "timescale": timescale,
+            "codec": codec, "n_frames": len(frames)}
+    return meta, frames, deltas
+
+
+def decode_mp4_audio(b: bytes):
+    """REAL MP4/M4A PCM audio demux (pure stdlib ``struct`` + numpy):
+    the first ``soun``-handler track's sample table expanded by the
+    same ISO-BMFF walk :func:`decode_mp4` uses, with the payload
+    interpreted per the audio sample entry's FourCC — ``sowt``
+    (little-endian int16 PCM) or ``twos`` (big-endian), the two
+    QuickTime/ISO uncompressed-audio entries.  Returns ``(sample_rate,
+    samples)`` with samples an ``(n, channels)`` int16 array — the
+    exact contract of :func:`decode_wav`, so every audio operator
+    works on MP4 input unchanged.  The sample rate is the track's
+    ``mdhd`` timescale (for PCM tracks the two are the same clock; the
+    16.16 rate in the sample entry is ignored).  Compressed codecs
+    (AAC/``mp4a``) need an audio library — ``ValueError``, same
+    contract as :func:`decode_wav` on MP3."""
+    import struct
+
+    import numpy as np
+
+    timescale, entry_start, samples, _deltas = _mp4_sample_table(
+        b, b"soun", "audio")
+    fourcc = b[entry_start + 4:entry_start + 8]
+    if fourcc not in (b"sowt", b"twos"):
+        raise ValueError(
+            f"unsupported MP4 audio codec {fourcc!r}; only sowt/twos "
+            "(uncompressed int16 PCM) decode without an audio library"
+        )
+    # AudioSampleEntry: 8 header + 6 reserved + 2 dri + 2 version +
+    # 2 revision + 4 vendor, then channelcount(2) samplesize(2)
+    ch, bits = struct.unpack(
+        ">HH", b[entry_start + 24:entry_start + 28])
+    if bits != 16 or ch < 1:
+        raise ValueError(
+            f"unsupported MP4 PCM layout (channels={ch} bits={bits}); "
+            "only int16 decodes"
+        )
+    data = b"".join(samples)
+    dt = "<i2" if fourcc == b"sowt" else ">i2"
+    arr = np.frombuffer(
+        data[: len(data) - (len(data) % (2 * ch))], dtype=dt
+    ).astype(np.int16, copy=False).reshape(-1, ch)
+    return timescale, arr
 
 
 def decode_video_frames(

@@ -611,3 +611,73 @@ def test_decode_video_frames_mp4_tier(spark):
         r = out[(2, i)]
         assert r["pixel_sum"] == int(f.astype(np.int64).sum())
         assert (r["delay_num"], r["delay_den"]) == (30, 30)
+
+
+def test_mp4_audio_round_trip_codecs_chunking():
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4_audio, encode_mp4_audio,
+    )
+
+    for codec in (b"sowt", b"twos"):
+        for shape in [(100,), (100, 2), (1, 1)]:
+            arr = ((np.arange(int(np.prod(shape))) * 37 + 11) % 401 - 200
+                   ).astype(np.int16).reshape(shape)
+            for spc in (1, 7, 4096):
+                for co64 in (False, True):
+                    b = encode_mp4_audio(arr, 8000, codec=codec,
+                                         samples_per_chunk=spc, co64=co64)
+                    rate, out = decode_mp4_audio(b)
+                    want = arr if arr.ndim == 2 else arr[:, None]
+                    assert rate == 8000
+                    assert np.array_equal(out, want), (codec, shape, spc)
+
+
+def test_mp4_audio_track_isolation_and_codec_errors():
+    import numpy as np
+    import pytest
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4, decode_mp4_audio, encode_mp4, encode_mp4_audio,
+    )
+
+    # a video-only MP4 has no soun trak; an audio-only MP4 no vide trak
+    video = encode_mp4([b"\xff\xd8fake"], 4, 4)
+    with pytest.raises(ValueError, match="no audio track"):
+        decode_mp4_audio(video)
+    audio = encode_mp4_audio(np.zeros(4, dtype=np.int16))
+    with pytest.raises(ValueError, match="no video track"):
+        decode_mp4(audio)
+    # compressed codec fourcc -> the documented ValueError, not garbage
+    with pytest.raises(ValueError, match="mp4a"):
+        decode_mp4_audio(audio.replace(b"sowt", b"mp4a"))
+    with pytest.raises(ValueError, match="codec must be"):
+        encode_mp4_audio(np.zeros(4, dtype=np.int16), codec=b"mp4a")
+
+
+def test_decode_audio_container_sniff_mixed(spark):
+    """decode_audio / audio_frames accept WAV and MP4 rows side by side
+    and produce identical stats for identical samples."""
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import (
+        audio_frames, decode_audio, encode_mp4_audio, encode_wav,
+    )
+
+    sig = ((np.arange(600) * 13) % 257 - 128).astype(np.int16)
+    rows = [(1, bytearray(encode_wav(sig, 8000))),
+            (2, bytearray(encode_mp4_audio(sig, 8000,
+                                           samples_per_chunk=100))),
+            (3, bytearray(encode_mp4_audio(sig, 8000, codec=b"twos")))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert len(got) == 3
+    base = got[1].asDict()
+    for d in (2, 3):
+        other = got[d].asDict()
+        assert {k: v for k, v in other.items() if k != "doc_id"} == \
+               {k: v for k, v in base.items() if k != "doc_id"}
+    fr = audio_frames(df, frame_len=256, hop=128)
+    per_doc = fr.groupBy("doc_id").count().collect()
+    assert {r["count"] for r in per_doc} == {5}  # same framing everywhere
