@@ -9888,3 +9888,210 @@ FROM v GROUP BY 1, 2, 3, 4, 5
 
 _EXTENSION_QUERIES.update({"mp4_audio": q_mp4_audio})
 _EXTENSION_ORACLES.update({"mp4_audio": SQL_MP4_AUDIO})
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spec data (round 8): first-order Markov transition matrix
+    over the event stream (`operators/funnel.py:transition_matrix` via
+    its post-op) — consecutive-event pairs per user (lead window,
+    event_id tiebreak), exact pair counts, P(to|from) as an
+    exact-int/exact-int division rounded to 6."""
+    maps = {"transitions": {
+        "original_table": "events",
+        "columns": {"event_id": "event_id", "ts": "ts",
+                    "user_id": "user_id", "event_type": "event_type"},
+        "post_ops": [
+            {"op": "transition_matrix", "entity_col": "user_id",
+             "type_col": "event_type", "ts_col": "ts",
+             "tiebreak_col": "event_id"},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "transitions")
+
+
+SQL_TRANSITIONS = """
+WITH s AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+), c AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+       round(n_transitions * 1.0
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM c
+"""
+
+
+def q_growth_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spec data (round 8): DAU growth accounting
+    (`operators/funnel.py:growth_accounting` post-op) — per day: active,
+    first-ever-seen (new), returning, and cumulative distinct users as
+    the running sum of first-seen counts (never a distinct over a
+    growing window)."""
+    maps = {"growth": {
+        "original_table": "events",
+        "columns": {"ts": "ts", "user_id": "user_id"},
+        "post_ops": [
+            {"op": "growth_accounting", "entity_col": "user_id",
+             "ts_col": "ts", "bucket": "day"},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "growth")
+
+
+SQL_GROWTH_LEDGER = """
+WITH a AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period,
+           count(DISTINCT user_id) AS n_active
+    FROM events GROUP BY 1
+), fs AS (
+    SELECT user_id, min(ts) AS f FROM events GROUP BY 1
+), nw AS (
+    SELECT CAST(date_trunc('day', f) AS TIMESTAMP) AS period,
+           count(*) AS n_new
+    FROM fs GROUP BY 1
+)
+SELECT a.period, CAST(n_active AS BIGINT) AS n_active,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       CAST(n_active - coalesce(n_new, 0) AS BIGINT) AS n_returning,
+       CAST(sum(coalesce(n_new, 0))
+            OVER (ORDER BY a.period ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_entities
+FROM a LEFT JOIN nw ON a.period = nw.period
+"""
+
+
+def q_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spec data (round 8): trailing 7-day distinct active users
+    per day (`operators/temporal.py:rolling_distinct` post-op) — the
+    WAU curve, computed by the linear distinct-(entity,day) x window
+    explode plan, never a day-by-day distinct re-scan."""
+    maps = {"wau": {
+        "original_table": "events",
+        "columns": {"ts": "ts", "user_id": "user_id"},
+        "post_ops": [
+            {"op": "rolling_distinct", "ts_col": "ts",
+             "entity_col": "user_id", "window_buckets": 7,
+             "bucket": "day"},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "wau")
+
+
+SQL_ACTIVE_7D = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS b
+    FROM events WHERE ts IS NOT NULL
+), cov AS (
+    SELECT user_id, b + j * INTERVAL 1 DAY AS bucket
+    FROM pairs, UNNEST(range(0, 7)) AS r(j)
+)
+SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS active
+FROM cov GROUP BY 1
+"""
+
+
+def q_cooccur_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spec data (round 8): event-type co-occurrence with exact
+    integer support/lift (`operators/affinity.py:cooccurrence_pairs`
+    post-op) — baskets are users, items their distinct event types;
+    support/lift in parts-per-million via integer division, so both
+    engines reproduce them bit-for-bit."""
+    maps = {"cooc": {
+        "original_table": "events",
+        "columns": {"user_id": "user_id", "event_type": "event_type"},
+        "post_ops": [
+            {"op": "cooccurrence_pairs", "basket_col": "user_id",
+             "item_col": "event_type", "min_pair_count": 2},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "cooc")
+
+
+SQL_COOCCUR_TYPES = """
+WITH items AS (
+    SELECT DISTINCT user_id AS b, event_type AS i FROM events
+), nb AS (SELECT count(DISTINCT b) AS n FROM items),
+cnt AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+pairs AS (
+    SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_count
+    FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+    GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(ca.c AS BIGINT) AS count_a, CAST(cb.c AS BIGINT) AS count_b,
+       CAST(pair_count * 1000000 // nb.n AS BIGINT) AS support_ppm,
+       CAST(pair_count * nb.n * 1000000 // (ca.c * cb.c) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN cnt ca ON ca.i = item_a
+JOIN cnt cb ON cb.i = item_b
+CROSS JOIN nb
+WHERE pair_count >= 2
+"""
+
+
+_EXTENSION_QUERIES.update({
+    "transitions": q_transitions,
+    "growth_ledger": q_growth_ledger,
+    "active_7d": q_active_7d,
+    "cooccur_types": q_cooccur_types,
+})
+_EXTENSION_ORACLES.update({
+    "transitions": SQL_TRANSITIONS,
+    "growth_ledger": SQL_GROWTH_LEDGER,
+    "active_7d": SQL_ACTIVE_7D,
+    "cooccur_types": SQL_COOCCUR_TYPES,
+})
+
+
+def q_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spec data (round 8): wide-to-long melt
+    (`operators/rollup.py:unpivot_table` post-op — Spark's native
+    Expand node, zero shuffle) over a per-status metrics table.  All
+    metrics are integer-exact (floor before sum, never a double sum),
+    so the long frame hashes bit-for-bit."""
+    maps = {"metrics_long": {
+        "original_table": "orders",
+        "columns": {"status": "o_orderstatus",
+                    "price": "o_totalprice", "okey": "o_orderkey"},
+        "post_ops": [
+            {"op": "agg", "group_by": ["status"],
+             "aggs": ["count(*) AS n_orders",
+                      "cast(sum(cast(floor(price) as bigint)) as bigint)"
+                      " AS sum_price_floor",
+                      "cast(min(okey) as bigint) AS min_key",
+                      "cast(max(okey) as bigint) AS max_key"]},
+            {"op": "unpivot", "id_cols": ["status"],
+             "value_cols": ["n_orders", "sum_price_floor",
+                            "min_key", "max_key"]},
+        ],
+    }}
+    return _run(spark, sf_dir, maps, "metrics_long")
+
+
+SQL_METRICS_LONG = """
+WITH a AS (
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           sum(CAST(floor(o_totalprice) AS BIGINT)) AS sum_price_floor,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY 1
+)
+SELECT status, 'n_orders' AS metric, CAST(n_orders AS BIGINT) AS value
+FROM a
+UNION ALL
+SELECT status, 'sum_price_floor', CAST(sum_price_floor AS BIGINT) FROM a
+UNION ALL
+SELECT status, 'min_key', CAST(min_key AS BIGINT) FROM a
+UNION ALL
+SELECT status, 'max_key', CAST(max_key AS BIGINT) FROM a
+"""
+
+
+_EXTENSION_QUERIES.update({"metrics_long": q_metrics_long})
+_EXTENSION_ORACLES.update({"metrics_long": SQL_METRICS_LONG})
