@@ -476,6 +476,7 @@ def stream_semantic_gate(
     transform=None,
     partition_index: bool = False,
     compact_files: int | None = None,
+    nprobe: int = 1,
     retrain_at: float | None = None,
     retrain_target_rows: int = 128,
     retrain_sample: int = 100_000,
@@ -517,6 +518,17 @@ def stream_semantic_gate(
     index via ``compact_table`` when its data-file count exceeds the
     threshold after a batch.
 
+    ``nprobe`` (round 8): probe each batch vector against its
+    ``nprobe`` nearest buckets instead of only the nearest — the
+    standard IVF recall lever for NEAR-duplicates that land just across
+    a Voronoi boundary from their source (exact copies always share
+    their source's bucket, so nprobe=1 never misses those).  Index rows
+    keep single (primary-bucket) assignment — only the probe side fans
+    out, so probe cost scales ~linearly with ``nprobe`` and the index
+    layout/partition pruning are unchanged.  Decisions with nprobe>1
+    are a strict superset of nprobe=1 rejections.  Default 1 preserves
+    the ``cosine_pairs``-parity bucketing the oracle checks.
+
     ``retrain_at`` (round 8): the fixed-codebook cost model is the one
     measured lever left in SCALE.md's x200 gate sweep — as the index
     grows past the corpus the codebook was trained for, every bucket
@@ -548,6 +560,8 @@ def stream_semantic_gate(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if retrain_at is not None and retrain_at <= 1.0:
         raise ValueError(
             f"retrain_at is a growth factor and must be > 1, got {retrain_at}"
@@ -579,25 +593,36 @@ def stream_semantic_gate(
         norms[norms == 0.0] = 1.0
         cmat = cmat / norms
 
+        probes_arr = _bucket_assigner(ids, cmat, nprobe)(F.col(vec_col))
         assigned = pin(
             batch.select(
                 F.col(id_col).alias("__id"),
                 F.col(vec_col).alias("__v"),
-                _bucket_assigner(ids, cmat, 1)(F.col(vec_col))
-                .getItem(0)
-                .alias("__bucket"),
+                *([probes_arr.alias("__probes")] if nprobe > 1 else []),
+                probes_arr.getItem(0).alias("__bucket"),
             )
+        )
+        # probe side: nprobe=1 keeps the single-column plan (and the
+        # plan census) byte-identical; nprobe>1 fans each vector out to
+        # its probe buckets — index rows stay single-assigned, so the
+        # layout and the directory pruning below are unchanged
+        probed = (
+            assigned.select(
+                "__id", "__v", F.explode("__probes").alias("__bucket")
+            )
+            if nprobe > 1
+            else assigned
         )
         parts = []
         if idx is not None:
             if partition_index:
                 buckets = [
                     r[0] for r in
-                    assigned.select("__bucket").distinct().collect()
+                    probed.select("__bucket").distinct().collect()
                 ]
                 idx = idx.filter(F.col("__bucket").isin(buckets))
             parts.append(
-                assigned.join(
+                probed.join(
                     idx.select(
                         F.col("__bucket").cast("long").alias("__bucket"),
                         F.col("__v").alias("__cv"),
@@ -611,7 +636,15 @@ def stream_semantic_gate(
                 .filter(F.col("__cos") >= threshold)
                 .select("__id")
             )
-        a, b = assigned.alias("a"), assigned.alias("b")
+        # batch mates sit at their PRIMARY bucket; the probe side fans
+        # out, so nprobe>1 also catches a smaller-id mate across a
+        # Voronoi boundary
+        a = probed.select(
+            F.col("__id"), F.col("__v"), F.col("__bucket")
+        ).alias("a")
+        b = assigned.select(
+            F.col("__id"), F.col("__v"), F.col("__bucket")
+        ).alias("b")
         parts.append(
             a.join(
                 b,
@@ -684,18 +717,32 @@ def stream_semantic_gate(
                     nz = np.linalg.norm(c)
                     if nz > 0:
                         cmat[ci] = c / nz
+        # duplicate-heavy samples leave centroid clones behind (strided
+        # init + empty clusters keeping their initial rows) — drop them,
+        # they only inflate k and create exact assignment ties
+        cmat = np.unique(cmat, axis=0)
         ids = np.arange(len(cmat), dtype=np.int64)
         codebook = spark.createDataFrame(
             [(int(i), [float(x) for x in cmat[i]]) for i in ids],
             "cid long, ce array<double>",
         )
+        # The index MUST be rebucketed with the bit-identical centroid
+        # view every future probe will compute from the STORED codebook
+        # (stack → norm → divide).  cmat's rows are already unit, but
+        # re-dividing by a ~1.0±ulp norm changes last bits — measured
+        # at the x200 retrain: assigning with the pre-division cmat
+        # flipped near-tie buckets for 4/250 planted copies, i.e. a
+        # silent recall hole between the index and its probes.
+        rnorms = np.linalg.norm(cmat, axis=1, keepdims=True)
+        rnorms[rnorms == 0.0] = 1.0
+        cmat_assign = cmat / rnorms
         # commit order: stage codebook → rewrite index under the NEW
         # assignment → commit codebook; the stale window is the two
         # renames, and a re-triggered milestone is idempotent
         target.write_staged(codebook, centroid_table)
         rebucketed = idx.withColumn(
             "__bucket",
-            _bucket_assigner(ids, cmat, 1)(F.col("__v")).getItem(0),
+            _bucket_assigner(ids, cmat_assign, 1)(F.col("__v")).getItem(0),
         )
         target.write_staged(rebucketed, index_table)
         target.commit_staged(index_table)

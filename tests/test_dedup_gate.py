@@ -555,3 +555,89 @@ def test_semantic_gate_retrain_milestone(spark, tmp_path):
     run()
     kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
     assert kept == [1, 3, 20, 21, 31]
+
+    # invariant behind the round-8 recall fix: every stored index bucket
+    # must equal what the PROBE path computes from the STORED codebook
+    # (stack -> norm -> divide) — a 1-ulp divergence here flips near-tie
+    # assignments and silently un-indexes vectors (seen at the x200
+    # retrain: 4/250 planted copies accepted)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.similarity import (
+        _bucket_assigner,
+    )
+
+    cent = sorted((r["cid"], r["ce"]) for r in cat.read("cent").collect())
+    ids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cent])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cmat = cmat / norms
+    mism = (
+        cat.read("idx")
+        .withColumn("__pb", _bucket_assigner(ids, cmat, 1)(F.col("__v"))
+                    .getItem(0))
+        .filter("__pb != __bucket")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_semantic_gate_nprobe_recovers_boundary_neardups(spark, tmp_path):
+    """nprobe=1 misses a near-dup that lands across a Voronoi boundary
+    from its source (documented IVF trade); nprobe=2 catches it both
+    within a batch and via the index — decisions a strict superset."""
+    import math
+
+    import pytest
+
+    from database_transportor_spark.sources.catalog import ParquetCatalog
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_semantic_gate,
+    )
+
+    n81 = math.sqrt(1.81)
+    u = [1.0 / n81, 0.9 / n81, 0.0, 0.0]   # nearest c0, near boundary
+    v = [0.9 / n81, 1.0 / n81, 0.0, 0.0]   # nearest c100; cos(u,v)≈.9945
+
+    # --- nprobe=1: the documented miss ---
+    src, ckpt, cat = _semantic_setup(spark, tmp_path)
+    _write_vecs(spark, src, [(1, u)])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    _write_vecs(spark, src, [(2, v)])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt)
+    assert sorted(r["vec_id"] for r in cat.read("clean").collect()) == [1, 2]
+
+    # --- nprobe=2, same vectors in ONE batch: intra-batch catch ---
+    src2 = str(tmp_path / "vfeed2")
+    ckpt2 = str(tmp_path / "vckpt2")
+    cat2 = ParquetCatalog(spark, str(tmp_path / "vcat2"))
+    cat2.write(
+        spark.createDataFrame(CENTROIDS, "cid long, ce array<double>"),
+        "cent", mode="overwrite",
+    )
+    _write_vecs(spark, src2, [(1, u), (2, v)])
+    stream_semantic_gate(spark, src2, cat2, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt2, nprobe=2)
+    assert sorted(r["vec_id"] for r in cat2.read("clean").collect()) == [1]
+
+    # --- nprobe=2, cross-batch: caught via the index from bucket 0 ---
+    _write_vecs(spark, src2, [(3, v)])
+    stream_semantic_gate(spark, src2, cat2, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt2, nprobe=2)
+    assert sorted(r["vec_id"] for r in cat2.read("clean").collect()) == [1]
+    # index rows stay single-assigned at the PRIMARY bucket
+    got = {r["__id"]: r["__bucket"] for r in cat2.read("idx").collect()}
+    assert got == {1: 0}
+
+    with pytest.raises(ValueError, match="nprobe"):
+        stream_semantic_gate(spark, src2, cat2, "clean", "idx", "vec_id",
+                             "embedding", "cent", checkpoint=ckpt2,
+                             nprobe=0)
