@@ -9890,7 +9890,7 @@ _EXTENSION_QUERIES.update({"mp4_audio": q_mp4_audio})
 _EXTENSION_ORACLES.update({"mp4_audio": SQL_MP4_AUDIO})
 
 
-def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_transitions_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure spec data (round 8): first-order Markov transition matrix
     over the event stream (`operators/funnel.py:transition_matrix` via
     its post-op) — consecutive-event pairs per user (lead window,
@@ -9909,7 +9909,7 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, maps, "transitions")
 
 
-SQL_TRANSITIONS = """
+SQL_TRANSITIONS_SPEC = """
 WITH s AS (
     SELECT user_id, event_type AS from_type,
            lead(event_type) OVER (PARTITION BY user_id
@@ -10036,13 +10036,13 @@ WHERE pair_count >= 2
 
 
 _EXTENSION_QUERIES.update({
-    "transitions": q_transitions,
+    "transitions_spec": q_transitions_spec,
     "growth_ledger": q_growth_ledger,
     "active_7d": q_active_7d,
     "cooccur_types": q_cooccur_types,
 })
 _EXTENSION_ORACLES.update({
-    "transitions": SQL_TRANSITIONS,
+    "transitions_spec": SQL_TRANSITIONS_SPEC,
     "growth_ledger": SQL_GROWTH_LEDGER,
     "active_7d": SQL_ACTIVE_7D,
     "cooccur_types": SQL_COOCCUR_TYPES,

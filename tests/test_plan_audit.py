@@ -49,6 +49,10 @@ ALLOWED_NESTED_LOOP = {
     # joined onto the pair counts — the pair generator itself is an
     # equi-join on the basket key, never a cross join
     "item_affinity": "1-row basket-total scalar broadcast onto pair counts",
+    # the declarative cooccurrence_pairs post-op compiles to the SAME
+    # plan as item_affinity — the only nested loop is that 1-row
+    # basket-total scalar
+    "cooccur_types": "1-row basket-total scalar broadcast onto pair counts",
     # variant-pair theta join runs on the per-variant aggregate — a table
     # bounded by the variant domain (single digits), never on events
     "ab_test": "variant-pair join on the variant-count-sized aggregate",
