@@ -221,11 +221,16 @@ def _run_ingest_gate(
                     F.col("__commit") != marker
                 )
             rejected, index_rows_for = make_compute(batch, idx)
-            kept = batch.join(
+            # pinned: the kept set feeds BOTH appends (index rows, then
+            # clean rows) plus the index-row projection — without the
+            # pin the whole gating computation (posting/bucket joins +
+            # aggregations) re-executes once per consumer, which was
+            # the single largest per-batch cost in profiling
+            kept = pin(batch.join(
                 rejected.withColumnRenamed("__id", id_col).distinct(),
                 id_col,
                 "left_anti",
-            )
+            ))
             # index first (see module docstring for the crash contract);
             # skip if a crashed attempt already landed these rows
             index_has_marker = target.exists(index_table) and not (
