@@ -251,10 +251,11 @@ def audio_fingerprint(
     errors: str = "raise",
     out_col: str = "afp",
 ) -> DataFrame:
-    """Fingerprint WAV binaries: ``(id, afp int64)``.
+    """Fingerprint audio binaries: ``(id, afp int64)``.
 
-    Decode (``operators/multimodal.py:decode_wav`` — the real RIFF
-    parser), take the first ``n_frames`` non-overlapping frames of
+    Decode (WAV via ``operators/multimodal.py:decode_wav``, MP4/M4A PCM
+    via ``decode_mp4_audio`` — container sniffed per row, round 8),
+    take the first ``n_frames`` non-overlapping frames of
     ``frame`` samples, compute each frame's power spectrum (one
     vectorized ``rfft`` per clip), sum it into ``bands`` log-spaced
     frequency bands, and emit ``n_frames × bands`` spectral-contrast
@@ -282,7 +283,7 @@ def audio_fingerprint(
     def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from .multimodal import decode_wav
+        from .multimodal import _decode_audio_bytes
 
         # log-spaced band edges over the positive-frequency bins (bin 0,
         # DC, excluded — it carries offset, not content); shared across
@@ -299,7 +300,7 @@ def audio_fingerprint(
             ids, sigs = [], []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    _rate, samples = decode_wav(bytes(content))
+                    _rate, samples = _decode_audio_bytes(bytes(content))
                 except Exception:
                     if errors == "raise":
                         raise

@@ -155,3 +155,27 @@ class TestAudioFingerprint:
         df = _media_df(spark, [(1, self._wav([440]))])
         with pytest.raises(ValueError, match="<= 64"):
             audio_fingerprint(df, n_frames=32, bands=4).collect()
+
+
+def test_audio_fingerprint_mp4_equals_wav(spark):
+    """The same PCM signal fingerprints identically from a WAV and an
+    MP4 container — the round-8 sniff makes the dedup operator
+    container-agnostic, so cross-container duplicates still collide."""
+    import numpy as np
+
+    from database_transportor_spark.operators.media_dedup import (
+        audio_fingerprint,
+    )
+    from database_transportor_spark.operators.multimodal import (
+        encode_mp4_audio, encode_wav,
+    )
+
+    t = np.arange(4096)
+    sig = (3000 * np.sin(2 * np.pi * 440 * t / 8000)
+           + 1500 * np.sin(2 * np.pi * 1760 * t / 8000)).astype(np.int16)
+    rows = [(1, bytearray(encode_wav(sig, 8000))),
+            (2, bytearray(encode_mp4_audio(sig, 8000))),
+            (3, bytearray(encode_mp4_audio(sig, 8000, codec=b"twos")))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got[1] == got[2] == got[3] and got[1] != 0
