@@ -127,10 +127,19 @@ def _hash_images(
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from .multimodal import decode_png
+        from .jpeg import decode_jpeg
+        from .multimodal import _PNG_SIG, decode_png
 
         def decode(b: bytes):
-            if have_pil:  # pragma: no cover - real PIL path
+            if b[:8] == _PNG_SIG:
+                return decode_png(b)
+            if b[:2] == b"\xff\xd8":
+                # built-in baseline decoder ALWAYS, even with pillow
+                # importable: libjpeg IDCT variants differ by ±1/pixel,
+                # which would make signatures environment-dependent —
+                # same determinism policy as decode_video_frames
+                return decode_jpeg(b)
+            if have_pil:  # pragma: no cover - real PIL path (other fmts)
                 import io
 
                 from PIL import Image

@@ -179,3 +179,29 @@ def test_audio_fingerprint_mp4_equals_wav(spark):
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
     assert got[1] == got[2] == got[3] and got[1] != 0
+
+
+def test_dhash_jpeg_tier_builtin_decoder(spark):
+    """JPEG binaries fingerprint through the built-in baseline decoder
+    (round-8 wiring of the round-7 codec) — a JPEG copy of a PNG image
+    lands within a small hamming distance of its twin, so
+    cross-format near-dup pairs are discoverable."""
+    import numpy as np
+
+    from database_transportor_spark.operators.jpeg import encode_jpeg
+    from database_transportor_spark.operators.media_dedup import (
+        dhash_images,
+    )
+    from database_transportor_spark.operators.multimodal import encode_png
+
+    # strong horizontal gradient: dhash bits are column deltas, robust
+    # to JPEG quantization
+    arr = np.tile(np.linspace(10, 245, 64).astype(np.uint8), (64, 1))
+    arr3 = np.stack([arr] * 3, axis=2)
+    rows = [(1, bytearray(encode_png(arr3))),
+            (2, bytearray(encode_jpeg(arr3, quality=90)))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r["dhash"] for r in dhash_images(df).collect()}
+    assert len(got) == 2 and got[1] != 0
+    d = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert d <= 4, d
