@@ -702,3 +702,62 @@ def test_normalize_urls_idempotent_property(spark, scheme, host, port, path,
     assert once == again
     assert "#" not in once and "utm_" not in once and "gclid" not in once
     assert "://www." not in once.lower() or scheme.lower().startswith("http") is False
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=700),
+    ch=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    spc=st.integers(min_value=1, max_value=900),
+    codec=st.sampled_from([b"sowt", b"twos"]),
+    co64=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_mp4_audio_round_trip_property(n, ch, rate, spc, codec, co64, seed):
+    """encode_mp4_audio ∘ decode_mp4_audio is the identity on any int16
+    signal for every (channels, rate, chunking, byte order, offset
+    width) combination — the pure-Python property behind the mp4_audio
+    oracle (no Spark involved)."""
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4_audio, encode_mp4_audio,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+    b = encode_mp4_audio(arr, rate, codec=codec, samples_per_chunk=spc,
+                         co64=co64)
+    got_rate, got = decode_mp4_audio(b)
+    assert got_rate == rate
+    assert got.shape == (n, ch)
+    assert (got == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_mp4_audio_truncation_raises_valueerror_only(cut, seed):
+    """Truncating a valid MP4 audio file at ANY byte either still
+    decodes (cut past the moov tail) or raises ValueError — never an
+    IndexError/struct.error escape (same contract class the round-7
+    JPEG advice pinned)."""
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_mp4_audio, encode_mp4_audio,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-1000, 1000, size=(40, 1), dtype=np.int16)
+    b = encode_mp4_audio(arr, 8000, samples_per_chunk=7)
+    trunc = b[: max(0, len(b) - cut)]
+    try:
+        rate, got = decode_mp4_audio(trunc)
+    except ValueError:
+        pass
+    else:
+        assert rate == 8000 and got.shape == (40, 1)
