@@ -10095,3 +10095,29 @@ SELECT status, 'max_key', CAST(max_key AS BIGINT) FROM a
 
 _EXTENSION_QUERIES.update({"metrics_long": q_metrics_long})
 _EXTENSION_ORACLES.update({"metrics_long": SQL_METRICS_LONG})
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed retrieval (round 8, `operators/text.py:bm25_index`/
+    `bm25_topk_indexed`): the corpus is tokenized ONCE into a posting
+    table (token, doc, tf, dl) and the same three queries as
+    `bm25_search` are served from it — N/avgdl/df all derive from the
+    index, the text column is never rescanned.  Output contract
+    identical to the direct path (pinned in tests), so the oracle is
+    the same end-to-end SQL: a hash match proves the index round-trip
+    loses nothing."""
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_topk_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk_indexed(bm25_index(docs), queries, k=10)
+
+
+_EXTENSION_QUERIES.update({"bm25_indexed": q_bm25_indexed})
+_EXTENSION_ORACLES.update({"bm25_indexed": SQL_BM25_SEARCH})

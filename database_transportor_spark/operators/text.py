@@ -49,6 +49,8 @@ __all__ = [
     "STOPWORDS",
     "vocab_coverage",
     "bm25_topk",
+    "bm25_index",
+    "bm25_topk_indexed",
 ]
 
 #: Small per-language stopword lists for the heuristic language ID.
@@ -1157,6 +1159,115 @@ def bm25_topk(
     )
     scored = matched.groupBy("__qid", "__id").agg(
         F.round(F.sum(contrib), 6).alias("score")
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col("__id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+def bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the BM25 posting table — ``(token, doc id, tf, dl)``
+    — so retrieval can run from the index WITHOUT re-tokenizing the
+    corpus: tokenize/aggregate once (the expensive, corpus-sized pass),
+    write this frame to the catalog, and serve every later query batch
+    through :func:`bm25_topk_indexed`.  At 100 TB the text scan +
+    explode dominates :func:`bm25_topk`; everything
+    :func:`bm25_topk_indexed` derives from this table (document count,
+    average length, per-term df) is posting- or vocabulary-sized.
+
+    One corpus exchange (the tf aggregation); ``dl`` attaches by
+    re-aggregating the tf frame, never the corpus.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = exploded.groupBy("__id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
+    return (
+        tf.join(dl, "__id")
+        .select("token", F.col("__id").alias(id_col), "tf", "dl")
+    )
+
+
+def bm25_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Serve BM25 top-``k`` from a :func:`bm25_index` posting table —
+    same scoring contract and output schema as :func:`bm25_topk`
+    (6-decimal rounding before ranking, doc-id tiebreak), identical
+    results on the same corpus (pinned in tests), but the corpus text
+    is never touched: N and avgdl come from the distinct (id, dl)
+    pairs of the index, df from a vocabulary-sized re-aggregation, and
+    the match join is bounded by Σ df(query terms) as before.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("bm25_topk_indexed: k must be >= 1")
+    tf = index.select(
+        F.col(id_col).alias("__id"), "token", "tf", "dl"
+    )
+    tf = pin(tf)  # consumed three times: stats, df, and the match join
+    dl = tf.select("__id", "dl").distinct()
+    row = dl.select(
+        F.count("*").alias("c"), F.sum("dl").alias("s")
+    ).first()
+    n_docs = int(row["c"])
+    if not n_docs:
+        raise ValueError("bm25_topk_indexed: empty index")
+    avgdl = float(row["s"]) / float(n_docs)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df_ratio is not None:
+        dfreq = dfreq.filter(
+            F.col("df") <= float(max_df_ratio) * float(n_docs)
+        )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(tokens(query_text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .groupBy("__qid", "__id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
     w = Window.partitionBy("__qid").orderBy(
         F.col("score").desc(), F.col("__id").asc()

@@ -372,3 +372,62 @@ class TestBM25TopK:
             bm25_topk(docs, q, k=0)
         with _pytest.raises(ValueError, match="empty corpus"):
             bm25_topk(docs.filter("doc_id > 99"), q)
+
+
+class TestBM25Indexed:
+    """bm25_index / bm25_topk_indexed — retrieval without corpus rescan."""
+
+    def test_indexed_equals_direct(self, spark):
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_topk, bm25_topk_indexed,
+        )
+
+        docs = _docs(spark, [
+            (1, "apple banana apple cherry"),
+            (2, "apple cherry durian"),
+            (3, "banana banana durian"),
+            (4, "cherry durian elderberry fig"),
+            (5, "fig apple"),
+        ])
+        q = spark.createDataFrame(
+            [(1, "apple durian"), (2, "banana fig")],
+            ["query_id", "query"])
+        direct = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+        idx = bm25_index(docs)
+        via_index = sorted(map(tuple,
+                               bm25_topk_indexed(idx, q, k=10).collect()))
+        assert via_index == direct
+
+    def test_index_round_trips_through_catalog(self, spark, tmp_path):
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_topk, bm25_topk_indexed,
+        )
+        from database_transportor_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        docs = _docs(spark, [(i, f"w{i % 3} w{i % 5} shared")
+                             for i in range(1, 20)])
+        cat = ParquetCatalog(spark, str(tmp_path / "bmcat"))
+        cat.write(bm25_index(docs), "bm25", mode="overwrite")
+        q = spark.createDataFrame([(1, "w1 shared")],
+                                  ["query_id", "query"])
+        direct = sorted(map(tuple, bm25_topk(docs, q, k=5).collect()))
+        via = sorted(map(tuple, bm25_topk_indexed(
+            cat.read("bm25"), q, k=5).collect()))
+        assert via == direct
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_topk_indexed,
+        )
+
+        docs = _docs(spark, [(1, "a b")])
+        idx = bm25_index(docs)
+        q = spark.createDataFrame([(1, "a")], ["query_id", "query"])
+        with _pytest.raises(ValueError, match="k must be"):
+            bm25_topk_indexed(idx, q, k=0)
+        with _pytest.raises(ValueError, match="empty index"):
+            bm25_topk_indexed(idx.filter("tf < 0"), q)
