@@ -192,6 +192,18 @@ def dhash_images(
     whose cells they touch.  ``errors="skip"`` drops undecodable rows
     (web-scrape mode); ``"raise"`` fails the job.
 
+    Decoder policy (determinism over coverage): every JPEG payload is
+    decoded by the in-repo BASELINE codec even when pillow is
+    importable, because libjpeg IDCT variants differ by ±1/pixel and
+    would make signatures environment-dependent.  The tradeoff:
+    progressive JPEGs (SOF2 — common in web corpora) raise where PIL
+    would have decoded them, so with the default ``errors="raise"``
+    one such file fails the whole job.  For wild corpora run with
+    ``errors="skip"`` (or pre-filter on
+    :func:`~.multimodal.sniff_media` + a progressive probe) and count
+    the drops; an environment-pinned PIL fallback is a deliberate
+    non-goal.
+
     Scale shape: one ``mapInPandas`` decode pass, no shuffle; 8 bytes of
     signature per image regardless of image size.
     """

@@ -1124,6 +1124,17 @@ def encode_mp4_audio(
         raise ValueError("encode_mp4_audio: codec must be sowt or twos")
     if samples_per_chunk < 1:
         raise ValueError("encode_mp4_audio: samples_per_chunk must be >= 1")
+    # the v0 AudioSampleEntry samplerate field is 16.16 fixed-point, so
+    # its integer part caps at 65535 — higher rates (88.2k/96k) need a
+    # v1 entry; silently masking would write a wrong rate for
+    # third-party readers (our decoder uses the mdhd timescale)
+    if not 1 <= sample_rate <= 0xFFFF:
+        raise ValueError(
+            "encode_mp4_audio: sample_rate must be in [1, 65535] — the "
+            "version-0 AudioSampleEntry 16.16 field cannot represent "
+            f"higher rates (got {sample_rate}); use a v1 sample entry "
+            "encoder for 88.2k/96k material"
+        )
     arr = np.asarray(samples, dtype=np.int16)
     if arr.ndim == 1:
         arr = arr[:, None]

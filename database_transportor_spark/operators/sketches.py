@@ -417,23 +417,20 @@ def hist_table(
         df.groupBy(*group_cols, b.alias("__b"))
         .agg(F.count("*").alias("__c"))
     )
-    # consumed twice (entries + the group roster) — both re-aggs run on
-    # the group×bin-sized frame, never the corpus
-    from .pins import pin
-
-    counts = pin(counts)
-    entries = (
-        counts.filter(F.col("__b").isNotNull())
-        .groupBy(*group_cols)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__b", "__c"))
-            ).alias("__m")
-        )
-    )
-    # NULL-__b rows keep all-NULL-valued groups on the roster
-    groups = counts.select(*group_cols).distinct()
-    assembled = groups.join(entries, group_cols, "left").select(
+    # One-pass assembly over the group×bin-sized count frame.  NULL-__b
+    # rows (all-NULL-valued groups) must stay on the roster but carry no
+    # map entry: collect_list drops the NULL the un-otherwise'd when()
+    # produces for them, so they assemble to an empty map ⇒ all-zero
+    # array.  A roster-join alternative is NOT null-safe on nullable
+    # group keys (NULL key never matches itself in a USING join) and
+    # silently zeroed such groups' real counts.
+    assembled = counts.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("__b").isNotNull(), F.struct("__b", "__c"))
+            )
+        ).alias("__m")
+    ).select(
         *group_cols,
         F.transform(
             F.sequence(F.lit(0), F.lit(bins + 1)),

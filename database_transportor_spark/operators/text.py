@@ -1082,7 +1082,11 @@ def bm25_topk(
     Scoring per (query, doc): ``sum over shared terms of
     idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` with
     ``idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the Lucene
-    non-negative variant).  Query term multiplicity is ignored (distinct
+    non-negative variant).  ``N`` counts documents with at least one
+    token — empty/NULL-text docs can never match and are invisible to a
+    posting table, so this is the only definition under which the
+    direct path, :func:`bm25_topk_indexed`, and a postings-derived SQL
+    oracle all agree.  Query term multiplicity is ignored (distinct
     query terms, qtf = 1, as Lucene does).  Scores are ROUNDED to 6
     decimals before ranking — ``ln`` can differ by an ulp across engines
     and per-(q,d) sum order is nondeterministic, so the raw double would
@@ -1110,23 +1114,25 @@ def bm25_topk(
 
     if k < 1:
         raise ValueError("bm25_topk: k must be >= 1")
-    n_docs = df.select(
-        F.count_distinct(F.col(id_col)).alias("n")
-    ).first()["n"]
-    if not n_docs:
-        raise ValueError("bm25_topk: empty corpus")
     exploded = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
     ).filter(F.col("token") != "")
     tf = exploded.groupBy("__id", "token").agg(F.count("*").alias("tf"))
     tf = pin(tf)  # consumed three times: dl, df, and the match join
     dl = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
-    # dl values are integral, so sum/count are exact in double and avgdl
-    # is reproducible regardless of aggregation order
+    # N and avgdl both come from the dl frame — docs with >= 1 token —
+    # EXACTLY as bm25_topk_indexed derives them from the posting table
+    # (empty/NULL-text docs carry no postings there either), so the two
+    # paths and the SQL oracle agree on any corpus.  dl values are
+    # integral, so sum/count are exact in double and avgdl is
+    # reproducible regardless of aggregation order.
     row = dl.select(
         F.sum("dl").alias("s"), F.count("*").alias("c")
     ).first()
-    avgdl = float(row["s"]) / float(row["c"])
+    n_docs = int(row["c"] or 0)
+    if not n_docs:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl = float(row["s"]) / float(n_docs)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     if max_df_ratio is not None:
         dfreq = dfreq.filter(

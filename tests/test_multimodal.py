@@ -654,6 +654,12 @@ def test_mp4_audio_track_isolation_and_codec_errors():
         decode_mp4_audio(audio.replace(b"sowt", b"mp4a"))
     with pytest.raises(ValueError, match="codec must be"):
         encode_mp4_audio(np.zeros(4, dtype=np.int16), codec=b"mp4a")
+    # v0 AudioSampleEntry 16.16 rate caps at 65535 — 96k must raise
+    # rather than silently truncate for third-party readers
+    with pytest.raises(ValueError, match="65535"):
+        encode_mp4_audio(np.zeros(4, dtype=np.int16), sample_rate=96_000)
+    assert encode_mp4_audio(np.zeros(4, dtype=np.int16),
+                            sample_rate=65_535)[:4]  # boundary ok
 
 
 def test_decode_audio_container_sniff_mixed(spark):

@@ -599,6 +599,33 @@ class TestHistTable:
         q = hist_quantiles(merged, "h", [0.5], 0.0, 100.0, bins=10)
         assert all(r["p50"] is not None for r in q.collect())
 
+    def test_null_group_key_keeps_counts(self, spark):
+        """Regression (round-9 ADVICE high): a NULL group key must keep
+        its real bin counts — the old roster left-join was not
+        null-safe (NULL never matches itself in a USING join) and
+        silently returned an all-zero histogram for such groups."""
+        from database_transportor_spark.operators.sketches import (
+            hist_measure, hist_table,
+        )
+
+        df = spark.createDataFrame(
+            [(None, 2.0), (None, 12.0), (None, None),
+             ("a", 5.0)],
+            "g string, x double",
+        )
+        hm = hist_measure(0.0, 20.0, bins=4)
+        want = {
+            r["g"]: r["h"]
+            for r in df.groupBy("g").agg(hm[0]("x").alias("h")).collect()
+        }
+        got = {
+            r["g"]: r["h"]
+            for r in hist_table(df, ["g"], "x", 0.0, 20.0,
+                                bins=4).collect()
+        }
+        assert got == want
+        assert got[None] == [0, 1, 0, 1, 0, 0]
+
     def test_requires_group_cols(self, spark):
         import pytest as _pytest
 

@@ -398,6 +398,33 @@ class TestBM25Indexed:
                                bm25_topk_indexed(idx, q, k=10).collect()))
         assert via_index == direct
 
+    def test_indexed_equals_direct_with_empty_doc(self, spark):
+        """Regression (round-9 ADVICE medium): empty/NULL-text docs must
+        not inflate N on the direct path — both paths count N from docs
+        with >= 1 token, so scores stay identical on such corpora."""
+        import math
+
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_topk, bm25_topk_indexed,
+        )
+
+        docs = _docs(spark, [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, ""),                      # tokenless: invisible to N
+            (4, None),
+        ])
+        q = spark.createDataFrame([(1, "apple")], ["query_id", "query"])
+        direct = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+        via = sorted(map(tuple, bm25_topk_indexed(
+            bm25_index(docs), q, k=10).collect()))
+        assert via == direct
+        # N=2 (not 4): df(apple)=2 -> idf = ln((2-2+.5)/2.5 + 1)
+        k1, b = 1.2, 0.75
+        idf = math.log((2 - 2 + 0.5) / 2.5 + 1.0)
+        exp1 = idf * (2 * 2.2) / (2 + k1 * (0.25 + b * 3 / 2.5))
+        assert direct[0][2] == round(exp1, 6)
+
     def test_index_round_trips_through_catalog(self, spark, tmp_path):
         from database_transportor_spark.operators.text import (
             bm25_index, bm25_topk, bm25_topk_indexed,
