@@ -494,6 +494,34 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_gate_maintain(args: argparse.Namespace) -> int:
+    from .session import build_session
+    from .streaming.dedup_gate import gate_maintain
+
+    spark = build_session(master=args.master)
+    cat = _build_catalog(spark, _file_catalog_conf(args))
+    r = gate_maintain(
+        spark, cat, args.index_table,
+        centroid_table=args.centroid_table,
+        clean_table=args.clean_table,
+        compact_files=args.compact_files,
+        retrain_at=args.retrain_at,
+        force_retrain=args.force_retrain,
+        retrain_target_rows=args.retrain_target_rows,
+        retrain_sample=args.retrain_sample,
+    )
+    if r["retrained"]:
+        print(f"retrained: {r['index_rows']} index rows, "
+              f"k {r['k_before']} -> {r['k_after']}")
+    elif args.retrain_at is not None or args.force_retrain:
+        print(f"retrain not due ({r['index_rows']} index rows)")
+    if r["files_before"] is not None:
+        verb = "compacted" if r["compacted"] else "left"
+        print(f"{verb} {args.index_table}: {r['files_before']} -> "
+              f"{r['files_after']} data file(s)")
+    return 0
+
+
 def _cmd_profile(args: argparse.Namespace) -> int:
     from .operators.maintenance import profile_table
     from .session import build_session
@@ -625,6 +653,30 @@ def main(argv: list[str] | None = None) -> int:
                         "min/max stats prune scans on any of them")
     c.add_argument("--master", default=None)
     c.set_defaults(fn=_cmd_compact)
+
+    g = sub.add_parser(
+        "gate-maintain",
+        help="out-of-band gate-index maintenance (codebook retrain + "
+             "compaction) so ingest batches never pay the milestone stall",
+    )
+    g.add_argument("--root", required=True, help="catalog root directory")
+    g.add_argument("--index-table", required=True)
+    g.add_argument("--centroid-table", default=None,
+                   help="semantic-gate codebook table (required to retrain)")
+    g.add_argument("--clean-table", default=None,
+                   help="gate output table (in-process lock scope)")
+    g.add_argument("--format", default="parquet")
+    g.add_argument("--compact-files", type=int, default=None,
+                   help="compact the index when it holds more data files")
+    g.add_argument("--retrain-at", type=float, default=None,
+                   help="retrain when the index grew this factor since "
+                        "the last (re)train")
+    g.add_argument("--force-retrain", action="store_true",
+                   help="retrain regardless of growth (e.g. after deletes)")
+    g.add_argument("--retrain-target-rows", type=int, default=128)
+    g.add_argument("--retrain-sample", type=int, default=100_000)
+    g.add_argument("--master", default=None)
+    g.set_defaults(fn=_cmd_gate_maintain)
 
     p = sub.add_parser("profile", help="per-column stats (one scan)")
     p.add_argument("--root", required=True, help="catalog root directory")

@@ -271,6 +271,7 @@ def audio_fingerprint(
     bands: int = 8,
     errors: str = "raise",
     out_col: str = "afp",
+    decoder=None,
 ) -> DataFrame:
     """Fingerprint audio binaries: ``(id, afp int64)``.
 
@@ -288,6 +289,11 @@ def audio_fingerprint(
     ``frame`` samples hash to 0.
 
     ``n_frames * bands`` must be ≤ 64 (one int64 signature).
+
+    ``decoder`` (round 9): user fallback for compressed codecs
+    (AAC/``mp4a``, MP3 — see ``multimodal._decode_audio_bytes``); its
+    samples flow through the identical fingerprint math, so a decoded
+    M4A copy collides with its WAV source cross-container.
     """
     if n_frames * bands > 64:
         raise ValueError(
@@ -321,7 +327,8 @@ def audio_fingerprint(
             ids, sigs = [], []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    _rate, samples = _decode_audio_bytes(bytes(content))
+                    _rate, samples = _decode_audio_bytes(bytes(content),
+                                                         decoder)
                 except Exception:
                     if errors == "raise":
                         raise
@@ -364,6 +371,7 @@ def audio_dup_pairs(
     join_bands: int = 8,
     clean_bands: int = 2,
     errors: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Near-duplicate audio pairs: fingerprint + banded Hamming join —
     the audio twin of :func:`image_dup_pairs`, same one-scan/one-shuffle
@@ -373,7 +381,7 @@ def audio_dup_pairs(
     bits = n_frames * fp_bands
     bits += (-bits) % join_bands
     sig = audio_fingerprint(df, id_col, content_col, frame, n_frames,
-                            fp_bands, errors)
+                            fp_bands, errors, decoder=decoder)
     return hamming_pairs(sig, id_col, "afp", bits=bits,
                          max_hamming=max_hamming, bands=join_bands,
                          clean_bands=clean_bands)

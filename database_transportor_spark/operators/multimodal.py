@@ -425,16 +425,22 @@ def sample_frames(
     frame_bytes: int = 64,
     stride: int = 128,
     max_frames: int = 8,
+    decoder=None,
 ) -> DataFrame:
     """Sample "frames" from a binary payload — deterministic fake decode.
 
-    Video codecs are not in this container, so the decoder is a byte
-    slicer: frame ``i`` is ``content[i*stride : i*stride+frame_bytes]``.
+    Video codecs are not in this container, so the default decoder is a
+    byte slicer: frame ``i`` is ``content[i*stride : i*stride+frame_bytes]``.
     The Spark plumbing is the REAL video-sampling shape and is what this
     operator tests: ``mapInPandas`` with **fan-out** (one input row yields
     up to ``max_frames`` output rows), Arrow batch iteration, and a typed
-    output schema carrying per-frame binary + metadata.  Swap the slicer
-    for a PyAV/ffmpeg frame grab and nothing else changes.
+    output schema carrying per-frame binary + metadata.
+
+    ``decoder`` (round 9) is that swap slot made explicit: a user
+    callable ``bytes -> iterable[bytes] | None`` (e.g. a PyAV/ffmpeg
+    H.264 frame grab rendered to bytes) tried FIRST per row; ``None``
+    falls back to the byte slicer, so mixed corpora degrade gracefully.
+    The engine keeps the fan-out cap, digests, batching, and schema.
     """
     schema = StructType(
         [
@@ -452,6 +458,17 @@ def sample_frames(
             ids, idxs, frames, digests = [], [], [], []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(content)
+                decoded = decoder(data) if decoder is not None else None
+                if decoded is not None:
+                    for i, chunk in enumerate(decoded):
+                        if i >= max_frames:
+                            break
+                        chunk = bytes(chunk)
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(chunk)
+                        digests.append(hashlib.md5(chunk).hexdigest())
+                    continue
                 for i in range(max_frames):
                     start = i * stride
                     if start >= len(data):
@@ -534,14 +551,40 @@ def decode_wav(b: bytes):
     return rate, samples
 
 
-def _decode_audio_bytes(b: bytes):
+def _decode_audio_bytes(b: bytes, decoder=None):
     """Container sniff shared by every audio operator: MP4/ISO-BMFF
     (``ftyp`` at offset 4) → :func:`decode_mp4_audio`, otherwise RIFF
     WAV → :func:`decode_wav`.  Both return ``(sample_rate, (n, ch)
-    int16 array)``, so callers are container-agnostic."""
-    if len(b) >= 12 and b[4:8] == b"ftyp":
-        return decode_mp4_audio(b)
-    return decode_wav(b)
+    int16 array)``, so callers are container-agnostic.
+
+    ``decoder`` (round 9): optional user callable ``bytes ->
+    (sample_rate, samples) | None``, tried when the built-in parsers
+    raise — the pluggable slot for the compressed codecs (AAC/``mp4a``,
+    MP3) the from-scratch PCM parsers honestly refuse.  The engine
+    keeps everything around it: container sniffing, Arrow
+    ``mapInPandas`` batching, and the ``errors=`` NULL-degrade
+    contract — the callable only turns bytes into samples.  Returning
+    ``None`` (or raising) re-raises the built-in's error, so such rows
+    degrade under the caller's ``errors=`` policy exactly like any
+    undecodable payload.  Samples may be ``(n,)`` or ``(n, ch)`` and
+    are coerced to the int16 contract."""
+    import numpy as np
+
+    try:
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            return decode_mp4_audio(b)
+        return decode_wav(b)
+    except Exception:
+        if decoder is None:
+            raise
+        out = decoder(b)
+        if out is None:
+            raise
+        rate, samples = out
+        arr = np.asarray(samples, dtype=np.int16)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        return int(rate), arr
 
 
 def decode_audio(
@@ -549,6 +592,7 @@ def decode_audio(
     id_col: str = "doc_id",
     content_col: str = "content",
     errors: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Decode an audio binary column to real signal statistics:
     ``(id, sample_rate, n_channels, n_samples, duration_ms, peak,
@@ -558,6 +602,9 @@ def decode_audio(
     ``sum_squares`` are exact integers over the decoded samples, so
     downstream RMS/loudness math (and the correctness oracle) is
     bit-reproducible.  ``errors`` as in :func:`decode_image`.
+    ``decoder``: user fallback for compressed codecs (AAC/MP3) — see
+    :func:`_decode_audio_bytes`; its rows keep the same exact-integer
+    output contract.
 
     Scale shape: ``mapInPandas`` over Arrow batches — partition-
     preserving, no shuffle, bytes never row-trip through Python rows.
@@ -584,7 +631,8 @@ def decode_audio(
             rows = []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    rate, samples = _decode_audio_bytes(bytes(content))
+                    rate, samples = _decode_audio_bytes(bytes(content),
+                                                        decoder)
                 except Exception:
                     if errors == "raise":
                         raise
@@ -616,6 +664,7 @@ def audio_frames(
     hop: int = 128,
     max_frames: int | None = None,
     errors: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Windowed audio frame features — the real STFT-prep shape: decode
     (WAV or MP4 PCM, sniffed per row like :func:`decode_audio`),
@@ -626,6 +675,8 @@ def audio_frames(
     flips (``s_k · s_{k+1} < 0``) within the frame.  The trailing
     partial frame is kept (``n < frame_len``); ``max_frames`` caps
     per-row fan-out (a 3-hour podcast shouldn't explode one task).
+    ``decoder``: user fallback for compressed codecs — see
+    :func:`_decode_audio_bytes`.
 
     Scale shape: ``mapInPandas`` with per-row FAN-OUT (one input row →
     many frame rows), Arrow-batched, no shuffle — the same plumbing
@@ -654,7 +705,8 @@ def audio_frames(
             rows = []
             for doc_id, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    _rate, samples = _decode_audio_bytes(bytes(content))
+                    _rate, samples = _decode_audio_bytes(bytes(content),
+                                                         decoder)
                 except Exception:
                     if errors == "raise":
                         raise

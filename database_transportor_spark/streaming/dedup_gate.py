@@ -59,7 +59,7 @@ from ..operators.dedup import ngram_shingle_hashes
 from ..operators.pins import pin, pin_scope
 from ..sources.catalog import Catalog
 
-__all__ = ["stream_dedup_gate", "stream_semantic_gate"]
+__all__ = ["gate_maintain", "stream_dedup_gate", "stream_semantic_gate"]
 
 
 def _has_partition_dirs(target, index_table: str, col: str) -> bool:
@@ -129,6 +129,228 @@ def _count_data_files(target, table: str) -> int:
         if not name.startswith(("_", ".")):
             n += 1
     return n
+
+
+def _retrain_due(spark, target, index_table: str, retrain_at: float):
+    """Growth-milestone check shared by the inline post-batch hook and
+    :func:`gate_maintain`: reads the index row count, initializes the
+    ``__trainmeta`` baseline on first contact (never due — the current
+    size is what the first milestone measures growth against), and
+    reports whether the index has grown ``>= retrain_at ×`` the
+    baseline.  Returns ``(rows, due)``."""
+    if not target.exists(index_table):
+        return 0, False
+    n = target.read(index_table).count()
+    meta_table = f"{index_table}__trainmeta"
+    if not target.exists(meta_table):
+        target.write(
+            spark.createDataFrame([(int(n),)], "rows_at_train long"),
+            meta_table, mode="overwrite",
+        )
+        return n, False
+    baseline = int(target.read(meta_table).first()["rows_at_train"])
+    return n, n >= retrain_at * max(baseline, 1)
+
+
+def _retrain_codebook(
+    spark,
+    target,
+    index_table: str,
+    centroid_table: str,
+    retrain_target_rows: int,
+    retrain_sample: int,
+    retrain_iters: int,
+    retrain_max_k: int,
+) -> dict:
+    """Codebook retrain + one distributed index re-bucket (shared by the
+    semantic gate's inline milestone and :func:`gate_maintain`): a
+    deterministic id-hash-stride sample of ≤ ``retrain_sample`` index
+    vectors to the driver, ``retrain_iters`` Lloyd iterations on the
+    unit sphere, ``k = clamp(n / retrain_target_rows, k_current,
+    retrain_max_k)``, then staged swaps in the crash-safe order the
+    :func:`stream_semantic_gate` docstring documents (stage codebook →
+    rewrite index under the NEW assignment → commit index → commit
+    codebook → advance ``__trainmeta``).  Every driver-side artifact is
+    bounded: the sample and the k×dim codebook.  Returns
+    ``{"index_rows", "k_before", "k_after"}``."""
+    import math
+
+    import numpy as np
+
+    from ..operators.similarity import _bucket_assigner
+
+    idx = target.read(index_table)
+    n = idx.count()
+    stride = max(1, n // retrain_sample)
+    sample = [
+        np.asarray(r["__v"], dtype=np.float64)
+        for r in idx.filter(
+            F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
+        ).select("__v").collect()
+    ]
+    k_old = target.read(centroid_table).count()
+    k = int(min(retrain_max_k,
+                max(k_old, math.ceil(n / retrain_target_rows))))
+    k = max(1, min(k, len(sample)))
+    M = np.stack(sample)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    M = M / norms
+    # Lloyd on the unit sphere (cosine = dot): evenly-strided init
+    # over the sample, empty clusters keep their previous centroid
+    cmat = M[:: max(1, len(M) // k)][:k].copy()
+    for _ in range(retrain_iters):
+        assign = np.argmax(M @ cmat.T, axis=1)
+        for ci in range(len(cmat)):
+            members = M[assign == ci]
+            if len(members):
+                c = members.mean(axis=0)
+                nz = np.linalg.norm(c)
+                if nz > 0:
+                    cmat[ci] = c / nz
+    # duplicate-heavy samples leave centroid clones behind (strided
+    # init + empty clusters keeping their initial rows) — drop them,
+    # they only inflate k and create exact assignment ties
+    cmat = np.unique(cmat, axis=0)
+    ids = np.arange(len(cmat), dtype=np.int64)
+    codebook = spark.createDataFrame(
+        [(int(i), [float(x) for x in cmat[i]]) for i in ids],
+        "cid long, ce array<double>",
+    )
+    # The index MUST be rebucketed with the bit-identical centroid
+    # view every future probe will compute from the STORED codebook
+    # (stack → norm → divide).  cmat's rows are already unit, but
+    # re-dividing by a ~1.0±ulp norm changes last bits — measured
+    # at the x200 retrain: assigning with the pre-division cmat
+    # flipped near-tie buckets for 4/250 planted copies, i.e. a
+    # silent recall hole between the index and its probes.
+    rnorms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    rnorms[rnorms == 0.0] = 1.0
+    cmat_assign = cmat / rnorms
+    target.write_staged(codebook, centroid_table)
+    rebucketed = idx.withColumn(
+        "__bucket",
+        _bucket_assigner(ids, cmat_assign, 1)(F.col("__v")).getItem(0),
+    )
+    target.write_staged(rebucketed, index_table)
+    target.commit_staged(index_table)
+    target.commit_staged(centroid_table)
+    target.write(
+        spark.createDataFrame([(int(n),)], "rows_at_train long"),
+        f"{index_table}__trainmeta", mode="overwrite",
+    )
+    return {"index_rows": n, "k_before": int(k_old),
+            "k_after": int(len(cmat))}
+
+
+def gate_maintain(
+    spark: SparkSession,
+    target: Catalog,
+    index_table: str,
+    *,
+    centroid_table: str | None = None,
+    clean_table: str | None = None,
+    compact_files: int | None = None,
+    retrain_at: float | None = None,
+    force_retrain: bool = False,
+    retrain_target_rows: int = 128,
+    retrain_sample: int = 100_000,
+    retrain_iters: int = 8,
+    retrain_max_k: int = 65_536,
+) -> dict:
+    """OUT-OF-BAND gate-index maintenance — the same codebook retrain
+    and file compaction the gates run inline, runnable as a separate
+    job (CLI: ``gate-maintain``) so ingest micro-batches never pay the
+    milestone stall (measured inline at the x200 index: a 60 s retrain
+    inside the triggering batch; compaction 5–8 s).  Run the gates with
+    ``maintenance="external"`` and schedule this against the SAME
+    catalog/tables; atomicity is the catalogs' staged swaps, so a probe
+    racing the swap reads either the old or the new index, never a
+    torn one.  In-process, the catalog's per-table writer lock (when
+    present) additionally serializes against a concurrent ingest batch.
+
+    Steps, in order (each optional):
+
+    - **retrain** (``retrain_at=`` growth factor, semantic gates only —
+      needs ``centroid_table=``): identical milestone rule and
+      mechanics as the inline ``retrain_at``; ``force_retrain=True``
+      retrains regardless of growth (e.g. after bulk deletes).
+    - **compaction** (``compact_files=`` threshold): rewrite the index
+      via ``operators/maintenance.compact_table`` when its data-file
+      count exceeds the threshold — retrain runs first because its
+      staged rewrite already consolidates files.
+
+    The on-disk Hive layout (``__shard=`` / ``__bucket=`` directories)
+    is sniffed and adopted into ``target.partition_spec`` before any
+    rewrite — a fresh maintenance process has no in-memory spec, and a
+    flat rewrite of a partitioned index would brick every later probe.
+
+    Returns a report dict: ``{"retrained", "index_rows", "k_before",
+    "k_after", "compacted", "files_before", "files_after"}`` (``None``
+    for steps not requested / not applicable).
+    """
+    from contextlib import nullcontext
+
+    if compact_files is not None:
+        if compact_files < 1:
+            raise ValueError("gate_maintain: compact_files must be >= 1")
+        if not hasattr(target, "path"):
+            raise ValueError(
+                "gate_maintain: compact_files needs a file catalog; "
+                f"{type(target).__name__} has no path()"
+            )
+    if retrain_at is not None and retrain_at <= 1.0:
+        raise ValueError(
+            "gate_maintain: retrain_at is a growth factor and must be > 1, "
+            f"got {retrain_at}"
+        )
+    if (retrain_at is not None or force_retrain) and centroid_table is None:
+        raise ValueError(
+            "gate_maintain: retraining needs centroid_table= (the semantic "
+            "gate's codebook table)"
+        )
+    report: dict = {
+        "retrained": False, "index_rows": None, "k_before": None,
+        "k_after": None, "compacted": False, "files_before": None,
+        "files_after": None,
+    }
+    if not target.exists(index_table):
+        return report
+    if hasattr(target, "partition_spec"):
+        for col in ("__shard", "__bucket"):
+            if _has_partition_dirs(target, index_table, col):
+                target.partition_spec[index_table] = [col]
+                break
+    lock = (
+        target.writer_lock(clean_table or index_table)
+        if hasattr(target, "writer_lock")
+        else nullcontext()
+    )
+    with lock, pin_scope():
+        if retrain_at is not None or force_retrain:
+            n, due = _retrain_due(
+                spark, target, index_table,
+                retrain_at if retrain_at is not None else float("inf"),
+            )
+            report["index_rows"] = n
+            if n and (due or force_retrain):
+                report.update(_retrain_codebook(
+                    spark, target, index_table, centroid_table,
+                    retrain_target_rows, retrain_sample, retrain_iters,
+                    retrain_max_k,
+                ))
+                report["retrained"] = True
+        if compact_files is not None:
+            before = _count_data_files(target, index_table)
+            report["files_before"] = report["files_after"] = before
+            if before > compact_files:
+                from ..operators.maintenance import compact_table
+
+                compact_table(target, index_table)
+                report["compacted"] = True
+                report["files_after"] = _count_data_files(
+                    target, index_table)
+    return report
 
 
 def _run_ingest_gate(
@@ -290,6 +512,7 @@ def stream_dedup_gate(
     transform=None,
     index_shards: int | None = None,
     compact_files: int | None = None,
+    maintenance: str = "inline",
 ) -> int:
     """Stream document files from ``source_dir``; per micro-batch, keep
     only documents whose exact ``shingle_n``-gram Jaccard stays below
@@ -326,9 +549,27 @@ def stream_dedup_gate(
     probe wall tracks FILE COUNT, not bytes (SCALE.md "gate-index
     fragmentation"); compaction restores ≤1 file per shard.  Decisions
     are unaffected — the rewrite carries every row and marker.
+
+    ``maintenance`` (round 9): ``"inline"`` (default) runs compaction
+    inside the triggering micro-batch — simplest operationally, but the
+    batch that crosses the threshold pays the rewrite (measured 5–8 s).
+    ``"external"`` keeps the ingest path maintenance-free: the gate
+    REFUSES ``compact_files`` (pass it to :func:`gate_maintain`, run
+    out-of-band against the same catalog/tables) so batch wall never
+    carries a milestone stall.  Decisions are identical either way —
+    compaction is row-preserving.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if maintenance not in ("inline", "external"):
+        raise ValueError(
+            f"maintenance must be 'inline' or 'external', got {maintenance!r}"
+        )
+    if maintenance == "external" and compact_files is not None:
+        raise ValueError(
+            "maintenance='external': the ingest path runs no milestones — "
+            "pass compact_files to gate_maintain() instead"
+        )
     if index_shards is None:
         # reverse-direction layout guard (review r7): running WITHOUT
         # index_shards against an already-sharded index would append flat
@@ -487,6 +728,7 @@ def stream_semantic_gate(
     retrain_sample: int = 100_000,
     retrain_iters: int = 8,
     retrain_max_k: int = 65_536,
+    maintenance: str = "inline",
 ) -> int:
     """Embedding sibling of :func:`stream_dedup_gate`: reject a vector
     iff its cosine reaches ``threshold`` against an accepted vector or a
@@ -556,12 +798,22 @@ def stream_semantic_gate(
     decisions are those of the NEW codebook — the same recall trade
     every IVF re-index makes; planted-copy recall across the boundary
     is asserted in tests and measured in SCALE.md.
+
+    ``maintenance`` (round 9): ``"inline"`` (default) runs both
+    milestones — compaction and retrain — inside the triggering
+    micro-batch; the measured cost is a 60 s stall at the x200 retrain
+    (sample + Lloyd + full-index re-bucket + swaps) and 5–8 s per
+    compaction.  ``"external"`` keeps the ingest path maintenance-free:
+    the gate REFUSES ``compact_files``/``retrain_at`` (pass them to
+    :func:`gate_maintain`, run out-of-band between or alongside ingest
+    runs) so batch wall stays flat across milestones.  Exact copies are
+    bucket-stable under ANY codebook, so for duplicate-gating the two
+    modes accept/reject identically; near-dup recall follows whichever
+    codebook served the probe, exactly as with inline retrain timing.
     """
-    import math
+    from ..operators.similarity import _bucket_assigner, cosine_scores
 
     import numpy as np
-
-    from ..operators.similarity import _bucket_assigner, cosine_scores
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -570,6 +822,17 @@ def stream_semantic_gate(
     if retrain_at is not None and retrain_at <= 1.0:
         raise ValueError(
             f"retrain_at is a growth factor and must be > 1, got {retrain_at}"
+        )
+    if maintenance not in ("inline", "external"):
+        raise ValueError(
+            f"maintenance must be 'inline' or 'external', got {maintenance!r}"
+        )
+    if maintenance == "external" and (
+        compact_files is not None or retrain_at is not None
+    ):
+        raise ValueError(
+            "maintenance='external': the ingest path runs no milestones — "
+            "pass compact_files/retrain_at to gate_maintain() instead"
         )
     if not partition_index and _has_partition_dirs(target, index_table,
                                                    "__bucket"):
@@ -674,88 +937,19 @@ def stream_semantic_gate(
         return rejected.distinct(), index_rows_for
 
     def maybe_retrain() -> None:
-        """Milestone check + retrain (see docstring).  Runs inside the
-        writer lock after each applied batch; every step is bounded —
-        the only driver-side data is the ≤ retrain_sample vector sample
-        and the k×dim codebook."""
-        if retrain_at is None or not target.exists(index_table):
-            return
-        n = target.read(index_table).count()
-        meta_table = f"{index_table}__trainmeta"
-        if not target.exists(meta_table):
-            # first contact: the current index size is the baseline the
-            # first milestone measures growth against
-            target.write(
-                spark.createDataFrame([(int(n),)], "rows_at_train long"),
-                meta_table, mode="overwrite",
+        """Milestone check + retrain (shared machinery: `_retrain_due`
+        / `_retrain_codebook`, also driven out-of-band by
+        :func:`gate_maintain`).  Runs inside the writer lock after each
+        applied batch; every step is bounded — the only driver-side
+        data is the ≤ retrain_sample vector sample and the k×dim
+        codebook."""
+        _, due = _retrain_due(spark, target, index_table, retrain_at)
+        if due:
+            _retrain_codebook(
+                spark, target, index_table, centroid_table,
+                retrain_target_rows, retrain_sample, retrain_iters,
+                retrain_max_k,
             )
-            return
-        baseline = int(target.read(meta_table).first()["rows_at_train"])
-        if n < retrain_at * max(baseline, 1):
-            return
-        # ---- bounded deterministic sample to the driver ----
-        idx = target.read(index_table)
-        stride = max(1, n // retrain_sample)
-        sample = [
-            np.asarray(r["__v"], dtype=np.float64)
-            for r in idx.filter(
-                F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
-            ).select("__v").collect()
-        ]
-        k_old = target.read(centroid_table).count()
-        k = int(min(retrain_max_k,
-                    max(k_old, math.ceil(n / retrain_target_rows))))
-        k = max(1, min(k, len(sample)))
-        M = np.stack(sample)
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        M = M / norms
-        # Lloyd on the unit sphere (cosine = dot): evenly-strided init
-        # over the sample, empty clusters keep their previous centroid
-        cmat = M[:: max(1, len(M) // k)][:k].copy()
-        for _ in range(retrain_iters):
-            assign = np.argmax(M @ cmat.T, axis=1)
-            for ci in range(len(cmat)):
-                members = M[assign == ci]
-                if len(members):
-                    c = members.mean(axis=0)
-                    nz = np.linalg.norm(c)
-                    if nz > 0:
-                        cmat[ci] = c / nz
-        # duplicate-heavy samples leave centroid clones behind (strided
-        # init + empty clusters keeping their initial rows) — drop them,
-        # they only inflate k and create exact assignment ties
-        cmat = np.unique(cmat, axis=0)
-        ids = np.arange(len(cmat), dtype=np.int64)
-        codebook = spark.createDataFrame(
-            [(int(i), [float(x) for x in cmat[i]]) for i in ids],
-            "cid long, ce array<double>",
-        )
-        # The index MUST be rebucketed with the bit-identical centroid
-        # view every future probe will compute from the STORED codebook
-        # (stack → norm → divide).  cmat's rows are already unit, but
-        # re-dividing by a ~1.0±ulp norm changes last bits — measured
-        # at the x200 retrain: assigning with the pre-division cmat
-        # flipped near-tie buckets for 4/250 planted copies, i.e. a
-        # silent recall hole between the index and its probes.
-        rnorms = np.linalg.norm(cmat, axis=1, keepdims=True)
-        rnorms[rnorms == 0.0] = 1.0
-        cmat_assign = cmat / rnorms
-        # commit order: stage codebook → rewrite index under the NEW
-        # assignment → commit codebook; the stale window is the two
-        # renames, and a re-triggered milestone is idempotent
-        target.write_staged(codebook, centroid_table)
-        rebucketed = idx.withColumn(
-            "__bucket",
-            _bucket_assigner(ids, cmat_assign, 1)(F.col("__v")).getItem(0),
-        )
-        target.write_staged(rebucketed, index_table)
-        target.commit_staged(index_table)
-        target.commit_staged(centroid_table)
-        target.write(
-            spark.createDataFrame([(int(n),)], "rows_at_train long"),
-            meta_table, mode="overwrite",
-        )
 
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,

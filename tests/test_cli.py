@@ -501,3 +501,36 @@ SPARK = {{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"}}
         """
     ).fetchall()
     assert got == want and len(got) == 5
+
+
+def test_gate_maintain_cli(tmp_path):
+    """gate-maintain subcommand: out-of-band compaction + retrain over a
+    real semantic-gate index written by an external-mode ingest."""
+    import duckdb
+
+    root = tmp_path / "gatecat"
+    (root / "idx.parquet").mkdir(parents=True)
+    con = duckdb.connect()
+    # a hand-laid index (5 vectors, one bucket) + 1-centroid codebook,
+    # in several files so compaction has something to do
+    for i in range(5):
+        con.execute(
+            f"COPY (SELECT {i}::BIGINT AS __id,"
+            f" [1.0*{i}+1, 1.0, 0.0, 0.0]::DOUBLE[] AS __v,"
+            f" 0::BIGINT AS __bucket, 'm{i}' AS __commit)"
+            f" TO '{root}/idx.parquet/part{i}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"COPY (SELECT 0::BIGINT AS cid, [1.0,0.0,0.0,0.0]::DOUBLE[] AS ce)"
+        f" TO '{root}/cent.parquet' (FORMAT PARQUET)"
+    )
+    r = _run(["gate-maintain", "--root", str(root), "--index-table", "idx",
+              "--centroid-table", "cent", "--force-retrain",
+              "--retrain-target-rows", "1", "--compact-files", "2",
+              "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "retrained: 5 index rows" in r.stdout
+    assert ", k 1 -> 5" in r.stdout
+    # retrain runs FIRST and its staged rewrite already consolidated the
+    # 5 hand-laid files below the threshold — compaction correctly no-ops
+    assert "left idx: 2 -> 2 data file(s)" in r.stdout

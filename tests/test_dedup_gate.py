@@ -641,3 +641,174 @@ def test_semantic_gate_nprobe_recovers_boundary_neardups(spark, tmp_path):
         stream_semantic_gate(spark, src2, cat2, "clean", "idx", "vec_id",
                              "embedding", "cent", checkpoint=ckpt2,
                              nprobe=0)
+
+
+def test_gate_maintain_external_compaction(spark, tmp_path):
+    """maintenance='external' (round 9): the gate runs no milestones;
+    gate_maintain() compacts out-of-band, decisions stay identical to
+    the inline-compaction run, and the next ingest run probes the
+    compacted index transparently."""
+    import os
+
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain,
+    )
+
+    batches = [
+        [(1, D1), (2, D2), (3, D3)],
+        [(10, D10), (11, D11)],
+        [(20, D11 + " zz"), (21, "fresh words entirely new content here")],
+    ]
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_ext")
+    for rows in batches[:2]:
+        _write(spark, src, rows)
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt, index_shards=8,
+                          maintenance="external")
+    before = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert before == [1, 3, 11]
+    r = gate_maintain(spark, cat, "idx", clean_table="clean",
+                      compact_files=8)
+    assert r["compacted"] and r["files_after"] <= 8 < r["files_before"]
+    root = cat.path("idx")
+    for d in os.listdir(root):
+        if d.startswith("__shard="):
+            files = [f for f in os.listdir(os.path.join(root, d))
+                     if not f.startswith(("_", "."))]
+            assert len(files) <= 1
+    # below-threshold second call is a no-op
+    r2 = gate_maintain(spark, cat, "idx", compact_files=8)
+    assert not r2["compacted"] and r2["files_after"] == r2["files_before"]
+    # next ingest run reads the compacted, still-sharded index
+    _write(spark, src, batches[2])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                      "text", checkpoint=ckpt, index_shards=8,
+                      maintenance="external")
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11, 21]  # same decisions as the inline run
+
+
+def test_semantic_gate_external_retrain_parity(spark, tmp_path):
+    """External retrain at the same milestone boundary produces the
+    SAME accepted set, codebook size, trainmeta, and rebucketed index
+    as the inline retrain_at run (test_semantic_gate_retrain_milestone
+    fixture replayed through gate_maintain)."""
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain, stream_semantic_gate,
+    )
+
+    outs = {}
+    for mode in ("inline", "external"):
+        src = str(tmp_path / f"vfeed_{mode}")
+        ckpt = str(tmp_path / f"vckpt_{mode}")
+        cat = ParquetCatalog(spark, str(tmp_path / f"vcat_{mode}"))
+        cat.write(
+            spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                                  "cid long, ce array<double>"),
+            "cent", mode="overwrite",
+        )
+
+        def run():
+            kw = (dict(retrain_at=2.0, retrain_target_rows=1)
+                  if mode == "inline" else dict(maintenance="external"))
+            return stream_semantic_gate(
+                spark, src, cat, "clean", "idx", "vec_id", "embedding",
+                "cent", threshold=0.9, checkpoint=ckpt, **kw)
+
+        def maintain():
+            if mode == "external":
+                return gate_maintain(
+                    spark, cat, "idx", centroid_table="cent",
+                    clean_table="clean", retrain_at=2.0,
+                    retrain_target_rows=1)
+
+        _write_vecs(spark, src, [(1, V1), (3, V3)])
+        run(); maintain()   # external: first contact records baseline=2
+        _write_vecs(spark, src, [(20, [0.0, 0.0, 1.0, 0.0]),
+                                 (21, [0.0, 0.0, 0.0, 1.0])])
+        run()
+        rep = maintain()    # external: 4 >= 2x2 -> retrains here
+        if mode == "external":
+            assert rep["retrained"] and rep["k_after"] == 4
+        _write_vecs(spark, src, [(30, V2), (31, [0.5, 0.5, 0.5, 0.5])])
+        run(); maintain()
+        outs[mode] = dict(
+            kept=sorted(r["vec_id"] for r in cat.read("clean").collect()),
+            k=cat.read("cent").count(),
+            meta=int(cat.read("idx__trainmeta").first()["rows_at_train"]),
+            buckets={r["__id"]: r["__bucket"]
+                     for r in cat.read("idx").collect()},
+        )
+    assert outs["inline"]["kept"] == outs["external"]["kept"] == [
+        1, 3, 20, 21, 31]
+    assert outs["inline"] == outs["external"]
+
+
+def test_gate_maintain_fresh_catalog_adopts_layout(spark, tmp_path):
+    """gate_maintain from a FRESH catalog object (no in-memory
+    partition_spec — the real out-of-band shape: a separate process)
+    must sniff and preserve the Hive layout; a flat rewrite would brick
+    every later probe."""
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain,
+    )
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_fresh")
+    for rows in ([(1, D1), (2, D2), (3, D3)], [(10, D10), (11, D11)]):
+        _write(spark, src, rows)
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=ckpt, index_shards=8,
+                          maintenance="external")
+    fresh = ParquetCatalog(spark, str(tmp_path / "cat_fresh"))
+    assert "idx" not in fresh.partition_spec
+    r = gate_maintain(spark, fresh, "idx", compact_files=4)
+    assert r["compacted"]
+    assert fresh.partition_spec["idx"] == ["__shard"]
+    # the layout survived: the sharded gate still probes the compacted
+    # index — a near-dup of accepted doc 1 is rejected THROUGH it, a
+    # genuinely new doc is accepted
+    _write(spark, src, [(20, D10 + " more"),
+                        (21, "fresh words entirely new content here")])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                      "text", checkpoint=ckpt, index_shards=8,
+                      maintenance="external")
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11, 21]
+
+
+def test_gate_maintain_and_external_validation(spark, tmp_path):
+    import pytest
+
+    from database_transportor_spark import MemoryCatalog
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain, stream_semantic_gate,
+    )
+
+    cat = ParquetCatalog(spark, str(tmp_path / "vcat_val"))
+    # external mode refuses inline milestone params
+    with pytest.raises(ValueError, match="gate_maintain"):
+        stream_dedup_gate(spark, str(tmp_path / "nofeed3"), cat,
+                          "clean", "idx", "doc_id", "text",
+                          maintenance="external", compact_files=4)
+    with pytest.raises(ValueError, match="gate_maintain"):
+        stream_semantic_gate(spark, str(tmp_path / "nofeed3"), cat,
+                             "clean", "idx", "vec_id", "embedding",
+                             "cent", maintenance="external",
+                             retrain_at=10.0)
+    with pytest.raises(ValueError, match="maintenance"):
+        stream_dedup_gate(spark, str(tmp_path / "nofeed3"), cat,
+                          "clean", "idx", "doc_id", "text",
+                          maintenance="nightly")
+    # gate_maintain's own validation
+    with pytest.raises(ValueError, match="centroid_table"):
+        gate_maintain(spark, cat, "idx", retrain_at=2.0)
+    with pytest.raises(ValueError, match="growth factor"):
+        gate_maintain(spark, cat, "idx", centroid_table="cent",
+                      retrain_at=1.0)
+    with pytest.raises(ValueError, match="file catalog"):
+        gate_maintain(spark, MemoryCatalog(), "idx", compact_files=4)
+    # missing index table: a clean no-op report
+    r = gate_maintain(spark, cat, "idx", compact_files=4)
+    assert r == {"retrained": False, "index_rows": None, "k_before": None,
+                 "k_after": None, "compacted": False,
+                 "files_before": None, "files_after": None}

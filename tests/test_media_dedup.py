@@ -205,3 +205,56 @@ def test_dhash_jpeg_tier_builtin_decoder(spark):
     assert len(got) == 2 and got[1] != 0
     d = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
     assert d <= 4, d
+
+
+def test_audio_dedup_cross_container_with_decoder(spark):
+    """decoder= (round 9, VERDICT #3): an mp4a ("compressed") copy
+    fingerprints through a user decoder and collides cross-container
+    with its WAV source — the engine keeps sniffing, batching, and the
+    NULL-degrade contract; only the bytes->samples step is supplied."""
+    import numpy as np
+
+    from database_transportor_spark.operators.media_dedup import (
+        audio_dup_pairs, audio_fingerprint,
+    )
+    from database_transportor_spark.operators.multimodal import (
+        encode_mp4_audio, encode_wav,
+    )
+
+    # tones in DISJOINT fingerprint bands (FFT bins 5/15/30 vs
+    # 60/150/300 of the 1024-sample frame): hamming(sig, other) = 48,
+    # far past max_hamming, while the cross-container copy is 0
+    t = np.arange(8192)
+
+    def tone(bin_):
+        return np.sin(2 * np.pi * t * bin_ / 1024) * 1500
+
+    sig = (tone(5) + tone(15) + tone(30)).astype(np.int16)
+    other = (tone(60) + tone(150) + tone(300)).astype(np.int16)
+    mp4a = encode_mp4_audio(sig, 8000).replace(b"sowt", b"mp4a")
+
+    def stub_decoder(b: bytes):
+        from database_transportor_spark.operators.multimodal import (
+            decode_mp4_audio,
+        )
+        if b[4:8] == b"ftyp" and b"mp4a" in b:
+            return decode_mp4_audio(b.replace(b"mp4a", b"sowt"))
+        return None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(sig, 8000))),
+         (2, bytearray(mp4a)),
+         (3, bytearray(encode_wav(other, 8000)))],
+        "doc_id long, content binary",
+    )
+    # identical samples => identical fingerprints across containers
+    fp = {r["doc_id"]: r["afp"] for r in
+          audio_fingerprint(df, decoder=stub_decoder).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             audio_dup_pairs(df, decoder=stub_decoder).collect()}
+    assert pairs == {(1, 2)}
+    # without the decoder the mp4a row is skipped, not fabricated
+    fp2 = {r["doc_id"] for r in
+           audio_fingerprint(df, errors="skip").collect()}
+    assert fp2 == {1, 3}

@@ -687,3 +687,85 @@ def test_decode_audio_container_sniff_mixed(spark):
     fr = audio_frames(df, frame_len=256, hop=128)
     per_doc = fr.groupBy("doc_id").count().collect()
     assert {r["count"] for r in per_doc} == {5}  # same framing everywhere
+
+
+def test_audio_decoder_hook(spark):
+    """decoder= (round 9): a user-supplied callable slots compressed
+    codecs into the existing Arrow batching — mp4a rows decode through
+    the stub while WAV rows keep the built-in path; a None return (or
+    no decoder) degrades under errors= like any undecodable payload."""
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import (
+        audio_frames, decode_audio, encode_mp4_audio,
+    )
+
+    sig = (np.sin(np.arange(2048) / 5.0) * 3000).astype(np.int16)
+    sowt = encode_mp4_audio(sig, 8000)
+    mp4a = sowt.replace(b"sowt", b"mp4a")   # "compressed" stand-in
+
+    def stub_decoder(b: bytes):
+        # a real plug would call an AAC library; the stub "decompresses"
+        # by restoring the PCM fourcc and reusing the in-repo demuxer
+        from database_transportor_spark.operators.multimodal import (
+            decode_mp4_audio,
+        )
+        if b[4:8] == b"ftyp" and b"mp4a" in b:
+            return decode_mp4_audio(b.replace(b"mp4a", b"sowt"))
+        return None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(sowt)), (2, bytearray(mp4a))],
+        "doc_id long, content binary",
+    )
+    # without a decoder the mp4a row NULL-degrades
+    got = {r["doc_id"]: r for r in
+           decode_audio(df, errors="null").collect()}
+    assert got[1]["n_samples"] == 2048 and got[2]["n_samples"] is None
+    # with the decoder both rows produce identical exact-integer stats
+    got = {r["doc_id"]: r for r in
+           decode_audio(df, decoder=stub_decoder).collect()}
+    assert got[1]["sum_squares"] == got[2]["sum_squares"] > 0
+    assert got[2]["sample_rate"] == 8000
+    # frame features flow through the same hook
+    fr = audio_frames(df, frame_len=256, hop=256, max_frames=2,
+                      decoder=stub_decoder).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["energy"], r["peak"]))
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+    # a decoder that declines (returns None) re-raises under raise mode
+    import pytest
+    with pytest.raises(Exception):
+        decode_audio(df, decoder=lambda b: None).collect()
+
+
+def test_sample_frames_decoder_hook(spark):
+    """sample_frames decoder=: tried first per row, None falls back to
+    the byte slicer — mixed corpora degrade gracefully."""
+    from database_transportor_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    def stub_video_decoder(b: bytes):
+        if b.startswith(b"VID0"):
+            return [b"frameA" * 3, b"frameB" * 3, b"frameC" * 3]
+        return None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"VID0" + b"\x00" * 300)),
+         (2, bytearray(b"plain bytes payload " * 20))],
+        "doc_id long, content binary",
+    )
+    out = sample_frames(df, frame_bytes=8, stride=64, max_frames=2,
+                        decoder=stub_video_decoder).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # decoded row: decoder frames, capped at max_frames
+    assert [bytes(r["frame"]) for r in
+            sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [
+        b"frameA" * 3, b"frameB" * 3]
+    # declined row: byte-slicer fallback, frame_bytes-sized chunks
+    assert all(len(bytes(r["frame"])) == 8 for r in by_doc[2])
