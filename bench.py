@@ -15,17 +15,28 @@ whose own samples span 0.3 s is never misread as a regression.  The
 classification rule: a delta is ``signal`` only if it exceeds all of
 (a) 15% of the previous median, (b) 3× this round's spread, (c) 0.1 s.
 
-Session-robust confirmation (round 8): within-session spread understates
-CROSS-SESSION variance — two same-protocol runs of one tree produced two
-different signal sets in round 7 (suite-position cost, GC phase, JIT
-state).  So every signal-classed delta now triggers an automatic
-ISOLATED re-measure of that query in a FRESH session (``--isolated``
-subprocess: own JVM, own warmup, nothing else timed); the artifact
-records ``confirmed: true/false`` with the re-measured median — true iff
-the fresh-session median still passes the same signal rule against the
-previous round.  No prose exonerations needed: the artifact is
-self-documenting.  ``SPARK_GRAFT_BENCH_CONFIRM=0`` disables the pass
-(and is what the --isolated child sets, so confirmation never recurses).
+Session-robust confirmation (round 9 — replaces the round-8
+fresh-session re-measure, which was ANTI-SIGNAL on this host: isolated
+medians landed far from suite medians — lsh_index 17.04 s isolated vs
+4.03 s suite — because a fresh JVM re-pays first-touch/JIT per query;
+SCALE.md's own rule says cross-session deltas under ~2× need an
+INTERLEAVED in-session A/B, the protocol that refuted the round-7
+video_frames attribution).  Every signal-classed delta now gets exactly
+that: additional interleaved runs of the flagged query alternating with
+a FIXED reference workload ruler, all inside the SAME session that
+produced the suite numbers.  ``confirmed: true/false`` is then derived
+from (a) the A/B median of the flagged query, (b) the A/B spread — the
+signal rule's 3× bar means a confirmation's spread is always smaller
+than the delta it judges — and (c) the previous round's median scaled
+by the reference ruler's drift (``host_factor = ref_now / ref_prev``),
+which cancels session/host-level effects out of the cross-round
+comparison.  The ruler is defined IN THIS FILE and never changes, so
+its drift measures the host, not the code.  The artifact records
+``ab_median``/``ab_spread``/``host_factor`` per confirmation and
+``confirm_ref_median`` for the next round.
+``SPARK_GRAFT_BENCH_CONFIRM=0`` disables the pass.  ``--isolated``
+remains as a manual subcommand (fresh-session numbers are still useful
+evidence — just not as the confirm referee).
 """
 
 from __future__ import annotations
@@ -33,7 +44,6 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import subprocess
 import sys
 import time
 
@@ -114,45 +124,53 @@ def _make_session(cpus: str):
     return spark
 
 
+def _ref_query(spark, sf_dir: str):
+    """The confirm pass's reference RULER: a fixed scan + shuffle + agg
+    workload over the fixture lineitem.  NEVER change this function —
+    its round-over-round drift is the measure of session/host effects
+    (GC phase, JIT state, filesystem cache), and that only works if the
+    code under the ruler is identical every round."""
+    from pyspark.sql import functions as F
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.groupBy(
+            "l_returnflag", "l_linestatus",
+            F.pmod(F.col("l_orderkey"), F.lit(512)).alias("b"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.avg("l_extendedprice").alias("p"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _run_once(spark, sf_dir: str, fn) -> float:
+    from database_transportor_spark.operators.pins import release_pins
+
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    release_pins()
+    return dt
+
+
 def _measure(spark, sf_dir: str, names, runs: int) -> dict[str, list[float]]:
     """Median-of-runs wall per query; each run is a full noop write with
     a pin drain after (so run N+1 repeats the FULL work instead of
     reading run N's cache)."""
     import __spark_entry__ as e
-    from database_transportor_spark.operators.pins import release_pins
 
     registry = e.queries()
-
-    def run_once(fn) -> float:
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        release_pins()
-        return dt
-
     samples: dict[str, list[float]] = {}
     for name in names:
-        samples[name] = [round(run_once(registry[name]), 3) for _ in range(runs)]
+        samples[name] = [
+            round(_run_once(spark, sf_dir, registry[name]), 3)
+            for _ in range(runs)
+        ]
     return samples
-
-
-def _isolated_remeasure(names, runs: int) -> dict | None:
-    """Fresh-session re-measure of ``names``: a subprocess with its own
-    JVM, warmup, and nothing else timed.  Returns {"queries": {...},
-    "spread": {...}} parsed from the child's stdout, or None on failure."""
-    env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_CONFIRM"] = "0"  # never recurse
-    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--isolated", *names],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
-        return json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception as exc:  # confirmation is best-effort evidence
-        print(f"# isolated re-measure failed: {exc}", file=sys.stderr)
-        return None
 
 
 def _isolated_main(names) -> None:
@@ -185,12 +203,14 @@ def main() -> None:
     prev_queries: dict[str, float] = {}
     prev_sf = None
     prev_protocol = None
+    prev_ref = None
     try:
         with open(artifact) as f:
             prev = json.load(f)
         prev_queries = prev.get("queries", {})
         prev_sf = prev.get("sf")
         prev_protocol = prev.get("protocol")
+        prev_ref = prev.get("confirm_ref_median")
     except (OSError, ValueError):
         pass
 
@@ -203,7 +223,11 @@ def main() -> None:
     # (streaming variants use fresh UUID sinks), so each run repeats
     # the full end-to-end work
     samples = _measure(spark, sf_dir, list(e.queries()), runs)
-    spark.stop()
+    # the reference ruler is measured EVERY round (cheap) so the next
+    # round always has a same-session host baseline to normalize against
+    ref_samples = [
+        round(_run_once(spark, sf_dir, _ref_query), 3) for _ in range(runs)
+    ]
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
@@ -237,32 +261,46 @@ def main() -> None:
         }
     signals = {n: v for n, v in delta.items() if v["class"] == "signal"}
 
-    # ---- fresh-session confirmation of every signal-classed delta ----
-    # (capped at 8 by |delta|; a protocol change that flags everything
-    # should be compared by hand, not re-measured 200 times)
+    # ---- interleaved in-session A/B confirmation (round 9) ----
+    # Each signal-classed delta (cap 8 by |delta|) gets `runs` more
+    # samples ALTERNATING with the reference ruler in THIS session;
+    # confirmed iff the A/B median still passes the signal rule against
+    # the previous median scaled by the ruler's cross-round drift.  The
+    # rule's 3×-spread bar guarantees the A/B spread is smaller than any
+    # delta it confirms.
+    registry = e.queries()
     if confirm and signals:
         to_confirm = sorted(signals, key=lambda n: -abs(signals[n]["delta"]))[:8]
         if len(signals) > len(to_confirm):
             print(f"# confirming top {len(to_confirm)} of {len(signals)} "
                   "signals (cap 8)", file=sys.stderr)
-        iso = _isolated_remeasure(to_confirm, runs)
+        ab: dict[str, list[float]] = {n: [] for n in to_confirm}
+        for _ in range(runs):
+            ref_samples.append(
+                round(_run_once(spark, sf_dir, _ref_query), 3))
+            for n in to_confirm:
+                ab[n].append(
+                    round(_run_once(spark, sf_dir, registry[n]), 3))
+        ref_med = round(statistics.median(ref_samples), 3)
+        host = round(ref_med / prev_ref, 3) if prev_ref else 1.0
         for n in to_confirm:
             v = delta[n]
-            if iso is None or n not in iso.get("queries", {}):
-                v["confirmed"] = None  # re-measure unavailable
-                continue
-            im, isp = iso["queries"][n], iso["spread"].get(n, 0.0)
-            v["isolated_median"] = im
-            v["isolated_spread"] = isp
+            med_ab = round(statistics.median(ab[n]), 3)
+            spread_ab = round(max(ab[n]) - min(ab[n]), 3)
+            adj_prev = round(v["prev"] * host, 3)
+            v["ab_median"] = med_ab
+            v["ab_spread"] = spread_ab
+            v["host_factor"] = host
             v["confirmed"] = _is_signal(
-                round(im - v["prev"], 3), v["prev"], isp)
+                round(med_ab - adj_prev, 3), adj_prev, spread_ab)
+    spark.stop()
 
     # human-readable delta table → stderr (stdout stays the one JSON line)
     if delta:
         n_conf = sum(1 for v in signals.values() if v.get("confirmed") is True)
         print(
             f"# round-over-round deltas ({len(signals)} signal "
-            f"[{n_conf} confirmed fresh-session] / "
+            f"[{n_conf} confirmed in-session A/B] / "
             f"{len(delta) - len(signals)} noise; runs={runs})",
             file=sys.stderr,
         )
@@ -274,8 +312,10 @@ def main() -> None:
                 conf = (" CONFIRMED" if v["confirmed"]
                         else " UNCONFIRMED" if v["confirmed"] is False
                         else " UNVERIFIED")
-                if "isolated_median" in v:
-                    conf += f" (isolated {v['isolated_median']:.3f})"
+                if "ab_median" in v:
+                    conf += (f" (A/B {v['ab_median']:.3f}"
+                             f"±{v['ab_spread']:.3f}"
+                             f", host×{v['host_factor']})")
             print(
                 f"#   {n:28s} {v['prev']:7.3f} -> {v['median']:7.3f} "
                 f"(d={v['delta']:+.3f}, spread={v['spread']:.3f}) "
@@ -300,6 +340,9 @@ def main() -> None:
         # totals across that boundary measure different protocols, not a
         # code regression.
         "protocol": protocol,
+        # the fixed _ref_query ruler's median this session — next round's
+        # confirm pass normalizes cross-session host drift with it
+        "confirm_ref_median": round(statistics.median(ref_samples), 3),
     }
     print(json.dumps(payload))
     # The driver's capture keeps only the TAIL of stdout, which truncates

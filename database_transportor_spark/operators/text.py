@@ -50,6 +50,7 @@ __all__ = [
     "vocab_coverage",
     "bm25_topk",
     "bm25_index",
+    "bm25_index_update",
     "bm25_topk_indexed",
 ]
 
@@ -1207,6 +1208,57 @@ def bm25_index(
         tf.join(dl, "__id")
         .select("token", F.col("__id").alias(id_col), "tf", "dl")
     )
+
+
+def bm25_index_update(
+    index: DataFrame,
+    add_docs: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintain a :func:`bm25_index` posting table —
+    the index-freshness story for a corpus the dedup pipeline keeps
+    mutating: new documents arrive (append), near-dups get dropped
+    (delete), re-crawled documents change text (upsert = both).
+
+    Returns the updated posting frame: ``delete_ids`` (a 1-column frame
+    of doc ids) anti-joins matching postings out; ``add_docs`` rows are
+    tokenized through :func:`bm25_index` and unioned in — ids present
+    in ``add_docs`` are ALSO anti-joined out first, so re-adding a doc
+    replaces its postings instead of double-counting them.  The result
+    is EXACTLY ``bm25_index(final corpus)`` (parity pinned in tests):
+    every statistic :func:`bm25_topk_indexed` serves — N, avgdl, df —
+    is derived from the posting table itself, so no side metadata can
+    go stale; scores after an update equal a full rebuild's to the
+    last bit.
+
+    Scale shape: the stored index never re-tokenizes — deletes are one
+    posting-sized anti-join against a (typically small, broadcastable)
+    id set, and only ``add_docs``' text pays the corpus-pass cost.  At
+    100 TB this is the whole point: a 0.1% daily delta costs 0.1% of a
+    rebuild.  Write the result back via the catalog's staged swap for
+    the same atomicity the gates use.
+    """
+    out = index
+    cuts = []
+    if delete_ids is not None:
+        cuts.append(delete_ids.select(F.col(delete_ids.columns[0])
+                                      .alias(id_col)).distinct())
+    if add_docs is not None:
+        cuts.append(add_docs.select(F.col(id_col)).distinct())
+    if not cuts:
+        raise ValueError(
+            "bm25_index_update: pass add_docs and/or delete_ids"
+        )
+    gone = cuts[0]
+    for c in cuts[1:]:
+        gone = gone.unionByName(c)
+    out = out.join(F.broadcast(gone.distinct()), id_col, "left_anti")
+    if add_docs is not None:
+        out = out.unionByName(bm25_index(add_docs, id_col, text_col)
+                              .select(*out.columns))
+    return out.select(*index.columns)
 
 
 def bm25_topk_indexed(
