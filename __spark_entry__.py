@@ -10121,3 +10121,110 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTENSION_QUERIES.update({"bm25_indexed": q_bm25_indexed})
 _EXTENSION_ORACLES.update({"bm25_indexed": SQL_BM25_SEARCH})
+
+
+def q_bm25_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (round 9,
+    `operators/text.py:bm25_index_update`): build the posting table,
+    apply a delta — every 17th doc deleted (the dedup-pipeline shape),
+    every 13th re-added under a new id with appended text (append +
+    retrievability) — then serve the same three queries from the
+    UPDATED index.  The oracle runs full BM25 over the mutated corpus,
+    so a hash match proves update ≡ rebuild end-to-end: the anti-join
+    delete, the union append, and the index-derived N/avgdl/df."""
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_update, bm25_topk_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    idx = bm25_index(docs)
+    dels = docs.filter("doc_id % 17 = 0").select("doc_id")
+    adds = docs.filter("doc_id % 13 = 0").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark spark window")).alias("text"))
+    updated = bm25_index_update(idx, add_docs=adds, delete_ids=dels)
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk_indexed(updated, queries, k=10)
+
+
+# the mutated corpus as a CTE, spliced into the shared BM25 oracle body
+SQL_BM25_UPDATED = SQL_BM25_SEARCH.replace(
+    "WITH q(", """WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text || ' spark spark window'
+    FROM documents WHERE doc_id % 13 = 0
+), q(""").replace("FROM documents\n", "FROM corpus\n")
+
+
+_EXTENSION_QUERIES.update({"bm25_updated": q_bm25_updated})
+_EXTENSION_ORACLES.update({"bm25_updated": SQL_BM25_UPDATED})
+
+
+def q_audio_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable decoder hook (round 9, `decoder=` on
+    `multimodal.decode_audio`): the same ISO-BMFF fixture family as
+    `mp4_audio`, but odd docs carry an `mp4a` ("compressed") sample
+    entry the built-in PCM demuxer refuses — a stub decoder restores
+    the PCM fourcc and re-demuxes, standing in for a real AAC library.
+    Output stats are closed-form over the deterministic ramp, so the
+    oracle (shared with `mp4_audio`) hash-proves that hook-decoded rows
+    produce bit-identical statistics to built-in-decoded rows."""
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.multimodal import (
+        decode_audio, encode_mp4_audio)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_m4a(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + 1000 * (d % 3)
+                ch = 1 + d % 2
+                n = 40 + d % 7
+                vals = ((7 * d + 3 * np.arange(n * ch)) % 401 - 200
+                        ).astype(np.int16).reshape(n, ch)
+                b = encode_mp4_audio(
+                    vals, rate,
+                    codec=b"sowt" if d % 2 == 0 else b"twos",
+                    samples_per_chunk=16)
+                if d % 2:  # swap the trailing-stsd fourcc, not mdat bytes
+                    i = b.rindex(b"twos")
+                    b = b[:i] + b"mp4a" + b[i + 4:]
+                out.append(b)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    def hook(b: bytes):
+        from database_transportor_spark.operators.multimodal import (
+            decode_mp4_audio)
+
+        i = b.rfind(b"mp4a")
+        if i < 0:
+            return None
+        return decode_mp4_audio(b[:i] + b"twos" + b[i + 4:])
+
+    media = docs.mapInPandas(make_m4a, schema)
+    return decode_audio(media, "doc_id", "content", decoder=hook)
+
+
+_EXTENSION_QUERIES.update({"audio_decoder": q_audio_decoder})
+_EXTENSION_ORACLES.update({"audio_decoder": SQL_MP4_AUDIO})
