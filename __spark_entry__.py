@@ -9817,23 +9817,21 @@ _EXTENSION_QUERIES.update({"bm25_search": q_bm25_search})
 _EXTENSION_ORACLES.update({"bm25_search": SQL_BM25_SEARCH})
 
 
-def q_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP4/M4A PCM audio tier (round 8, `multimodal.encode_mp4_audio`/
-    `decode_mp4_audio` via the container sniff in `decode_audio`):
-    synthesize a genuine ISO-BMFF audio file per document — ftyp +
-    mdat (raw int16 PCM) + a soun-trak sample table chunked every 16
-    PCM frames (exercises the stsc/stco expansion), byte order
-    alternating sowt/twos by doc — then decode back to exact integer
-    signal statistics.  Every output column is in closed form over the
-    deterministic ramp, so a hash match proves the audio sample-entry
-    parse, the chunk walk, and both endianness paths."""
+def _m4a_fixture(spark: SparkSession, sf_dir: str, mp4a: bool):
+    """Deterministic ISO-BMFF audio fixture shared by `mp4_audio` and
+    `audio_decoder`: one file per document over the closed-form ramp
+    (rate/channels/length and sample values all functions of doc_id),
+    sample table chunked every 16 PCM frames, byte order alternating
+    sowt/twos by doc.  ``mp4a=True`` additionally swaps odd docs'
+    trailing-stsd fourcc to ``mp4a`` (never mdat bytes), making them
+    "compressed" payloads the built-in demuxer refuses."""
     import pandas as pd
 
     from pyspark.sql.types import (BinaryType, LongType, StructField,
                                    StructType)
 
     from database_transportor_spark.operators.multimodal import (
-        decode_audio, encode_mp4_audio)
+        encode_mp4_audio)
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -9854,14 +9852,33 @@ def q_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = 40 + d % 7
                 vals = ((7 * d + 3 * np.arange(n * ch)) % 401 - 200
                         ).astype(np.int16).reshape(n, ch)
-                out.append(encode_mp4_audio(
+                b = encode_mp4_audio(
                     vals, rate,
                     codec=b"sowt" if d % 2 == 0 else b"twos",
-                    samples_per_chunk=16))
+                    samples_per_chunk=16)
+                if mp4a and d % 2:
+                    i = b.rindex(b"twos")
+                    b = b[:i] + b"mp4a" + b[i + 4:]
+                out.append(b)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "content": pd.Series(out, dtype="object")})
 
-    media = docs.mapInPandas(make_m4a, schema)
+    return docs.mapInPandas(make_m4a, schema)
+
+
+def q_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/M4A PCM audio tier (round 8, `multimodal.encode_mp4_audio`/
+    `decode_mp4_audio` via the container sniff in `decode_audio`):
+    synthesize a genuine ISO-BMFF audio file per document — ftyp +
+    mdat (raw int16 PCM) + a soun-trak sample table chunked every 16
+    PCM frames (exercises the stsc/stco expansion), byte order
+    alternating sowt/twos by doc — then decode back to exact integer
+    signal statistics.  Every output column is in closed form over the
+    deterministic ramp, so a hash match proves the audio sample-entry
+    parse, the chunk walk, and both endianness paths."""
+    from database_transportor_spark.operators.multimodal import decode_audio
+
+    media = _m4a_fixture(spark, sf_dir, mp4a=False)
     return decode_audio(media, "doc_id", "content")
 
 
@@ -10168,50 +10185,13 @@ _EXTENSION_ORACLES.update({"bm25_updated": SQL_BM25_UPDATED})
 
 def q_audio_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pluggable decoder hook (round 9, `decoder=` on
-    `multimodal.decode_audio`): the same ISO-BMFF fixture family as
-    `mp4_audio`, but odd docs carry an `mp4a` ("compressed") sample
-    entry the built-in PCM demuxer refuses — a stub decoder restores
-    the PCM fourcc and re-demuxes, standing in for a real AAC library.
-    Output stats are closed-form over the deterministic ramp, so the
-    oracle (shared with `mp4_audio`) hash-proves that hook-decoded rows
-    produce bit-identical statistics to built-in-decoded rows."""
-    import pandas as pd
-
-    from pyspark.sql.types import (BinaryType, LongType, StructField,
-                                   StructType)
-
-    from database_transportor_spark.operators.multimodal import (
-        decode_audio, encode_mp4_audio)
-
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    schema = StructType([StructField("doc_id", LongType()),
-                         StructField("content", BinaryType())])
-
-    def make_m4a(batches):
-        import numpy as np
-
-        for pdf in batches:
-            out = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                rate = 8000 + 1000 * (d % 3)
-                ch = 1 + d % 2
-                n = 40 + d % 7
-                vals = ((7 * d + 3 * np.arange(n * ch)) % 401 - 200
-                        ).astype(np.int16).reshape(n, ch)
-                b = encode_mp4_audio(
-                    vals, rate,
-                    codec=b"sowt" if d % 2 == 0 else b"twos",
-                    samples_per_chunk=16)
-                if d % 2:  # swap the trailing-stsd fourcc, not mdat bytes
-                    i = b.rindex(b"twos")
-                    b = b[:i] + b"mp4a" + b[i + 4:]
-                out.append(b)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "content": pd.Series(out, dtype="object")})
+    `multimodal.decode_audio`): the shared `_m4a_fixture` with odd docs
+    carrying an `mp4a` ("compressed") sample entry the built-in PCM
+    demuxer refuses — a stub decoder restores the PCM fourcc and
+    re-demuxes, standing in for a real AAC library.  Shares
+    `mp4_audio`'s closed-form oracle, so the hash proves hook-decoded
+    rows produce bit-identical statistics to built-in-decoded rows."""
+    from database_transportor_spark.operators.multimodal import decode_audio
 
     def hook(b: bytes):
         from database_transportor_spark.operators.multimodal import (
@@ -10222,7 +10202,7 @@ def q_audio_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None
         return decode_mp4_audio(b[:i] + b"twos" + b[i + 4:])
 
-    media = docs.mapInPandas(make_m4a, schema)
+    media = _m4a_fixture(spark, sf_dir, mp4a=True)
     return decode_audio(media, "doc_id", "content", decoder=hook)
 
 
