@@ -10208,3 +10208,43 @@ def q_audio_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTENSION_QUERIES.update({"audio_decoder": q_audio_decoder})
 _EXTENSION_ORACLES.update({"audio_decoder": SQL_MP4_AUDIO})
+
+
+def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retrieval-index maintenance (round 9,
+    `streaming/bm25_sink.py:stream_bm25_sink`): the documents corpus
+    arrives in two micro-batches (even ids, then odd); each batch's
+    posting rows append to the stored index — tokenized exactly once,
+    first arrival wins, commit-marker exactly-once — and the three
+    fixed queries are then served from the STREAMED table.  The oracle
+    is the full batch BM25 SQL: a hash match proves the streamed index
+    is indistinguishable from a one-shot build."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.operators.text import bm25_topk_indexed
+    from database_transportor_spark.streaming.bm25_sink import (
+        stream_bm25_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"sbm_{uuid.uuid4().hex[:6]}_")
+    src = f"{work}/feed"
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    ckpt = f"{work}/ckpt"
+    for half in (docs.filter(F.col("doc_id") % 2 == 0),
+                 docs.filter(F.col("doc_id") % 2 == 1)):
+        half.write.mode("append").parquet(src)
+        stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk_indexed(cat.read("idx"), queries, k=10)
+
+
+_EXTENSION_QUERIES.update({"stream_bm25": q_stream_bm25})
+_EXTENSION_ORACLES.update({"stream_bm25": SQL_BM25_SEARCH})

@@ -145,6 +145,15 @@ def run_stream_spec(
                  "centroids": "cent", "threshold": 0.9}}
 
     Same stateless-stages rule; returns the clean table.
+
+    A ``"bm25_index"`` sink routes the stream through
+    :func:`~database_transportor_spark.streaming.bm25_sink.stream_bm25_sink`
+    — each micro-batch's posting rows append to the retrieval index
+    (first arrival wins, exactly-once via commit markers); returns the
+    index table::
+
+        "sink": {"bm25_index": {"index": "idx", "id": "doc_id",
+                                "text": "text"}}
     """
     where = "stream spec"
     src = spec.get("source")
@@ -243,6 +252,24 @@ def run_stream_spec(
                 **common,
             )
         return target.read(g["clean"])
+
+    if "bm25_index" in sink:
+        from .bm25_sink import stream_bm25_sink
+
+        b = sink["bm25_index"]
+        if target is None:
+            raise SpecError(
+                f"{where}: a bm25_index sink needs target= (a Catalog)"
+            )
+        for req in ("index", "id", "text"):
+            if req not in b:
+                raise SpecError(f"{where}: bm25_index sink needs {req!r}")
+        stream_bm25_sink(
+            spark, src["path"], target, b["index"], b["id"], b["text"],
+            checkpoint=b.get("checkpoint"),
+            transform=_stateless_transform("bm25_index"),
+        )
+        return target.read(b["index"])
 
     if "merge" in sink:
         from .merge_sink import stream_merge_sink

@@ -1,0 +1,70 @@
+"""Streaming BM25 posting-index sink: append-only maintenance, first
+arrival wins, replay idempotence, serve parity with the batch path."""
+
+import pytest
+
+from database_transportor_spark.sources.catalog import ParquetCatalog
+from database_transportor_spark.streaming.bm25_sink import stream_bm25_sink
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append").parquet(src)
+
+
+def test_streamed_index_equals_batch_index(spark, tmp_path):
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_topk, bm25_topk_indexed,
+    )
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    b1 = [(1, "apple banana apple"), (2, "cherry durian")]
+    b2 = [(3, "banana fig"), (4, "apple fig grape")]
+    _write(spark, src, b1)
+    n = stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    assert n == 1
+    _write(spark, src, b2)
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+
+    docs = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    want = sorted(map(tuple, bm25_index(docs).collect()))
+    got = sorted(map(tuple, cat.read("idx").drop("__commit").select(
+        "token", "doc_id", "tf", "dl").collect()))
+    assert got == want
+    # serve parity: the streamed index answers like the direct path
+    q = spark.createDataFrame([(1, "apple fig")], ["query_id", "query"])
+    via = sorted(map(tuple, bm25_topk_indexed(
+        cat.read("idx"), q, k=10).collect()))
+    direct = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert via == direct
+
+
+def test_first_arrival_wins_and_replay_idempotent(spark, tmp_path):
+    src = str(tmp_path / "feed2")
+    ckpt = str(tmp_path / "ckpt2")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat2"))
+    _write(spark, src, [(1, "original words"), (1, "zz duplicate in batch")])
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    # within-batch collapse: lexicographically-smallest text won
+    toks = {r["token"] for r in cat.read("idx").collect()}
+    assert toks == {"original", "words"}
+    # doc 1 re-arrives with new text: first arrival wins, no re-index
+    _write(spark, src, [(1, "recrawled text"), (2, "fresh doc")])
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    by_doc = {}
+    for r in cat.read("idx").collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["token"])
+    assert by_doc[1] == {"original", "words"}
+    assert by_doc[2] == {"fresh", "doc"}
+    # drained checkpoint: replay applies nothing
+    before = cat.read("idx").count()
+    n = stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    assert n == 0 and cat.read("idx").count() == before
+
+
+def test_empty_source_needs_schema(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "cat3"))
+    with pytest.raises(ValueError, match="schema"):
+        stream_bm25_sink(spark, str(tmp_path / "nofeed"), cat, "idx")

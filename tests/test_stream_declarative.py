@@ -293,3 +293,44 @@ def test_semantic_gate_sink_spec_and_validation(spark, tmp_path):
     }
     out = run_stream_spec(spark, spec, target=cat)
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
+
+
+def test_bm25_index_sink_spec(spark, tmp_path):
+    """Declarative streaming retrieval index: a bm25_index sink appends
+    each batch's postings; a filter stage applies before indexing, and
+    required keys are validated."""
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.streaming.declarative import (
+        run_stream_spec,
+    )
+
+    src = str(tmp_path / "bdocs")
+    cat = ParquetCatalog(spark, str(tmp_path / "bcat"))
+    spark.createDataFrame(
+        [(1, "apple banana", 1), (2, "cherry fig", 1),
+         (3, "dropped words", 0)],
+        "doc_id long, text string, keep long",
+    ).coalesce(1).write.parquet(src)
+    spec = {
+        "source": {"path": src, "ts_col": "ts"},
+        "stages": [{"op": "filter", "condition": "keep = 1"}],
+        "sink": {"bm25_index": {"index": "idx", "id": "doc_id",
+                                "text": "text",
+                                "checkpoint": str(tmp_path / "bck")}},
+    }
+    out = run_stream_spec(spark, spec, target=cat)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["token"])
+    assert by_doc == {1: {"apple", "banana"}, 2: {"cherry", "fig"}}
+    with pytest.raises(SpecError, match="bm25_index sink needs"):
+        run_stream_spec(spark, {
+            "source": {"path": src},
+            "sink": {"bm25_index": {"index": "idx"}},
+        }, target=cat)
+    with pytest.raises(SpecError, match="target="):
+        run_stream_spec(spark, {
+            "source": {"path": src},
+            "sink": {"bm25_index": {"index": "idx", "id": "doc_id",
+                                    "text": "text"}},
+        })
