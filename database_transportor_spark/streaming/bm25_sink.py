@@ -31,6 +31,14 @@ Plan shape per batch: one tokenize/aggregate pass over the BATCH only
 (two batch-sized shuffles: tf, dl), one anti-join against the stored
 ids (posting-table-sized, column-pruned to the id), one map-only
 append.  The accepted corpus' text is never re-read.
+
+Operations: the sink accrues one file set per micro-batch — the same
+fragmentation curve the gates measured (SCALE.md) — so compact the
+index out-of-band with :func:`~.dedup_gate.gate_maintain`
+(``compact_files=``, works on any catalog table) or CLI
+``gate-maintain`` / ``compact``; deletes/upserts for retired documents
+go through :func:`~..operators.text.bm25_index_update` + a staged
+swap.
 """
 
 from __future__ import annotations

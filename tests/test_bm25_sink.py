@@ -68,3 +68,24 @@ def test_empty_source_needs_schema(spark, tmp_path):
     cat = ParquetCatalog(spark, str(tmp_path / "cat3"))
     with pytest.raises(ValueError, match="schema"):
         stream_bm25_sink(spark, str(tmp_path / "nofeed"), cat, "idx")
+
+
+def test_sink_index_compacts_via_gate_maintain(spark, tmp_path):
+    """The per-batch file accrual compacts out-of-band with the same
+    gate_maintain entry point the gates use; postings and served
+    results are unchanged."""
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain,
+    )
+
+    src = str(tmp_path / "feed4")
+    ckpt = str(tmp_path / "ckpt4")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat4"))
+    for i in range(4):
+        _write(spark, src, [(10 * i + j, f"tok{i} word{j} common")
+                            for j in range(3)])
+        stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    before = sorted(map(tuple, cat.read("idx").collect()))
+    r = gate_maintain(spark, cat, "idx", compact_files=2)
+    assert r["compacted"] and r["files_after"] <= 2 < r["files_before"]
+    assert sorted(map(tuple, cat.read("idx").collect())) == before
