@@ -1243,8 +1243,19 @@ def bm25_index_update(
     out = index
     cuts = []
     if delete_ids is not None:
-        cuts.append(delete_ids.select(F.col(delete_ids.columns[0])
-                                      .alias(id_col)).distinct())
+        # accept either a frame carrying id_col or a single-column id
+        # frame under any name; anything else is ambiguous — refuse
+        # rather than silently anti-join on the wrong column
+        if id_col in delete_ids.columns:
+            key = id_col
+        elif len(delete_ids.columns) == 1:
+            key = delete_ids.columns[0]
+        else:
+            raise ValueError(
+                f"bm25_index_update: delete_ids must carry {id_col!r} or "
+                f"be a single id column, got {delete_ids.columns}"
+            )
+        cuts.append(delete_ids.select(F.col(key).alias(id_col)).distinct())
     if add_docs is not None:
         cuts.append(add_docs.select(F.col(id_col)).distinct())
     if not cuts:

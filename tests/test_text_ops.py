@@ -519,5 +519,13 @@ class TestBM25IndexUpdate:
         left = bm25_index_update(
             idx, delete_ids=spark.createDataFrame([(1,)], ["doc_id"]))
         assert {r["doc_id"] for r in left.collect()} == {2}
+        # single-column id frame under any name is accepted
+        left2 = bm25_index_update(
+            idx, delete_ids=spark.createDataFrame([(1,)], ["gone_id"]))
+        assert {r["doc_id"] for r in left2.collect()} == {2}
         with _pytest.raises(ValueError, match="add_docs"):
             bm25_index_update(idx)
+        # a multi-column frame without id_col is ambiguous -> refused
+        with _pytest.raises(ValueError, match="single id column"):
+            bm25_index_update(idx, delete_ids=spark.createDataFrame(
+                [(1, "x")], ["a", "b"]))
