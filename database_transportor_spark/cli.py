@@ -509,12 +509,15 @@ def _cmd_gate_maintain(args: argparse.Namespace) -> int:
         force_retrain=args.force_retrain,
         retrain_target_rows=args.retrain_target_rows,
         retrain_sample=args.retrain_sample,
+        reshard=args.reshard,
     )
     if r["retrained"]:
         print(f"retrained: {r['index_rows']} index rows, "
               f"k {r['k_before']} -> {r['k_after']}")
     elif args.retrain_at is not None or args.force_retrain:
         print(f"retrain not due ({r['index_rows']} index rows)")
+    if r["resharded"]:
+        print(f"resharded {args.index_table} to {args.reshard} shards")
     if r["files_before"] is not None:
         verb = "compacted" if r["compacted"] else "left"
         print(f"{verb} {args.index_table}: {r['files_before']} -> "
@@ -671,6 +674,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--retrain-at", type=float, default=None,
                    help="retrain when the index grew this factor since "
                         "the last (re)train")
+    g.add_argument("--reshard", type=int, default=None,
+                   help="rewrite a lexical shingle index to this shard "
+                        "count (one staged pass, decisions unchanged)")
     g.add_argument("--force-retrain", action="store_true",
                    help="retrain regardless of growth (e.g. after deletes)")
     g.add_argument("--retrain-target-rows", type=int, default=128)

@@ -257,6 +257,7 @@ def gate_maintain(
     retrain_sample: int = 100_000,
     retrain_iters: int = 8,
     retrain_max_k: int = 65_536,
+    reshard: int | None = None,
 ) -> dict:
     """OUT-OF-BAND gate-index maintenance — the same codebook retrain
     and file compaction the gates run inline, runnable as a separate
@@ -275,10 +276,17 @@ def gate_maintain(
       needs ``centroid_table=``): identical milestone rule and
       mechanics as the inline ``retrain_at``; ``force_retrain=True``
       retrains regardless of growth (e.g. after bulk deletes).
+    - **reshard** (``reshard=N``, lexical shingle indexes only): rewrite
+      ``__shard = pmod(__h, N)`` in one staged pass and pin the new
+      count in the ``__shardmeta`` table — the migration the gate's
+      shard-count-mismatch error directs here.  Works both to change an
+      existing shard count and to shard a previously flat index; the
+      probe modulus and layout stay consistent by construction, so
+      decisions are unchanged.
     - **compaction** (``compact_files=`` threshold): rewrite the index
       via ``operators/maintenance.compact_table`` when its data-file
-      count exceeds the threshold — retrain runs first because its
-      staged rewrite already consolidates files.
+      count exceeds the threshold — retrain/reshard run first because
+      their staged rewrites already consolidate files.
 
     The on-disk Hive layout (``__shard=`` / ``__bucket=`` directories)
     is sniffed and adopted into ``target.partition_spec`` before any
@@ -309,10 +317,19 @@ def gate_maintain(
             "gate_maintain: retraining needs centroid_table= (the semantic "
             "gate's codebook table)"
         )
+    if reshard is not None:
+        if reshard < 2:
+            raise ValueError("gate_maintain: reshard must be >= 2")
+        if not hasattr(target, "partition_spec"):
+            raise ValueError(
+                "gate_maintain: reshard needs a file catalog "
+                "(Hive-partitioned layout); "
+                f"{type(target).__name__} has no partition_spec"
+            )
     report: dict = {
         "retrained": False, "index_rows": None, "k_before": None,
         "k_after": None, "compacted": False, "files_before": None,
-        "files_after": None,
+        "files_after": None, "resharded": False,
     }
     if not target.exists(index_table):
         return report
@@ -327,6 +344,26 @@ def gate_maintain(
         else nullcontext()
     )
     with lock, pin_scope():
+        if reshard is not None:
+            idx = target.read(index_table)
+            if "__h" not in idx.columns:
+                raise ValueError(
+                    "gate_maintain: reshard applies to lexical shingle "
+                    f"indexes (no __h column in {index_table!r}; semantic "
+                    "indexes re-bucket via retrain)"
+                )
+            target.partition_spec[index_table] = ["__shard"]
+            target.write_staged(
+                idx.withColumn(
+                    "__shard", F.pmod(F.col("__h"), F.lit(reshard))),
+                index_table,
+            )
+            target.commit_staged(index_table)
+            target.write(
+                spark.createDataFrame([(reshard,)], "shards int"),
+                f"{index_table}__shardmeta", mode="overwrite",
+            )
+            report["resharded"] = True
         if retrain_at is not None or force_retrain:
             n, due = _retrain_due(
                 spark, target, index_table,
@@ -604,8 +641,10 @@ def stream_dedup_gate(
                     f"index_shards={index_shards} does not match the "
                     f"existing index layout ({stored} shards recorded in "
                     f"{meta_table!r}); probing with a different modulus "
-                    "would silently miss matches — rebuild the index or "
-                    f"pass index_shards={stored}"
+                    "would silently miss matches — pass "
+                    f"index_shards={stored}, or migrate with "
+                    f"gate_maintain(reshard={index_shards}) (one staged "
+                    "rewrite, decisions unchanged)"
                 )
         else:
             target.write(

@@ -812,3 +812,44 @@ def test_gate_maintain_and_external_validation(spark, tmp_path):
     assert r == {"retrained": False, "index_rows": None, "k_before": None,
                  "k_after": None, "compacted": False,
                  "files_before": None, "files_after": None}
+
+
+def test_gate_maintain_reshard_migration(spark, tmp_path):
+    """gate_maintain(reshard=): migrate a lexical index's shard count
+    in one staged rewrite — the path the gate's shard-mismatch error
+    points to — with identical decisions after."""
+    import pytest
+
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain,
+    )
+
+    src, ckpt, cat = _run(spark, tmp_path, suffix="_rs")
+    _write(spark, src, [(1, D1), (2, D2), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=4)
+    # a different modulus is refused and names the migration
+    with pytest.raises(ValueError, match="gate_maintain"):
+        stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
+                          "text", checkpoint=str(tmp_path / "ck2"),
+                          index_shards=8)
+    r = gate_maintain(spark, cat, "idx", reshard=8)
+    assert r["resharded"]
+    assert int(cat.read("idx__shardmeta").first()["shards"]) == 8
+    # every row's shard matches the new modulus
+    from pyspark.sql import functions as F
+    bad = cat.read("idx").filter(
+        F.col("__shard") != F.pmod(F.col("__h"), F.lit(8))).count()
+    assert bad == 0
+    # the gate continues under the new count with unchanged decisions
+    _write(spark, src, [(10, D10), (11, D11)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, index_shards=8)
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 11]
+    # semantic (no __h) indexes are refused with a pointer to retrain
+    cat.write(spark.createDataFrame([(1, [1.0], 0)],
+                                    "__id long, __v array<double>, __bucket long"),
+              "vidx", mode="overwrite")
+    with pytest.raises(ValueError, match="retrain"):
+        gate_maintain(spark, cat, "vidx", reshard=4)
