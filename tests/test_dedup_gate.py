@@ -811,7 +811,8 @@ def test_gate_maintain_and_external_validation(spark, tmp_path):
     r = gate_maintain(spark, cat, "idx", compact_files=4)
     assert r == {"retrained": False, "index_rows": None, "k_before": None,
                  "k_after": None, "compacted": False,
-                 "files_before": None, "files_after": None}
+                 "files_before": None, "files_after": None,
+                 "resharded": False}
 
 
 def test_gate_maintain_reshard_migration(spark, tmp_path):
