@@ -107,6 +107,7 @@ def _hash_images(
     errors: str,
     out_col: str,
     kind: str,
+    decoder=None,
 ) -> DataFrame:
     if errors not in ("raise", "skip"):
         raise ValueError(f"errors must be raise|skip, got {errors!r}")
@@ -131,24 +132,35 @@ def _hash_images(
         from .multimodal import _PNG_SIG, decode_png
 
         def decode(b: bytes):
-            if b[:8] == _PNG_SIG:
+            try:
+                if b[:8] == _PNG_SIG:
+                    return decode_png(b)
+                if b[:2] == b"\xff\xd8":
+                    # built-in baseline decoder ALWAYS, even with pillow
+                    # importable: libjpeg IDCT variants differ by ±1/pixel,
+                    # which would make signatures environment-dependent —
+                    # same determinism policy as decode_video_frames
+                    return decode_jpeg(b)
+                if have_pil:  # pragma: no cover - real PIL path (other fmts)
+                    import io
+
+                    from PIL import Image
+
+                    arr = np.asarray(Image.open(io.BytesIO(b)))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    return arr
                 return decode_png(b)
-            if b[:2] == b"\xff\xd8":
-                # built-in baseline decoder ALWAYS, even with pillow
-                # importable: libjpeg IDCT variants differ by ±1/pixel,
-                # which would make signatures environment-dependent —
-                # same determinism policy as decode_video_frames
-                return decode_jpeg(b)
-            if have_pil:  # pragma: no cover - real PIL path (other fmts)
-                import io
-
-                from PIL import Image
-
-                arr = np.asarray(Image.open(io.BytesIO(b)))
+            except Exception:
+                if decoder is None:
+                    raise
+                out = decoder(b)
+                if out is None:
+                    raise
+                arr = np.asarray(out, dtype=np.uint8)
                 if arr.ndim == 2:
                     arr = arr[:, :, None]
                 return arr
-            return decode_png(b)
 
         for pdf in batches:
             ids, sigs = [], []
@@ -182,6 +194,7 @@ def dhash_images(
     hash_size: int = 8,
     errors: str = "raise",
     out_col: str = "dhash",
+    decoder=None,
 ) -> DataFrame:
     """Difference-hash each image binary: ``(id, dhash int64)``.
 
@@ -208,7 +221,7 @@ def dhash_images(
     signature per image regardless of image size.
     """
     return _hash_images(df, id_col, content_col, hash_size, errors,
-                        out_col, "dhash")
+                        out_col, "dhash", decoder=decoder)
 
 
 def ahash_images(
@@ -218,11 +231,12 @@ def ahash_images(
     hash_size: int = 8,
     errors: str = "raise",
     out_col: str = "ahash",
+    decoder=None,
 ) -> DataFrame:
     """Average-hash each image binary: bit = cell brighter than the
     image mean.  Same plan shape as :func:`dhash_images`."""
     return _hash_images(df, id_col, content_col, hash_size, errors,
-                        out_col, "ahash")
+                        out_col, "ahash", decoder=decoder)
 
 
 def image_dup_pairs(
@@ -234,6 +248,7 @@ def image_dup_pairs(
     bands: int = 8,
     clean_bands: int = 2,
     errors: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash + banded Hamming join.
 
@@ -251,7 +266,8 @@ def image_dup_pairs(
     only 256 buckets (see SCALE.md's image_dups rows).
     """
     bits = hash_size * hash_size
-    sig = dhash_images(df, id_col, content_col, hash_size, errors)
+    sig = dhash_images(df, id_col, content_col, hash_size, errors,
+                       decoder=decoder)
     return hamming_pairs(sig, id_col, "dhash", bits=bits,
                          max_hamming=max_hamming, bands=bands,
                          clean_bands=clean_bands)

@@ -242,6 +242,7 @@ def decode_image(
     content_col: str = "content",
     errors: str = "raise",
     with_pixels: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Decode an image binary column to real dimensions (and optionally
     raw pixel bytes): ``(id, width, height, channels[, pixels])``.
@@ -254,6 +255,12 @@ def decode_image(
     ``"raise"`` fails the job, ``"skip"`` drops the row, ``"null"``
     emits NULL dims — the quarantine-friendly mode for web-scraped
     corpora where a percent of payloads is always garbage.
+
+    ``decoder`` (round 9): the image twin of the audio hook — a user
+    callable ``bytes -> (h, w, ch) uint8 ndarray | None`` tried when
+    the built-in tier raises, slotting WebP/AVIF/HEIC decoders into the
+    same Arrow batching with the same ``errors=`` degrade contract
+    (``None``/raise ⇒ the row is undecodable as usual).
 
     Scale shape: ``mapInPandas`` over Arrow batches — partition-
     preserving, no shuffle; pixel payloads (``with_pixels``) multiply
@@ -280,21 +287,33 @@ def decode_image(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b: bytes):
-            if have_pil:  # pragma: no cover - real PIL path
-                import io
+            import numpy as np
 
-                import numpy as np
-                from PIL import Image
+            try:
+                if have_pil:  # pragma: no cover - real PIL path
+                    import io
 
-                arr = np.asarray(Image.open(io.BytesIO(b)))
+                    from PIL import Image
+
+                    arr = np.asarray(Image.open(io.BytesIO(b)))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    return arr
+                if b[:2] == b"\xff\xd8":
+                    from .jpeg import decode_jpeg
+
+                    return decode_jpeg(b)
+                return decode_png(b)
+            except Exception:
+                if decoder is None:
+                    raise
+                out = decoder(b)
+                if out is None:
+                    raise
+                arr = np.asarray(out, dtype=np.uint8)
                 if arr.ndim == 2:
                     arr = arr[:, :, None]
                 return arr
-            if b[:2] == b"\xff\xd8":
-                from .jpeg import decode_jpeg
-
-                return decode_jpeg(b)
-            return decode_png(b)
 
         for pdf in batches:
             ids, ws, hs, chs, pix = [], [], [], [], []

@@ -258,3 +258,59 @@ def test_audio_dedup_cross_container_with_decoder(spark):
     fp2 = {r["doc_id"] for r in
            audio_fingerprint(df, errors="skip").collect()}
     assert fp2 == {1, 3}
+
+
+def test_image_dedup_cross_format_with_decoder(spark):
+    """Image twin of the audio decoder hook: a fake-WebP payload (magic
+    the built-ins refuse) decodes through a user callable and its dHash
+    collides with the PNG encoding of the same pixels."""
+    import numpy as np
+
+    from database_transportor_spark.operators.media_dedup import (
+        dhash_images, image_dup_pairs,
+    )
+    from database_transportor_spark.operators.multimodal import encode_png
+
+    a = ((np.arange(24 * 24 * 3, dtype=np.int64) * 31) % 251).astype(
+        np.uint8).reshape(24, 24, 3)
+    other = a[::-1].copy()          # different gradient signs
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 " + a.tobytes()
+
+    def stub_decoder(b: bytes):
+        if b[8:12] == b"WEBP":
+            return np.frombuffer(b[16:], np.uint8).reshape(24, 24, 3)
+        return None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(a))), (2, bytearray(webp)),
+         (3, bytearray(encode_png(other)))],
+        "doc_id long, content binary",
+    )
+    sigs = {r["doc_id"]: r["dhash"] for r in
+            dhash_images(df, decoder=stub_decoder).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             image_dup_pairs(df, decoder=stub_decoder).collect()}
+    assert pairs == {(1, 2)}
+    # without the hook the WebP row is skipped, not fabricated
+    assert {r["doc_id"] for r in
+            dhash_images(df, errors="skip").collect()} == {1, 3}
+
+
+def test_decode_image_decoder_hook(spark):
+    import numpy as np
+
+    from database_transportor_spark.operators.multimodal import decode_image
+
+    a = np.full((5, 7, 3), 9, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"XWEBP" + a.tobytes()))],
+        "doc_id long, content binary",
+    )
+    got = decode_image(df, errors="null").collect()[0]
+    assert got["width"] is None     # built-ins refuse the magic
+    got = decode_image(
+        df, decoder=lambda b: np.frombuffer(b[5:], np.uint8)
+        .reshape(5, 7, 3) if b[:5] == b"XWEBP" else None,
+    ).collect()[0]
+    assert (got["height"], got["width"], got["channels"]) == (5, 7, 3)
