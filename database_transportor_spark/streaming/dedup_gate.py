@@ -267,8 +267,18 @@ def gate_maintain(
     ``maintenance="external"`` and schedule this against the SAME
     catalog/tables; atomicity is the catalogs' staged swaps, so a probe
     racing the swap reads either the old or the new index, never a
-    torn one.  In-process, the catalog's per-table writer lock (when
-    present) additionally serializes against a concurrent ingest batch.
+    torn one.
+
+    Concurrency contract, stated precisely: READERS are always safe
+    (old-or-new, never torn), but a concurrent ingest APPEND landing
+    between this job's read and its staged commit would be clobbered by
+    the rewrite.  In-process, the catalog's per-table writer lock (when
+    present — ``VersionedCatalog``) serializes the two; on lock-less
+    file catalogs and across processes, schedule maintenance BETWEEN
+    ingest runs — the natural fit for ``availableNow`` gates, which
+    drain and exit — or use a versioned catalog.  This is the same
+    single-writer discipline every staged rewrite in the repo
+    (``compact_table``, retrain, reshard) already assumes.
 
     Steps, in order (each optional):
 
