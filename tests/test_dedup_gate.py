@@ -854,3 +854,66 @@ def test_gate_maintain_reshard_migration(spark, tmp_path):
               "vidx", mode="overwrite")
     with pytest.raises(ValueError, match="retrain"):
         gate_maintain(spark, cat, "vidx", reshard=4)
+
+
+def test_gate_maintain_force_retrain_repairs_crash_window(spark, tmp_path):
+    """The retrain swap's crash window (index committed under the new
+    assignment, codebook commit lost) leaves stored buckets out of sync
+    with what probes compute from the stored codebook.  A re-triggered
+    milestone is documented idempotent — gate_maintain(force_retrain=
+    True) must restore the index==probe bucketing invariant."""
+    import numpy as np
+
+    from database_transportor_spark.operators.similarity import (
+        _bucket_assigner,
+    )
+    from database_transportor_spark.streaming.dedup_gate import (
+        gate_maintain, stream_semantic_gate,
+    )
+
+    src = str(tmp_path / "vfeed_cw")
+    ckpt = str(tmp_path / "vckpt_cw")
+    cat = ParquetCatalog(spark, str(tmp_path / "vcat_cw"))
+    cat.write(
+        spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "cid long, ce array<double>"),
+        "cent", mode="overwrite",
+    )
+    _write_vecs(spark, src, [(1, V1), (3, V3), (20, [0.0, 0.0, 1.0, 0.0]),
+                             (21, [0.0, 0.0, 0.0, 1.0])])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt, maintenance="external")
+    # simulate the crash: index re-bucketed under a codebook that never
+    # got committed (all rows shoved into a bogus bucket id)
+    idx = cat.read("idx")
+    cat.write_staged(idx.withColumn("__bucket", F.lit(77)), "idx")
+    cat.commit_staged("idx")
+
+    rep = gate_maintain(spark, cat, "idx", centroid_table="cent",
+                        clean_table="clean", force_retrain=True,
+                        retrain_target_rows=1)
+    assert rep["retrained"]
+    # invariant restored: every stored bucket equals what a probe
+    # computes from the STORED codebook (stack -> norm -> divide)
+    cent = sorted((r["cid"], r["ce"]) for r in cat.read("cent").collect())
+    ids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cent])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cmat = cmat / norms
+    mism = (
+        cat.read("idx")
+        .withColumn("__pb", _bucket_assigner(ids, cmat, 1)(F.col("__v"))
+                    .getItem(0))
+        .filter("__pb != __bucket")
+        .count()
+    )
+    assert mism == 0
+    # and the gate rejects a planted copy again through the repaired index
+    _write_vecs(spark, src, [(30, V2), (31, [0.5, 0.5, 0.5, 0.5])])
+    stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
+                         "embedding", "cent", threshold=0.9,
+                         checkpoint=ckpt, maintenance="external")
+    kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
+    assert kept == [1, 3, 20, 21, 31]
