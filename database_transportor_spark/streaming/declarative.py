@@ -135,7 +135,11 @@ def run_stream_spec(
     through the matching ingest gate in
     :mod:`~database_transportor_spark.streaming.dedup_gate` —
     declarative arrival-order near-dup rejection against a persisted
-    index (lexical exact-Jaccard / IVF-bucketed cosine)::
+    index (lexical exact-Jaccard / IVF-bucketed cosine); the round-8/9
+    operational knobs pass through — ``index_shards`` /
+    ``partition_index``, ``compact_files``, ``nprobe``, ``retrain_at``,
+    and ``maintenance: "external"`` (milestones via ``gate_maintain``,
+    ingest stays stall-free)::
 
         "sink": {"dedup_gate": {"clean": "clean", "index": "idx",
                  "id": "doc_id", "text": "text",
@@ -239,6 +243,8 @@ def run_stream_spec(
                 shingle_n=g.get("shingle_n", 3),
                 threshold=g.get("threshold", 0.5),
                 index_shards=g.get("index_shards"),
+                compact_files=g.get("compact_files"),
+                maintenance=g.get("maintenance", "inline"),
                 **common,
             )
         else:
@@ -249,6 +255,10 @@ def run_stream_spec(
                 g["id"], g["vec"], g["centroids"],
                 threshold=g.get("threshold", 0.9),
                 partition_index=g.get("partition_index", False),
+                nprobe=g.get("nprobe", 1),
+                compact_files=g.get("compact_files"),
+                retrain_at=g.get("retrain_at"),
+                maintenance=g.get("maintenance", "inline"),
                 **common,
             )
         return target.read(g["clean"])

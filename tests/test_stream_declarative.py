@@ -334,3 +334,31 @@ def test_bm25_index_sink_spec(spark, tmp_path):
             "sink": {"bm25_index": {"index": "idx", "id": "doc_id",
                                     "text": "text"}},
         })
+
+
+def test_gate_sink_spec_passes_operational_knobs(spark, tmp_path):
+    """The round-8/9 gate knobs pass through the declarative sinks:
+    maintenance='external' refuses inline milestone params the same way
+    the imperative surface does, and nprobe/compact_files reach the
+    semantic gate."""
+    from database_transportor_spark import ParquetCatalog
+
+    src = str(tmp_path / "gdocs")
+    cat = ParquetCatalog(spark, str(tmp_path / "gcat"))
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", 1)],
+        "doc_id long, text string, keep long",
+    ).coalesce(1).write.parquet(src)
+    base = {
+        "source": {"path": src},
+        "sink": {"dedup_gate": {"clean": "clean", "index": "idx",
+                                "id": "doc_id", "text": "text",
+                                "maintenance": "external",
+                                "compact_files": 4,
+                                "checkpoint": str(tmp_path / "gck")}},
+    }
+    with pytest.raises(ValueError, match="gate_maintain"):
+        run_stream_spec(spark, base, target=cat)
+    del base["sink"]["dedup_gate"]["compact_files"]
+    out = run_stream_spec(spark, base, target=cat)
+    assert [r["doc_id"] for r in out.collect()] == [1]
