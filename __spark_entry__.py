@@ -10248,3 +10248,50 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTENSION_QUERIES.update({"stream_bm25": q_stream_bm25})
 _EXTENSION_ORACLES.update({"stream_bm25": SQL_BM25_SEARCH})
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (round 9, `operators/corpus.py:corpus_diff`):
+    the documents corpus vs a mutated rebuild — every 17th doc removed,
+    every 13th re-texted, a re-id'd slice added — classified into
+    added/removed/changed by a 16-byte-per-row full-outer hash join
+    (unchanged docs excluded).  The oracle recomputes the diff with
+    direct value comparison, so a hash match ALSO witnesses that the
+    content-hash path classifies identically to value equality."""
+    from database_transportor_spark.operators.corpus import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    new = (
+        docs.filter("doc_id % 17 <> 0")
+        .withColumn("text", F.when(F.col("doc_id") % 13 == 0,
+                                   F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text")))
+        .unionByName(docs.filter("doc_id % 11 = 0").select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"))
+    )
+    return corpus_diff(docs, new)
+
+
+SQL_CORPUS_DIFF = """
+WITH new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text
+    FROM documents WHERE doc_id % 11 = 0
+)
+SELECT doc_id, status FROM (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+           END AS status
+    FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+) WHERE status IS NOT NULL
+"""
+
+
+_EXTENSION_QUERIES.update({"corpus_diff": q_corpus_diff})
+_EXTENSION_ORACLES.update({"corpus_diff": SQL_CORPUS_DIFF})

@@ -50,6 +50,7 @@ __all__ = [
     "detect_pii",
     "PII_PATTERNS",
     "quantile_bin",
+    "corpus_diff",
 ]
 
 KNUTH = 2654435761  # 2^32 * golden ratio conjugate; classic multiplicative mix
@@ -1053,3 +1054,57 @@ def quantile_bin(
         F.when(x.isNull(), F.lit(None).cast("long"))
         .otherwise(bucket.cast("long")),
     ).drop("__qs")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Version-over-version corpus diff — ``(id, status)`` with status in
+    ``added`` / ``removed`` / ``changed`` (unchanged documents are
+    excluded): the "what did the rebuild actually change" audit every
+    dataset-versioning workflow needs before shipping a new snapshot
+    (pair with ``VersionedCatalog`` time travel to diff any two
+    versions).
+
+    ``content_cols`` defaults to every non-id column present on BOTH
+    sides.  Document ids must be unique within each side (run the dedup
+    tier first) — duplicate ids would fan the full-outer join out.
+
+    Scale shape: each side first collapses to ``(id, xxhash64(cols))``
+    — a narrow projection, so the ONE full-outer join (the only
+    shuffle) moves 16 bytes a row instead of document text; change
+    detection compares the 64-bit content hashes (collision odds 2^-64
+    per pair — the standard content-address trade).  The result is
+    change-sized after the filter.
+    """
+    if content_cols is None:
+        content_cols = [c for c in old.columns
+                        if c != id_col and c in new.columns]
+    if not content_cols:
+        raise ValueError(
+            "corpus_diff: no shared content columns between the two sides"
+        )
+    missing = [c for c in content_cols
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"corpus_diff: columns missing on a side: {missing}")
+
+    def sig(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(c) for c in content_cols]).alias(tag),
+        )
+
+    j = sig(old, "__ho").join(sig(new, "__hn"), id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

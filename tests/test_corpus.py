@@ -594,3 +594,37 @@ class TestQuantileBin:
         df = spark.createDataFrame([(1.0,)], "x double")
         with pytest.raises(ValueError, match="n_buckets"):
             quantile_bin(df, "x", 1)
+
+
+class TestCorpusDiff:
+    def test_added_removed_changed(self, spark):
+        from database_transportor_spark.operators.corpus import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "before"), (3, "gone"), (4, None)],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "after"), (5, "fresh"), (4, None)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["status"]
+               for r in corpus_diff(old, new).collect()}
+        # 1 unchanged (excluded), 4 NULL==NULL unchanged (excluded)
+        assert got == {2: "changed", 3: "removed", 5: "added"}
+
+    def test_multi_column_and_validation(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.corpus import corpus_diff
+
+        old = spark.createDataFrame([(1, "a", 1.0)],
+                                    "doc_id long, text string, q double")
+        new = spark.createDataFrame([(1, "a", 2.0)],
+                                    "doc_id long, text string, q double")
+        # q changed -> changed when q participates; unchanged when not
+        assert corpus_diff(old, new).collect()[0]["status"] == "changed"
+        assert corpus_diff(old, new,
+                           content_cols=["text"]).count() == 0
+        with pytest.raises(ValueError, match="missing on a side"):
+            corpus_diff(old, new, content_cols=["nope"])
+        with pytest.raises(ValueError, match="shared content"):
+            corpus_diff(old.select("doc_id"), new.select("doc_id"))
