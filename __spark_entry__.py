@@ -10295,3 +10295,30 @@ SELECT doc_id, status FROM (
 
 _EXTENSION_QUERIES.update({"corpus_diff": q_corpus_diff})
 _EXTENSION_ORACLES.update({"corpus_diff": SQL_CORPUS_DIFF})
+
+
+def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB serving mode (round 9, `operators/text.py:
+    bm25_index_stats`): N/avgdl/df come from a materialized
+    vocabulary-sized stats table and the posting scan is pruned to the
+    query terms with a literal IN — per batch the engine reads only
+    postings the queries touch instead of re-aggregating the whole
+    index.  Shares the full BM25 oracle: a hash match proves the
+    stats-served scores equal the self-derived (and direct) paths."""
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_stats, bm25_topk_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = bm25_index(docs)
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk_indexed(idx, queries, k=10,
+                             stats=bm25_index_stats(idx))
+
+
+_EXTENSION_QUERIES.update({"bm25_served": q_bm25_served})
+_EXTENSION_ORACLES.update({"bm25_served": SQL_BM25_SEARCH})

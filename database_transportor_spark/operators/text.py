@@ -51,6 +51,7 @@ __all__ = [
     "bm25_topk",
     "bm25_index",
     "bm25_index_update",
+    "bm25_index_stats",
     "bm25_topk_indexed",
 ]
 
@@ -1272,6 +1273,40 @@ def bm25_index_update(
     return out.select(*index.columns)
 
 
+def bm25_index_stats(
+    index: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a :func:`bm25_index` posting table's scoring
+    statistics — ``(token, df, n_docs, avgdl)``, one row per vocabulary
+    term with the two corpus scalars repeated as constant columns — so
+    :func:`bm25_topk_indexed` can serve WITHOUT its per-batch full-index
+    re-aggregation (``stats=``).  At 100 TB this is the difference
+    between "every query batch scans the whole posting table for
+    N/avgdl/df" and "query batches read only the postings their terms
+    touch": write this (vocabulary-sized) frame to the catalog next to
+    the index and refresh it when the index mutates
+    (:func:`bm25_index_update` + rebuild stats — both cheap relative to
+    the corpus).  Serving against stale stats degrades idf smoothly, it
+    never crashes; exactness requires stats from the index being
+    probed.
+    """
+    tf = index.select(F.col(id_col).alias("__id"), "token", "dl")
+    tf = pin(tf)  # consumed twice: the scalar row and the df agg
+    row = tf.select("__id", "dl").distinct().select(
+        F.count("*").alias("c"), F.sum("dl").alias("s")
+    ).first()
+    n_docs = int(row["c"])
+    if not n_docs:
+        raise ValueError("bm25_index_stats: empty index")
+    avgdl = float(row["s"]) / float(n_docs)
+    return (
+        tf.groupBy("token").agg(F.count("*").alias("df"))
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("avgdl", F.lit(avgdl))
+    )
+
+
 def bm25_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -1282,6 +1317,7 @@ def bm25_topk_indexed(
     b: float = 0.75,
     k: int = 10,
     max_df_ratio: float | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Serve BM25 top-``k`` from a :func:`bm25_index` posting table —
     same scoring contract and output schema as :func:`bm25_topk`
@@ -1290,6 +1326,16 @@ def bm25_topk_indexed(
     is never touched: N and avgdl come from the distinct (id, dl)
     pairs of the index, df from a vocabulary-sized re-aggregation, and
     the match join is bounded by Σ df(query terms) as before.
+
+    ``stats`` (round 9): a :func:`bm25_index_stats` frame.  When given,
+    the per-batch full-index re-aggregations are SKIPPED — N/avgdl/df
+    come from the stats table, and the index scan itself is pruned to
+    the query terms with a literal ``token IN (...)`` (query term sets
+    are human-sized), which a token-sorted/partitioned parquet layout
+    turns into real file skipping.  This is the 100 TB serving mode:
+    per batch, the engine reads only postings the queries touch.
+    Results are identical to the self-derived path when the stats match
+    the index (pinned in tests).
     """
     from pyspark.sql import Window
 
@@ -1298,20 +1344,6 @@ def bm25_topk_indexed(
     tf = index.select(
         F.col(id_col).alias("__id"), "token", "tf", "dl"
     )
-    tf = pin(tf)  # consumed three times: stats, df, and the match join
-    dl = tf.select("__id", "dl").distinct()
-    row = dl.select(
-        F.count("*").alias("c"), F.sum("dl").alias("s")
-    ).first()
-    n_docs = int(row["c"])
-    if not n_docs:
-        raise ValueError("bm25_topk_indexed: empty index")
-    avgdl = float(row["s"]) / float(n_docs)
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    if max_df_ratio is not None:
-        dfreq = dfreq.filter(
-            F.col("df") <= float(max_df_ratio) * float(n_docs)
-        )
     qterms = (
         queries.select(
             F.col(query_id_col).alias("__qid"),
@@ -1320,6 +1352,32 @@ def bm25_topk_indexed(
         .filter(F.col("token") != "")
         .distinct()
     )
+    if stats is not None:
+        srow = stats.select("n_docs", "avgdl").first()
+        if srow is None:
+            raise ValueError("bm25_topk_indexed: empty stats table")
+        n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+        dfreq = stats.select("token", "df")
+        # literal IN over the (human-sized) query term set: the ONLY
+        # index touch left is a token-pruned posting scan
+        qtok = [r["token"] for r in qterms.select("token")
+                .distinct().collect()]
+        tf = tf.filter(F.col("token").isin(qtok))
+    else:
+        tf = pin(tf)  # consumed thrice: stats, df, and the match join
+        dl = tf.select("__id", "dl").distinct()
+        row = dl.select(
+            F.count("*").alias("c"), F.sum("dl").alias("s")
+        ).first()
+        n_docs = int(row["c"])
+        if not n_docs:
+            raise ValueError("bm25_topk_indexed: empty index")
+        avgdl = float(row["s"]) / float(n_docs)
+        dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df_ratio is not None:
+        dfreq = dfreq.filter(
+            F.col("df") <= float(max_df_ratio) * float(n_docs)
+        )
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

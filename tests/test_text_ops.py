@@ -529,3 +529,60 @@ class TestBM25IndexUpdate:
         with _pytest.raises(ValueError, match="single id column"):
             bm25_index_update(idx, delete_ids=spark.createDataFrame(
                 [(1, "x")], ["a", "b"]))
+
+
+class TestBM25Stats:
+    """bm25_index_stats + stats-served bm25_topk_indexed."""
+
+    def test_stats_served_equals_self_derived(self, spark):
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_index_stats, bm25_topk_indexed,
+        )
+
+        docs = _docs(spark, [
+            (1, "apple banana apple cherry"),
+            (2, "apple cherry durian"),
+            (3, "banana banana durian"),
+            (4, "cherry durian elderberry fig"),
+            (5, "fig apple"),
+        ])
+        idx = bm25_index(docs)
+        stats = bm25_index_stats(idx)
+        srow = stats.first()
+        assert srow["n_docs"] == 5
+        q = spark.createDataFrame(
+            [(1, "apple durian"), (2, "banana fig")],
+            ["query_id", "query"])
+        plain = sorted(map(tuple,
+                           bm25_topk_indexed(idx, q, k=10).collect()))
+        served = sorted(map(tuple, bm25_topk_indexed(
+            idx, q, k=10, stats=stats).collect()))
+        assert served == plain
+        # max_df_ratio applies on the stats path too
+        cut = bm25_topk_indexed(
+            idx, spark.createDataFrame([(1, "apple")],
+                                       ["query_id", "query"]),
+            max_df_ratio=0.4, stats=stats)
+        assert cut.count() == 0  # df(apple)=3/5 > 0.4
+
+    def test_stats_path_prunes_scan_and_validates(self, spark):
+        import pytest as _pytest
+
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_index_stats, bm25_topk_indexed,
+        )
+
+        docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+        idx = bm25_index(docs)
+        stats = bm25_index_stats(idx)
+        q = spark.createDataFrame([(1, "alpha")], ["query_id", "query"])
+        out = bm25_topk_indexed(idx, q, stats=stats)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple")
+        # the literal token IN filter reaches the plan (pushable to a
+        # parquet posting scan)
+        assert "alpha" in plan
+        with _pytest.raises(ValueError, match="empty stats"):
+            bm25_topk_indexed(idx, q, stats=stats.filter("df < 0"))
+        with _pytest.raises(ValueError, match="empty index"):
+            bm25_index_stats(idx.filter("tf < 0"))
