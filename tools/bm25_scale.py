@@ -73,6 +73,8 @@ def main() -> None:
              "codegen stage", "arrow batch"])],
         ["query_id", "query"])
 
+    from database_transportor_spark.operators.text import bm25_index_stats
+
     for label, mult in (("x1", 1), ("x10", 10)):
         corpus = docs if mult == 1 else replicate(docs, mult)
         path = f"{work}/idx_{label}"
@@ -88,6 +90,20 @@ def main() -> None:
                 "noop").mode("overwrite").save()
             walls.append(round(time.perf_counter() - t0, 3))
         out[f"serve_{label}_walls"] = walls
+        # stats-served mode (round 9): stats materialized once, every
+        # batch then reads only query-term postings
+        t0 = time.perf_counter()
+        bm25_index_stats(idx).write.mode("overwrite").parquet(
+            f"{work}/stats_{label}")
+        out[f"stats_build_{label}_s"] = round(time.perf_counter() - t0, 3)
+        st = spark.read.parquet(f"{work}/stats_{label}")
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bm25_topk_indexed(idx, queries, k=10, stats=st).write.format(
+                "noop").mode("overwrite").save()
+            walls.append(round(time.perf_counter() - t0, 3))
+        out[f"serve_stats_{label}_walls"] = walls
 
     # ---- 1% delta at x10: update vs rebuild ----
     corpus10 = replicate(docs, 10)
