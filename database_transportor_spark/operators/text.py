@@ -1357,11 +1357,13 @@ def bm25_topk_indexed(
         if srow is None:
             raise ValueError("bm25_topk_indexed: empty stats table")
         n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
-        dfreq = stats.select("token", "df")
         # literal IN over the (human-sized) query term set: the ONLY
-        # index touch left is a token-pruned posting scan
+        # index touch left is a token-pruned posting scan, and the
+        # broadcast df side shrinks to the query terms too
         qtok = [r["token"] for r in qterms.select("token")
                 .distinct().collect()]
+        dfreq = stats.select("token", "df").filter(
+            F.col("token").isin(qtok))
         tf = tf.filter(F.col("token").isin(qtok))
     else:
         tf = pin(tf)  # consumed thrice: stats, df, and the match join

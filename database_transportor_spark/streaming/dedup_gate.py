@@ -180,6 +180,12 @@ def _retrain_codebook(
     from ..operators.similarity import _bucket_assigner
 
     idx = target.read(index_table)
+    if "__v" not in idx.columns:
+        raise ValueError(
+            f"retrain applies to semantic (vector) indexes; {index_table!r} "
+            "has no __v column — lexical shingle indexes have no codebook "
+            "(reshard/compact are their maintenance ops)"
+        )
     n = idx.count()
     stride = max(1, n // retrain_sample)
     sample = [
