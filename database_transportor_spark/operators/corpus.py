@@ -1077,8 +1077,11 @@ def corpus_diff(
     — a narrow projection, so the ONE full-outer join (the only
     shuffle) moves 16 bytes a row instead of document text; change
     detection compares the 64-bit content hashes (collision odds 2^-64
-    per pair — the standard content-address trade).  The result is
-    change-sized after the filter.
+    per pair — the standard content-address trade).  Each column is
+    null-tagged before hashing (``xxhash64`` otherwise SKIPS NULL
+    inputs, so a value moving between columns — ``(x, NULL)`` →
+    ``(NULL, x)`` — would hash identically and silently classify as
+    unchanged).  The result is change-sized after the filter.
     """
     if content_cols is None:
         content_cols = [c for c in old.columns
@@ -1093,10 +1096,16 @@ def corpus_diff(
         raise ValueError(f"corpus_diff: columns missing on a side: {missing}")
 
     def sig(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.xxhash64(*[F.col(c) for c in content_cols]).alias(tag),
-        )
+        # null-tag every column: NULL and the value must hash apart, and
+        # a NULL must still advance the hash so column position matters
+        enc = [
+            F.coalesce(
+                F.concat(F.lit("v:"), F.col(c).cast("string")),
+                F.lit("\x00"),
+            )
+            for c in content_cols
+        ]
+        return df.select(F.col(id_col), F.xxhash64(*enc).alias(tag))
 
     j = sig(old, "__ho").join(sig(new, "__hn"), id_col, "full_outer")
     status = (

@@ -1268,8 +1268,16 @@ def bm25_index_update(
         gone = gone.unionByName(c)
     out = out.join(F.broadcast(gone.distinct()), id_col, "left_anti")
     if add_docs is not None:
-        out = out.unionByName(bm25_index(add_docs, id_col, text_col)
-                              .select(*out.columns))
+        fresh = bm25_index(add_docs, id_col, text_col)
+        # indexes written by streaming sinks carry extra bookkeeping
+        # columns (e.g. __commit replay markers) — preserve the stored
+        # schema, NULL-filling what a batch tokenize cannot know (a NULL
+        # marker can never collide with a real replay marker)
+        dtypes = dict(out.dtypes)
+        for c in out.columns:
+            if c not in fresh.columns:
+                fresh = fresh.withColumn(c, F.lit(None).cast(dtypes[c]))
+        out = out.unionByName(fresh.select(*out.columns))
     return out.select(*index.columns)
 
 

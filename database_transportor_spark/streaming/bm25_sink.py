@@ -110,8 +110,19 @@ def stream_bm25_sink(
         )
         with lock:
             if target.exists(index_table):
+                stored = target.read(index_table)
+                if "__commit" not in stored.columns:
+                    raise ValueError(
+                        f"stream_bm25_sink: index table {index_table!r} "
+                        "exists without the __commit replay-marker column "
+                        "(a batch bm25_index() write?) — appending "
+                        "mixed-schema files would break later reads; "
+                        "seed it once with a staged rewrite: "
+                        "write_staged(read(idx).withColumn('__commit', "
+                        "lit('seed:0')), idx) + commit_staged"
+                    )
                 replayed = (
-                    target.read(index_table)
+                    stored
                     .filter(F.col("__commit") == marker)
                     .limit(1)
                     .isEmpty()

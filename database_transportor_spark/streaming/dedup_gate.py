@@ -161,6 +161,7 @@ def _retrain_codebook(
     retrain_sample: int,
     retrain_iters: int,
     retrain_max_k: int,
+    n: int | None = None,
 ) -> dict:
     """Codebook retrain + one distributed index re-bucket (shared by the
     semantic gate's inline milestone and :func:`gate_maintain`): a
@@ -186,7 +187,8 @@ def _retrain_codebook(
             "has no __v column — lexical shingle indexes have no codebook "
             "(reshard/compact are their maintenance ops)"
         )
-    n = idx.count()
+    if n is None:  # callers coming through _retrain_due already counted
+        n = idx.count()
     stride = max(1, n // retrain_sample)
     sample = [
         np.asarray(r["__v"], dtype=np.float64)
@@ -313,8 +315,6 @@ def gate_maintain(
     "k_after", "compacted", "files_before", "files_after"}`` (``None``
     for steps not requested / not applicable).
     """
-    from contextlib import nullcontext
-
     if compact_files is not None:
         if compact_files < 1:
             raise ValueError("gate_maintain: compact_files must be >= 1")
@@ -354,12 +354,28 @@ def gate_maintain(
             if _has_partition_dirs(target, index_table, col):
                 target.partition_spec[index_table] = [col]
                 break
-    lock = (
-        target.writer_lock(clean_table or index_table)
-        if hasattr(target, "writer_lock")
-        else nullcontext()
-    )
-    with lock, pin_scope():
+    if retrain_at is not None or force_retrain:
+        # validate BEFORE _retrain_due's first-contact meta write: a
+        # lexical index must not grow a junk __trainmeta side table
+        if "__v" not in target.read(index_table).columns:
+            raise ValueError(
+                "gate_maintain: retrain applies to semantic (vector) "
+                f"indexes; {index_table!r} has no __v column — lexical "
+                "shingle indexes have no codebook (reshard/compact are "
+                "their maintenance ops)"
+            )
+    # hold the SAME lock keys a concurrent in-process gate holds (the
+    # gates lock clean_table) plus the index's own; fixed sort order so
+    # two maintenance calls cannot deadlock.  Cross-process safety is
+    # the scheduling contract documented above.
+    from contextlib import ExitStack
+
+    lock_keys = sorted({t for t in (clean_table, index_table) if t})
+    with ExitStack() as stack:
+        if hasattr(target, "writer_lock"):
+            for t in lock_keys:
+                stack.enter_context(target.writer_lock(t))
+        stack.enter_context(pin_scope())
         if reshard is not None:
             idx = target.read(index_table)
             if "__h" not in idx.columns:
@@ -390,7 +406,7 @@ def gate_maintain(
                 report.update(_retrain_codebook(
                     spark, target, index_table, centroid_table,
                     retrain_target_rows, retrain_sample, retrain_iters,
-                    retrain_max_k,
+                    retrain_max_k, n=n,
                 ))
                 report["retrained"] = True
         if compact_files is not None:
@@ -998,12 +1014,12 @@ def stream_semantic_gate(
         applied batch; every step is bounded — the only driver-side
         data is the ≤ retrain_sample vector sample and the k×dim
         codebook."""
-        _, due = _retrain_due(spark, target, index_table, retrain_at)
+        n, due = _retrain_due(spark, target, index_table, retrain_at)
         if due:
             _retrain_codebook(
                 spark, target, index_table, centroid_table,
                 retrain_target_rows, retrain_sample, retrain_iters,
-                retrain_max_k,
+                retrain_max_k, n=n,
             )
 
     return _run_ingest_gate(

@@ -89,3 +89,30 @@ def test_sink_index_compacts_via_gate_maintain(spark, tmp_path):
     r = gate_maintain(spark, cat, "idx", compact_files=2)
     assert r["compacted"] and r["files_after"] <= 2 < r["files_before"]
     assert sorted(map(tuple, cat.read("idx").collect())) == before
+
+
+def test_batch_seeded_index_without_marker_is_refused(spark, tmp_path):
+    """A pre-existing index lacking the __commit column (a plain batch
+    bm25_index write) is refused with a migration hint instead of
+    appending mixed-schema files."""
+    from database_transportor_spark.operators.text import bm25_index
+
+    src = str(tmp_path / "feed5")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat5"))
+    cat.write(bm25_index(spark.createDataFrame(
+        [(1, "seed words")], ["doc_id", "text"])), "idx", mode="overwrite")
+    _write(spark, src, [(2, "new doc")])
+    with pytest.raises(Exception, match="__commit"):
+        stream_bm25_sink(spark, src, cat, "idx",
+                         checkpoint=str(tmp_path / "ckpt5"))
+    # the documented one-time seed rewrite unblocks it
+    from pyspark.sql import functions as F
+    cat.write_staged(
+        cat.read("idx").withColumn("__commit", F.lit("seed:0")), "idx")
+    cat.commit_staged("idx")
+    stream_bm25_sink(spark, src, cat, "idx",
+                     checkpoint=str(tmp_path / "ckpt5b"))
+    by_doc = {}
+    for r in cat.read("idx").collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["token"])
+    assert by_doc == {1: {"seed", "words"}, 2: {"new", "doc"}}

@@ -586,3 +586,27 @@ class TestBM25Stats:
             bm25_topk_indexed(idx, q, stats=stats.filter("df < 0"))
         with _pytest.raises(ValueError, match="empty index"):
             bm25_index_stats(idx.filter("tf < 0"))
+
+
+def test_bm25_index_update_preserves_marker_columns(spark):
+    """Round-9 review fix: updating an index that carries sink
+    bookkeeping columns (__commit) must not crash — fresh postings get
+    NULL markers, stored rows keep theirs."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_update, bm25_topk_indexed,
+    )
+
+    idx = bm25_index(_docs(spark, [(1, "alpha beta"), (2, "beta gamma")])) \
+        .withColumn("__commit", F.lit("seed:0"))
+    upd = bm25_index_update(
+        idx, add_docs=_docs(spark, [(3, "gamma delta")]),
+        delete_ids=spark.createDataFrame([(1,)], ["doc_id"]))
+    assert set(upd.columns) == {"token", "doc_id", "tf", "dl", "__commit"}
+    rows = {(r["doc_id"], r["token"]): r["__commit"] for r in upd.collect()}
+    assert all(v == "seed:0" for (d, _), v in rows.items() if d == 2)
+    assert all(v is None for (d, _), v in rows.items() if d == 3)
+    q = spark.createDataFrame([(1, "gamma")], ["query_id", "query"])
+    got = {r["doc_id"] for r in bm25_topk_indexed(upd, q).collect()}
+    assert got == {2, 3}

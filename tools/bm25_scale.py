@@ -107,10 +107,13 @@ def main() -> None:
 
     # ---- 1% delta at x10: update vs rebuild ----
     corpus10 = replicate(docs, 10)
-    adds = docs.limit(500).select(
+    # deterministic delta sets: an unordered limit() re-executes
+    # differently across the update job and the rebuild job, which
+    # would make the parity canary compare different row sets
+    adds = docs.filter("doc_id % 10 = 3").select(
         (F.col("doc_id") + F.lit(990_000_000)).alias("doc_id"),
         F.reverse(F.col("text")).alias("text"))
-    del_ids = corpus10.select("doc_id").limit(500)
+    del_ids = corpus10.filter("doc_id % 2000 = 7").select("doc_id")
     idx10 = spark.read.parquet(f"{work}/idx_x10")
     t0 = time.perf_counter()
     bm25_index_update(idx10, add_docs=adds, delete_ids=del_ids).write.mode(
