@@ -52,6 +52,7 @@ __all__ = [
     "bm25_index",
     "bm25_index_update",
     "bm25_index_stats",
+    "bm25_index_layout",
     "bm25_topk_indexed",
 ]
 
@@ -1266,7 +1267,11 @@ def bm25_index_update(
     gone = cuts[0]
     for c in cuts[1:]:
         gone = gone.unionByName(c)
-    out = out.join(F.broadcast(gone.distinct()), id_col, "left_anti")
+    # no forced broadcast: a bulk delete (the gate_maintain force_retrain
+    # use case) can exceed the broadcast limit / driver memory — let AQE
+    # pick the join strategy from the id set's actual runtime size; small
+    # deltas still become broadcast joins at runtime (ADVICE r9)
+    out = out.join(gone.distinct(), id_col, "left_anti")
     if add_docs is not None:
         fresh = bm25_index(add_docs, id_col, text_col)
         # indexes written by streaming sinks carry extra bookkeeping
@@ -1286,33 +1291,96 @@ def bm25_index_stats(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Materialize a :func:`bm25_index` posting table's scoring
-    statistics — ``(token, df, n_docs, avgdl)``, one row per vocabulary
-    term with the two corpus scalars repeated as constant columns — so
-    :func:`bm25_topk_indexed` can serve WITHOUT its per-batch full-index
-    re-aggregation (``stats=``).  At 100 TB this is the difference
-    between "every query batch scans the whole posting table for
-    N/avgdl/df" and "query batches read only the postings their terms
-    touch": write this (vocabulary-sized) frame to the catalog next to
-    the index and refresh it when the index mutates
-    (:func:`bm25_index_update` + rebuild stats — both cheap relative to
-    the corpus).  Serving against stale stats degrades idf smoothly, it
-    never crashes; exactness requires stats from the index being
-    probed.
+    statistics — ``(token, df, n_docs, avgdl, sum_dl, n_postings)``, one
+    row per vocabulary term with the corpus scalars repeated as constant
+    columns — so :func:`bm25_topk_indexed` can serve WITHOUT its
+    per-batch full-index re-aggregation (``stats=``).  At 100 TB this is
+    the difference between "every query batch scans the whole posting
+    table for N/avgdl/df" and "query batches read only the postings
+    their terms touch": write this (vocabulary-sized) frame to the
+    catalog next to the index and refresh it when the index mutates —
+    :func:`bm25_index_update` + rebuild stats (both cheap relative to
+    the corpus), or let :func:`~...streaming.bm25_sink.stream_bm25_sink`
+    maintain it per batch (``stats_table=``).
+
+    Freshness (round 10): ``n_postings`` (the index's posting-row
+    count, metadata-cheap to re-derive from a stored parquet table) and
+    ``sum_dl`` (exact integral total document length, so merged stats
+    stay bit-identical to a rebuild) let the serve path DETECT stale
+    stats instead of silently degrading idf —
+    :func:`bm25_topk_indexed` compares ``n_postings`` to the live index
+    and raises (or warns under ``allow_stale=True``) on mismatch.
     """
     tf = index.select(F.col(id_col).alias("__id"), "token", "dl")
-    tf = pin(tf)  # consumed twice: the scalar row and the df agg
+    tf = pin(tf)  # consumed thrice: the scalar row, row count, df agg
     row = tf.select("__id", "dl").distinct().select(
         F.count("*").alias("c"), F.sum("dl").alias("s")
     ).first()
     n_docs = int(row["c"])
     if not n_docs:
         raise ValueError("bm25_index_stats: empty index")
-    avgdl = float(row["s"]) / float(n_docs)
+    sum_dl = int(row["s"])
+    avgdl = float(sum_dl) / float(n_docs)
+    n_postings = tf.count()
     return (
         tf.groupBy("token").agg(F.count("*").alias("df"))
         .withColumn("n_docs", F.lit(n_docs).cast("long"))
         .withColumn("avgdl", F.lit(avgdl))
+        .withColumn("sum_dl", F.lit(sum_dl).cast("long"))
+        .withColumn("n_postings", F.lit(n_postings).cast("long"))
     )
+
+
+def bm25_index_layout(
+    catalog,
+    index_table: str,
+    files: int = 16,
+) -> int:
+    """Rewrite a stored :func:`bm25_index` posting table into the
+    token-range-sorted parquet layout the ``stats=`` serving mode's
+    file skipping assumes — ``files`` range partitions on ``token``,
+    rows sorted by token within each, committed via the catalog's
+    staged swap (readers see the old or the new layout, never a torn
+    one).  Returns the data-file count after the rewrite.
+
+    Why it matters at 100 TB: :func:`bm25_topk_indexed` with ``stats=``
+    prunes the index scan to the query terms with a literal
+    ``token IN (...)`` filter; on a token-range layout the parquet
+    min/max footers turn that into real file skipping (SCALE.md round 9
+    measured 1 of 16 files touched) — but until this helper existed the
+    user had to produce that layout by hand.  An append-heavy index
+    (``stream_bm25_sink``) re-fragments over time; re-run this
+    out-of-band, like ``gate_maintain`` compaction.  Rows, columns and
+    served scores are unchanged (pinned in tests).
+    """
+    if files < 1:
+        raise ValueError("bm25_index_layout: files must be >= 1")
+    if not hasattr(catalog, "path"):
+        raise ValueError(
+            "bm25_index_layout: needs a file catalog (the layout is a "
+            f"parquet property); {type(catalog).__name__} has no path()"
+        )
+    idx = catalog.read(index_table)
+    laid = idx.repartitionByRange(files, "token").sortWithinPartitions(
+        "token")
+    catalog.write_staged(laid, index_table)
+    catalog.commit_staged(index_table)
+    import os
+
+    root = catalog.path(index_table)
+    return sum(
+        1
+        for dirpath, _dirs, names in os.walk(root)
+        for f in names
+        if not f.startswith((".", "_"))
+    )
+
+
+#: stats-mode query-term sets up to this size inline as IN literals (the
+#: plan parquet file-skipping needs); larger batches fall back to a
+#: broadcast semi-join so the driver never collects an unbounded term set
+#: (ADVICE r9)
+_STATS_QTERM_CAP = 2048
 
 
 def bm25_topk_indexed(
@@ -1326,6 +1394,7 @@ def bm25_topk_indexed(
     k: int = 10,
     max_df_ratio: float | None = None,
     stats: DataFrame | None = None,
+    allow_stale: bool = False,
 ) -> DataFrame:
     """Serve BM25 top-``k`` from a :func:`bm25_index` posting table —
     same scoring contract and output schema as :func:`bm25_topk`
@@ -1338,12 +1407,26 @@ def bm25_topk_indexed(
     ``stats`` (round 9): a :func:`bm25_index_stats` frame.  When given,
     the per-batch full-index re-aggregations are SKIPPED — N/avgdl/df
     come from the stats table, and the index scan itself is pruned to
-    the query terms with a literal ``token IN (...)`` (query term sets
-    are human-sized), which a token-sorted/partitioned parquet layout
+    the query terms with a literal ``token IN (...)`` (term sets up to
+    ``_STATS_QTERM_CAP``; larger batches use a broadcast semi-join so
+    the driver never collects an unbounded set), which a
+    token-sorted/partitioned parquet layout (:func:`bm25_index_layout`)
     turns into real file skipping.  This is the 100 TB serving mode:
     per batch, the engine reads only postings the queries touch.
     Results are identical to the self-derived path when the stats match
     the index (pinned in tests).
+
+    Staleness guard (round 10): when the stats frame carries
+    ``n_postings`` it is compared to the live index's posting-row count
+    (metadata-only on a stored parquet index — footer row counts, no
+    data read) BEFORE serving; a mismatch means the index mutated after
+    the stats were derived, and idf would silently degrade.  Default is
+    to raise; ``allow_stale=True`` downgrades to a warning (the
+    serve-through-a-refresh-window escape hatch).  A mutation that
+    preserves the exact posting count escapes this tier — refresh stats
+    transactionally with the index (``stream_bm25_sink(stats_table=)``)
+    when that matters.  Pre-round-10 stats frames (no ``n_postings``)
+    skip the check.
     """
     from pyspark.sql import Window
 
@@ -1361,18 +1444,48 @@ def bm25_topk_indexed(
         .distinct()
     )
     if stats is not None:
-        srow = stats.select("n_docs", "avgdl").first()
+        fresh = "n_postings" in stats.columns
+        srow = stats.select(
+            "n_docs", "avgdl", *(["n_postings"] if fresh else [])
+        ).first()
         if srow is None:
             raise ValueError("bm25_topk_indexed: empty stats table")
         n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+        if fresh:
+            want = int(srow["n_postings"])
+            have = index.count()  # metadata-only on a parquet index
+            if have != want:
+                msg = (
+                    f"bm25_topk_indexed: stats are STALE — the index has "
+                    f"{have} posting rows but the stats were derived from "
+                    f"{want}; idf/avgdl would silently degrade.  Rebuild "
+                    "with bm25_index_stats(index) (or let stream_bm25_sink"
+                    "(stats_table=) maintain them), or pass "
+                    "allow_stale=True to serve anyway."
+                )
+                if not allow_stale:
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
         # literal IN over the (human-sized) query term set: the ONLY
         # index touch left is a token-pruned posting scan, and the
-        # broadcast df side shrinks to the query terms too
-        qtok = [r["token"] for r in qterms.select("token")
-                .distinct().collect()]
-        dfreq = stats.select("token", "df").filter(
-            F.col("token").isin(qtok))
-        tf = tf.filter(F.col("token").isin(qtok))
+        # broadcast df side shrinks to the query terms too.  A term set
+        # past the cap is never collect()ed — semi-join instead (keeps
+        # the driver bounded; forfeits only the literal-pushdown file
+        # skipping, which a giant term set defeats anyway)
+        qtok_df = qterms.select("token").distinct()
+        qtok = [r["token"]
+                for r in qtok_df.limit(_STATS_QTERM_CAP + 1).collect()]
+        if len(qtok) > _STATS_QTERM_CAP:
+            dfreq = stats.join(
+                F.broadcast(qtok_df), "token", "left_semi"
+            ).select("token", "df")
+            tf = tf.join(F.broadcast(qtok_df), "token", "left_semi")
+        else:
+            dfreq = stats.select("token", "df").filter(
+                F.col("token").isin(qtok))
+            tf = tf.filter(F.col("token").isin(qtok))
     else:
         tf = pin(tf)  # consumed thrice: stats, df, and the match join
         dl = tf.select("__id", "dl").distinct()

@@ -13,7 +13,10 @@ served mid-stream always reflect exactly the documents indexed so far,
 with no stats side-channel to go stale (the same property
 :func:`~..operators.text.bm25_index_update` exploits for batch deltas;
 use that, out-of-band, for deletes when the dedup pipeline retires
-documents).
+documents).  ``stats_table=`` additionally keeps a
+:func:`~..operators.text.bm25_index_stats` table fresh in the same
+committed batch, so the 100 TB ``stats=`` serving mode never reads
+stale idf.
 
 Semantics: FIRST ARRIVAL WINS — a document id already present in the
 index is skipped (one posting-sized anti-join per batch), and within a
@@ -22,23 +25,43 @@ batch duplicate ids collapse to the lexicographically-smallest text
 that must replace their text are an out-of-band
 ``bm25_index_update(add_docs=...)`` upsert, not an ingest concern.
 
-Exactly-once: checkpointed file stream + the checkpoint-namespaced
-``__commit`` marker column (same contract as ``join_view_sink``) — a
-crash between the append and the checkpoint commit replays the batch,
-sees its marker, and skips, so postings never double-count.
+Exactly-once (round 10 — closes the ADVICE r9 crash window): a batch
+is "applied" only once its SIDECAR commit file exists under
+``<checkpoint>/_dbt_commits/<batch_id>`` — written atomically
+(tmp + rename) AFTER the posting append and stats refresh succeed.
+Every batch's posting rows still carry the checkpoint-namespaced
+``__commit`` marker column; a replayed batch whose sidecar is missing
+but whose marker rows exist is a CRASHED MID-APPEND attempt (the old
+scheme's silent-loss window: some of the batch's files on disk, the
+rest gone) — it is SCRUBBED (one staged rewrite dropping that marker's
+rows) and re-applied from scratch.  Both the scrub and the re-append
+are deterministic, so every crash window converges to the same index.
 
 Plan shape per batch: one tokenize/aggregate pass over the BATCH only
 (two batch-sized shuffles: tf, dl), one anti-join against the stored
 ids (posting-table-sized, column-pruned to the id), one map-only
-append.  The accepted corpus' text is never re-read.
+append; with ``stats_table=``, plus one posting-table aggregation pass
+(vocabulary-sized output, committed via staged swap).  The accepted
+corpus' text is never re-read.
+
+Checkpoint placement: the default lives under the target catalog's
+root (``<root>/_checkpoints/...``) when the catalog is file-backed, so
+a drop-the-directory rebuild removes the checkpoint with the data;
+only location-less catalogs fall back to the system temp dir.  Either
+way, a NON-EMPTY commit history whose index table is missing fails
+loudly at start — the silent-empty-index failure mode of a
+dropped-and-recreated table under a surviving checkpoint (ADVICE r9).
 
 Operations: the sink accrues one file set per micro-batch — the same
 fragmentation curve the gates measured (SCALE.md) — so compact the
 index out-of-band with :func:`~.dedup_gate.gate_maintain`
 (``compact_files=``, works on any catalog table) or CLI
-``gate-maintain`` / ``compact``; deletes/upserts for retired documents
-go through :func:`~..operators.text.bm25_index_update` + a staged
-swap.
+``gate-maintain`` / ``compact``; restore the query-term file-skipping
+layout with :func:`~..operators.text.bm25_index_layout`; deletes /
+upserts for retired documents go through
+:func:`~..operators.text.bm25_index_update` + a staged swap (then
+rebuild stats — the serve path's staleness guard catches a forgotten
+rebuild).
 """
 
 from __future__ import annotations
@@ -50,7 +73,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import bm25_index
+from ..operators.pins import pin_scope
+from ..operators.text import bm25_index, bm25_index_stats
 from ..sources.catalog import Catalog
 
 __all__ = ["stream_bm25_sink"]
@@ -66,6 +90,7 @@ def stream_bm25_sink(
     schema=None,
     checkpoint: str | None = None,
     transform=None,
+    stats_table: str | None = None,
 ) -> int:
     """Stream document files from ``source_dir``; per micro-batch,
     tokenize the batch and append its ``(token, id, tf, dl)`` posting
@@ -75,6 +100,14 @@ def stream_bm25_sink(
 
     ``transform``: optional stateless ``DataFrame -> DataFrame`` hook
     applied to the stream before indexing (filter/derive stages).
+
+    ``stats_table``: when given, a :func:`bm25_index_stats` frame is
+    re-derived from the full index and staged-swapped into this table
+    after every applied batch — inside the same writer lock and before
+    the batch's commit sidecar, so a crash anywhere in the window is
+    repaired by the replay's scrub-and-redo and the stats can never
+    stay out of sync with a batch that counts as committed.  Serve with
+    ``bm25_topk_indexed(index, queries, stats=target.read(stats_table))``.
     """
     if schema is None:
         try:
@@ -91,16 +124,39 @@ def stream_bm25_sink(
                  index_table]
             ).encode()
         ).hexdigest()[:16]
-        checkpoint = os.path.join(
-            tempfile.gettempdir(), f"bm25_ckpt_{index_table}_{ident}"
+        # default under the catalog root (dies with the data directory);
+        # temp dir only for catalogs with no filesystem location
+        base = (
+            os.path.join(target.root, "_checkpoints")
+            if hasattr(target, "root")
+            else tempfile.gettempdir()
         )
+        checkpoint = os.path.join(base, f"bm25_ckpt_{index_table}_{ident}")
     ckpt_ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+    commits_dir = os.path.join(checkpoint, "_dbt_commits")
+    # loud-failure guard: committed batches on record but no index table
+    # means the table was dropped/rebuilt under a surviving checkpoint —
+    # the stream would silently never re-index the already-seen files
+    try:
+        committed = os.listdir(commits_dir)
+    except FileNotFoundError:
+        committed = []
+    if committed and not target.exists(index_table):
+        raise ValueError(
+            f"stream_bm25_sink: checkpoint {checkpoint!r} records "
+            f"{len(committed)} committed batches but index table "
+            f"{index_table!r} does not exist — it was dropped or rebuilt "
+            "while the checkpoint survived, so already-ingested source "
+            "files would silently never be re-indexed.  Delete the "
+            "checkpoint to re-ingest from scratch, or restore the index."
+        )
     applied = {"n": 0}
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         marker = f"{ckpt_ns}:{batch_id}"
+        sidecar = os.path.join(commits_dir, str(batch_id))
         from contextlib import nullcontext
 
         lock = (
@@ -108,7 +164,9 @@ def stream_bm25_sink(
             if hasattr(target, "writer_lock")
             else nullcontext()
         )
-        with lock:
+        with lock, pin_scope():
+            if os.path.exists(sidecar):
+                return  # fully committed earlier; the replay drains
             if target.exists(index_table):
                 stored = target.read(index_table)
                 if "__commit" not in stored.columns:
@@ -121,15 +179,25 @@ def stream_bm25_sink(
                         "write_staged(read(idx).withColumn('__commit', "
                         "lit('seed:0')), idx) + commit_staged"
                     )
-                replayed = (
+                partial = (
                     stored
                     .filter(F.col("__commit") == marker)
                     .limit(1)
                     .isEmpty()
                     is False
                 )
-                if replayed:
-                    return
+                if partial:
+                    # crashed mid-append: this batch's marker rows are on
+                    # disk but the sidecar never landed, so the file set
+                    # may be INCOMPLETE — scrub them (null-safe: seeded /
+                    # update-filled rows carry other or NULL markers and
+                    # must survive) and redo the whole batch
+                    target.write_staged(
+                        stored.filter(
+                            ~F.col("__commit").eqNullSafe(F.lit(marker))),
+                        index_table,
+                    )
+                    target.commit_staged(index_table)
             # within-batch id collapse: smallest text wins (deterministic)
             docs = batch.groupBy(id_col).agg(
                 F.min(text_col).alias(text_col))
@@ -139,6 +207,23 @@ def stream_bm25_sink(
             rows = bm25_index(docs, id_col, text_col).withColumn(
                 "__commit", F.lit(marker))
             target.write(rows, index_table, mode="append")
+            if stats_table is not None:
+                # full re-derivation, not an incremental merge: derived
+                # purely from the post-append index state, it is
+                # idempotent under the scrub-and-redo crash repair (a
+                # half-committed merge would double-count on replay) and
+                # bit-identical to a rebuild by construction
+                target.write_staged(
+                    bm25_index_stats(
+                        target.read(index_table), id_col),
+                    stats_table,
+                )
+                target.commit_staged(stats_table)
+            os.makedirs(commits_dir, exist_ok=True)
+            tmp = sidecar + ".__tmp"
+            with open(tmp, "w") as f:
+                f.write(marker)
+            os.replace(tmp, sidecar)  # atomic commit point
             applied["n"] += 1
 
     stream = spark.readStream.schema(schema).parquet(source_dir)

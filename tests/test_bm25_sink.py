@@ -116,3 +116,101 @@ def test_batch_seeded_index_without_marker_is_refused(spark, tmp_path):
     for r in cat.read("idx").collect():
         by_doc.setdefault(r["doc_id"], set()).add(r["token"])
     assert by_doc == {1: {"seed", "words"}, 2: {"new", "doc"}}
+
+
+def test_stats_table_auto_refresh_matches_rebuild(spark, tmp_path):
+    """stats_table= keeps a bm25_index_stats table fresh per batch —
+    exactly equal to a from-scratch rebuild, and the stats= serve path
+    passes its staleness guard and matches the direct scorer."""
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_stats, bm25_topk, bm25_topk_indexed,
+    )
+
+    src = str(tmp_path / "feed6")
+    ckpt = str(tmp_path / "ckpt6")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat6"))
+    b1 = [(1, "apple banana apple"), (2, "cherry durian")]
+    b2 = [(3, "banana fig"), (4, "apple fig grape")]
+    _write(spark, src, b1)
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt,
+                     stats_table="idx_stats")
+    _write(spark, src, b2)
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt,
+                     stats_table="idx_stats")
+    docs = spark.createDataFrame(b1 + b2, ["doc_id", "text"])
+    want = sorted(map(tuple, bm25_index_stats(bm25_index(docs)).collect()))
+    got = sorted(map(tuple, cat.read("idx_stats").collect()))
+    assert got == want
+    q = spark.createDataFrame([(1, "apple fig")], ["query_id", "query"])
+    served = sorted(map(tuple, bm25_topk_indexed(
+        cat.read("idx"), q, k=10, stats=cat.read("idx_stats")).collect()))
+    direct = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert served == direct
+
+
+def test_crashed_partial_append_is_scrubbed_and_redone(spark, tmp_path):
+    """ADVICE r9 crash window: marker rows on disk without the batch's
+    commit sidecar are a crashed mid-append — the replay scrubs them and
+    redoes the batch, converging to the clean-run index."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.text import bm25_index
+
+    src = str(tmp_path / "feed7")
+    ckpt = str(tmp_path / "ckpt7")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat7"))
+    _write(spark, src, [(1, "alpha beta"), (2, "beta gamma")])
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    # forge batch 1's partial on-disk state: some rows with its marker,
+    # no sidecar (the exact state a crash mid-parquet-append leaves)
+    ns = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+    cat.write(
+        spark.createDataFrame(
+            [("INJECTED", 3, 1, 2)], ["token", "doc_id", "tf", "dl"]
+        ).withColumn("__commit", F.lit(f"{ns}:1")),
+        "idx", mode="append")
+    _write(spark, src, [(3, "gamma delta")])
+    n = stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    assert n == 1
+    toks = {r["token"] for r in cat.read("idx").collect()}
+    assert "INJECTED" not in toks  # partial rows scrubbed
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        ["doc_id", "text"])
+    want = sorted(map(tuple, bm25_index(docs).collect()))
+    got = sorted(map(tuple, cat.read("idx").select(
+        "token", "doc_id", "tf", "dl").collect()))
+    assert got == want
+
+
+def test_dropped_index_with_surviving_checkpoint_fails_loudly(
+        spark, tmp_path):
+    """ADVICE r9: an index table dropped/rebuilt under a surviving
+    checkpoint must not silently never re-index seen files."""
+    import shutil
+
+    src = str(tmp_path / "feed8")
+    ckpt = str(tmp_path / "ckpt8")
+    cat = ParquetCatalog(spark, str(tmp_path / "cat8"))
+    _write(spark, src, [(1, "alpha beta")])
+    stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    shutil.rmtree(cat.path("idx"))
+    _write(spark, src, [(2, "gamma delta")])
+    with pytest.raises(ValueError, match="dropped or rebuilt"):
+        stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+
+
+def test_default_checkpoint_lives_under_catalog_root(spark, tmp_path):
+    """ADVICE r9: the default checkpoint is placed under the catalog
+    root (dies with the data directory), not the system temp dir."""
+    import os
+
+    src = str(tmp_path / "feed9")
+    root = str(tmp_path / "cat9")
+    cat = ParquetCatalog(spark, root)
+    _write(spark, src, [(1, "alpha beta")])
+    stream_bm25_sink(spark, src, cat, "idx")
+    ckpts = os.listdir(os.path.join(root, "_checkpoints"))
+    assert len(ckpts) == 1 and ckpts[0].startswith("bm25_ckpt_idx_")

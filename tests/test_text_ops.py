@@ -610,3 +610,98 @@ def test_bm25_index_update_preserves_marker_columns(spark):
     q = spark.createDataFrame([(1, "gamma")], ["query_id", "query"])
     got = {r["doc_id"] for r in bm25_topk_indexed(upd, q).collect()}
     assert got == {2, 3}
+
+
+class TestBM25StatsFreshness:
+    """Round-10: stats staleness guard + bounded query-term sets +
+    the token-range layout helper."""
+
+    def test_stale_stats_detected_or_waved_through(self, spark):
+        import warnings as _warnings
+
+        import pytest as _pytest
+
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_index_stats, bm25_index_update,
+            bm25_topk_indexed,
+        )
+
+        docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+        idx = bm25_index(docs)
+        stats = bm25_index_stats(idx)
+        q = spark.createDataFrame([(1, "beta")], ["query_id", "query"])
+        # fresh stats: serves fine
+        assert bm25_topk_indexed(idx, q, stats=stats).count() == 2
+        # index mutates, stats don't -> raise by default
+        upd = bm25_index_update(
+            idx, add_docs=_docs(spark, [(3, "beta delta")]))
+        with _pytest.raises(ValueError, match="STALE"):
+            bm25_topk_indexed(upd, q, stats=stats)
+        # allow_stale=True downgrades to a warning and serves
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            got = bm25_topk_indexed(
+                upd, q, stats=stats, allow_stale=True).count()
+        assert got == 3 and any("STALE" in str(x.message) for x in w)
+        # a legacy stats frame (no n_postings) skips the check
+        legacy = stats.drop("n_postings")
+        assert bm25_topk_indexed(upd, q, stats=legacy).count() == 3
+
+    def test_large_query_term_set_falls_back_to_semi_join(self, spark):
+        import database_transportor_spark.operators.text as T
+
+        docs = _docs(spark, [
+            (1, "alpha beta gamma"), (2, "beta gamma delta"),
+            (3, "delta epsilon"),
+        ])
+        idx = T.bm25_index(docs)
+        stats = T.bm25_index_stats(idx)
+        q = spark.createDataFrame(
+            [(1, "alpha delta"), (2, "beta epsilon zeta")],
+            ["query_id", "query"])
+        want = sorted(map(tuple, T.bm25_topk_indexed(
+            idx, q, k=10, stats=stats).collect()))
+        old = T._STATS_QTERM_CAP
+        T._STATS_QTERM_CAP = 2  # force the ADVICE-r9 semi-join fallback
+        try:
+            got = sorted(map(tuple, T.bm25_topk_indexed(
+                idx, q, k=10, stats=stats).collect()))
+        finally:
+            T._STATS_QTERM_CAP = old
+        assert got == want
+
+    def test_index_layout_clusters_tokens_for_file_skipping(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from database_transportor_spark.operators.text import (
+            bm25_index, bm25_index_layout, bm25_topk_indexed,
+        )
+        from database_transportor_spark.sources.catalog import (
+            ParquetCatalog,
+        )
+
+        docs = _docs(spark, [
+            (i, f"tok{i % 17} word{i % 5} common filler") for i in range(60)
+        ])
+        cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+        cat.write(bm25_index(docs).repartition(8), "idx", mode="overwrite")
+        before = sorted(map(tuple, cat.read("idx").collect()))
+        n_files = bm25_index_layout(cat, "idx", files=4)
+        assert n_files == 4
+        assert sorted(map(tuple, cat.read("idx").collect())) == before
+        # a single-token probe's matching rows now live in ONE file —
+        # the clustering that parquet min/max footers turn into skips
+        hit_files = (
+            cat.read("idx").filter(F.col("token") == "common")
+            .select(F.input_file_name()).distinct().count()
+        )
+        assert hit_files == 1
+        # serving from the laid-out index is unchanged
+        q = spark.createDataFrame([(1, "tok3 word2")],
+                                  ["query_id", "query"])
+        a = sorted(map(tuple, bm25_topk_indexed(
+            bm25_index(docs), q, k=5).collect()))
+        b = sorted(map(tuple, bm25_topk_indexed(
+            cat.read("idx"), q, k=5).collect()))
+        assert a == b
