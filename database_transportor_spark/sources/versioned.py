@@ -34,8 +34,49 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import FileCatalog
+from .locks import ProcessLock
 
 __all__ = ["VersionedCatalog"]
+
+
+class _TableWriterLock:
+    """Per-table writer lock: an in-process reentrant lock composed with
+    a cross-process ``flock`` on ``<table>.versions/_LOCK`` — only the
+    OUTERMOST in-process holder touches the file lock, so the existing
+    nesting pattern (``commit_staged`` inside ``writer_lock``) keeps
+    working while two PROCESSES (a live ingest gate and an external
+    ``gate_maintain``) now genuinely serialize.  ``depth`` is mutated
+    only while the RLock is held, so it needs no extra synchronization.
+    """
+
+    def __init__(self, rlock: threading.RLock, lock_path: str,
+                 timeout: float):
+        self._rlock = rlock
+        self._flock = ProcessLock(lock_path, timeout=timeout)
+        self._depth = 0
+
+    def acquire(self) -> None:
+        self._rlock.acquire()
+        if self._depth == 0:
+            try:
+                self._flock.acquire()
+            except BaseException:
+                self._rlock.release()
+                raise
+        self._depth += 1
+
+    def release(self) -> None:
+        self._depth -= 1
+        if self._depth == 0:
+            self._flock.release()
+        self._rlock.release()
+
+    def __enter__(self) -> "_TableWriterLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 class VersionedCatalog(FileCatalog):
@@ -44,6 +85,7 @@ class VersionedCatalog(FileCatalog):
         spark: SparkSession,
         root: str,
         format: str | None = None,
+        lock_timeout: float = 600.0,
         **kwargs,
     ):
         super().__init__(spark, root, format=format, **kwargs)
@@ -63,21 +105,40 @@ class VersionedCatalog(FileCatalog):
         # commit_staged takes the lock around its head move, and callers
         # whose merge depends on the head they read (the stream-merge
         # sink) hold :meth:`writer_lock` across the whole sequence.
-        # Reentrant so commit_staged nests inside writer_lock.  (In-process
-        # only; cross-process writers need external coordination, same
-        # contract as _pending/_reserved.)
-        self._wlocks: dict[str, threading.RLock] = {}
+        # Reentrant so commit_staged nests inside writer_lock.  Round 10:
+        # the lock is now in-process RLock + cross-process flock (see
+        # _TableWriterLock / locks.py) — the external-maintenance +
+        # live-ingest single-writer discipline is ENFORCED between
+        # processes sharing the catalog mount, not just documented.
+        # (_pending/_reserved bookkeeping stays per-instance; staged
+        # sequences from two processes are serialized by holding
+        # writer_lock across the whole read→stage→commit sequence, which
+        # every in-repo caller already does.)
+        self._wlocks: dict[str, _TableWriterLock] = {}
+        self._lock_timeout = float(lock_timeout)
 
-    def _writer_lock(self, table: str) -> threading.RLock:
+    def _writer_lock(self, table: str) -> _TableWriterLock:
         with self._plock:
-            return self._wlocks.setdefault(table, threading.RLock())
+            got = self._wlocks.get(table)
+            if got is None:
+                got = _TableWriterLock(
+                    threading.RLock(),
+                    f"{self._table_root(table)}/_LOCK",
+                    self._lock_timeout,
+                )
+                self._wlocks[table] = got
+            return got
 
-    def writer_lock(self, table: str) -> threading.RLock:
-        """Public per-table writer lock (reentrant, context-manager).
+    def writer_lock(self, table: str) -> _TableWriterLock:
+        """Public per-table writer lock (reentrant, context-manager,
+        cross-process via ``flock`` on ``<table>.versions/_LOCK``).
         Hold it across any read-head → transform → stage → commit
         sequence whose result depends on the head it read; plain
         :meth:`write` and :meth:`commit_staged` acquire it internally, so
-        holders serialize against both."""
+        holders serialize against both — including holders in OTHER
+        processes on the same mount (object stores need a lease table
+        instead; see TUNING.md).  Acquisition times out after
+        ``lock_timeout`` seconds (default 600) with ``TimeoutError``."""
         return self._writer_lock(table)
 
     # ---------------------------------------------------------- layout

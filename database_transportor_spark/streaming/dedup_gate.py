@@ -280,13 +280,18 @@ def gate_maintain(
     Concurrency contract, stated precisely: READERS are always safe
     (old-or-new, never torn), but a concurrent ingest APPEND landing
     between this job's read and its staged commit would be clobbered by
-    the rewrite.  In-process, the catalog's per-table writer lock (when
-    present — ``VersionedCatalog``) serializes the two; on lock-less
-    file catalogs and across processes, schedule maintenance BETWEEN
-    ingest runs — the natural fit for ``availableNow`` gates, which
-    drain and exit — or use a versioned catalog.  This is the same
-    single-writer discipline every staged rewrite in the repo
-    (``compact_table``, retrain, reshard) already assumes.
+    the rewrite.  The catalog's per-table writer lock (when present —
+    ``VersionedCatalog``) serializes the two BOTH in-process and
+    ACROSS PROCESSES (round 10: the lock composes an ``flock`` on
+    ``<table>.versions/_LOCK``; a live ingest gate and an external
+    maintenance job on the same mount genuinely exclude each other —
+    pinned by the two-process test in ``tests/test_locks.py``).  On
+    lock-less file catalogs, or on object stores where no file locking
+    exists, schedule maintenance BETWEEN ingest runs — the natural fit
+    for ``availableNow`` gates, which drain and exit — or use a
+    versioned catalog on a mount (TUNING.md "cross-process writers").
+    This is the same single-writer discipline every staged rewrite in
+    the repo (``compact_table``, retrain, reshard) already assumes.
 
     Steps, in order (each optional):
 
@@ -364,10 +369,11 @@ def gate_maintain(
                 "shingle indexes have no codebook (reshard/compact are "
                 "their maintenance ops)"
             )
-    # hold the SAME lock keys a concurrent in-process gate holds (the
-    # gates lock clean_table) plus the index's own; fixed sort order so
-    # two maintenance calls cannot deadlock.  Cross-process safety is
-    # the scheduling contract documented above.
+    # hold the SAME lock keys a concurrent gate holds (the gates lock
+    # clean_table) plus the index's own; fixed sort order so two
+    # maintenance calls cannot deadlock.  On a VersionedCatalog these
+    # locks are cross-process (flock), so a live ingest gate in another
+    # process is genuinely excluded, not just scheduled around.
     from contextlib import ExitStack
 
     lock_keys = sorted({t for t in (clean_table, index_table) if t})
