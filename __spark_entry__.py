@@ -10309,8 +10309,12 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index, bm25_index_stats, bm25_topk_indexed,
     )
 
+    from database_transportor_spark.operators.pins import pin
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    idx = bm25_index(docs)
+    # pinned: stats derivation, the round-10 staleness count, and the
+    # serve all consume the index (a stored table in real serving)
+    idx = pin(bm25_index(docs))
     queries = spark.createDataFrame(
         [(1, "spark window join"), (2, "fast hash merge"),
          (3, "stream batch sort")],
@@ -10322,3 +10326,82 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTENSION_QUERIES.update({"bm25_served": q_bm25_served})
 _EXTENSION_ORACLES.update({"bm25_served": SQL_BM25_SEARCH})
+
+
+def q_bm25_stats_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional stats freshness (round 10, `streaming/bm25_sink.py`
+    `stats_table=` + `operators/text.py:bm25_topk_indexed` staleness
+    guard): the corpus streams in through two micro-batches, the sink
+    refreshes the `bm25_index_stats` table inside each committed batch,
+    and the fixed queries are served `stats=` against the sink-maintained
+    table — the serve path's n_postings guard verifies stats match the
+    live index before scoring.  Shares the full BM25 oracle: a hash
+    match proves sink-maintained stats serve bit-identically to a
+    one-shot build."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.operators.text import bm25_topk_indexed
+    from database_transportor_spark.streaming.bm25_sink import (
+        stream_bm25_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"sbf_{uuid.uuid4().hex[:6]}_")
+    src = f"{work}/feed"
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    for half in (docs.filter(F.col("doc_id") % 2 == 0),
+                 docs.filter(F.col("doc_id") % 2 == 1)):
+        half.write.mode("append").parquet(src)
+        stream_bm25_sink(spark, src, cat, "idx",
+                         checkpoint=f"{work}/ckpt",
+                         stats_table="idx_stats")
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk_indexed(cat.read("idx"), queries, k=10,
+                             stats=cat.read("idx_stats"))
+
+
+_EXTENSION_QUERIES.update({"bm25_stats_fresh": q_bm25_stats_fresh})
+_EXTENSION_ORACLES.update({"bm25_stats_fresh": SQL_BM25_SEARCH})
+
+
+def q_bm25_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turnkey file-skipping layout (round 10, `operators/text.py:
+    bm25_index_layout`): the posting table is stored, rewritten into
+    the token-range-sorted layout via one staged swap, and the fixed
+    queries are served `stats=` from the laid-out table — the literal
+    query-term IN now skips whole files by parquet min/max footers
+    (SCALE.md round-9 measured 1-of-16 files touched on this layout).
+    Shares the full BM25 oracle: a hash match proves the rewrite is
+    score-transparent."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_layout, bm25_index_stats,
+        bm25_topk_indexed,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"sbl_{uuid.uuid4().hex[:6]}_")
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat.write(bm25_index(docs), "idx", mode="overwrite")
+    bm25_index_layout(cat, "idx", files=8)
+    stats = bm25_index_stats(cat.read("idx"))
+    queries = spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+    return bm25_topk_indexed(cat.read("idx"), queries, k=10, stats=stats)
+
+
+_EXTENSION_QUERIES.update({"bm25_layout": q_bm25_layout})
+_EXTENSION_ORACLES.update({"bm25_layout": SQL_BM25_SEARCH})

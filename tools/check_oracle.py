@@ -4,7 +4,14 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same parquet fixtures, comparing row count, column names, and an
 order-insensitive value hash.  Usage::
 
-    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir]
+    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [names...]
+    PYTHONPATH=/root/repo python tools/check_oracle.py --smoke [sf_dir]
+
+``--smoke`` (round 10, VERDICT r9 task 5 — driver blind-spot
+insurance): runs the CURRENT round's newest queries TWICE, each in a
+FRESH process, so a query that only passes because an earlier
+same-session query warmed some state (session-order dependence) fails
+here before the driver ever samples it.
 """
 
 from __future__ import annotations
@@ -18,6 +25,31 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+#: this round's additions — keep current each round; ``--smoke`` runs
+#: exactly these, twice, in fresh processes
+NEWEST = [
+    "bm25_stats_fresh",
+    "bm25_layout",
+]
+
+
+def smoke(sf_dir: str) -> int:
+    import os
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(here))
+    for attempt in (1, 2):
+        print(f"--- smoke run {attempt}/2 (fresh process) ---", flush=True)
+        r = subprocess.run(
+            [sys.executable, here, sf_dir, *NEWEST], env=env)
+        if r.returncode != 0:
+            print(f"smoke run {attempt} FAILED")
+            return r.returncode
+    print("smoke: both fresh-process runs green")
+    return 0
 
 
 def canon_value(v):
@@ -133,6 +165,9 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--smoke":
+        sys.exit(smoke(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"))
     sys.exit(
         main(
             sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
