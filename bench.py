@@ -257,6 +257,12 @@ def main() -> None:
     # host_degraded verdict; SPARK_GRAFT_BENCH_REQUIRE_HEALTHY=1 aborts
     # instead of publishing (exit 2) for runs whose only purpose is a
     # trustworthy artifact.
+    # one DISCARDED ruler run first: the previous session's
+    # confirm_ref_median was measured deep into a warm session, while
+    # this one runs seconds after startup — without the throwaway, the
+    # fixture's first-touch (file cache, codegen) lands in the gate
+    # samples and reads as phantom host degradation
+    _run_once(spark, sf_dir, _ref_query)
     ruler_pre_samples = [
         round(_run_once(spark, sf_dir, _ref_query), 3) for _ in range(runs)
     ]

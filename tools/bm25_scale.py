@@ -105,6 +105,37 @@ def main() -> None:
             walls.append(round(time.perf_counter() - t0, 3))
         out[f"serve_stats_{label}_walls"] = walls
 
+    # ---- round 10: turnkey token-range layout (bm25_index_layout) ----
+    # the round-9 file-skip measurement assumed a hand-sorted layout;
+    # this is the shipped helper doing the same staged rewrite, plus the
+    # count of files the 20-query term set actually lands in
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.operators.text import (
+        bm25_index_layout, tokens,
+    )
+
+    cat = ParquetCatalog(spark, f"{work}/cat")
+    cat.write(spark.read.parquet(f"{work}/idx_x10"), "idx",
+              mode="overwrite")
+    t0 = time.perf_counter()
+    out["layout_files"] = bm25_index_layout(cat, "idx", files=16)
+    out["layout_rewrite_s"] = round(time.perf_counter() - t0, 3)
+    laid = cat.read("idx")
+    qtok = [r["t"] for r in queries.select(
+        F.explode(tokens("query")).alias("t")).distinct().collect()]
+    out["layout_files_touched"] = (
+        laid.filter(F.col("token").isin(qtok))
+        .select(F.input_file_name()).distinct().count()
+    )
+    st10 = spark.read.parquet(f"{work}/stats_x10")
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        bm25_topk_indexed(laid, queries, k=10, stats=st10).write.format(
+            "noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 3))
+    out["serve_stats_layout_walls"] = walls
+
     # ---- 1% delta at x10: update vs rebuild ----
     corpus10 = replicate(docs, 10)
     # deterministic delta sets: an unordered limit() re-executes
