@@ -10405,3 +10405,102 @@ def q_bm25_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTENSION_QUERIES.update({"bm25_layout": q_bm25_layout})
 _EXTENSION_ORACLES.update({"bm25_layout": SQL_BM25_SEARCH})
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 10, `operators/similarity.py:rrf_fuse`):
+    three probe documents retrieve their top-10 neighbors LEXICALLY
+    (BM25 over the probe's own text, self excluded after the rank cut)
+    and SEMANTICALLY (exact cosine over the embeddings table, self
+    excluded), and the two lists fuse by reciprocal rank
+    (`sum 1/(60+rank)`, round-6, doc-id tiebreak).  The oracle
+    recomputes both retrievals AND the fusion in SQL — ranks are
+    integers, so the fused score is engine-exact."""
+    from database_transportor_spark.operators.similarity import (
+        cosine_topk, rrf_fuse,
+    )
+    from database_transportor_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    lex = (
+        bm25_topk(docs, qs, k=10)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+    sem = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+    ).select("query_id", "neighbor_id", "rank")
+    return rrf_fuse([lex, sem]).select(
+        "query_id", "neighbor_id", "rrf_score",
+        F.col("rank").cast("long").alias("rank"))
+
+
+SQL_HYBRID_RRF = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM toks WHERE token <> '' GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+), st AS (
+    SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+), dfreq AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY 1
+), qt AS (
+    SELECT DISTINCT doc_id AS query_id, token FROM toks
+    WHERE doc_id < 3 AND token <> ''
+), lex_scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           round(sum(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           ), 6) AS score
+    FROM qt
+    JOIN tf USING (token)
+    JOIN dfreq d USING (token)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN st s
+    GROUP BY 1, 2
+), lex AS (
+    SELECT query_id, doc_id AS neighbor_id, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rn
+        FROM lex_scored
+    ) WHERE rn <= 10 AND doc_id <> query_id
+), sem_scored AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(p.qe, e.embedding) AS cos
+    FROM (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 3) p, embeddings e
+    WHERE e.vec_id <> p.query_id
+), sem AS (
+    SELECT query_id, neighbor_id, rn AS rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM sem_scored
+    ) WHERE rn <= 10
+), fused AS (
+    SELECT query_id, neighbor_id,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+    FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC,
+                                            neighbor_id) AS rn
+      FROM fused)
+WHERE rn <= 10
+"""
+
+
+_EXTENSION_QUERIES.update({"hybrid_rrf": q_hybrid_rrf})
+_EXTENSION_ORACLES.update({"hybrid_rrf": SQL_HYBRID_RRF})

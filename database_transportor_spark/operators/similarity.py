@@ -43,6 +43,7 @@ __all__ = [
     "cosine_scores",
     "cosine_topk",
     "ivf_topk",
+    "rrf_fuse",
     "cosine_pairs",
     "quantize_embeddings",
     "random_projection",
@@ -234,6 +235,64 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the standard
+    hybrid-retrieval combiner (lexical BM25 + embedding cosine is the
+    canonical pair for training-data curation: decontamination probes
+    and seed expansion both want "matches EITHER lexically or
+    semantically").  Each input carries ``(query_col, id_col,
+    rank_col)``; the fused score is ``sum over lists of
+    1 / (k + rank)`` (Cormack et al.'s RRF, k=60 default) — rank-only,
+    so raw scores with incomparable scales fuse without calibration.
+    Returns ``(query, id, rrf_score DOUBLE, rank)``, top ``topk`` per
+    query, score rounded to 6 decimals before ranking with the repo's
+    usual doc-id tiebreak (ulp armor; with ≤2 lists the two-term sum is
+    order-exact even unrounded).
+
+    Scale shape: the inputs are already (queries × k)-sized — the
+    corpus-scale work happened upstream in the retrievers — so fusion
+    is one union + one (query, id) aggregation + one window over
+    list-sized frames.  Nothing here touches the corpus.
+
+    Reference has no search surface (src/DBT.php — none); extension
+    tier alongside ``bm25_topk`` / ``cosine_topk``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: pass at least one ranking")
+    if k < 1 or topk < 1:
+        raise ValueError("rrf_fuse: k and topk must be >= 1")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(query_col, id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r"))), 6
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
     )
 
 

@@ -397,3 +397,38 @@ def test_pca_project_raise_names_bad_row_in_projection(spark):
     with pytest.raises(Exception, match="vec_id=9"):
         pca_project(dirty, k=1, dim=2).collect()
     assert model is not None
+
+
+class TestRRFFuse:
+    """Reciprocal-rank fusion (round 10)."""
+
+    def test_fuses_two_lists_with_known_scores(self, spark):
+        from database_transportor_spark.operators.similarity import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            ["query_id", "neighbor_id", "rank"])
+        sem = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2)],
+            ["query_id", "neighbor_id", "rank"])
+        got = {r["neighbor_id"]: (r["rrf_score"], r["rank"])
+               for r in rrf_fuse([lex, sem], topk=10).collect()}
+        # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 13: 1/62; doc 12: 1/63
+        assert got[11] == (round(1 / 62 + 1 / 61, 6), 1)
+        assert got[10] == (round(1 / 61, 6), 2)
+        assert got[13] == (round(1 / 62, 6), 3)
+        assert got[12] == (round(1 / 63, 6), 4)
+
+    def test_tiebreak_topk_and_validation(self, spark):
+        import pytest as _pytest
+
+        from database_transportor_spark.operators.similarity import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 1)], ["query_id", "neighbor_id", "rank"])
+        out = rrf_fuse([a], topk=1).collect()
+        assert len(out) == 1 and out[0]["neighbor_id"] == 20  # id asc tie
+        with _pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        with _pytest.raises(ValueError, match=">= 1"):
+            rrf_fuse([a], k=0)

@@ -31,6 +31,7 @@ TABLES = [
 NEWEST = [
     "bm25_stats_fresh",
     "bm25_layout",
+    "hybrid_rrf",
 ]
 
 
