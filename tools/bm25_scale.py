@@ -127,6 +127,16 @@ def main() -> None:
         laid.filter(F.col("token").isin(qtok))
         .select(F.input_file_name()).distinct().count()
     )
+    # per-QUERY touch count (the serving-time unit of work): each fixed
+    # query has 2 terms, so a token-range layout should land it in <= 2
+    # files; report the worst query
+    per_q = []
+    for row in queries.collect():
+        ts = [t for t in row["query"].lower().split() if t]
+        per_q.append(
+            laid.filter(F.col("token").isin(ts))
+            .select(F.input_file_name()).distinct().count())
+    out["layout_files_touched_per_query_max"] = max(per_q)
     st10 = spark.read.parquet(f"{work}/stats_x10")
     walls = []
     for _ in range(2):
