@@ -10309,12 +10309,13 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index, bm25_index_stats, bm25_topk_indexed,
     )
 
-    from database_transportor_spark.operators.pins import pin
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # pinned: stats derivation, the round-10 staleness count, and the
-    # serve all consume the index (a stored table in real serving)
-    idx = pin(bm25_index(docs))
+    # unpinned on purpose: the round-10 staleness count re-derives the
+    # index lineage once more (the guard's honest cost on a computed
+    # frame — stored-index serving pays a metadata-only count instead,
+    # see bm25_layout/bm25_stats_fresh), and a pin here would smear the
+    # cached lineage across the census plan text
+    idx = bm25_index(docs)
     queries = spark.createDataFrame(
         [(1, "spark window join"), (2, "fast hash merge"),
          (3, "stream batch sort")],
