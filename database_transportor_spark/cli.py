@@ -494,6 +494,20 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_bm25_layout(args: argparse.Namespace) -> int:
+    from .operators.text import bm25_index_layout
+    from .session import build_session
+
+    spark = build_session(master=args.master)
+    cat = _build_catalog(spark, _file_catalog_conf(args))
+    n = bm25_index_layout(cat, args.table, files=args.files)
+    print(
+        f"laid out {args.root}/{args.table} into {n} token-range-sorted "
+        "file(s); stats= serves now skip files per query term"
+    )
+    return 0
+
+
 def _cmd_gate_maintain(args: argparse.Namespace) -> int:
     from .session import build_session
     from .streaming.dedup_gate import gate_maintain
@@ -656,6 +670,20 @@ def main(argv: list[str] | None = None) -> int:
                         "min/max stats prune scans on any of them")
     c.add_argument("--master", default=None)
     c.set_defaults(fn=_cmd_compact)
+
+    bl = sub.add_parser(
+        "bm25-layout",
+        help="rewrite a BM25 posting table into the token-range-sorted "
+             "layout (staged swap) so stats= serving skips files per "
+             "query term",
+    )
+    bl.add_argument("--root", required=True, help="catalog root directory")
+    bl.add_argument("--table", required=True, help="posting index table")
+    bl.add_argument("--format", default="parquet")
+    bl.add_argument("--files", type=int, default=16,
+                    help="token range partitions / files (default 16)")
+    bl.add_argument("--master", default=None)
+    bl.set_defaults(fn=_cmd_bm25_layout)
 
     g = sub.add_parser(
         "gate-maintain",

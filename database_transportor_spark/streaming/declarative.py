@@ -153,11 +153,13 @@ def run_stream_spec(
     A ``"bm25_index"`` sink routes the stream through
     :func:`~database_transportor_spark.streaming.bm25_sink.stream_bm25_sink`
     — each micro-batch's posting rows append to the retrieval index
-    (first arrival wins, exactly-once via commit markers); returns the
-    index table::
+    (first arrival wins, exactly-once via sidecar batch commits);
+    optional ``stats`` names a table to keep a ``bm25_index_stats``
+    frame fresh inside the same committed batch (the ``stats=`` serving
+    mode's freshness contract).  Returns the index table::
 
         "sink": {"bm25_index": {"index": "idx", "id": "doc_id",
-                                "text": "text"}}
+                                "text": "text", "stats": "idx_stats"}}
     """
     where = "stream spec"
     src = spec.get("source")
@@ -278,6 +280,7 @@ def run_stream_spec(
             spark, src["path"], target, b["index"], b["id"], b["text"],
             checkpoint=b.get("checkpoint"),
             transform=_stateless_transform("bm25_index"),
+            stats_table=b.get("stats"),
         )
         return target.read(b["index"])
 

@@ -534,3 +534,28 @@ def test_gate_maintain_cli(tmp_path):
     # retrain runs FIRST and its staged rewrite already consolidated the
     # 5 hand-laid files below the threshold — compaction correctly no-ops
     assert "left idx: 2 -> 2 data file(s)" in r.stdout
+
+
+def test_bm25_layout_cli(tmp_path):
+    """bm25-layout subcommand: staged token-range rewrite of a stored
+    posting table; rows unchanged, file count as requested."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+            SELECT 'tok' || CAST(range % 50 AS VARCHAR) AS token,
+                   range AS doc_id, 1 + range % 3 AS tf,
+                   10 + range % 7 AS dl
+            FROM range(2000)
+        ) TO '{tmp_path}/idx.parquet' (FORMAT PARQUET)"""
+    )
+    before = sorted(con.execute(
+        f"SELECT * FROM '{tmp_path}/idx.parquet'").fetchall())
+    r = _run(["bm25-layout", "--root", str(tmp_path), "--table", "idx",
+              "--files", "4", "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "4 token-range-sorted" in r.stdout
+    after = sorted(con.execute(
+        f"SELECT * FROM '{tmp_path}/idx.parquet/*.parquet'").fetchall())
+    assert after == before

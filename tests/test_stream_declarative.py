@@ -362,3 +362,36 @@ def test_gate_sink_spec_passes_operational_knobs(spark, tmp_path):
     del base["sink"]["dedup_gate"]["compact_files"]
     out = run_stream_spec(spark, base, target=cat)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_bm25_index_sink_spec_with_stats(spark, tmp_path):
+    """Round 10: `stats` on the declarative bm25_index sink keeps a
+    bm25_index_stats table fresh in the same committed batch; the served
+    stats= path passes its staleness guard."""
+    from database_transportor_spark import ParquetCatalog
+    from database_transportor_spark.operators.text import (
+        bm25_index_stats, bm25_topk_indexed,
+    )
+    from database_transportor_spark.streaming.declarative import (
+        run_stream_spec,
+    )
+
+    src = str(tmp_path / "sdocs")
+    cat = ParquetCatalog(spark, str(tmp_path / "scat"))
+    spark.createDataFrame(
+        [(1, "apple banana", 1), (2, "cherry fig apple", 1)],
+        "doc_id long, text string, keep long",
+    ).coalesce(1).write.parquet(src)
+    out = run_stream_spec(spark, {
+        "source": {"path": src},
+        "sink": {"bm25_index": {"index": "idx", "id": "doc_id",
+                                "text": "text", "stats": "idx_stats",
+                                "checkpoint": str(tmp_path / "sck")}},
+    }, target=cat)
+    want = sorted(map(tuple, bm25_index_stats(
+        out.drop("__commit")).collect()))
+    assert sorted(map(tuple, cat.read("idx_stats").collect())) == want
+    q = spark.createDataFrame([(1, "apple")], ["query_id", "query"])
+    got = bm25_topk_indexed(cat.read("idx"), q,
+                            stats=cat.read("idx_stats")).count()
+    assert got == 2
