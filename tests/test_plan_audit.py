@@ -17,6 +17,9 @@ ALLOWED_NESTED_LOOP = {
     # the corpus side streams once — the point of these ops is exact
     # scoring, the scale path is ann_ivf/cosine_pairs' bucketed variants
     "ann_cosine": "bounded probe set vs corpus, exact-scoring baseline",
+    # hybrid fusion's semantic list IS cosine_topk — same bounded
+    # 3-probe broadcast vs corpus; the fusion itself is list-sized
+    "hybrid_rrf": "bounded probe set vs corpus (cosine_topk leg of RRF)",
     # the unigram-LM scalar totals (corpus token count + vocab size) are a
     # literal 1-row aggregate cross-joined onto the vocabulary — build side
     # is one row by construction, and joining it avoids a driver collect
