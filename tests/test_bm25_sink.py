@@ -214,3 +214,52 @@ def test_default_checkpoint_lives_under_catalog_root(spark, tmp_path):
     stream_bm25_sink(spark, src, cat, "idx")
     ckpts = os.listdir(os.path.join(root, "_checkpoints"))
     assert len(ckpts) == 1 and ckpts[0].startswith("bm25_ckpt_idx_")
+
+
+def test_gate_then_bm25_sink_composition(spark, tmp_path):
+    """The documented deployment shape: a dedup gate admits documents to
+    the clean table, and the BM25 sink indexes THE CLEAN TABLE's
+    directory — rejected near-dups never reach the index, and the index
+    equals a batch build over exactly the accepted corpus."""
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_topk, bm25_topk_indexed,
+    )
+    from database_transportor_spark.sources.versioned import (
+        VersionedCatalog,
+    )
+    from database_transportor_spark.streaming.dedup_gate import (
+        stream_dedup_gate,
+    )
+
+    feed = str(tmp_path / "feed")
+    cat = VersionedCatalog(spark, str(tmp_path / "cat"))
+    docs = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta"),  # exact dup of 1 -> rejected
+            (4, "iota kappa lambda mu")]
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1) \
+        .write.parquet(feed)
+    stream_dedup_gate(
+        spark, feed, cat, "clean", "gate_idx", id_col="doc_id",
+        text_col="text", threshold=0.9,
+        checkpoint=str(tmp_path / "gck"))
+    accepted = {r["doc_id"] for r in cat.read("clean").collect()}
+    assert accepted == {1, 2, 4}
+    # the clean table's CURRENT version dir is a parquet directory the
+    # sink can stream from (availableNow drains it)
+    clean_dir = cat.path("clean")
+    stream_bm25_sink(spark, clean_dir, cat, "idx",
+                     checkpoint=str(tmp_path / "bck"),
+                     stats_table="idx_stats")
+    got_ids = {r["doc_id"] for r in cat.read("idx").collect()}
+    assert got_ids == {1, 2, 4}
+    accepted_docs = cat.read("clean").select("doc_id", "text")
+    want = sorted(map(tuple, bm25_index(accepted_docs).collect()))
+    got = sorted(map(tuple, cat.read("idx").select(
+        "token", "doc_id", "tf", "dl").collect()))
+    assert got == want
+    # end-to-end serve through the sink-maintained stats
+    q = spark.createDataFrame([(1, "alpha kappa")], ["query_id", "query"])
+    via = sorted(map(tuple, bm25_topk_indexed(
+        cat.read("idx"), q, stats=cat.read("idx_stats")).collect()))
+    direct = sorted(map(tuple, bm25_topk(accepted_docs, q).collect()))
+    assert via == direct
