@@ -36,6 +36,10 @@ scheme's silent-loss window: some of the batch's files on disk, the
 rest gone) — it is SCRUBBED (one staged rewrite dropping that marker's
 rows) and re-applied from scratch.  Both the scrub and the re-append
 are deterministic, so every crash window converges to the same index.
+The scrub rewrite inherits the CATALOG's swap atomicity: on a
+``VersionedCatalog`` the commit is a pointer move (no loss window at
+all — prefer it for production sinks); a plain ``FileCatalog`` swap
+retains its documented narrow rmtree/rename window.
 
 Plan shape per batch: one tokenize/aggregate pass over the BATCH only
 (two batch-sized shuffles: tf, dl), one anti-join against the stored
