@@ -1352,6 +1352,15 @@ def bm25_index_layout(
     (``stream_bm25_sink``) re-fragments over time; re-run this
     out-of-band, like ``gate_maintain`` compaction.  Rows, columns and
     served scores are unchanged (pinned in tests).
+
+    Concurrency: runs under the catalog's per-table writer lock when
+    one exists (``VersionedCatalog`` — cross-process since round 10),
+    so a live ``stream_bm25_sink`` append can never land between this
+    rewrite's read and its commit and be clobbered — the same contract
+    as ``gate_maintain``.  On lock-less catalogs schedule it between
+    ingest runs.  The file count walks the table through the Hadoop
+    FileSystem API, so it is correct for any storage scheme, not just
+    local paths.
     """
     if files < 1:
         raise ValueError("bm25_index_layout: files must be >= 1")
@@ -1360,20 +1369,30 @@ def bm25_index_layout(
             "bm25_index_layout: needs a file catalog (the layout is a "
             f"parquet property); {type(catalog).__name__} has no path()"
         )
-    idx = catalog.read(index_table)
-    laid = idx.repartitionByRange(files, "token").sortWithinPartitions(
-        "token")
-    catalog.write_staged(laid, index_table)
-    catalog.commit_staged(index_table)
-    import os
+    from contextlib import nullcontext
 
-    root = catalog.path(index_table)
-    return sum(
-        1
-        for dirpath, _dirs, names in os.walk(root)
-        for f in names
-        if not f.startswith((".", "_"))
+    lock = (
+        catalog.writer_lock(index_table)
+        if hasattr(catalog, "writer_lock")
+        else nullcontext()
     )
+    with lock:
+        idx = catalog.read(index_table)
+        laid = idx.repartitionByRange(files, "token").sortWithinPartitions(
+            "token")
+        catalog.write_staged(laid, index_table)
+        catalog.commit_staged(index_table)
+        root = catalog.path(index_table)
+        jvm = catalog.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(catalog.spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
 
 
 #: stats-mode query-term sets up to this size inline as IN literals (the
@@ -1443,6 +1462,7 @@ def bm25_topk_indexed(
         .filter(F.col("token") != "")
         .distinct()
     )
+    bounded_q = True  # broadcast hints only while the term set is small
     if stats is not None:
         fresh = "n_postings" in stats.columns
         srow = stats.select(
@@ -1471,17 +1491,20 @@ def bm25_topk_indexed(
         # literal IN over the (human-sized) query term set: the ONLY
         # index touch left is a token-pruned posting scan, and the
         # broadcast df side shrinks to the query terms too.  A term set
-        # past the cap is never collect()ed — semi-join instead (keeps
-        # the driver bounded; forfeits only the literal-pushdown file
-        # skipping, which a giant term set defeats anyway)
+        # past the cap is never collect()ed — UNHINTED semi-join instead
+        # (forcing a broadcast would materialize the whole set on the
+        # driver, the exact failure the cap prevents; AQE still picks a
+        # broadcast when the runtime size allows).  Forfeits only the
+        # literal-pushdown file skipping, which a giant term set defeats
+        # anyway.
         qtok_df = qterms.select("token").distinct()
         qtok = [r["token"]
                 for r in qtok_df.limit(_STATS_QTERM_CAP + 1).collect()]
         if len(qtok) > _STATS_QTERM_CAP:
-            dfreq = stats.join(
-                F.broadcast(qtok_df), "token", "left_semi"
-            ).select("token", "df")
-            tf = tf.join(F.broadcast(qtok_df), "token", "left_semi")
+            bounded_q = False
+            dfreq = stats.join(qtok_df, "token", "left_semi").select(
+                "token", "df")
+            tf = tf.join(qtok_df, "token", "left_semi")
         else:
             dfreq = stats.select("token", "df").filter(
                 F.col("token").isin(qtok))
@@ -1513,9 +1536,11 @@ def bm25_topk_indexed(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     )
+    qj = F.broadcast(qterms) if bounded_q else qterms
+    dj = F.broadcast(dfreq) if bounded_q else dfreq
     scored = (
-        tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(dfreq), "token")
+        tf.join(qj, "token")
+        .join(dj, "token")
         .groupBy("__qid", "__id")
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )

@@ -51,10 +51,16 @@ corpus' text is never re-read.
 Checkpoint placement: the default lives under the target catalog's
 root (``<root>/_checkpoints/...``) when the catalog is file-backed, so
 a drop-the-directory rebuild removes the checkpoint with the data;
-only location-less catalogs fall back to the system temp dir.  Either
-way, a NON-EMPTY commit history whose index table is missing fails
-loudly at start — the silent-empty-index failure mode of a
-dropped-and-recreated table under a surviving checkpoint (ADVICE r9).
+only location-less catalogs fall back to the system temp dir, and a
+pre-round-10 temp-dir default checkpoint is ADOPTED (with a warning)
+rather than silently abandoned to a full source re-scan.  Sidecar
+bookkeeping goes through the Hadoop FileSystem API, so an explicit
+``checkpoint=`` may live on any scheme the cluster mounts (HDFS, s3a,
+file:) — the same places a production ``checkpointLocation`` already
+must.  Either way, a NON-EMPTY commit history whose index table is
+missing fails loudly at start — the silent-empty-index failure mode of
+a dropped-and-recreated table under a surviving checkpoint (ADVICE
+r9).
 
 Operations: the sink accrues one file set per micro-batch — the same
 fragmentation curve the gates measured (SCALE.md) — so compact the
@@ -82,6 +88,50 @@ from ..operators.text import bm25_index, bm25_index_stats
 from ..sources.catalog import Catalog
 
 __all__ = ["stream_bm25_sink"]
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the live JVM — sidecar
+    bookkeeping must work wherever the checkpoint lives (HDFS, s3a,
+    file:), not just on the driver's local disk; a production
+    checkpoint is durable shared storage by definition."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_count_children(spark: SparkSession, dir_path: str) -> int:
+    fs, p = _hadoop_fs(spark, dir_path)
+    if not fs.exists(p):
+        return 0
+    # local Hadoop FS writes .<name>.crc companions — not commits
+    return sum(
+        1 for s in fs.listStatus(p)
+        if not s.getPath().getName().startswith((".", "_"))
+    )
+
+
+def _fs_write_atomic(spark: SparkSession, path: str, data: str) -> None:
+    """Create-then-rename: atomic on HDFS/local; on object stores the
+    rename is copy+delete but the tiny sidecar appears all-or-nothing
+    to the existence probe either way."""
+    fs, p = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp")
+    fs.mkdirs(p.getParent())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data.encode()))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
 def stream_bm25_sink(
@@ -128,6 +178,7 @@ def stream_bm25_sink(
                  index_table]
             ).encode()
         ).hexdigest()[:16]
+        name = f"bm25_ckpt_{index_table}_{ident}"
         # default under the catalog root (dies with the data directory);
         # temp dir only for catalogs with no filesystem location
         base = (
@@ -135,20 +186,32 @@ def stream_bm25_sink(
             if hasattr(target, "root")
             else tempfile.gettempdir()
         )
-        checkpoint = os.path.join(base, f"bm25_ckpt_{index_table}_{ident}")
+        checkpoint = os.path.join(base, name)
+        # migration: a pre-round-10 deployment's default lived in the
+        # system temp dir — keep using it rather than silently starting
+        # a fresh checkpoint and re-listing the entire source history
+        legacy = os.path.join(tempfile.gettempdir(), name)
+        if legacy != checkpoint and os.path.isdir(legacy) \
+                and not os.path.isdir(checkpoint):
+            import warnings
+
+            warnings.warn(
+                f"stream_bm25_sink: adopting the pre-existing legacy "
+                f"default checkpoint {legacy!r}; move it under "
+                f"{checkpoint!r} (and pass checkpoint=) to migrate",
+                stacklevel=2,
+            )
+            checkpoint = legacy
     ckpt_ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
-    commits_dir = os.path.join(checkpoint, "_dbt_commits")
+    commits_dir = checkpoint.rstrip("/") + "/_dbt_commits"
     # loud-failure guard: committed batches on record but no index table
     # means the table was dropped/rebuilt under a surviving checkpoint —
     # the stream would silently never re-index the already-seen files
-    try:
-        committed = os.listdir(commits_dir)
-    except FileNotFoundError:
-        committed = []
+    committed = _fs_count_children(spark, commits_dir)
     if committed and not target.exists(index_table):
         raise ValueError(
             f"stream_bm25_sink: checkpoint {checkpoint!r} records "
-            f"{len(committed)} committed batches but index table "
+            f"{committed} committed batches but index table "
             f"{index_table!r} does not exist — it was dropped or rebuilt "
             "while the checkpoint survived, so already-ingested source "
             "files would silently never be re-indexed.  Delete the "
@@ -156,20 +219,25 @@ def stream_bm25_sink(
         )
     applied = {"n": 0}
 
+    # lock BOTH tables in sorted order — the same fixed order
+    # gate_maintain uses — so a concurrent maintenance process locking
+    # the same pair can never ABBA-deadlock with a batch
+    lock_keys = sorted({index_table}
+                       | ({stats_table} if stats_table else set()))
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         marker = f"{ckpt_ns}:{batch_id}"
-        sidecar = os.path.join(commits_dir, str(batch_id))
-        from contextlib import nullcontext
+        sidecar = f"{commits_dir}/{batch_id}"
+        from contextlib import ExitStack
 
-        lock = (
-            target.writer_lock(index_table)
-            if hasattr(target, "writer_lock")
-            else nullcontext()
-        )
-        with lock, pin_scope():
-            if os.path.exists(sidecar):
+        with ExitStack() as stack:
+            if hasattr(target, "writer_lock"):
+                for t in lock_keys:
+                    stack.enter_context(target.writer_lock(t))
+            stack.enter_context(pin_scope())
+            if _fs_exists(spark, sidecar):
                 return  # fully committed earlier; the replay drains
             if target.exists(index_table):
                 stored = target.read(index_table)
@@ -223,11 +291,7 @@ def stream_bm25_sink(
                     stats_table,
                 )
                 target.commit_staged(stats_table)
-            os.makedirs(commits_dir, exist_ok=True)
-            tmp = sidecar + ".__tmp"
-            with open(tmp, "w") as f:
-                f.write(marker)
-            os.replace(tmp, sidecar)  # atomic commit point
+            _fs_write_atomic(spark, sidecar, marker)  # the commit point
             applied["n"] += 1
 
     stream = spark.readStream.schema(schema).parquet(source_dir)

@@ -263,3 +263,29 @@ def test_gate_then_bm25_sink_composition(spark, tmp_path):
         cat.read("idx"), q, stats=cat.read("idx_stats")).collect()))
     direct = sorted(map(tuple, bm25_topk(accepted_docs, q).collect()))
     assert via == direct
+
+
+def test_uri_checkpoint_sidecars_work(spark, tmp_path):
+    """Round-10 review fix: sidecar bookkeeping goes through the Hadoop
+    FileSystem API, so a URI checkpoint (file:, hdfs:, s3a:) works —
+    the round-9-era os.* calls failed or mis-rooted on any scheme."""
+    src = str(tmp_path / "feedu")
+    ckpt = f"file:{tmp_path}/ckptu"  # scheme-qualified URI
+    cat = ParquetCatalog(spark, str(tmp_path / "catu"))
+    _write(spark, src, [(1, "alpha beta")])
+    n = stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
+    assert n == 1
+    import os
+
+    commits = [f for f in os.listdir(f"{tmp_path}/ckptu/_dbt_commits")
+               if not f.startswith(".")]  # local FS adds .crc companions
+    assert commits == ["0"]
+    # replay drains without re-applying; dropped-index guard fires
+    # through the same FS probe
+    assert stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt) == 0
+    import shutil
+
+    shutil.rmtree(cat.path("idx"))
+    _write(spark, src, [(2, "gamma delta")])
+    with pytest.raises(ValueError, match="dropped or rebuilt"):
+        stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)

@@ -41,7 +41,11 @@ def smoke(sf_dir: str) -> int:
 
     here = os.path.abspath(__file__)
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(here))
+    # prepend, never overwrite — the caller's PYTHONPATH may carry
+    # dependencies the child imports need
+    repo = os.path.dirname(os.path.dirname(here))
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
     for attempt in (1, 2):
         print(f"--- smoke run {attempt}/2 (fresh process) ---", flush=True)
         r = subprocess.run(
