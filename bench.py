@@ -270,12 +270,17 @@ def main() -> None:
     host_degraded = None
     if prev_ref:
         drift = ruler_pre / prev_ref
-        host_degraded = not (0.85 <= drift <= 1.15)
+        # band calibrated to the ruler's MEASURED same-box session
+        # spread: three same-day round-10 sessions recorded medians
+        # 0.405-0.462 s (±13%), so 0.85-1.15 would misfire on ordinary
+        # session phase; the r9-class poisoning this gate exists for
+        # showed 1.70x (0.573 vs 0.338) and stays well outside 1.25
+        host_degraded = not (0.80 <= drift <= 1.25)
         if host_degraded:
             print(
                 f"# HOST DEGRADED: pre-suite ruler {ruler_pre:.3f}s is "
                 f"{drift:.2f}x the previous session's {prev_ref:.3f}s "
-                "(healthy band 0.85-1.15x) — suite numbers this session "
+                "(healthy band 0.80-1.25x) — suite numbers this session "
                 "are not comparable round-over-round",
                 file=sys.stderr,
             )
