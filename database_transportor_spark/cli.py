@@ -434,6 +434,20 @@ def _cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_vacuum(args: argparse.Namespace) -> int:
+    # directory removals only — no SparkSession needed (or built)
+    from .sources.versioned import VersionedCatalog
+
+    cat = VersionedCatalog(None, args.root)
+    removed = cat.vacuum(args.table, keep=args.keep)
+    kept = cat.versions(args.table)
+    print(
+        f"{args.root}/{args.table}: removed "
+        f"{len(removed)} version(s) {removed or ''}, kept {kept}"
+    )
+    return 0
+
+
 def _cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc SQL over a catalog root: every table in the directory is
     registered as a temp view named after its file stem, then the query
@@ -646,6 +660,17 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--version", type=int, required=True)
     rb.add_argument("--master", default=None)
     rb.set_defaults(fn=_cmd_rollback)
+
+    vc = sub.add_parser(
+        "vacuum",
+        help="delete all but the newest N versions of a versioned table "
+             "(HEAD always kept; crash-orphaned staging dirs swept too)",
+    )
+    vc.add_argument("--root", required=True, help="versioned catalog root")
+    vc.add_argument("--table", required=True)
+    vc.add_argument("--keep", type=int, default=3,
+                    help="committed versions to retain (default 3)")
+    vc.set_defaults(fn=_cmd_vacuum)
 
     q = sub.add_parser("sql", help="run ad-hoc SQL over a catalog root")
     q.add_argument("--root", required=True, help="catalog root directory")

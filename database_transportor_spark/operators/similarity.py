@@ -245,6 +245,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     k: int = 60,
     topk: int = 10,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of N ranked retrieval lists — the standard
     hybrid-retrieval combiner (lexical BM25 + embedding cosine is the
@@ -259,6 +260,12 @@ def rrf_fuse(
     usual doc-id tiebreak (ulp armor; with ≤2 lists the two-term sum is
     order-exact even unrounded).
 
+    ``weights`` (optional, one per list): scales each list's
+    contribution — ``w_i / (k + rank)`` — the standard lever when one
+    retriever is more trusted (e.g. downweight the lexical leg for a
+    decontamination probe tuned for paraphrases).  Unweighted calls are
+    unchanged.
+
     Scale shape: the inputs are already (queries × k)-sized — the
     corpus-scale work happened upstream in the retrievers — so fusion
     is one union + one (query, id) aggregation + one window over
@@ -271,20 +278,28 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: pass at least one ranking")
     if k < 1 or topk < 1:
         raise ValueError("rrf_fuse: k and topk must be >= 1")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(weights)} weights for {len(rankings)} "
+            "rankings — pass one per list"
+        )
+    ws = [1.0] * len(rankings) if weights is None else [
+        float(w) for w in weights]
     parts = [
         r.select(
             F.col(query_col),
             F.col(id_col),
             F.col(rank_col).cast("long").alias("__r"),
+            F.lit(w).alias("__w"),
         )
-        for r in rankings
+        for r, w in zip(rankings, ws)
     ]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
     scored = u.groupBy(query_col, id_col).agg(
         F.round(
-            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r"))), 6
+            F.sum(F.col("__w") / (F.lit(float(k)) + F.col("__r"))), 6
         ).alias("rrf_score")
     )
     w = Window.partitionBy(query_col).orderBy(

@@ -559,3 +559,22 @@ def test_bm25_layout_cli(tmp_path):
     after = sorted(con.execute(
         f"SELECT * FROM '{tmp_path}/idx.parquet/*.parquet'").fetchall())
     assert after == before
+
+
+def test_vacuum_cli(tmp_path, spark):
+    """vacuum subcommand: retention over a versioned table without a
+    Spark session — HEAD survives, old versions go."""
+    from database_transportor_spark.sources.versioned import (
+        VersionedCatalog,
+    )
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    for i in range(4):
+        cat.write(spark.range(i + 1).toDF("v"), "t", mode="overwrite")
+    assert len(cat.versions("t")) == 4
+    r = _run(["vacuum", "--root", str(tmp_path), "--table", "t",
+              "--keep", "2"], timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "removed 2" in r.stdout
+    assert cat.versions("t") == [3, 4]
+    assert cat.read("t").count() == 4  # HEAD intact

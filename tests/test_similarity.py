@@ -432,3 +432,19 @@ class TestRRFFuse:
             rrf_fuse([])
         with _pytest.raises(ValueError, match=">= 1"):
             rrf_fuse([a], k=0)
+
+    def test_weighted_fusion(self, spark):
+        import pytest as _pytest
+
+        from database_transportor_spark.operators.similarity import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 10, 1)], ["query_id", "neighbor_id", "rank"])
+        sem = spark.createDataFrame(
+            [(1, 11, 1)], ["query_id", "neighbor_id", "rank"])
+        got = {r["neighbor_id"]: r["rrf_score"] for r in rrf_fuse(
+            [lex, sem], weights=[2.0, 0.5]).collect()}
+        assert got[10] == round(2.0 / 61, 6)
+        assert got[11] == round(0.5 / 61, 6)
+        with _pytest.raises(ValueError, match="one per list"):
+            rrf_fuse([lex, sem], weights=[1.0])
