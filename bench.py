@@ -44,7 +44,8 @@ largest absolute deltas spread-classed "noise" and never adjudicated):
 
 - **Pre-suite host-health gate**: the ruler runs BEFORE the suite and is
   compared to the previous artifact's ``confirm_ref_median``; outside
-  0.85–1.15× the artifact records ``host_degraded: true`` (and
+  the calibrated 0.80–1.25× band the artifact records
+  ``host_degraded: true`` (and
   ``SPARK_GRAFT_BENCH_REQUIRE_HEALTHY=1`` aborts with exit 2 instead of
   publishing poisoned numbers).
 - **Large deltas are A/B'd regardless of class**: any

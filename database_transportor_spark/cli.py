@@ -439,12 +439,28 @@ def _cmd_vacuum(args: argparse.Namespace) -> int:
     from .sources.versioned import VersionedCatalog
 
     cat = VersionedCatalog(None, args.root)
-    removed = cat.vacuum(args.table, keep=args.keep)
+    removed = cat.vacuum(args.table, keep=args.keep,
+                         orphan_grace=args.orphan_grace)
     kept = cat.versions(args.table)
     print(
         f"{args.root}/{args.table}: removed "
         f"{len(removed)} version(s) {removed or ''}, kept {kept}"
     )
+    return 0
+
+
+def _cmd_pin(args: argparse.Namespace) -> int:
+    # marker-file move only — no SparkSession needed (or built)
+    from .sources.versioned import VersionedCatalog
+
+    cat = VersionedCatalog(None, args.root)
+    if args.unpin:
+        cat.unpin_version(args.table, args.version)
+    else:
+        cat.pin_version(args.table, args.version)
+    verb = "unpinned" if args.unpin else "pinned"
+    print(f"{args.root}/{args.table}: {verb} v{args.version:08d} "
+          f"(pinned now: {cat.pinned_versions(args.table)})")
     return 0
 
 
@@ -664,13 +680,29 @@ def main(argv: list[str] | None = None) -> int:
     vc = sub.add_parser(
         "vacuum",
         help="delete all but the newest N versions of a versioned table "
-             "(HEAD always kept; crash-orphaned staging dirs swept too)",
+             "(HEAD and pinned versions always kept; crash-orphaned "
+             "staging dirs swept after --orphan-grace; serializes with "
+             "live writers via the cross-process writer lock)",
     )
     vc.add_argument("--root", required=True, help="versioned catalog root")
     vc.add_argument("--table", required=True)
     vc.add_argument("--keep", type=int, default=3,
                     help="committed versions to retain (default 3)")
+    vc.add_argument("--orphan-grace", type=float, default=3600.0,
+                    help="seconds an uncommitted staging dir must be "
+                         "idle before it is reaped (default 3600)")
     vc.set_defaults(fn=_cmd_vacuum)
+
+    pn = sub.add_parser(
+        "pin",
+        help="pin (or with --unpin release) a committed version so "
+             "vacuum never reaps it — a guaranteed rollback point",
+    )
+    pn.add_argument("--root", required=True, help="versioned catalog root")
+    pn.add_argument("--table", required=True)
+    pn.add_argument("--version", type=int, required=True)
+    pn.add_argument("--unpin", action="store_true")
+    pn.set_defaults(fn=_cmd_pin)
 
     q = sub.add_parser("sql", help="run ad-hoc SQL over a catalog root")
     q.add_argument("--root", required=True, help="catalog root directory")

@@ -13,10 +13,14 @@ crashed holder releases it IMMEDIATELY — no staleness heuristic, no
 takeover race, no clock skew between contenders.  The trade is scope:
 ``flock`` coordinates processes sharing a local (or properly-configured
 NFS) mount.  On object stores (S3/GCS) there is no byte-range locking
-at all — there the production contract is a catalog lease table or an
-external scheduler serializing ingest and maintenance windows
-(TUNING.md), the same discipline every lakehouse table format
-documents.
+at all — there the production contract is a lease-based lock (plug one
+in via the catalog's ``lock_factory=``) or an external scheduler
+serializing ingest and maintenance windows (TUNING.md), the same
+discipline every lakehouse table format documents.  Round 11: that
+contract is LOUD, not documented-only — a URI-schemed path raises at
+construction, and an flock-unsupported mount (EINVAL/ENOTSUP) raises
+immediately instead of spinning the timeout and blaming a phantom
+holder.
 
 ``acquire`` blocks up to ``timeout`` seconds (poll + non-blocking
 flock, so a holder's crash is observed at poll granularity) and raises
@@ -26,7 +30,9 @@ ingest failure instead of a silent indefinite stall.
 
 from __future__ import annotations
 
+import errno
 import os
+import re
 import time
 
 try:  # POSIX; the import-try keeps non-POSIX platforms importable
@@ -34,7 +40,30 @@ try:  # POSIX; the import-try keeps non-POSIX platforms importable
 except ImportError:  # pragma: no cover
     fcntl = None
 
-__all__ = ["ProcessLock"]
+__all__ = ["ProcessLock", "is_remote_path"]
+
+#: URI schemes that name a locally-openable path anyway
+_LOCAL_SCHEMES = ("file",)
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+#: flock errnos that mean "held by someone else" (retry); anything else
+#: means the filesystem cannot lock at all (fail fast, don't spin)
+_CONTENTION_ERRNOS = frozenset(
+    e for e in (
+        getattr(errno, "EAGAIN", None),
+        getattr(errno, "EWOULDBLOCK", None),
+        getattr(errno, "EACCES", None),
+    ) if e is not None
+)
+
+
+def is_remote_path(path: str) -> bool:
+    """True when ``path`` carries a non-local URI scheme (``s3a://``,
+    ``gs://``, ``hdfs://``, ...) — a location ``os.open``/``flock``
+    cannot reach.  ``file://`` and plain paths are local."""
+    m = _SCHEME_RE.match(path)
+    return bool(m) and m.group(1).lower() not in _LOCAL_SCHEMES
 
 
 class ProcessLock:
@@ -48,6 +77,18 @@ class ProcessLock:
 
     def __init__(self, path: str, timeout: float = 600.0,
                  poll: float = 0.05):
+        if is_remote_path(path):
+            # loud, at construction: a flock on an object-store URI is
+            # not "best effort", it is NO coordination — the open()
+            # would land on some local path-shaped string (or fail) and
+            # two writers would both believe they hold the table
+            raise ValueError(
+                f"ProcessLock: {path!r} is not a locally-mounted path — "
+                "flock(2) cannot coordinate writers on an object store. "
+                "Use a lease-based lock via the catalog's lock_factory= "
+                "or serialize ingest and maintenance windows with an "
+                "external scheduler (TUNING.md: cross-process writers)."
+            )
         self.path = path
         self.timeout = timeout
         self.poll = poll
@@ -69,7 +110,21 @@ class ProcessLock:
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
-                except OSError:
+                except OSError as e:
+                    if e.errno not in _CONTENTION_ERRNOS:
+                        # EINVAL/ENOTSUP/...: the mount cannot flock at
+                        # all — spinning the full timeout and blaming a
+                        # phantom holder would be a lie; fail fast
+                        raise OSError(
+                            e.errno,
+                            f"ProcessLock: flock on {self.path!r} failed "
+                            f"with {errno.errorcode.get(e.errno, e.errno)}"
+                            " — this filesystem does not support "
+                            "flock(2); use a lease-based lock via the "
+                            "catalog's lock_factory= or an external "
+                            "scheduler (TUNING.md: cross-process "
+                            "writers)",
+                        ) from e
                     if time.monotonic() >= deadline:
                         raise TimeoutError(
                             f"ProcessLock: could not acquire {self.path!r} "

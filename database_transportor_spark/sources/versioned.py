@@ -30,29 +30,31 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import FileCatalog
-from .locks import ProcessLock
+from .locks import ProcessLock, is_remote_path
 
 __all__ = ["VersionedCatalog"]
 
 
 class _TableWriterLock:
     """Per-table writer lock: an in-process reentrant lock composed with
-    a cross-process ``flock`` on ``<table>.versions/_LOCK`` — only the
-    OUTERMOST in-process holder touches the file lock, so the existing
-    nesting pattern (``commit_staged`` inside ``writer_lock``) keeps
-    working while two PROCESSES (a live ingest gate and an external
-    ``gate_maintain``) now genuinely serialize.  ``depth`` is mutated
-    only while the RLock is held, so it needs no extra synchronization.
+    a cross-process lock (``flock`` on ``<table>.versions/_LOCK`` by
+    default; a lease lock from ``lock_factory=`` on mounts that cannot
+    flock) — only the OUTERMOST in-process holder touches the file
+    lock, so the existing nesting pattern (``commit_staged`` inside
+    ``writer_lock``) keeps working while two PROCESSES (a live ingest
+    gate and an external ``gate_maintain``) genuinely serialize.
+    ``depth`` is mutated only while the RLock is held, so it needs no
+    extra synchronization.
     """
 
-    def __init__(self, rlock: threading.RLock, lock_path: str,
-                 timeout: float):
+    def __init__(self, rlock: threading.RLock, flock) -> None:
         self._rlock = rlock
-        self._flock = ProcessLock(lock_path, timeout=timeout)
+        self._flock = flock
         self._depth = 0
 
     def acquire(self) -> None:
@@ -67,9 +69,12 @@ class _TableWriterLock:
 
     def release(self) -> None:
         self._depth -= 1
-        if self._depth == 0:
-            self._flock.release()
-        self._rlock.release()
+        try:
+            if self._depth == 0:
+                self._flock.release()
+        finally:
+            # a failed flock release must not wedge the in-process lock
+            self._rlock.release()
 
     def __enter__(self) -> "_TableWriterLock":
         self.acquire()
@@ -86,8 +91,23 @@ class VersionedCatalog(FileCatalog):
         root: str,
         format: str | None = None,
         lock_timeout: float = 600.0,
+        lock_factory=None,
         **kwargs,
     ):
+        if is_remote_path(root):
+            # The pointer/marker protocol (open/os.replace/os.listdir)
+            # and the flock writer lock both need a locally-openable
+            # path.  On an object store this catalog would silently
+            # read nothing and lock nothing — refuse loudly instead.
+            raise ValueError(
+                f"VersionedCatalog: root {root!r} is not a locally-"
+                "mounted path.  The versioned catalog's _HEAD pointer, "
+                "commit markers, and flock writer lock live on a real "
+                "filesystem; on S3/GCS/ABFS use a lakehouse table "
+                "format or mount the store (s3fs/gcsfuse give NO lock "
+                "semantics — pass lock_factory= with a lease-based "
+                "lock there).  See TUNING.md: cross-process writers."
+            )
         super().__init__(spark, root, format=format, **kwargs)
         # staged-version bookkeeping must survive concurrent use (the
         # engine's parallel transport stages several tables at once)
@@ -116,16 +136,23 @@ class VersionedCatalog(FileCatalog):
         # every in-repo caller already does.)
         self._wlocks: dict[str, _TableWriterLock] = {}
         self._lock_timeout = float(lock_timeout)
+        # lock_factory(path, timeout) -> acquire/release lock object: the
+        # escape hatch for mounts where flock(2) is unsupported (some NFS
+        # configurations; FUSE object-store mounts) — plug a lease-based
+        # lock here and every writer_lock composes it instead of flock
+        self._lock_factory = lock_factory
 
     def _writer_lock(self, table: str) -> _TableWriterLock:
         with self._plock:
             got = self._wlocks.get(table)
             if got is None:
-                got = _TableWriterLock(
-                    threading.RLock(),
-                    f"{self._table_root(table)}/_LOCK",
-                    self._lock_timeout,
+                path = f"{self._table_root(table)}/_LOCK"
+                flock = (
+                    self._lock_factory(path, self._lock_timeout)
+                    if self._lock_factory is not None
+                    else ProcessLock(path, timeout=self._lock_timeout)
                 )
+                got = _TableWriterLock(threading.RLock(), flock)
                 self._wlocks[table] = got
             return got
 
@@ -162,6 +189,17 @@ class VersionedCatalog(FileCatalog):
     def _marker(self, table: str, version: int) -> str:
         return self._version_dir(table, version) + ".__committed"
 
+    def _staging_sidecar(self, table: str, version: int) -> str:
+        # cross-process "staged, not yet committed" marker: written by
+        # write_staged BEFORE the data lands, removed by commit/abort.
+        # vacuum's orphan sweep must not reap a dir whose sidecar is
+        # fresh — another PROCESS may be between stage and commit
+        # (_pending only covers this instance's threads)
+        return self._version_dir(table, version) + ".__staging"
+
+    def _pin_marker(self, table: str, version: int) -> str:
+        return self._version_dir(table, version) + ".__pinned"
+
     def versions(self, table: str) -> list[int]:
         """All COMMITTED version numbers, ascending.  Staged-but-never-
         committed or crash-orphaned version directories are excluded —
@@ -187,6 +225,23 @@ class VersionedCatalog(FileCatalog):
             int(e[1:]) for e in entries
             if e.startswith("v") and e[1:].isdigit()
         )
+
+    def _staged_versions(self, table: str) -> set[int]:
+        """Version numbers with a staging sidecar on disk — stagings in
+        flight from ANY process, plus crash leftovers (distinguished by
+        sidecar age in :meth:`vacuum`)."""
+        suffix = ".__staging"
+        try:
+            entries = os.listdir(self._table_root(table))
+        except FileNotFoundError:
+            return set()
+        out = set()
+        for e in entries:
+            if e.startswith("v") and e.endswith(suffix):
+                core = e[1:-len(suffix)]
+                if core.isdigit():
+                    out.add(int(core))
+        return out
 
     def _set_head(self, table: str, version: int) -> None:
         head = self._head_file(table)
@@ -232,8 +287,9 @@ class VersionedCatalog(FileCatalog):
         # so it must be consulted too or a racing write() would reuse it.
         pending = self._pending.get(table, 0)
         reserved = max(self._reserved.get(table, ()), default=0)
+        staged = max(self._staged_versions(table), default=0)
         return max(max(self._all_version_dirs(table), default=0),
-                   pending, reserved) + 1
+                   pending, reserved, staged) + 1
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         # the writer lock spans read-union-save-commit: append bases the
@@ -260,14 +316,26 @@ class VersionedCatalog(FileCatalog):
     # staged writes: the version directory IS the staging area — commit
     # is the pointer move, abort deletes the never-pointed-at directory
     def write_staged(self, df: DataFrame, table: str) -> None:
-        os.makedirs(self._table_root(table), exist_ok=True)
-        with self._plock:
-            nxt = self._next_version(table)
-            # reserve the number under the lock so concurrent stagings of
-            # DIFFERENT tables (or a racing re-stage) never collide
-            self._pending[table] = nxt
-        target = self._version_dir(table, nxt)
-        self._save(df, target, "overwrite")
+        # the writer lock makes the number reservation cross-process:
+        # without it two PROCESSES staging the same table could both
+        # compute the same next version (each instance's _pending is
+        # private) and overwrite each other's staging dir.  Reentrant,
+        # so callers already holding writer_lock across their whole
+        # read→stage→commit sequence are unchanged.
+        with self._writer_lock(table):
+            os.makedirs(self._table_root(table), exist_ok=True)
+            with self._plock:
+                nxt = self._next_version(table)
+                # reserve the number under the lock so concurrent
+                # stagings of DIFFERENT tables (or a racing re-stage)
+                # never collide
+                self._pending[table] = nxt
+            # sidecar BEFORE data: from this point any process's vacuum
+            # sees the staging as in-flight, not crash garbage
+            with open(self._staging_sidecar(table, nxt), "w") as f:
+                f.write(f"pid={os.getpid()} staged_at={time.time()}\n")
+            target = self._version_dir(table, nxt)
+            self._save(df, target, "overwrite")
 
     def commit_staged(self, table: str, note: str | None = None) -> None:
         """Commit the pending staged version — the pointer move.  ``note``
@@ -287,6 +355,10 @@ class VersionedCatalog(FileCatalog):
                 if note:
                     f.write(note)
             self._set_head(table, nxt)
+            try:
+                os.remove(self._staging_sidecar(table, nxt))
+            except FileNotFoundError:
+                pass
 
     def history(self, table: str) -> list[dict]:
         """Committed versions, ascending, with commit time, marker note,
@@ -314,42 +386,110 @@ class VersionedCatalog(FileCatalog):
             nxt = self._pending.pop(table, None)
         if nxt is not None:
             shutil.rmtree(self._version_dir(table, nxt), ignore_errors=True)
+            try:
+                os.remove(self._staging_sidecar(table, nxt))
+            except FileNotFoundError:
+                pass
 
     # ------------------------------------------------------- management
 
     def rollback(self, table: str, version: int) -> None:
         """Point the table back at ``version`` — O(1), no data movement.
-        The rolled-back-over versions stay on disk until :meth:`vacuum`."""
+        The rolled-back-over versions stay on disk until :meth:`vacuum`
+        — and note the converse: vacuum retains only HEAD, pins, and
+        the newest ``keep`` versions, so an OLDER rollback target can
+        be vacuumed away (rollback then fails loudly here, it never
+        points at missing data).  :meth:`pin_version` exempts a version
+        from vacuum when you need a guaranteed rollback point.  Takes
+        the writer lock so a concurrent vacuum cannot reap the target
+        between this validation and the pointer move."""
+        with self._writer_lock(table):
+            if version not in self.versions(table):
+                raise ValueError(
+                    f"rollback: version {version} not retained for "
+                    f"{table!r} (have {self.versions(table)})"
+                )
+            self._set_head(table, version)
+
+    def pin_version(self, table: str, version: int) -> None:
+        """Exempt a committed ``version`` from :meth:`vacuum` — the
+        retention hook for guaranteed rollback points (an audited
+        release, a pre-migration snapshot).  O(1) marker file."""
         if version not in self.versions(table):
             raise ValueError(
-                f"rollback: version {version} not retained for {table!r} "
-                f"(have {self.versions(table)})"
+                f"pin_version: version {version} not committed for "
+                f"{table!r} (have {self.versions(table)})"
             )
-        self._set_head(table, version)
+        open(self._pin_marker(table, version), "w").close()
 
-    def vacuum(self, table: str, keep: int = 3) -> list[int]:
-        """Delete all but the newest ``keep`` versions (the HEAD version
-        is always kept regardless).  Returns the versions removed."""
+    def unpin_version(self, table: str, version: int) -> None:
+        try:
+            os.remove(self._pin_marker(table, version))
+        except FileNotFoundError:
+            pass
+
+    def pinned_versions(self, table: str) -> list[int]:
+        return sorted(
+            v for v in self._all_version_dirs(table)
+            if os.path.exists(self._pin_marker(table, v))
+        )
+
+    def vacuum(self, table: str, keep: int = 3,
+               orphan_grace: float = 3600.0) -> list[int]:
+        """Delete all but the newest ``keep`` committed versions (HEAD
+        and :meth:`pin_version`-pinned versions are always kept).
+        Returns the versions removed.
+
+        Runs under the cross-process writer lock, so it serializes with
+        every write/stage/commit sequence — including the ``vacuum``
+        CLI, which is always a separate process from a live writer.
+        Uncommitted version dirs are reaped only when their staging
+        sidecar is ABSENT or older than ``orphan_grace`` seconds
+        (default 1 h): a fresh sidecar means another process is between
+        ``write_staged`` and ``commit_staged`` right now and its dir
+        must survive; a stale one is a crashed run's garbage.
+        """
         if keep < 1:
             raise ValueError("vacuum: keep must be >= 1")
-        head = self.current_version(table)
-        vs = self.versions(table)
-        to_keep = set(vs[-keep:])
-        if head is not None:
-            to_keep.add(head)
         removed = []
-        for v in vs:
-            if v not in to_keep:
-                shutil.rmtree(self._version_dir(table, v), ignore_errors=True)
+        with self._writer_lock(table):
+            head = self.current_version(table)
+            vs = self.versions(table)
+            to_keep = set(vs[-keep:])
+            if head is not None:
+                to_keep.add(head)
+            to_keep.update(self.pinned_versions(table))
+            for v in vs:
+                if v not in to_keep:
+                    shutil.rmtree(self._version_dir(table, v),
+                                  ignore_errors=True)
+                    try:
+                        os.remove(self._marker(table, v))
+                    except FileNotFoundError:
+                        pass
+                    removed.append(v)
+            # orphaned staged dirs (crashed runs) are garbage too —
+            # but an in-flight staging (this instance's _pending, or a
+            # fresh sidecar from ANY process) is not
+            now = time.time()
+            committed = set(self.versions(table))
+            pending = set(self._pending.values())
+            for v in self._all_version_dirs(table):
+                if v in committed or v in pending:
+                    continue
+                sidecar = self._staging_sidecar(table, v)
                 try:
-                    os.remove(self._marker(table, v))
+                    age = now - os.path.getmtime(sidecar)
+                except OSError:
+                    age = None  # no sidecar: pre-round-11 orphan
+                if age is not None and age < orphan_grace:
+                    continue
+                shutil.rmtree(self._version_dir(table, v),
+                              ignore_errors=True)
+                try:
+                    os.remove(sidecar)
                 except FileNotFoundError:
                     pass
-                removed.append(v)
-        # orphaned staged dirs (crashed runs) are garbage too
-        for v in self._all_version_dirs(table):
-            if v not in set(self.versions(table)) and v not in self._pending.values():
-                shutil.rmtree(self._version_dir(table, v), ignore_errors=True)
                 removed.append(v)
         return removed
 
