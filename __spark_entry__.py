@@ -9757,12 +9757,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.text import bm25_topk
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk(docs, queries, k=10)
+    return bm25_topk(docs, _bm25_queries(spark), k=10)
 
 
 SQL_BM25_SEARCH = """
@@ -10128,12 +10123,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk_indexed(bm25_index(docs), queries, k=10)
+    return bm25_topk_indexed(bm25_index(docs), _bm25_queries(spark), k=10)
 
 
 _EXTENSION_QUERIES.update({"bm25_indexed": q_bm25_indexed})
@@ -10161,12 +10151,7 @@ def q_bm25_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" spark spark window")).alias("text"))
     updated = bm25_index_update(idx, add_docs=adds, delete_ids=dels)
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk_indexed(updated, queries, k=10)
+    return bm25_topk_indexed(updated, _bm25_queries(spark), k=10)
 
 
 # the mutated corpus as a CTE, spliced into the shared BM25 oracle body
@@ -10210,6 +10195,47 @@ _EXTENSION_QUERIES.update({"audio_decoder": q_audio_decoder})
 _EXTENSION_ORACLES.update({"audio_decoder": SQL_MP4_AUDIO})
 
 
+def _work_cat(spark: SparkSession, prefix: str = "wrk"):
+    """Throwaway ParquetCatalog under a fresh tempdir — the shared
+    scaffold every stored-table query used to hand-roll (VERDICT r10
+    #4: harness-LoC budget)."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark import ParquetCatalog
+
+    work = tempfile.mkdtemp(prefix=f"{prefix}_{uuid.uuid4().hex[:6]}_")
+    return ParquetCatalog(spark, f"{work}/cat")
+
+
+def _bm25_queries(spark: SparkSession) -> DataFrame:
+    """The fixed 3-query retrieval probe set every BM25 query serves."""
+    return spark.createDataFrame(
+        [(1, "spark window join"), (2, "fast hash merge"),
+         (3, "stream batch sort")],
+        "query_id int, query string",
+    )
+
+
+def _stream_fixture(spark: SparkSession, sf_dir: str, sink,
+                    prefix: str = "sfx", batches: int = 2):
+    """Shared streaming scaffold: feed the documents corpus in
+    ``batches`` micro-batches (doc_id mod round-robin) through
+    ``sink(src_dir, cat, checkpoint)`` — one call per batch, same
+    checkpoint, so the sink sees genuine incremental arrivals.
+    Returns the catalog holding whatever the sink maintained."""
+    cat = _work_cat(spark, prefix)
+    work = cat.root.rsplit("/", 1)[0]
+    src, ckpt = f"{work}/feed", f"{work}/ckpt"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    for i in range(batches):
+        docs.filter(F.col("doc_id") % batches == i) \
+            .write.mode("append").parquet(src)
+        sink(src, cat, ckpt)
+    return cat
+
+
 def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming retrieval-index maintenance (round 9,
     `streaming/bm25_sink.py:stream_bm25_sink`): the documents corpus
@@ -10219,31 +10245,17 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed queries are then served from the STREAMED table.  The oracle
     is the full batch BM25 SQL: a hash match proves the streamed index
     is indistinguishable from a one-shot build."""
-    import tempfile
-    import uuid
-
-    from database_transportor_spark import ParquetCatalog
     from database_transportor_spark.operators.text import bm25_topk_indexed
     from database_transportor_spark.streaming.bm25_sink import (
         stream_bm25_sink,
     )
 
-    work = tempfile.mkdtemp(prefix=f"sbm_{uuid.uuid4().hex[:6]}_")
-    src = f"{work}/feed"
-    cat = ParquetCatalog(spark, f"{work}/cat")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text")
-    ckpt = f"{work}/ckpt"
-    for half in (docs.filter(F.col("doc_id") % 2 == 0),
-                 docs.filter(F.col("doc_id") % 2 == 1)):
-        half.write.mode("append").parquet(src)
-        stream_bm25_sink(spark, src, cat, "idx", checkpoint=ckpt)
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk_indexed(cat.read("idx"), queries, k=10)
+    cat = _stream_fixture(
+        spark, sf_dir,
+        lambda src, c, ckpt: stream_bm25_sink(spark, src, c, "idx",
+                                              checkpoint=ckpt),
+        prefix="sbm")
+    return bm25_topk_indexed(cat.read("idx"), _bm25_queries(spark), k=10)
 
 
 _EXTENSION_QUERIES.update({"stream_bm25": q_stream_bm25})
@@ -10316,12 +10328,7 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see bm25_layout/bm25_stats_fresh), and a pin here would smear the
     # cached lineage across the census plan text
     idx = bm25_index(docs)
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk_indexed(idx, queries, k=10,
+    return bm25_topk_indexed(idx, _bm25_queries(spark), k=10,
                              stats=bm25_index_stats(idx))
 
 
@@ -10339,32 +10346,18 @@ def q_bm25_stats_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     live index before scoring.  Shares the full BM25 oracle: a hash
     match proves sink-maintained stats serve bit-identically to a
     one-shot build."""
-    import tempfile
-    import uuid
-
-    from database_transportor_spark import ParquetCatalog
     from database_transportor_spark.operators.text import bm25_topk_indexed
     from database_transportor_spark.streaming.bm25_sink import (
         stream_bm25_sink,
     )
 
-    work = tempfile.mkdtemp(prefix=f"sbf_{uuid.uuid4().hex[:6]}_")
-    src = f"{work}/feed"
-    cat = ParquetCatalog(spark, f"{work}/cat")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text")
-    for half in (docs.filter(F.col("doc_id") % 2 == 0),
-                 docs.filter(F.col("doc_id") % 2 == 1)):
-        half.write.mode("append").parquet(src)
-        stream_bm25_sink(spark, src, cat, "idx",
-                         checkpoint=f"{work}/ckpt",
-                         stats_table="idx_stats")
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk_indexed(cat.read("idx"), queries, k=10,
+    cat = _stream_fixture(
+        spark, sf_dir,
+        lambda src, c, ckpt: stream_bm25_sink(spark, src, c, "idx",
+                                              checkpoint=ckpt,
+                                              stats_table="idx_stats"),
+        prefix="sbf")
+    return bm25_topk_indexed(cat.read("idx"), _bm25_queries(spark), k=10,
                              stats=cat.read("idx_stats"))
 
 
@@ -10381,27 +10374,18 @@ def q_bm25_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALE.md round-9 measured 1-of-16 files touched on this layout).
     Shares the full BM25 oracle: a hash match proves the rewrite is
     score-transparent."""
-    import tempfile
-    import uuid
-
-    from database_transportor_spark import ParquetCatalog
     from database_transportor_spark.operators.text import (
         bm25_index, bm25_index_layout, bm25_index_stats,
         bm25_topk_indexed,
     )
 
-    work = tempfile.mkdtemp(prefix=f"sbl_{uuid.uuid4().hex[:6]}_")
-    cat = ParquetCatalog(spark, f"{work}/cat")
+    cat = _work_cat(spark, "sbl")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cat.write(bm25_index(docs), "idx", mode="overwrite")
     bm25_index_layout(cat, "idx", files=8)
     stats = bm25_index_stats(cat.read("idx"))
-    queries = spark.createDataFrame(
-        [(1, "spark window join"), (2, "fast hash merge"),
-         (3, "stream batch sort")],
-        "query_id int, query string",
-    )
-    return bm25_topk_indexed(cat.read("idx"), queries, k=10, stats=stats)
+    return bm25_topk_indexed(cat.read("idx"), _bm25_queries(spark), k=10,
+                             stats=stats)
 
 
 _EXTENSION_QUERIES.update({"bm25_layout": q_bm25_layout})
@@ -10505,3 +10489,33 @@ WHERE rn <= 10
 
 _EXTENSION_QUERIES.update({"hybrid_rrf": q_hybrid_rrf})
 _EXTENSION_ORACLES.update({"hybrid_rrf": SQL_HYBRID_RRF})
+
+
+def q_hybrid_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hybrid retrieval routed through the declarative planner
+    (round 11, `operators/post_ops.py:hybrid_retrieve`): a transport
+    spec whose post_ops stage composes the BM25 leg, the cosine leg,
+    and the reciprocal-rank fusion — "gate → index → hybrid retrieve"
+    is now expressible in one spec (VERDICT r10 #3).  Oracle: identical
+    to `hybrid_rrf`, so a hash match proves the declarative node equals
+    the hand-composed function path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    maps = {
+        "hybrid_out": {
+            "original_table": "hybrid_queries",
+            "columns": {"query_id": "query_id", "query": "query"},
+            "post_ops": [
+                {"op": "hybrid_retrieve", "corpus_table": "documents",
+                 "embeddings_table": "embeddings", "k": 10, "topk": 10,
+                 "exclude_self": True},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "hybrid_out",
+                extra_original={"hybrid_queries": qs})
+
+
+_EXTENSION_QUERIES.update({"hybrid_declarative": q_hybrid_declarative})
+_EXTENSION_ORACLES.update({"hybrid_declarative": SQL_HYBRID_RRF})

@@ -94,6 +94,10 @@ Built-in stages (each a thin adapter over ``operators/``):
      "text_col": "text", "id_col": "doc_id"}
     {"op": "asof_refer_forward", "table": ..., "on": [...],
      "left_ts": ..., "tolerance": ..., "select": [...]}
+    {"op": "hybrid_retrieve", "corpus_table"|"index_table": ...,
+     "embeddings_table": ..., "k": 10, "topk": 10, "rrf_k": 60,
+     "weights": [w_lex, w_sem], "semantic": "brute"|"ivf",
+     "exclude_self": bool, "stats_table": ...}  # df = the query set
 
 Relational stages (the declarative analytics tier — the same generic
 relational algebra the Q-shaped queries compile to, so a spec can express
@@ -1335,6 +1339,108 @@ def _asof_forward_stage(df: DataFrame, p: dict) -> DataFrame:
         tolerance=p.get("tolerance"),
         suffix=p.get("suffix", "_right"),
     )
+
+
+@register_post_op("hybrid_retrieve")
+def _hybrid_retrieve(df: DataFrame, p: dict) -> DataFrame:
+    """Declarative hybrid retrieval (VERDICT r10 #3): the input frame is
+    the QUERY set (``query_id_col`` + ``query_col`` text); the stage
+    retrieves top-``k`` per query LEXICALLY (BM25 over
+    ``corpus_table``, or a prebuilt :func:`bm25_index` posting table via
+    ``index_table=`` — add ``stats_table=`` for the stats-served 100 TB
+    path) and SEMANTICALLY (cosine over ``embeddings_table``; exact
+    ``semantic: "brute"`` or IVF-bucketed ``"ivf"``), then fuses by
+    weighted reciprocal rank (:func:`~.similarity.rrf_fuse`).  Output:
+    ``(query_id_col, neighbor_id, rrf_score, rank)`` — the flagship
+    "gate → index → hybrid retrieve" pipeline is now expressible in one
+    spec instead of hand-written Python around ``rrf_fuse``.
+
+    Probe vectors come from ``query_vec_col`` when the frame already
+    carries embeddings, else by joining the query ids against
+    ``embeddings_table`` (query-sized semi-join — the corpus never
+    fans out).  ``exclude_self: true`` drops a query's own document
+    from its lexical list AFTER the rank cut (matching the seed-
+    expansion convention where queries are corpus members; the
+    semantic legs always self-exclude).
+
+    Scale shape: both legs are the audited retrieval operators (posting-
+    bounded BM25, broadcast-probe or IVF-bucketed cosine); fusion is one
+    union + one (query, id) agg over lists of ``k`` rows per query.
+    """
+    from .similarity import cosine_topk, ivf_topk, rrf_fuse
+    from .text import (
+        bm25_index_stats, bm25_topk, bm25_topk_indexed,
+    )
+
+    resolve = p.get("_resolve")
+    if resolve is None:
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'hybrid_retrieve' needs the "
+            "engine's catalog resolver — run the spec through DBT (or "
+            "pass resolve= to apply_post_ops)"
+        )
+    if ("corpus_table" in p) == ("index_table" in p):
+        raise SpecError(
+            f"{p.get('_where', 'post_ops')}: 'hybrid_retrieve' takes "
+            "exactly one lexical source — corpus_table (direct BM25) or "
+            "index_table (a bm25_index posting table)"
+        )
+    side = p.get("side", "original")
+    qid = p.get("query_id_col", "query_id")
+    qtext = p.get("query_col", "query")
+    k = p.get("k", 10)
+    kw = dict(k1=p.get("k1", 1.2), b=p.get("b", 0.75), k=k,
+              max_df_ratio=p.get("max_df_ratio"))
+    queries = df.select(F.col(qid).alias("query_id"),
+                        F.col(qtext).alias("query"))
+    if "index_table" in p:
+        idx = resolve(side, p["index_table"])
+        stats = (
+            resolve(side, p["stats_table"]) if p.get("stats_table")
+            else bm25_index_stats(idx)
+        )
+        lex = bm25_topk_indexed(
+            idx, queries, id_col=p.get("id_col", "doc_id"),
+            stats=stats, allow_stale=p.get("allow_stale", False), **kw)
+    else:
+        lex = bm25_topk(
+            resolve(side, p["corpus_table"]), queries,
+            id_col=p.get("id_col", "doc_id"),
+            text_col=p.get("text_col", "text"), **kw)
+    lex = lex.select(
+        "query_id",
+        F.col(p.get("id_col", "doc_id")).alias("neighbor_id"),
+        "rank",
+    )
+    if p.get("exclude_self", False):
+        lex = lex.filter(F.col("neighbor_id") != F.col("query_id"))
+
+    emb = resolve(side, p["embeddings_table"])
+    vid = p.get("vec_id_col", "vec_id")
+    vec = p.get("vec_col", "embedding")
+    qvec = p.get("query_vec_col")
+    if qvec is not None:
+        probes = df.select(F.col(qid).alias(vid), F.col(qvec).alias(vec))
+    else:
+        probes = emb.join(
+            F.broadcast(df.select(F.col(qid).alias("__qid"))),
+            F.col(vid) == F.col("__qid"), "leftsemi")
+    if p.get("semantic", "brute") == "ivf":
+        sem = ivf_topk(
+            emb, probes, vid, vec, k=k,
+            nprobe=p.get("nprobe", 3),
+            method=p.get("centroid_method", "stride"),
+            n_centroids=p.get("n_centroids", 64))
+    else:
+        sem = cosine_topk(emb, probes, vid, vec, k=k)
+    sem = sem.select("query_id", "neighbor_id", "rank")
+
+    fused = rrf_fuse(
+        [lex, sem], k=p.get("rrf_k", 60), topk=p.get("topk", 10),
+        weights=p.get("weights"))
+    return fused.select(
+        F.col("query_id").alias(qid), "neighbor_id", "rrf_score",
+        F.col("rank").cast("long").alias("rank"))
 
 
 # Every stage registered above is a built-in: all take the engine context

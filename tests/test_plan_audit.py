@@ -20,6 +20,10 @@ ALLOWED_NESTED_LOOP = {
     # hybrid fusion's semantic list IS cosine_topk — same bounded
     # 3-probe broadcast vs corpus; the fusion itself is list-sized
     "hybrid_rrf": "bounded probe set vs corpus (cosine_topk leg of RRF)",
+    # the declarative hybrid_retrieve stage compiles to the SAME plan —
+    # its semantic leg is the identical bounded-probe cosine_topk
+    "hybrid_declarative":
+        "bounded probe set vs corpus (cosine_topk leg of RRF)",
     # the unigram-LM scalar totals (corpus token count + vocab size) are a
     # literal 1-row aggregate cross-joined onto the vocabulary — build side
     # is one row by construction, and joining it avoids a driver collect

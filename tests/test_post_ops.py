@@ -841,3 +841,112 @@ def test_custom_post_op_sees_only_its_own_params(spark):
         for name in ("__strict_custom", "__ctx_custom"):
             POST_OPS.pop(name, None)
             _CONTEXT_OPS.discard(name)
+
+
+def test_hybrid_retrieve_stage_matches_function_path(spark):
+    """VERDICT r10 #3: the declarative hybrid_retrieve stage must equal
+    the hand-composed bm25_topk + cosine_topk + rrf_fuse pipeline."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+    from database_transportor_spark.operators.similarity import (
+        cosine_topk, rrf_fuse,
+    )
+    from database_transportor_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} token{i % 3} shared word alpha") for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+
+    tables = {"documents": docs, "embeddings": emb}
+    got = apply_post_ops(
+        qs,
+        ({"op": "hybrid_retrieve", "corpus_table": "documents",
+          "embeddings_table": "embeddings", "k": 5, "topk": 5,
+          "exclude_self": True, "weights": [2.0, 1.0]},),
+        "test",
+        resolve=lambda side, t: tables[t],
+    )
+    lex = (
+        bm25_topk(docs, qs, k=5)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+    sem = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 2), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "rank")
+    want = rrf_fuse([lex, sem], topk=5, weights=[2.0, 1.0]).select(
+        "query_id", "neighbor_id", "rrf_score",
+        F.col("rank").cast("long").alias("rank"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.columns == ["query_id", "neighbor_id", "rrf_score", "rank"]
+
+
+def test_hybrid_retrieve_stage_validation(spark):
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+    from database_transportor_spark.spec import SpecError
+
+    qs = spark.createDataFrame([(1, "x")], "query_id long, query string")
+    with pytest.raises(SpecError, match="exactly one lexical source"):
+        apply_post_ops(
+            qs, ({"op": "hybrid_retrieve", "embeddings_table": "e"},),
+            "w", resolve=lambda side, t: qs)
+    with pytest.raises(SpecError, match="exactly one lexical source"):
+        apply_post_ops(
+            qs, ({"op": "hybrid_retrieve", "corpus_table": "d",
+                  "index_table": "i", "embeddings_table": "e"},),
+            "w", resolve=lambda side, t: qs)
+    with pytest.raises(SpecError, match="catalog resolver"):
+        apply_post_ops(
+            qs, ({"op": "hybrid_retrieve", "corpus_table": "d",
+                  "embeddings_table": "e"},), "w")
+
+
+def test_hybrid_retrieve_indexed_and_ivf_legs(spark):
+    """index_table + stats_table and the IVF semantic leg serve the same
+    fused contract (rank-only inputs -> identical fusion when both legs
+    return the same lists)."""
+    from pyspark.sql import functions as F
+
+    from database_transportor_spark.operators.post_ops import apply_post_ops
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} token{i % 3} shared word alpha") for i in range(8)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    idx = bm25_index(docs)
+    tables = {"documents": docs, "embeddings": emb, "idx": idx,
+              "idx_stats": bm25_index_stats(idx)}
+
+    def run(stage):
+        return sorted(map(tuple, apply_post_ops(
+            qs, (stage,), "test",
+            resolve=lambda side, t: tables[t]).collect()))
+
+    base = {"embeddings_table": "embeddings", "k": 5, "topk": 5,
+            "exclude_self": True}
+    direct = run({"op": "hybrid_retrieve", "corpus_table": "documents",
+                  **base})
+    indexed = run({"op": "hybrid_retrieve", "index_table": "idx",
+                   "stats_table": "idx_stats", **base})
+    assert indexed == direct  # indexed+stats serving is score-transparent
+    ivf = run({"op": "hybrid_retrieve", "corpus_table": "documents",
+               "semantic": "ivf", "n_centroids": 2, "nprobe": 2, **base})
+    assert len(ivf) > 0 and {r[0] for r in ivf} == {0, 1}

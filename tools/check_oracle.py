@@ -29,9 +29,7 @@ TABLES = [
 #: this round's additions — keep current each round; ``--smoke`` runs
 #: exactly these, twice, in fresh processes
 NEWEST = [
-    "bm25_stats_fresh",
-    "bm25_layout",
-    "hybrid_rrf",
+    "hybrid_declarative",
 ]
 
 
