@@ -40,7 +40,7 @@ try:  # POSIX; the import-try keeps non-POSIX platforms importable
 except ImportError:  # pragma: no cover
     fcntl = None
 
-__all__ = ["ProcessLock", "is_remote_path"]
+__all__ = ["ProcessLock", "LeaseLock", "is_remote_path"]
 
 #: URI schemes that name a locally-openable path anyway
 _LOCAL_SCHEMES = ("file",)
@@ -151,6 +151,169 @@ class ProcessLock:
             os.close(fd)
 
     def __enter__(self) -> "ProcessLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+class LeaseLock:
+    """Lease-file writer lock for mounts that cannot ``flock`` — the
+    built-in ``lock_factory=`` for NFS-without-locking and FUSE
+    object-store gateways (s3fs/gcsfuse), whose one dependable
+    primitive is atomic exclusive CREATE (``O_CREAT|O_EXCL``).
+
+    Protocol (the standard lease + fencing-token recipe):
+
+    - **acquire**: atomically create ``<path>.lease`` holding
+      ``(owner uuid, fencing token, expiry = now + ttl)``.  While it
+      exists, contenders poll.
+    - **TTL takeover**: a contender that reads an EXPIRED lease renames
+      it aside (``os.rename`` to a unique tombstone — atomic, so of N
+      racing takers exactly one wins the rename; the rest retry) and
+      then competes on the normal create path.  A crashed holder is
+      therefore survivable within ``ttl`` seconds — the trade vs
+      ``flock``'s instant kernel release, and why ``flock`` stays the
+      default on mounts that support it.
+    - **auto-refresh**: a daemon thread re-writes the expiry every
+      ``ttl/3`` seconds (via ``os.replace``, atomic) so a LIVE holder
+      is never taken over mid-write however long the hold — Spark
+      saves can exceed any fixed ttl.
+    - **fencing token**: each successful acquire increments a
+      monotonic counter persisted in ``<path>.token`` and exposes it
+      as ``.fencing_token`` — downstream writers that talk to an
+      external store can attach it so a zombie holder (paused past
+      its lease, then resumed) is rejected by token comparison, the
+      classic lease-safety completion.
+
+    Caveats, stated honestly: takeover correctness needs contender
+    clocks to agree within ``ttl`` slack (standard lease assumption),
+    and the mount's create/rename must be atomic — true for NFS and
+    the mainstream FUSE gateways, NOT for raw eventual-consistency
+    listings; on a bare object store use a real coordination service
+    instead.  Like :class:`ProcessLock`, not reentrant and not
+    thread-aware — the catalog composes it behind an RLock.
+    """
+
+    def __init__(self, path: str, timeout: float = 600.0,
+                 ttl: float = 60.0, poll: float = 0.05):
+        self.path = path
+        self.timeout = timeout
+        self.ttl = ttl
+        self.poll = poll
+        self.fencing_token: int | None = None
+        self._owner: str | None = None
+        self._stop = None  # refresher thread kill switch
+
+    def _lease_file(self) -> str:
+        return self.path + ".lease"
+
+    def _token_file(self) -> str:
+        return self.path + ".token"
+
+    def _read_lease(self) -> tuple[str, int, float] | None:
+        try:
+            with open(self._lease_file()) as f:
+                owner, token, expiry = f.read().split()
+            return owner, int(token), float(expiry)
+        except (FileNotFoundError, ValueError):
+            return None  # mid-replace torn read or gone: caller retries
+
+    def _write_lease(self, fd_path: str, owner: str, token: int) -> None:
+        tmp = f"{self.path}.tmp.{owner}"
+        with open(tmp, "w") as f:
+            f.write(f"{owner} {token} {time.time() + self.ttl}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, fd_path)
+
+    def _next_token(self) -> int:
+        # read-increment-persist while we exclusively hold the lease
+        # create — single-writer by construction
+        try:
+            with open(self._token_file()) as f:
+                prev = int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            prev = 0
+        tmp = self._token_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(prev + 1))
+        os.replace(tmp, self._token_file())
+        return prev + 1
+
+    def acquire(self) -> None:
+        import threading
+        import uuid
+
+        if self._owner is not None:
+            raise RuntimeError(
+                f"LeaseLock({self.path!r}) is not reentrant — already "
+                "held by this object"
+            )
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        me = uuid.uuid4().hex
+        lease = self._lease_file()
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                             0o644)
+            except FileExistsError:
+                cur = self._read_lease()
+                if cur is not None and cur[2] < time.time():
+                    # expired: exactly one contender wins this rename
+                    # and the create race restarts clean
+                    try:
+                        os.rename(lease, f"{lease}.stale.{me}")
+                        os.remove(f"{lease}.stale.{me}")
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"LeaseLock: could not acquire {lease!r} within "
+                        f"{self.timeout}s — another process holds the "
+                        "table's writer lease"
+                    ) from None
+                time.sleep(self.poll)
+                continue
+            os.close(fd)
+            break
+        token = self._next_token()
+        self._write_lease(lease, me, token)
+        self._owner = me
+        self.fencing_token = token
+        stop = threading.Event()
+        self._stop = stop
+
+        def refresh():
+            while not stop.wait(self.ttl / 3.0):
+                cur = self._read_lease()
+                if cur is None or cur[0] != me:
+                    return  # lost the lease (paused past ttl): stop
+                self._write_lease(lease, me, token)
+
+        t = threading.Thread(target=refresh, daemon=True,
+                             name=f"lease-refresh:{self.path}")
+        t.start()
+
+    def release(self) -> None:
+        owner, self._owner = self._owner, None
+        if owner is None:
+            return
+        if self._stop is not None:
+            self._stop.set()
+            self._stop = None
+        self.fencing_token = None
+        cur = self._read_lease()
+        if cur is not None and cur[0] == owner:
+            try:
+                os.remove(self._lease_file())
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "LeaseLock":
         self.acquire()
         return self
 

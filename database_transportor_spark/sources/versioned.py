@@ -105,8 +105,9 @@ class VersionedCatalog(FileCatalog):
                 "commit markers, and flock writer lock live on a real "
                 "filesystem; on S3/GCS/ABFS use a lakehouse table "
                 "format or mount the store (s3fs/gcsfuse give NO lock "
-                "semantics — pass lock_factory= with a lease-based "
-                "lock there).  See TUNING.md: cross-process writers."
+                "semantics — pass lock_factory=LeaseLock from "
+                "sources.locks there).  See TUNING.md: cross-process "
+                "writers."
             )
         super().__init__(spark, root, format=format, **kwargs)
         # staged-version bookkeeping must survive concurrent use (the

@@ -431,3 +431,108 @@ def test_unsupported_filesystem_fails_fast(tmp_path, monkeypatch):
     with pytest.raises(OSError, match="does not support flock"):
         ProcessLock(str(tmp_path / "L"), timeout=30).acquire()
     assert time.monotonic() - t0 < 5  # no 30s contention spin
+
+
+_CRITICAL_LEASE = """
+import sys, time
+from database_transportor_spark.sources.locks import LeaseLock
+lock_path, log_path, tag = sys.argv[1], sys.argv[2], sys.argv[3]
+with LeaseLock(lock_path, timeout=30, ttl=10):
+    with open(log_path, "a") as f:
+        f.write(f"{tag} enter {time.monotonic()}\\n")
+        f.flush()
+        time.sleep(0.4)
+        f.write(f"{tag} exit {time.monotonic()}\\n")
+"""
+
+
+def test_lease_lock_excludes_across_processes(tmp_path):
+    from database_transportor_spark.sources.locks import LeaseLock
+
+    lock = str(tmp_path / "L")
+    log = str(tmp_path / "log")
+    procs = [_spawn(_CRITICAL_LEASE, lock, log, t) for t in ("a", "b", "c")]
+    for p in procs:
+        _out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, err.decode()
+    spans = {}
+    for line in open(log):
+        tag, kind, t = line.split()
+        spans.setdefault(tag, {})[kind] = float(t)
+    assert len(spans) == 3
+    ordered = sorted(spans.values(), key=lambda s: s["enter"])
+    for prev, nxt in zip(ordered, ordered[1:]):
+        assert prev["exit"] <= nxt["enter"]  # critical sections disjoint
+    # a clean final release leaves no lease behind
+    assert not os.path.exists(lock + ".lease")
+    # fencing tokens were handed out monotonically across processes
+    with open(lock + ".token") as f:
+        assert int(f.read()) == 3
+
+
+def test_lease_lock_takes_over_expired_lease(tmp_path):
+    """A crashed holder (lease on disk, expiry in the past, nobody
+    refreshing) is survivable: the next contender takes over within
+    its timeout and gets a HIGHER fencing token."""
+    from database_transportor_spark.sources.locks import LeaseLock
+
+    lock = str(tmp_path / "L")
+    with open(lock + ".lease", "w") as f:
+        f.write(f"deadbeef 7 {time.time() - 5}\n")
+    with open(lock + ".token", "w") as f:
+        f.write("7")
+    ll = LeaseLock(lock, timeout=5, ttl=10)
+    t0 = time.monotonic()
+    ll.acquire()
+    try:
+        assert time.monotonic() - t0 < 2  # takeover, not timeout-wait
+        assert ll.fencing_token == 8  # zombie's 7 is fenced off
+    finally:
+        ll.release()
+
+
+def test_lease_lock_refresh_protects_live_holder(tmp_path):
+    """Auto-refresh: a LIVE holder with a short ttl is never taken
+    over, however long the hold — the contender times out instead."""
+    from database_transportor_spark.sources.locks import LeaseLock
+
+    lock = str(tmp_path / "L")
+    holder = LeaseLock(lock, timeout=5, ttl=0.6)
+    holder.acquire()
+    try:
+        # 2s >> ttl: without refresh the contender would take over
+        with pytest.raises(TimeoutError, match="writer lease"):
+            LeaseLock(lock, timeout=2, ttl=0.6).acquire()
+    finally:
+        holder.release()
+    assert holder.fencing_token is None  # cleared on release
+    nxt = LeaseLock(lock, timeout=2, ttl=0.6)
+    nxt.acquire()  # released -> acquirable immediately
+    try:
+        assert nxt.fencing_token == 2  # monotonic across holders
+    finally:
+        nxt.release()
+
+
+def test_lease_lock_is_not_reentrant_and_composes_with_catalog(tmp_path):
+    from database_transportor_spark.sources.locks import LeaseLock
+
+    ll = LeaseLock(str(tmp_path / "L"))
+    ll.acquire()
+    try:
+        with pytest.raises(RuntimeError, match="not reentrant"):
+            ll.acquire()
+    finally:
+        ll.release()
+    # the catalog composes it exactly like ProcessLock (reentrancy
+    # comes from the RLock wrapper): full write/stage/commit/vacuum
+    # cycle under lease coordination
+    root = str(tmp_path / "cat")
+    cat = _FakeSaveCat(root, lock_factory=LeaseLock)
+    cat.write("v1", "t", mode="overwrite")
+    cat.write_staged("v2", "t")
+    assert cat.vacuum("t", keep=1) == []  # staged v2 sidecar is fresh
+    cat.commit_staged("t")
+    assert cat.current_version("t") == 2
+    assert cat.vacuum("t", keep=1) == [1]
+    assert not os.path.exists(f"{root}/t.versions/_LOCK.lease")
