@@ -10519,3 +10519,53 @@ def q_hybrid_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTENSION_QUERIES.update({"hybrid_declarative": q_hybrid_declarative})
 _EXTENSION_ORACLES.update({"hybrid_declarative": SQL_HYBRID_RRF})
+
+
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted hybrid retrieval, declaratively, on the SERVING path
+    (round 11): the lexical leg reads a prebuilt posting table through
+    `stats_table=` (the stats-served 100 TB mode, staleness-guarded)
+    and the fusion downweights it 2:1 against the semantic leg — the
+    first ORACLE check on weighted RRF (r10 shipped `weights=` under
+    pytest only).  The oracle recomputes both retrievals and the
+    weighted fusion in SQL; ranks are integers and weights are exact
+    binary fractions, so the fused score is engine-exact."""
+    from database_transportor_spark.operators.text import (
+        bm25_index, bm25_index_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    idx = bm25_index(docs)
+    maps = {
+        "hybrid_w": {
+            "original_table": "hybrid_queries",
+            "columns": {"query_id": "query_id", "query": "query"},
+            "post_ops": [
+                {"op": "hybrid_retrieve", "index_table": "bm25_idx",
+                 "stats_table": "bm25_stats",
+                 "embeddings_table": "embeddings", "k": 10, "topk": 10,
+                 "weights": [0.5, 1.0], "exclude_self": True},
+            ],
+        }
+    }
+    return _run(spark, sf_dir, maps, "hybrid_w",
+                extra_original={"hybrid_queries": qs, "bm25_idx": idx,
+                                "bm25_stats": bm25_index_stats(idx)})
+
+
+SQL_HYBRID_WEIGHTED = SQL_HYBRID_RRF.replace(
+    """    SELECT query_id, neighbor_id,
+           round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+    FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)""",
+    """    SELECT query_id, neighbor_id,
+           round(sum(w / (60 + rank)), 6) AS rrf_score
+    FROM (SELECT query_id, neighbor_id, rank, 0.5 AS w FROM lex
+          UNION ALL
+          SELECT query_id, neighbor_id, rank, 1.0 AS w FROM sem)""")
+assert SQL_HYBRID_WEIGHTED != SQL_HYBRID_RRF  # splice must have landed
+
+
+_EXTENSION_QUERIES.update({"hybrid_weighted": q_hybrid_weighted})
+_EXTENSION_ORACLES.update({"hybrid_weighted": SQL_HYBRID_WEIGHTED})

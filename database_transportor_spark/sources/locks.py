@@ -205,6 +205,7 @@ class LeaseLock:
         self.fencing_token: int | None = None
         self._owner: str | None = None
         self._stop = None  # refresher thread kill switch
+        self._refresher = None
 
     def _lease_file(self) -> str:
         return self.path + ".lease"
@@ -297,6 +298,7 @@ class LeaseLock:
         t = threading.Thread(target=refresh, daemon=True,
                              name=f"lease-refresh:{self.path}")
         t.start()
+        self._refresher = t
 
     def release(self) -> None:
         owner, self._owner = self._owner, None
@@ -305,6 +307,11 @@ class LeaseLock:
         if self._stop is not None:
             self._stop.set()
             self._stop = None
+            # join so a mid-refresh thread cannot resurrect the lease
+            # AFTER the remove below (it would linger until ttl expiry)
+            t, self._refresher = self._refresher, None
+            if t is not None:
+                t.join(timeout=10)
         self.fencing_token = None
         cur = self._read_lease()
         if cur is not None and cur[0] == owner:

@@ -24,6 +24,8 @@ ALLOWED_NESTED_LOOP = {
     # its semantic leg is the identical bounded-probe cosine_topk
     "hybrid_declarative":
         "bounded probe set vs corpus (cosine_topk leg of RRF)",
+    "hybrid_weighted":
+        "bounded probe set vs corpus (cosine_topk leg of RRF)",
     # the unigram-LM scalar totals (corpus token count + vocab size) are a
     # literal 1-row aggregate cross-joined onto the vocabulary — build side
     # is one row by construction, and joining it avoids a driver collect

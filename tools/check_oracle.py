@@ -30,6 +30,7 @@ TABLES = [
 #: exactly these, twice, in fresh processes
 NEWEST = [
     "hybrid_declarative",
+    "hybrid_weighted",
 ]
 
 
