@@ -10569,3 +10569,57 @@ assert SQL_HYBRID_WEIGHTED != SQL_HYBRID_RRF  # splice must have landed
 
 _EXTENSION_QUERIES.update({"hybrid_weighted": q_hybrid_weighted})
 _EXTENSION_ORACLES.update({"hybrid_weighted": SQL_HYBRID_WEIGHTED})
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export receipt (round 11,
+    `operators/corpus.py:export_shards`): the documents corpus is
+    materialized as 8 one-file-per-shard parquet shards in
+    `corpus_shuffle` epoch order, and the returned manifest is an
+    AGGREGATE OVER THE WRITTEN FILES (`_metadata`), not the input — so
+    the oracle match proves the physical export end-to-end: every row
+    landed exactly once (n_rows + id_checksum per shard), shard
+    assignment is the documented multiplicative hash, positions are
+    contiguous 1..n (min_pos/max_pos), and each shard really is one
+    file (n_files, measured from file paths).  `bytes` is physical and
+    excluded from the oracle columns."""
+    import tempfile
+    import uuid
+
+    from database_transportor_spark.operators.corpus import export_shards
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    work = tempfile.mkdtemp(prefix=f"shx_{uuid.uuid4().hex[:8]}_")
+    man = export_shards(
+        docs, f"{work}/shards", "doc_id", 8, seed=42,
+        hash_fn="multiplicative", token_col="n_chars",
+    )
+    return man.select(
+        "shard", "n_files", "n_rows", "n_tokens", "min_pos", "max_pos",
+        "id_checksum",
+    )
+
+
+SQL_SHARD_MANIFEST = """
+WITH keyed AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           (doc_id * 2654435761 + 42) % 4294967296 AS skey
+    FROM documents
+)
+SELECT CAST(skey % 8 AS BIGINT) AS shard,
+       CAST(1 AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+       CAST(1 AS BIGINT) AS min_pos,
+       COUNT(*) AS max_pos,
+       CAST(SUM(skey) AS BIGINT) AS id_checksum
+FROM keyed
+GROUP BY 1
+"""
+
+
+_EXTENSION_QUERIES.update({"shard_manifest": q_shard_manifest})
+_EXTENSION_ORACLES.update({"shard_manifest": SQL_SHARD_MANIFEST})

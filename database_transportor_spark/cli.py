@@ -538,6 +538,35 @@ def _cmd_bm25_layout(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export_shards(args: argparse.Namespace) -> int:
+    from .operators.corpus import export_shards
+    from .session import build_session
+
+    spark = build_session(master=args.master)
+    cat = _build_catalog(spark, _file_catalog_conf(args))
+    man = export_shards(
+        cat.read(args.table), args.dest, args.id_col, args.shards,
+        seed=args.seed, hash_fn=args.hash_fn, token_col=args.token_col,
+        mode="overwrite" if args.overwrite else "error",
+    )
+    rows = man.collect()  # one row per shard — bounded, CLI display
+    total = sum(r["n_rows"] for r in rows)
+    files = sum(r["n_files"] for r in rows)
+    print(
+        f"exported {total} row(s) from {args.root}/{args.table} into "
+        f"{len(rows)} shard(s) / {files} file(s) at {args.dest} "
+        f"(seed={args.seed}, {args.hash_fn})"
+    )
+    for r in rows:
+        toks = "" if r["n_tokens"] is None else f"  tokens={r['n_tokens']}"
+        print(
+            f"  shard={r['shard']}  rows={r['n_rows']}  "
+            f"bytes={r['bytes']}  files={r['n_files']}{toks}  "
+            f"checksum={r['id_checksum']}"
+        )
+    return 0
+
+
 def _cmd_gate_maintain(args: argparse.Namespace) -> int:
     from .session import build_session
     from .streaming.dedup_gate import gate_maintain
@@ -741,6 +770,36 @@ def main(argv: list[str] | None = None) -> int:
                     help="token range partitions / files (default 16)")
     bl.add_argument("--master", default=None)
     bl.set_defaults(fn=_cmd_bm25_layout)
+
+    ex = sub.add_parser(
+        "export-shards",
+        help="materialize a table as one-file-per-shard training shards "
+             "in deterministic epoch-shuffle order and print the "
+             "per-shard manifest (rows/bytes/tokens/checksum)",
+    )
+    ex.add_argument("--root", required=True, help="catalog root directory")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--format", default="parquet")
+    ex.add_argument("--dest", required=True,
+                    help="output directory (written as dest/shard=K/)")
+    ex.add_argument("--id-col", required=True,
+                    help="stable document id column (shuffle key)")
+    ex.add_argument("--shards", type=int, required=True,
+                    help="shard count; size so one shard fits a "
+                         "training reader's input budget")
+    ex.add_argument("--seed", type=int, default=0,
+                    help="epoch seed — change per epoch for an "
+                         "independent read order (default 0)")
+    ex.add_argument("--hash-fn", default="xxhash64",
+                    choices=["xxhash64", "multiplicative"])
+    ex.add_argument("--token-col", default=None,
+                    help="numeric column summed into the manifest's "
+                         "n_tokens (default: none)")
+    ex.add_argument("--overwrite", action="store_true",
+                    help="replace an existing destination (default: "
+                         "refuse)")
+    ex.add_argument("--master", default=None)
+    ex.set_defaults(fn=_cmd_export_shards)
 
     g = sub.add_parser(
         "gate-maintain",

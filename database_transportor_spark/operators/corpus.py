@@ -51,6 +51,7 @@ __all__ = [
     "PII_PATTERNS",
     "quantile_bin",
     "corpus_diff",
+    "export_shards",
 ]
 
 KNUTH = 2654435761  # 2^32 * golden ratio conjugate; classic multiplicative mix
@@ -1116,4 +1117,117 @@ def corpus_diff(
     return (
         j.select(F.col(id_col), status.alias("status"))
         .filter(F.col("status").isNotNull())
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    token_col: str | None = None,
+    mode: str = "error",
+    format: str = "parquet",
+) -> DataFrame:
+    """Materialize the training-ready corpus: ONE file per shard, rows
+    physically in :func:`corpus_shuffle` epoch order, plus a verified
+    per-shard manifest — the end of the curation pipeline, where a
+    training reader takes over.  ``reference`` has no analogue (its
+    sinks stop at row batches, ``src/DBT.php`` batch insert); this is
+    the piece a 100 TB pretraining run actually consumes.
+
+    Layout: ``path/shard=K/part-*.parquet`` with payload columns plus
+    ``shuffle_pos`` (the read cursor).  Each shard lands in exactly one
+    task (``repartition(n_shards, shard)``) and therefore exactly one
+    file — the manifest's ``n_files`` column *measures* that contract
+    from the written bytes rather than assuming it (if a future writer
+    option like ``maxRecordsPerFile`` split a shard, ``n_files`` would
+    say so).  Within the file rows are ``shuffle_pos``-sorted
+    (``sortWithinPartitions``), so a sequential reader replays the
+    deterministic permutation with zero seeking.
+
+    Manifest (one row per NON-EMPTY shard, ascending): ``shard``,
+    ``n_files``, ``bytes`` (physical, from ``_metadata.file_size``),
+    ``n_rows``, ``n_tokens`` (``sum(token_col)``; NULL column when no
+    ``token_col``), ``min_pos``/``max_pos`` (``1..n_rows`` iff the
+    shard is complete — positions are per-shard ``row_number``, so a
+    torn write shows as a gap), and ``id_checksum`` (sum of the 32-bit
+    ``bucket_column`` hash of ids — an order-independent content
+    fingerprint two exports can compare without reading payloads).
+
+    Scale shape: one shuffle to lay the data out (hash partition +
+    per-shard sort, each sort bounded at ``|corpus| / n_shards`` rows
+    — pick thousands of shards at 100 TB, as for
+    :func:`corpus_shuffle`), then the manifest is ONE map-side-
+    combinable aggregate over the written files keyed by (shard, file)
+    and collapsed per shard.  Reading back what was WRITTEN (not the
+    input) makes the manifest an end-to-end receipt: row loss in the
+    write would surface as an ``n_rows``/checksum mismatch against the
+    source-side expectation, which is exactly what the oracle checks.
+
+    Durability: the write is a plain Spark directory write (``mode=
+    "error"`` refuses a half-written destination; Spark's ``_SUCCESS``
+    marker gates readers).  For versioned/atomic publication write to
+    a fresh directory per epoch and flip the consumer's pointer — the
+    same recipe as ``VersionedCatalog``, which owns that protocol for
+    engine-managed tables.
+    """
+    if n_shards < 1:
+        raise ValueError("export_shards: n_shards must be >= 1")
+    if mode not in ("error", "overwrite"):
+        raise ValueError(
+            f"export_shards: mode must be 'error' or 'overwrite', "
+            f"got {mode!r}"
+        )
+    if token_col is not None and token_col not in df.columns:
+        raise ValueError(
+            f"export_shards: token_col {token_col!r} not in frame "
+            f"(have {df.columns})"
+        )
+    shuffled = corpus_shuffle(df, id_col, n_shards, seed=seed,
+                              hash_fn=hash_fn)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.format(format)
+        .mode(mode)
+        .partitionBy("shard")
+        .save(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.format(format).load(path)
+    checksum = bucket_column(id_col, M32, seed, hash_fn)
+    tok = F.col(token_col) if token_col is not None else F.lit(None)
+    per_file = (
+        written.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_size").alias("__fbytes"),
+            F.col("shuffle_pos"),
+            checksum.alias("__ck"),
+            tok.cast("long").alias("__tok"),
+        )
+        .groupBy("shard", "__file", "__fbytes")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("__tok").alias("n_tokens"),
+            F.min("shuffle_pos").alias("min_pos"),
+            F.max("shuffle_pos").alias("max_pos"),
+            F.sum("__ck").alias("id_checksum"),
+        )
+    )
+    return (
+        per_file.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("__fbytes").alias("bytes"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("min_pos").cast("long").alias("min_pos"),
+            F.max("max_pos").cast("long").alias("max_pos"),
+            F.sum("id_checksum").alias("id_checksum"),
+        )
+        .orderBy("shard")
     )

@@ -578,3 +578,44 @@ def test_vacuum_cli(tmp_path, spark):
     assert "removed 2" in r.stdout
     assert cat.versions("t") == [3, 4]
     assert cat.read("t").count() == 4  # HEAD intact
+
+
+def test_export_shards_cli(tmp_path):
+    """export-shards subcommand: one-file-per-shard epoch export with a
+    printed manifest; shard contents reproduce the multiplicative
+    assignment exactly."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (
+            SELECT range AS doc_id,
+                   'doc ' || CAST(range AS VARCHAR) AS text
+            FROM range(300)
+        ) TO '{tmp_path}/docs.parquet' (FORMAT PARQUET)"""
+    )
+    dest = str(tmp_path / "shards")
+    r = _run(["export-shards", "--root", str(tmp_path), "--table", "docs",
+              "--dest", dest, "--id-col", "doc_id", "--shards", "4",
+              "--seed", "7", "--hash-fn", "multiplicative",
+              "--master", "local[2]"], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "300 row(s)" in r.stdout
+    assert "4 shard(s) / 4 file(s)" in r.stdout
+    assert len(glob.glob(f"{dest}/shard=*/*.parquet")) == 4
+    # every doc in its multiplicative-hash shard, exactly once
+    got = con.execute(
+        f"""SELECT shard, doc_id
+            FROM read_parquet('{dest}/shard=*/*.parquet',
+                              hive_partitioning=true)"""
+    ).fetchall()
+    assert len(got) == 300
+    for shard, doc_id in got:
+        assert int(shard) == (doc_id * 2654435761 + 7) % 4294967296 % 4
+    # refuses to clobber without --overwrite
+    r2 = _run(["export-shards", "--root", str(tmp_path), "--table", "docs",
+               "--dest", dest, "--id-col", "doc_id", "--shards", "4",
+               "--master", "local[2]"], timeout=900)
+    assert r2.returncode != 0

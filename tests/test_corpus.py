@@ -628,3 +628,125 @@ class TestCorpusDiff:
             corpus_diff(old, new, content_cols=["nope"])
         with pytest.raises(ValueError, match="shared content"):
             corpus_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# export_shards
+# ---------------------------------------------------------------------------
+
+
+class TestExportShards:
+    def _docs(self, spark, n=200):
+        return (
+            spark.range(n)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+            .withColumn("n_tok", (F.col("doc_id") % 7 + 1).cast("long"))
+        )
+
+    def test_manifest_matches_physical_layout(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import export_shards
+
+        out = str(tmp_path / "epoch0")
+        man = export_shards(
+            self._docs(spark), out, "doc_id", 4, seed=3,
+            token_col="n_tok",
+        ).collect()
+        assert [r["shard"] for r in man] == sorted(r["shard"] for r in man)
+        assert sum(r["n_rows"] for r in man) == 200
+        for r in man:
+            # the one-file-per-shard contract is MEASURED, not assumed
+            assert r["n_files"] == 1
+            assert r["bytes"] > 0
+            assert r["min_pos"] == 1
+            assert r["max_pos"] == r["n_rows"]
+
+    def test_in_file_rows_are_in_epoch_order(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from database_transportor_spark.operators.corpus import export_shards
+
+        out = str(tmp_path / "epoch0")
+        export_shards(self._docs(spark), out, "doc_id", 4, seed=3)
+        files = glob.glob(f"{out}/shard=*/*.parquet")
+        assert len(files) == 4
+        for f in files:
+            # pyarrow preserves physical row order: a sequential reader
+            # must replay the permutation with zero seeking
+            pos = pq.read_table(f, columns=["shuffle_pos"])[
+                "shuffle_pos"].to_pylist()
+            assert pos == list(range(1, len(pos) + 1)), f
+
+    def test_tokens_and_checksum_match_source_side(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import (
+            M32,
+            bucket_column,
+            export_shards,
+        )
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "epoch0")
+        man = {
+            r["shard"]: r
+            for r in export_shards(
+                docs, out, "doc_id", 4, seed=3, token_col="n_tok"
+            ).collect()
+        }
+        expected = (
+            docs.withColumn(
+                "shard",
+                F.pmod(bucket_column("doc_id", M32, 3), F.lit(4)),
+            )
+            .groupBy("shard")
+            .agg(
+                F.sum("n_tok").alias("n_tokens"),
+                F.sum(bucket_column("doc_id", M32, 3)).alias("ck"),
+            )
+            .collect()
+        )
+        for r in expected:
+            got = man[r["shard"]]
+            assert got["n_tokens"] == r["n_tokens"]
+            assert got["id_checksum"] == r["ck"]
+
+    def test_no_token_col_yields_null_tokens(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import export_shards
+
+        man = export_shards(
+            self._docs(spark), str(tmp_path / "e"), "doc_id", 2, seed=1
+        ).collect()
+        assert all(r["n_tokens"] is None for r in man)
+
+    def test_deterministic_across_exports(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import export_shards
+
+        docs = self._docs(spark)
+        a = export_shards(
+            docs, str(tmp_path / "a"), "doc_id", 4, seed=9,
+            token_col="n_tok",
+        ).drop("bytes").collect()
+        b = export_shards(
+            docs.repartition(13), str(tmp_path / "b"), "doc_id", 4,
+            seed=9, token_col="n_tok",
+        ).drop("bytes").collect()
+        assert a == b
+
+    def test_mode_and_validation(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import export_shards
+
+        docs = self._docs(spark, n=20)
+        out = str(tmp_path / "e")
+        export_shards(docs, out, "doc_id", 2)
+        with pytest.raises(Exception):  # Spark's path-exists refusal
+            export_shards(docs, out, "doc_id", 2)
+        # overwrite replaces cleanly
+        man = export_shards(docs, out, "doc_id", 2, mode="overwrite")
+        assert sum(r["n_rows"] for r in man.collect()) == 20
+        with pytest.raises(ValueError, match="n_shards"):
+            export_shards(docs, out, "doc_id", 0)
+        with pytest.raises(ValueError, match="mode"):
+            export_shards(docs, out, "doc_id", 2, mode="append")
+        with pytest.raises(ValueError, match="token_col"):
+            export_shards(docs, out, "doc_id", 2, token_col="nope")

@@ -31,6 +31,7 @@ TABLES = [
 NEWEST = [
     "hybrid_declarative",
     "hybrid_weighted",
+    "shard_manifest",
 ]
 
 
