@@ -330,6 +330,24 @@ def _corpus_shuffle(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+@register_post_op("export_shards")
+def _export_shards(df: DataFrame, p: dict) -> DataFrame:
+    """Terminal export stage: materialize the curated frame as one-file-
+    per-shard training shards at ``path`` and pass the MANIFEST (the
+    export receipt) downstream as the map's output — so "curate →
+    export" is one spec, and the transported target table holds the
+    per-shard manifest for audit/joining rather than the (path-
+    addressed) payload itself."""
+    from .corpus import export_shards
+
+    return export_shards(
+        df, p["path"], p["id_col"], p["n_shards"],
+        seed=p.get("seed", 0), hash_fn=p.get("hash_fn", "xxhash64"),
+        token_col=p.get("token_col"), mode=p.get("mode", "error"),
+        format=p.get("format", "parquet"),
+    )
+
+
 @register_post_op("upsample_domains")
 def _upsample_domains(df: DataFrame, p: dict) -> DataFrame:
     from .corpus import upsample_domains

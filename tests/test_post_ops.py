@@ -950,3 +950,40 @@ def test_hybrid_retrieve_indexed_and_ivf_legs(spark):
     ivf = run({"op": "hybrid_retrieve", "corpus_table": "documents",
                "semantic": "ivf", "n_centroids": 2, "nprobe": 2, **base})
     assert len(ivf) > 0 and {r[0] for r in ivf} == {0, 1}
+
+
+def test_export_shards_stage_writes_and_passes_manifest(spark, tmp_path):
+    """Terminal export stage: the map's output IS the manifest, and the
+    shards land at the spec-named path in epoch order."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.range(60).withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat(F.lit("d"), F.col("doc_id")))
+    )
+    dest = str(tmp_path / "shards")
+    maps = {
+        "manifest": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "text": "text"},
+            "post_ops": [
+                {"op": "export_shards", "path": dest, "id_col": "doc_id",
+                 "n_shards": 3, "seed": 2},
+            ],
+        }
+    }
+    eng = DBT(maps, target=MemoryCatalog(),
+              original=MemoryCatalog({"docs": docs}))
+    man = eng.transform()["manifest"].collect()
+    assert sum(r["n_rows"] for r in man) == 60
+    assert all(r["n_files"] == 1 for r in man)
+    assert len(glob.glob(f"{dest}/shard=*/*.parquet")) == len(man)
+    with pytest.raises(KeyError):
+        # required params missing -> loud, like every simple adapter
+        DBT({"m": {"original_table": "docs",
+                   "columns": {"doc_id": "doc_id"},
+                   "post_ops": [{"op": "export_shards"}]}},
+            target=MemoryCatalog(),
+            original=MemoryCatalog({"docs": docs})).transform()
