@@ -1197,7 +1197,17 @@ def export_shards(
         .save(path)
     )
     spark = df.sparkSession
-    written = spark.read.format(format).load(path)
+    try:
+        written = spark.read.format(format).load(path)
+    except Exception as e:  # empty corpus: no data files to infer from
+        if "infer schema" not in str(e).lower():
+            raise
+        return spark.createDataFrame(
+            [],
+            "shard long, n_files long, bytes long, n_rows long, "
+            "n_tokens long, min_pos long, max_pos long, "
+            "id_checksum long",
+        )
     checksum = bucket_column(id_col, M32, seed, hash_fn)
     tok = F.col(token_col) if token_col is not None else F.lit(None)
     per_file = (

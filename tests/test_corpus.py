@@ -750,3 +750,16 @@ class TestExportShards:
             export_shards(docs, out, "doc_id", 2, mode="append")
         with pytest.raises(ValueError, match="token_col"):
             export_shards(docs, out, "doc_id", 2, token_col="nope")
+
+    def test_empty_corpus_yields_empty_manifest(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import export_shards
+
+        man = export_shards(
+            self._docs(spark).filter(F.col("doc_id") < 0),
+            str(tmp_path / "e"), "doc_id", 4,
+        )
+        assert man.collect() == []
+        assert man.columns == [
+            "shard", "n_files", "bytes", "n_rows", "n_tokens",
+            "min_pos", "max_pos", "id_checksum",
+        ]
