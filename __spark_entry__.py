@@ -10623,3 +10623,55 @@ GROUP BY 1
 
 _EXTENSION_QUERIES.update({"shard_manifest": q_shard_manifest})
 _EXTENSION_ORACLES.update({"shard_manifest": SQL_SHARD_MANIFEST})
+
+
+def q_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-integrity audit (round 11,
+    `operators/corpus.py:verify_export`): export the corpus, keep the
+    manifest receipt, DELETE shard 0's data file, and recount — the
+    audit must report exactly one `missing` row for shard 0 and
+    nothing else (every other shard recounts clean against the
+    receipt).  The oracle derives the expectation from the same
+    multiplicative shard assignment: shard 0 is non-empty, so its
+    disappearance is the one discrepancy."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from database_transportor_spark.operators.corpus import (
+        export_shards, verify_export,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix=f"xa_{uuid.uuid4().hex[:8]}_")
+    dest = f"{work}/shards"
+    from database_transportor_spark.operators.corpus import (
+        _MANIFEST_SCHEMA,
+    )
+
+    man = spark.createDataFrame(
+        export_shards(docs, dest, "doc_id", 8, seed=42,
+                      hash_fn="multiplicative").collect(),
+        _MANIFEST_SCHEMA)
+    for f in glob.glob(f"{dest}/shard=0/*"):
+        os.remove(f)
+    return verify_export(spark, dest, man, "doc_id", seed=42,
+                         hash_fn="multiplicative")
+
+
+SQL_EXPORT_AUDIT = """
+SELECT CAST(0 AS BIGINT) AS shard,
+       'missing' AS status,
+       CAST(NULL AS VARCHAR) AS field,
+       CAST(NULL AS BIGINT) AS expected,
+       CAST(NULL AS BIGINT) AS actual
+WHERE EXISTS (
+    SELECT 1 FROM documents
+    WHERE (doc_id * 2654435761 + 42) % 4294967296 % 8 = 0
+)
+"""
+
+
+_EXTENSION_QUERIES.update({"export_audit": q_export_audit})
+_EXTENSION_ORACLES.update({"export_audit": SQL_EXPORT_AUDIT})

@@ -52,6 +52,7 @@ __all__ = [
     "quantile_bin",
     "corpus_diff",
     "export_shards",
+    "verify_export",
 ]
 
 KNUTH = 2654435761  # 2^32 * golden ratio conjugate; classic multiplicative mix
@@ -1196,18 +1197,36 @@ def export_shards(
         .partitionBy("shard")
         .save(path)
     )
-    spark = df.sparkSession
+    return _shard_manifest_of(
+        df.sparkSession, path, id_col, seed=seed, hash_fn=hash_fn,
+        token_col=token_col, format=format,
+    )
+
+
+_MANIFEST_SCHEMA = (
+    "shard long, n_files long, bytes long, n_rows long, "
+    "n_tokens long, min_pos long, max_pos long, id_checksum long"
+)
+
+
+def _shard_manifest_of(
+    spark,
+    path: str,
+    id_col: str,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    token_col: str | None = None,
+    format: str = "parquet",
+) -> DataFrame:
+    """Compute the per-shard manifest from the files at ``path`` — the
+    shared read-side of :func:`export_shards` (fresh receipt) and
+    :func:`verify_export` (recount for audit)."""
     try:
         written = spark.read.format(format).load(path)
-    except Exception as e:  # empty corpus: no data files to infer from
+    except Exception as e:  # empty export: no data files to infer from
         if "infer schema" not in str(e).lower():
             raise
-        return spark.createDataFrame(
-            [],
-            "shard long, n_files long, bytes long, n_rows long, "
-            "n_tokens long, min_pos long, max_pos long, "
-            "id_checksum long",
-        )
+        return spark.createDataFrame([], _MANIFEST_SCHEMA)
     checksum = bucket_column(id_col, M32, seed, hash_fn)
     tok = F.col(token_col) if token_col is not None else F.lit(None)
     per_file = (
@@ -1240,4 +1259,98 @@ def export_shards(
             F.sum("id_checksum").alias("id_checksum"),
         )
         .orderBy("shard")
+    )
+
+
+def verify_export(
+    spark,
+    path: str,
+    manifest: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    token_col: str | None = None,
+    format: str = "parquet",
+) -> DataFrame:
+    """Audit an existing :func:`export_shards` destination against its
+    stored manifest: recount every shard from the files at ``path``
+    (same aggregate as the original receipt) and return one row per
+    DISCREPANT (shard, field) — empty means the export is intact.
+    Pass the SAME ``id_col``/``seed``/``hash_fn``/``token_col`` the
+    export used, or the checksum recompute is meaningless.
+
+    This is the point-in-time integrity check for the cases a stored
+    receipt exists to catch: a storage migration or sync that dropped
+    or duplicated a file (``n_files``/``bytes``/``n_rows`` drift), a
+    recompaction that split shards (``n_files``), or content
+    corruption surviving row counts (``id_checksum``).  Fields:
+    ``status`` is ``missing`` (shard in manifest, nothing on disk),
+    ``unexpected`` (shard on disk, not in manifest), or ``mismatch``
+    (per-field, with ``expected``/``actual``).
+
+    Scale shape: identical to the manifest pass — one bounded scan of
+    the export plus a shard-count-sized join; the manifest side is
+    thousands of rows at most and broadcasts.
+    """
+    actual = _shard_manifest_of(
+        spark, path, id_col, seed=seed, hash_fn=hash_fn,
+        token_col=token_col, format=format,
+    )
+    fields = [c for c in actual.columns if c != "shard"]
+    if token_col is None:
+        fields.remove("n_tokens")  # NULL on both sides: nothing to audit
+    exp = manifest.select(
+        "shard", *[F.col(c).cast("long").alias(f"__e_{c}") for c in fields]
+    )
+    act = actual.select(
+        "shard", *[F.col(c).alias(f"__a_{c}") for c in fields]
+    )
+    j = exp.join(F.broadcast(act), "shard", "full_outer")
+    # a side is absent iff ALL its fields are NULL post-join (n_files
+    # etc. are never NULL on a present side)
+    exp_absent = F.col(f"__e_{fields[0]}").isNull()
+    act_absent = F.col(f"__a_{fields[0]}").isNull()
+    per_field = F.array(*[
+        F.when(
+            ~F.col(f"__e_{c}").eqNullSafe(F.col(f"__a_{c}")),
+            F.struct(
+                F.lit(c).alias("field"),
+                F.col(f"__e_{c}").alias("expected"),
+                F.col(f"__a_{c}").alias("actual"),
+            ),
+        )
+        for c in fields
+    ])
+    return (
+        j.select(
+            "shard",
+            F.when(exp_absent & ~act_absent, F.lit("unexpected"))
+            .when(act_absent & ~exp_absent, F.lit("missing"))
+            .alias("__status"),
+            per_field.alias("__diffs"),
+        )
+        .select(
+            "shard",
+            F.explode(
+                F.when(
+                    F.col("__status").isNotNull(),
+                    F.array(F.struct(
+                        F.col("__status").alias("field"),
+                        F.lit(None).cast("long").alias("expected"),
+                        F.lit(None).cast("long").alias("actual"),
+                    )),
+                ).otherwise(F.filter("__diffs", lambda d: d.isNotNull()))
+            ).alias("__d"),
+        )
+        .select(
+            "shard",
+            F.when(F.col("__d.field").isin("missing", "unexpected"),
+                   F.col("__d.field")).otherwise(F.lit("mismatch"))
+            .alias("status"),
+            F.when(~F.col("__d.field").isin("missing", "unexpected"),
+                   F.col("__d.field")).alias("field"),
+            F.col("__d.expected").alias("expected"),
+            F.col("__d.actual").alias("actual"),
+        )
+        .orderBy("shard", "field")
     )

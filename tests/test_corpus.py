@@ -763,3 +763,87 @@ class TestExportShards:
             "shard", "n_files", "bytes", "n_rows", "n_tokens",
             "min_pos", "max_pos", "id_checksum",
         ]
+
+
+class TestVerifyExport:
+    def _export(self, spark, tmp_path, **kw):
+        from database_transportor_spark.operators.corpus import export_shards
+
+        docs = (
+            spark.range(120).withColumnRenamed("id", "doc_id")
+            .withColumn("text", F.concat(F.lit("d"), F.col("doc_id")))
+            .withColumn("n_tok", (F.col("doc_id") % 5 + 1).cast("long"))
+        )
+        dest = str(tmp_path / "shards")
+        man = export_shards(docs, dest, "doc_id", 4, seed=6,
+                            token_col="n_tok", **kw)
+        return dest, man
+
+    def test_intact_export_audits_clean(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import verify_export
+
+        dest, man = self._export(spark, tmp_path)
+        diff = verify_export(spark, dest, man, "doc_id", seed=6,
+                             token_col="n_tok")
+        assert diff.collect() == []
+
+    def test_deleted_file_is_caught(self, spark, tmp_path):
+        import glob
+        import os
+
+        from database_transportor_spark.operators.corpus import verify_export
+
+        dest, man = self._export(spark, tmp_path)
+        stored = man.collect()  # materialize BEFORE mutating the files
+        victim = sorted(glob.glob(f"{dest}/shard=*/*.parquet"))[0]
+        os.remove(victim)
+        exp = spark.createDataFrame(stored)
+        rows = verify_export(spark, dest, exp, "doc_id", seed=6,
+                             token_col="n_tok").collect()
+        assert any(r["status"] == "missing" for r in rows)
+        # only the victim's shard is implicated
+        assert len({r["shard"] for r in rows}) == 1
+
+    def test_corrupted_content_is_caught_by_checksum(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from database_transportor_spark.operators.corpus import verify_export
+
+        dest, man = self._export(spark, tmp_path)
+        stored = spark.createDataFrame(man.collect())
+        victim = sorted(glob.glob(f"{dest}/shard=*/*.parquet"))[0]
+        import pyarrow as pa
+
+        t = pq.read_table(victim)
+        i = t.schema.get_field_index("doc_id")
+        ids = t["doc_id"].to_pylist()
+        ids[0] += 1_000_000  # silent id flip, schema untouched
+        t = t.set_column(i, t.schema.field(i),
+                         pa.array(ids, type=t.schema.field(i).type))
+        pq.write_table(t, victim)
+        # drop Hadoop's local-FS CRC sidecar: on object stores there is
+        # no such net — the manifest checksum is what catches the flip
+        import os
+
+        d, b = os.path.split(victim)
+        crc = os.path.join(d, f".{b}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        rows = verify_export(spark, dest, stored, "doc_id", seed=6,
+                             token_col="n_tok").collect()
+        fields = {r["field"] for r in rows if r["status"] == "mismatch"}
+        assert "id_checksum" in fields
+        # row counts unchanged: the checksum is what catches it
+        assert "n_rows" not in fields
+
+    def test_unexpected_shard_is_caught(self, spark, tmp_path):
+        from database_transportor_spark.operators.corpus import verify_export
+
+        dest, man = self._export(spark, tmp_path)
+        stored = spark.createDataFrame(
+            [r for r in man.collect() if r["shard"] != 2])
+        rows = verify_export(spark, dest, stored, "doc_id", seed=6,
+                             token_col="n_tok").collect()
+        assert [r["status"] for r in rows if r["shard"] == 2] == ["unexpected"]

@@ -32,6 +32,7 @@ NEWEST = [
     "hybrid_declarative",
     "hybrid_weighted",
     "shard_manifest",
+    "export_audit",
 ]
 
 
