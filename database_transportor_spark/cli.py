@@ -552,10 +552,12 @@ def _cmd_export_shards(args: argparse.Namespace) -> int:
     rows = man.collect()  # one row per shard — bounded, CLI display
     total = sum(r["n_rows"] for r in rows)
     files = sum(r["n_files"] for r in rows)
+    empties = args.shards - len(rows)
+    note = f" ({empties} of {args.shards} shards empty)" if empties else ""
     print(
         f"exported {total} row(s) from {args.root}/{args.table} into "
-        f"{len(rows)} shard(s) / {files} file(s) at {args.dest} "
-        f"(seed={args.seed}, {args.hash_fn})"
+        f"{len(rows)} non-empty shard(s) / {files} file(s) at "
+        f"{args.dest} (seed={args.seed}, {args.hash_fn}){note}"
     )
     for r in rows:
         toks = "" if r["n_tokens"] is None else f"  tokens={r['n_tokens']}"

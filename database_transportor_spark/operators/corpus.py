@@ -312,6 +312,7 @@ def corpus_shuffle(
     n_shards: int,
     seed: int = 0,
     hash_fn: str = "xxhash64",
+    layout_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic seeded global shuffle for training order: every row
     gets a ``shard`` in ``[0, n_shards)`` and a ``shuffle_pos`` (its read
@@ -324,20 +325,34 @@ def corpus_shuffle(
     ``shuffle_pos`` is a window per shard — ``n_shards`` independent
     sorts that run in parallel and bound each sort at ``|corpus| /
     n_shards`` rows.  At 100 TB pick ``n_shards`` so a shard fits a
-    training reader's input budget (thousands of shards); the standard
-    write is ``.repartition("shard").sortWithinPartitions("shuffle_pos")``
-    → one parquet file per shard, which turns the whole shuffle into one
-    shuffle + a per-partition sort.  Determinism contract as module
-    docstring: identical output for any partitioning or cluster size.
+    training reader's input budget (thousands of shards).  Determinism
+    contract as module docstring: identical output for any partitioning
+    or cluster size.
+
+    ``layout_partitions``: when a physical one-file-per-shard write
+    follows (:func:`export_shards`), pass the shard count here — the
+    frame is RANGE-repartitioned on ``shard`` into that many partitions
+    BEFORE the window, which (a) satisfies the window's clustering
+    requirement, so the whole op costs exactly ONE exchange of the
+    corpus, and (b) places each shard WHOLLY in one task with at most
+    ⌈n_shards/partitions⌉ shards per task — range partitioning keeps
+    equal keys together and, unlike ``repartition(n, col)``'s
+    murmur3-mod placement, cannot collide many shard values into one
+    task while leaving others empty.  Default ``None`` keeps the plain
+    window exchange (analytical callers that never write the layout).
     """
     key = bucket_column(id_col, M32, seed, hash_fn)
     w = Window.partitionBy("shard").orderBy(
         F.col("__skey").asc(), F.col(id_col).asc()
     )
-    return (
+    keyed = (
         df.withColumn("__skey", key)
         .withColumn("shard", F.pmod(F.col("__skey"), F.lit(n_shards)))
-        .withColumn("shuffle_pos", F.row_number().over(w))
+    )
+    if layout_partitions is not None:
+        keyed = keyed.repartitionByRange(layout_partitions, "shard")
+    return (
+        keyed.withColumn("shuffle_pos", F.row_number().over(w))
         .drop("__skey")
     )
 
@@ -1182,18 +1197,30 @@ def export_shards(
             f"export_shards: mode must be 'error' or 'overwrite', "
             f"got {mode!r}"
         )
+    if id_col not in df.columns:
+        raise ValueError(
+            f"export_shards: id_col {id_col!r} not in frame "
+            f"(have {df.columns})"
+        )
     if token_col is not None and token_col not in df.columns:
         raise ValueError(
             f"export_shards: token_col {token_col!r} not in frame "
             f"(have {df.columns})"
         )
+    # layout_partitions=n_shards: ONE exchange total — the range
+    # repartition both feeds the position window and lands each shard
+    # wholly (and near-uniformly, no hash-mod collisions) in one task
     shuffled = corpus_shuffle(df, id_col, n_shards, seed=seed,
-                              hash_fn=hash_fn)
+                              hash_fn=hash_fn,
+                              layout_partitions=n_shards)
     (
-        shuffled.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "shuffle_pos")
+        shuffled.sortWithinPartitions("shard", "shuffle_pos")
         .write.format(format)
         .mode(mode)
+        # pin static semantics: under a session-level dynamic
+        # partitionOverwriteMode a smaller re-export would keep stale
+        # shard dirs and the manifest would count them as current
+        .option("partitionOverwriteMode", "static")
         .partitionBy("shard")
         .save(path)
     )
@@ -1223,8 +1250,19 @@ def _shard_manifest_of(
     :func:`verify_export` (recount for audit)."""
     try:
         written = spark.read.format(format).load(path)
-    except Exception as e:  # empty export: no data files to infer from
-        if "infer schema" not in str(e).lower():
+    except Exception as e:
+        # empty export (no data files to infer a schema from) or a
+        # destination that is gone entirely — for the AUDIT caller the
+        # latter is the disaster being hunted, and it must come back as
+        # per-shard "missing" rows, not a raw reader error.  Match by
+        # error class, not message text, where the exception carries one.
+        klass = getattr(e, "getErrorClass", lambda: None)() or ""
+        msg = str(e).lower()
+        if not (
+            klass in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+            or "infer schema" in msg
+            or "path does not exist" in msg
+        ):
             raise
         return spark.createDataFrame([], _MANIFEST_SCHEMA)
     checksum = bucket_column(id_col, M32, seed, hash_fn)

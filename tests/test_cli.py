@@ -603,7 +603,7 @@ def test_export_shards_cli(tmp_path):
               "--master", "local[2]"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "300 row(s)" in r.stdout
-    assert "4 shard(s) / 4 file(s)" in r.stdout
+    assert "4 non-empty shard(s) / 4 file(s)" in r.stdout
     assert len(glob.glob(f"{dest}/shard=*/*.parquet")) == 4
     # every doc in its multiplicative-hash shard, exactly once
     got = con.execute(

@@ -847,3 +847,48 @@ class TestVerifyExport:
         rows = verify_export(spark, dest, stored, "doc_id", seed=6,
                              token_col="n_tok").collect()
         assert [r["status"] for r in rows if r["shard"] == 2] == ["unexpected"]
+
+
+def _export_docs(spark, n=200):
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+        .withColumn("n_tok", (F.col("doc_id") % 7 + 1).cast("long"))
+    )
+
+
+def test_export_plan_has_exactly_one_exchange(spark):
+    from database_transportor_spark.operators.corpus import corpus_shuffle
+
+    plan = (
+        corpus_shuffle(_export_docs(spark), "doc_id", 4, seed=3,
+                       layout_partitions=4)
+        .sortWithinPartitions("shard", "shuffle_pos")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the range repartition feeds the position window directly: the
+    # corpus crosses the wire ONCE (the round-11 review caught a
+    # second full exchange here)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_audit_reports_missing_when_destination_gone(spark, tmp_path):
+    import shutil
+
+    from database_transportor_spark.operators.corpus import (
+        _MANIFEST_SCHEMA,
+        export_shards,
+        verify_export,
+    )
+
+    docs = _export_docs(spark, n=40)
+    dest = str(tmp_path / "gone")
+    man = spark.createDataFrame(
+        export_shards(docs, dest, "doc_id", 4).collect(),
+        _MANIFEST_SCHEMA,
+    )
+    shutil.rmtree(dest)
+    rows = verify_export(spark, dest, man, "doc_id").collect()
+    assert rows and all(r["status"] == "missing" for r in rows)
+    assert {r["shard"] for r in rows} == {r["shard"] for r in man.collect()}
