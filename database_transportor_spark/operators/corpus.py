@@ -1248,6 +1248,11 @@ def _shard_manifest_of(
     """Compute the per-shard manifest from the files at ``path`` — the
     shared read-side of :func:`export_shards` (fresh receipt) and
     :func:`verify_export` (recount for audit)."""
+    # drop any cached file listing for the destination: the session-
+    # global FileStatusCache would otherwise serve a pre-write (or
+    # pre-tamper) view of the directory — fatal for an AUDIT whose whole
+    # point is the current on-disk truth
+    spark.catalog.refreshByPath(path)
     try:
         written = spark.read.format(format).load(path)
     except Exception as e:

@@ -348,6 +348,21 @@ def _export_shards(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+@register_post_op("verify_export")
+def _verify_export(df: DataFrame, p: dict) -> DataFrame:
+    """Audit stage: the input frame IS the stored manifest (e.g. the
+    transported output of an ``export_shards`` stage read back from the
+    catalog); the stage recounts the shards at ``path`` and outputs the
+    discrepancy rows — empty output = export intact."""
+    from .corpus import verify_export
+
+    return verify_export(
+        df.sparkSession, p["path"], df, p["id_col"],
+        seed=p.get("seed", 0), hash_fn=p.get("hash_fn", "xxhash64"),
+        token_col=p.get("token_col"), format=p.get("format", "parquet"),
+    )
+
+
 @register_post_op("upsample_domains")
 def _upsample_domains(df: DataFrame, p: dict) -> DataFrame:
     from .corpus import upsample_domains

@@ -987,3 +987,56 @@ def test_export_shards_stage_writes_and_passes_manifest(spark, tmp_path):
                    "post_ops": [{"op": "export_shards"}]}},
             target=MemoryCatalog(),
             original=MemoryCatalog({"docs": docs})).transform()
+
+
+def test_verify_export_stage_audits_spec_export(spark, tmp_path):
+    """Round-trip through the declarative tier: one spec exports, a
+    second spec audits the destination against the transported
+    manifest — clean diff, then a tampered destination shows up."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.range(80).withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat(F.lit("d"), F.col("doc_id")))
+    )
+    from database_transportor_spark import ParquetCatalog
+
+    dest = str(tmp_path / "shards")
+    # a REAL catalog target: the manifest must be materialized (as any
+    # production receipt is) — a lazy in-memory plan would re-scan the
+    # export on every read and is pinned to the pre-tamper file index
+    target = ParquetCatalog(spark, str(tmp_path / "cat"))
+    DBT(
+        {"manifest": {
+            "original_table": "docs",
+            "columns": {"doc_id": "doc_id", "text": "text"},
+            "post_ops": [
+                {"op": "export_shards", "path": dest, "id_col": "doc_id",
+                 "n_shards": 4, "seed": 3},
+            ],
+        }},
+        target=target, original=MemoryCatalog({"docs": docs}),
+    ).do_transport(mode="overwrite")
+
+    audit_maps = {
+        "audit": {
+            "original_table": "manifest",
+            "columns": {c: c for c in (
+                "shard", "n_files", "bytes", "n_rows", "n_tokens",
+                "min_pos", "max_pos", "id_checksum")},
+            "post_ops": [
+                {"op": "verify_export", "path": dest, "id_col": "doc_id",
+                 "seed": 3},
+            ],
+        }
+    }
+    clean = DBT(audit_maps, target=MemoryCatalog(),
+                original=target).transform()["audit"]
+    assert clean.collect() == []
+    os.remove(sorted(glob.glob(f"{dest}/shard=*/*.parquet"))[0])
+    dirty = DBT(audit_maps, target=MemoryCatalog(),
+                original=target).transform()["audit"]
+    assert [r["status"] for r in dirty.collect()] == ["missing"]
