@@ -917,3 +917,38 @@ def test_gate_maintain_force_retrain_repairs_crash_window(spark, tmp_path):
                          checkpoint=ckpt, maintenance="external")
     kept = sorted(r["vec_id"] for r in cat.read("clean").collect())
     assert kept == [1, 3, 20, 21, 31]
+
+
+def test_gate_to_export_pipeline(spark, tmp_path):
+    """The full ingest story end-to-end: gate two micro-batches, then
+    export the accepted table as training shards and audit the receipt
+    — the manifest totals are exactly the gate's accepted set and the
+    audit recounts clean."""
+    from database_transportor_spark.operators.corpus import (
+        _MANIFEST_SCHEMA,
+        export_shards,
+        verify_export,
+    )
+
+    src, ckpt, cat = _run(spark, tmp_path)
+    _write(spark, src, [(1, D1), (2, D2), (3, D3)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    _write(spark, src, [(10, D10), (11, D11), (12, D12)])
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt)
+    clean = cat.read("clean")
+    accepted = sorted(r["doc_id"] for r in clean.collect())
+    assert accepted == [1, 3, 11, 12]
+
+    dest = str(tmp_path / "shards")
+    man = spark.createDataFrame(
+        export_shards(clean, dest, "doc_id", 2, seed=4).collect(),
+        _MANIFEST_SCHEMA,
+    )
+    got = {r["shard"]: r["n_rows"] for r in man.collect()}
+    assert sum(got.values()) == len(accepted)
+    back = spark.read.parquet(dest)
+    assert sorted(r["doc_id"] for r in back.collect()) == accepted
+    assert verify_export(spark, dest, man, "doc_id",
+                         seed=4).collect() == []
