@@ -10675,3 +10675,76 @@ WHERE EXISTS (
 
 _EXTENSION_QUERIES.update({"export_audit": q_export_audit})
 _EXTENSION_ORACLES.update({"export_audit": SQL_EXPORT_AUDIT})
+
+
+def q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs end-to-end (round 11,
+    `operators/media_dedup.py:video_dup_pairs`): synthesize a REAL
+    3-frame APNG per document — consecutive doc-id pairs share the
+    frame content; the odd twin is +3 brightness-shifted on EVERY frame
+    (dHash-invariant, so all 3 frames match at Hamming 0) — then
+    per-frame dHash through the APNG chunk walk + pure-Python PNG
+    decoder, banded Hamming FRAME join, per-video-pair evidence
+    aggregation.  Unrelated groups are sha256-derived, so a cross-pair
+    frame collision within Hamming 6 is ~1e-12 probable and the
+    deterministic fixture pins the outcome.  Oracle: the closed-form
+    planted pairs with matched_frames=3, min_hamming=0."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from database_transportor_spark.operators.media_dedup import (
+        video_dup_pairs,
+    )
+    from database_transportor_spark.operators.multimodal import encode_apng
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("content", BinaryType())])
+
+    def make_apng(batches):
+        import numpy as np
+
+        h = w = 16
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 2
+                frames = []
+                for f in range(3):
+                    blocks = [
+                        hashlib.sha256(f"vid:{g}:{f}:{i}".encode()).digest()
+                        for i in range((h * w) // 32 + 1)
+                    ]
+                    raw = b"".join(blocks)[: h * w]
+                    base = (np.frombuffer(raw, dtype=np.uint8) % 251) \
+                        .reshape(h, w, 1)
+                    if d % 2:
+                        base = np.clip(base.astype(np.int64) + 3, 0, 255) \
+                            .astype(np.uint8)
+                    frames.append(base)
+                out.append(encode_apng(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": pd.Series(out, dtype="object")})
+
+    media = docs.mapInPandas(make_apng, schema)
+    return video_dup_pairs(media, "doc_id", "content").select(
+        "id_a", "id_b", "matched_frames",
+        F.col("min_hamming").cast("long").alias("min_hamming"))
+
+
+SQL_VIDEO_DUPS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(3 AS BIGINT) AS matched_frames,
+       CAST(0 AS BIGINT) AS min_hamming
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 2 = 0
+"""
+
+
+_EXTENSION_QUERIES.update({"video_dups": q_video_dups})
+_EXTENSION_ORACLES.update({"video_dups": SQL_VIDEO_DUPS})

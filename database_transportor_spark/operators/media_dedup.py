@@ -1,9 +1,9 @@
 """Perceptual near-duplicate detection for media columns.
 
 Text near-dup (MinHash/SimHash, ``operators/dedup.py``) keys on tokens;
-scraped IMAGE and AUDIO corpora need the same treatment keyed on
-*content*: the same photo re-encoded, re-scaled, brightness-shifted, or
-re-sampled should collapse to one training example.  This module maps
+scraped IMAGE, AUDIO, and VIDEO corpora need the same treatment keyed on
+*content*: the same photo re-encoded, re-scaled, brightness-shifted,
+re-sampled, or re-containered should collapse to one training example.  This module maps
 each media binary to a compact fixed-width bit signature — a perceptual
 hash — and feeds the signatures to the generic banded Hamming join
 (:func:`~.dedup.hamming_pairs`), so media dedup inherits the exact scale
@@ -22,6 +22,13 @@ PNG/WAV codecs, or pillow when importable):
 - **aHash** (average hash): N² cells vs their global mean.  Cheaper,
   slightly less robust; kept for corpora where dHash's gradient bias
   hurts (flat-field scans).
+- **per-frame video dHash** (round 11): demux the container (APNG /
+  AVI / MP4 — the same tiers as ``decode_video_frames``), dHash each
+  sampled frame, and aggregate banded-Hamming FRAME matches into
+  video-pair evidence (``least`` of the two sides' distinct matched
+  frames, so a static title card cannot inflate the score).  A
+  re-encoded, re-graded, or re-containered copy matches on nearly
+  every sampled frame.
 - **audio fingerprint**: frame the waveform, take per-frame log-energy
   in ``bands`` frequency bands (Goertzel-free: rectangular DFT bins via
   numpy matmul), emit Haitsma-Kalker-style sign-quantized bits — band
@@ -53,6 +60,8 @@ __all__ = [
     "image_dup_pairs",
     "audio_fingerprint",
     "audio_dup_pairs",
+    "video_frame_hashes",
+    "video_dup_pairs",
 ]
 
 
@@ -401,3 +410,186 @@ def audio_dup_pairs(
     return hamming_pairs(sig, id_col, "afp", bits=bits,
                          max_hamming=max_hamming, bands=join_bands,
                          clean_bands=clean_bands)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (per-frame dHash over REALLY demuxed + decoded frames)
+# ---------------------------------------------------------------------------
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+    stride: int = 1,
+    max_frames: int = 8,
+    errors: str = "raise",
+) -> DataFrame:
+    """Per-frame dHash over a video binary column: ``(id, frame_idx,
+    fhash int64)`` — the video member of the perceptual-signature
+    family, over GENUINELY demuxed and decoded frames (the same
+    container tiers as :func:`~.multimodal.decode_video_frames`: APNG
+    chunk walk, AVI RIFF demux, MP4 sample-table demux; PNG payloads
+    fully decoded, MJPEG through the in-repo baseline JPEG codec — the
+    same determinism policy as :func:`dhash_images`, so signatures
+    never depend on a libjpeg variant).
+
+    ``stride`` keeps every Nth frame and ``max_frames`` caps the
+    fan-out, exactly as in ``decode_video_frames``.  Per-frame decode
+    failures (e.g. a progressive-JPEG payload the baseline codec
+    refuses) follow ``errors``: ``"raise"`` fails the job, ``"skip"``
+    drops the FRAME (an undecodable container drops the whole row).
+
+    Scale shape: one ``mapInPandas`` decode pass, no shuffle; ≤
+    ``max_frames`` × 8 bytes of signature per video regardless of
+    video size.
+    """
+    if errors not in ("raise", "skip"):
+        raise ValueError(f"errors must be raise|skip, got {errors!r}")
+    if not 2 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [2, 8] (≤64 bits), got {hash_size}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("frame_idx", LongType()),
+        StructField("fhash", LongType()),
+    ])
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg import decode_jpeg
+        from .multimodal import (
+            _PNG_SIG,
+            decode_apng,
+            decode_avi,
+            decode_mp4,
+            decode_png,
+        )
+
+        def payload_array(p: bytes):
+            if p[:8] == _PNG_SIG:
+                return decode_png(p)
+            if p[:2] == b"\xff\xd8":
+                return decode_jpeg(p)  # baseline ALWAYS (determinism)
+            raise ValueError("unsupported frame payload (not JPEG/PNG)")
+
+        def demux_arrays(data: bytes):
+            if data[:4] == b"RIFF":
+                _, payloads = decode_avi(data)
+                return payloads, payload_array
+            if len(data) >= 12 and data[4:8] == b"ftyp":
+                _, payloads, _ = decode_mp4(data)
+                return payloads, payload_array
+            return [a for a, _, _ in decode_apng(data)], None
+
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, to_arr = demux_arrays(bytes(content))
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    continue
+                kept = 0
+                for idx in range(0, len(frames), stride):
+                    if kept >= max_frames:
+                        break
+                    try:
+                        arr = (frames[idx] if to_arr is None
+                               else to_arr(frames[idx]))
+                        arr = np.asarray(arr, dtype=np.uint8)
+                        if arr.ndim == 2:
+                            arr = arr[:, :, None]
+                        g = _to_gray(arr)
+                        cells = _area_resize(g, hash_size, hash_size + 1)
+                        bits = cells[:, 1:] > cells[:, :-1]
+                    except Exception:
+                        if errors == "raise":
+                            raise
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sigs.append(_pack_bits(bits))
+                    kept += 1
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "fhash": pd.Series(sigs, dtype="object"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(hash_batch, schema)
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+    stride: int = 1,
+    max_frames: int = 8,
+    max_hamming: int = 6,
+    join_bands: int = 8,
+    clean_bands: int = 2,
+    min_matches: int = 2,
+    errors: str = "raise",
+) -> DataFrame:
+    """Near-duplicate video pairs: per-frame dHash + banded Hamming
+    FRAME join + per-video-pair evidence aggregation — the video twin
+    of :func:`image_dup_pairs`.
+
+    ``(id_a, id_b, matched_frames, min_hamming)`` with ``id_a < id_b``
+    for every pair of videos where at least ``min_matches`` frames
+    agree: ``matched_frames = least(#distinct matching frames of a,
+    #distinct matching frames of b)`` — the ``least`` keeps a single
+    static frame that matches everything (title cards, black frames)
+    from inflating the score, and a re-encoded / brightness-shifted
+    copy matches on nearly every sampled frame.
+
+    Scale shape: one decode pass (``mapInPandas``, no shuffle), one
+    banded-join shuffle whose payload is frame-level ``(video,
+    frame_idx, 8-byte sig)`` — ≤ ``max_frames`` rows per video, never
+    an all-pairs comparison — and one (id_a, id_b)-keyed aggregate
+    over the surviving frame matches.  Same ``clean_bands=2`` compound
+    bucket keys as the image family (SCALE.md).
+    """
+    if min_matches < 1:
+        raise ValueError(f"min_matches must be >= 1, got {min_matches}")
+    bits = hash_size * hash_size
+    bits += (-bits) % join_bands
+    fh = video_frame_hashes(df, id_col, content_col, hash_size, stride,
+                            max_frames, errors)
+    # frame-level ids: struct ordering is (vid, idx) lexicographic, so
+    # hamming_pairs' id_a < id_b gives vid_a <= vid_b for free and the
+    # same-video filter below leaves a strict vid_a < vid_b
+    fid = F.struct(F.col(id_col).alias("vid"),
+                   F.col("frame_idx").alias("idx"))
+    pairs = hamming_pairs(
+        fh.select(fid.alias("__fid"), "fhash"), "__fid", "fhash",
+        bits=bits, max_hamming=max_hamming, bands=join_bands,
+        clean_bands=clean_bands,
+    )
+    return (
+        pairs.select(
+            F.col("id_a.vid").alias("id_a"),
+            F.col("id_a.idx").alias("__fa"),
+            F.col("id_b.vid").alias("id_b"),
+            F.col("id_b.idx").alias("__fb"),
+            "hamming",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("__fa").alias("__ma"),
+            F.countDistinct("__fb").alias("__mb"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .withColumn("matched_frames",
+                    F.least(F.col("__ma"), F.col("__mb")).cast("long"))
+        .filter(F.col("matched_frames") >= min_matches)
+        .select("id_a", "id_b", "matched_frames", "min_hamming")
+    )

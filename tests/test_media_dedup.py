@@ -314,3 +314,118 @@ def test_decode_image_decoder_hook(spark):
         .reshape(5, 7, 3) if b[:5] == b"XWEBP" else None,
     ).collect()[0]
     assert (got["height"], got["width"], got["channels"]) == (5, 7, 3)
+
+
+class TestVideoDedup:
+    def _frames(self, seeds, shift=0):
+        return [
+            np.clip(_img(s).astype(np.int64) + shift, 0, 255).astype(np.uint8)
+            for s in seeds
+        ]
+
+    def _apng(self, seeds, shift=0):
+        from database_transportor_spark.operators.multimodal import (
+            encode_apng,
+        )
+
+        return encode_apng(self._frames(seeds, shift))
+
+    def _avi_mpng(self, seeds, shift=0):
+        from database_transportor_spark.operators.multimodal import (
+            encode_avi, encode_png,
+        )
+
+        return encode_avi(
+            [encode_png(f) for f in self._frames(seeds, shift)],
+            24, 24, codec=b"MPNG",
+        )
+
+    def test_frame_hashes_brightness_invariant(self, spark):
+        from database_transportor_spark.operators.media_dedup import (
+            video_frame_hashes,
+        )
+
+        df = _media_df(spark, [
+            (1, self._apng([1, 2, 3])),
+            (2, self._apng([1, 2, 3], shift=5)),
+        ])
+        got = video_frame_hashes(df).collect()
+        a = {r["frame_idx"]: r["fhash"] for r in got if r["doc_id"] == 1}
+        b = {r["frame_idx"]: r["fhash"] for r in got if r["doc_id"] == 2}
+        assert len(a) == 3 and a == b  # dHash: gradient signs survive +5
+
+    def test_dup_pairs_copy_found_unrelated_not(self, spark):
+        from database_transportor_spark.operators.media_dedup import (
+            video_dup_pairs,
+        )
+
+        df = _media_df(spark, [
+            (1, self._apng([1, 2, 3, 4])),
+            (2, self._apng([1, 2, 3, 4], shift=5)),   # re-graded copy
+            (3, self._apng([50, 51, 52, 53])),        # unrelated
+        ])
+        rows = video_dup_pairs(df).collect()
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["matched_frames"] == 4
+        assert rows[0]["min_hamming"] == 0
+
+    def test_cross_container_copy_dedups(self, spark):
+        from database_transportor_spark.operators.media_dedup import (
+            video_dup_pairs,
+        )
+
+        df = _media_df(spark, [
+            (1, self._apng([7, 8, 9])),
+            (2, self._avi_mpng([7, 8, 9])),  # same content, AVI container
+        ])
+        rows = video_dup_pairs(df).collect()
+        assert [(r["id_a"], r["id_b"], r["matched_frames"]) for r in rows] \
+            == [(1, 2, 3)]
+
+    def test_min_matches_gates_single_shared_frame(self, spark):
+        from database_transportor_spark.operators.media_dedup import (
+            video_dup_pairs,
+        )
+
+        df = _media_df(spark, [
+            (1, self._apng([1, 2, 3, 4])),
+            (2, self._apng([1, 60, 61, 62])),  # shares ONLY frame seed 1
+        ])
+        assert video_dup_pairs(df, min_matches=2).collect() == []
+        got = video_dup_pairs(df, min_matches=1).collect()
+        assert [(r["id_a"], r["id_b"], r["matched_frames"]) for r in got] \
+            == [(1, 2, 1)]
+
+    def test_static_frames_do_not_inflate_matches(self, spark):
+        from database_transportor_spark.operators.media_dedup import (
+            video_dup_pairs,
+        )
+
+        # B repeats ONE of A's frames 4x: least(#a, #b) counts the
+        # evidence once per distinct B frame but only ONE distinct A
+        # frame matched -> matched_frames == 1, gated by the default
+        df = _media_df(spark, [
+            (1, self._apng([1, 2, 3, 4])),
+            (2, self._apng([1, 1, 1, 1])),
+        ])
+        assert video_dup_pairs(df).collect() == []
+        got = video_dup_pairs(df, min_matches=1).collect()
+        assert got and got[0]["matched_frames"] == 1
+
+    def test_garbage_and_caps(self, spark):
+        import pytest
+
+        from database_transportor_spark.operators.media_dedup import (
+            video_frame_hashes,
+        )
+
+        df = _media_df(spark, [
+            (1, self._apng([1, 2, 3, 4, 5, 6])),
+            (2, b"\x00not a video"),
+        ])
+        with pytest.raises(Exception):
+            video_frame_hashes(df).collect()
+        got = video_frame_hashes(df, errors="skip", stride=2,
+                                 max_frames=2).collect()
+        assert sorted(r["frame_idx"] for r in got) == [0, 2]
+        assert {r["doc_id"] for r in got} == {1}

@@ -33,6 +33,7 @@ NEWEST = [
     "hybrid_weighted",
     "shard_manifest",
     "export_audit",
+    "video_dups",
 ]
 
 
