@@ -425,6 +425,7 @@ def video_frame_hashes(
     stride: int = 1,
     max_frames: int = 8,
     errors: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Per-frame dHash over a video binary column: ``(id, frame_idx,
     fhash int64)`` — the video member of the perceptual-signature
@@ -440,6 +441,16 @@ def video_frame_hashes(
     failures (e.g. a progressive-JPEG payload the baseline codec
     refuses) follow ``errors``: ``"raise"`` fails the job, ``"skip"``
     drops the FRAME (an undecodable container drops the whole row).
+
+    ``decoder``: the compressed-codec escape hatch, same contract as
+    :func:`~.multimodal.sample_frames` — a callable ``bytes ->
+    iterable[pixel array] | None`` (e.g. a PyAV/ffmpeg H.264 frame
+    grab) tried FIRST per row; ``None`` falls back to the built-in
+    container tiers, so mixed corpora degrade gracefully while the
+    engine keeps the stride/cap/hash/batching.  Note the signatures
+    then inherit the external decoder's determinism, not the built-in
+    codecs' — pin the decoder build if cross-run hash identity
+    matters.
 
     Scale shape: one ``mapInPandas`` decode pass, no shuffle; ≤
     ``max_frames`` × 8 bytes of signature per video regardless of
@@ -478,6 +489,10 @@ def video_frame_hashes(
             raise ValueError("unsupported frame payload (not JPEG/PNG)")
 
         def demux_arrays(data: bytes):
+            if decoder is not None:
+                decoded = decoder(data)
+                if decoded is not None:
+                    return list(decoded), None
             if data[:4] == b"RIFF":
                 _, payloads = decode_avi(data)
                 return payloads, payload_array
@@ -537,6 +552,7 @@ def video_dup_pairs(
     clean_bands: int = 2,
     min_matches: int = 2,
     errors: str = "raise",
+    decoder=None,
 ) -> DataFrame:
     """Near-duplicate video pairs: per-frame dHash + banded Hamming
     FRAME join + per-video-pair evidence aggregation — the video twin
@@ -562,7 +578,7 @@ def video_dup_pairs(
     bits = hash_size * hash_size
     bits += (-bits) % join_bands
     fh = video_frame_hashes(df, id_col, content_col, hash_size, stride,
-                            max_frames, errors)
+                            max_frames, errors, decoder=decoder)
     # frame-level ids: struct ordering is (vid, idx) lexicographic, so
     # hamming_pairs' id_a < id_b gives vid_a <= vid_b for free and the
     # same-video filter below leaves a strict vid_a < vid_b

@@ -429,3 +429,30 @@ class TestVideoDedup:
                                  max_frames=2).collect()
         assert sorted(r["frame_idx"] for r in got) == [0, 2]
         assert {r["doc_id"] for r in got} == {1}
+
+    def test_decoder_hook_dedups_opaque_codec(self, spark):
+        """A user decoder (stand-in for PyAV/ffmpeg H.264) slots into the
+        hash pass: an opaque-codec copy of an APNG video dedups against
+        the original through the hook."""
+        from database_transportor_spark.operators.media_dedup import (
+            video_dup_pairs,
+        )
+
+        frames = self._frames([7, 8, 9])
+        opaque = b"X264" + b"".join(f.tobytes() for f in frames)
+
+        def decoder(b):
+            if b[:4] != b"X264":
+                return None  # not ours: built-in tiers take over
+            body = b[4:]
+            n = len(body) // (24 * 24)
+            return [
+                np.frombuffer(body[i * 576:(i + 1) * 576],
+                              dtype=np.uint8).reshape(24, 24, 1)
+                for i in range(n)
+            ]
+
+        df = _media_df(spark, [(1, self._apng([7, 8, 9])), (2, opaque)])
+        rows = video_dup_pairs(df, decoder=decoder).collect()
+        assert [(r["id_a"], r["id_b"], r["matched_frames"]) for r in rows] \
+            == [(1, 2, 3)]
