@@ -572,6 +572,17 @@ def video_dup_pairs(
     an all-pairs comparison — and one (id_a, id_b)-keyed aggregate
     over the surviving frame matches.  Same ``clean_bands=2`` compound
     bucket keys as the image family (SCALE.md).
+
+    Key-width guidance: frames MULTIPLY the join's row count (a corpus
+    of V videos probes with up to ``V × max_frames`` signatures), so
+    the 16-bit compound buckets saturate ``max_frames``× sooner than
+    for still images — the sf0.01→sf0.1 byte census already shows the
+    candidate set growing superlinearly (METRICS.md).  Past ~10⁵
+    FRAMES either widen the keys (``join_bands=16, clean_bands=4`` at
+    ``max_hamming≤12``-equivalent recall arithmetic) or pre-collapse
+    exact copies first (group by ``fhash`` — re-encodes land at
+    distance 0, which is most of a scraped corpus's duplication) and
+    run the banded join on the survivors.
     """
     if min_matches < 1:
         raise ValueError(f"min_matches must be >= 1, got {min_matches}")
