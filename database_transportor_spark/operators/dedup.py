@@ -975,7 +975,15 @@ def repeated_passages(
     """
     if span_words < 2:
         raise ValueError("span_words must be >= 2")
-    toks = tokens(text_col)
+    # Hoist the tokenizer into a BOUND COLUMN before any lambda touches
+    # it: a lambda body that references the `tokens()` EXPRESSION
+    # re-evaluates the whole trim→lower→regex-split per element (the
+    # documented `ngram_shingles` trap), turning anchor selection into
+    # O(tokens × chars) regex work per document.  Bound as a column,
+    # each per-element reference is a row-field read.
+    toked = df.select(F.col(id_col).alias("__id"),
+                      tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n0 = F.size(toks) - (span_words - 1)
     chars = [F.lit(c) for c in anchor_chars]
     # sequence(1, n) is DESCENDING when n < 1 — guard to an empty array
@@ -989,8 +997,8 @@ def repeated_passages(
             ).isin(*chars),
         )
     )
-    sites = df.select(
-        F.col(id_col).alias("__id"),
+    sites = toked.select(
+        "__id",
         F.explode(
             F.transform(
                 anchors,
@@ -1063,9 +1071,19 @@ def strip_repeated_passages(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("__cuts"))
     )
-    joined = df.join(cuts, id_col, "left")
-    toks = tokens(text_col)
-    cut_arr = F.coalesce(F.col("__cuts"), F.array().cast("array<long>"))
+    # tokenizer + cut list hoisted to bound columns: the rewrite lambda
+    # reads row fields per element instead of re-running the regex split
+    # (same trap as in :func:`repeated_passages`)
+    joined = (
+        df.join(cuts, id_col, "left")
+        .withColumn("__toks", tokens(text_col))
+        .withColumn(
+            "__cutarr",
+            F.coalesce(F.col("__cuts"), F.array().cast("array<long>")),
+        )
+    )
+    toks = F.col("__toks")
+    cut_arr = F.col("__cutarr")
     # 1-based token position i+1 is covered when some cut span p spans it
     kept = F.filter(
         toks,

@@ -794,11 +794,14 @@ def dedup_lines(
     lines were dropped.  Boilerplate headers/footers repeated inside one
     page vanish without touching cross-document content.
 
-    Scale shape: ZERO shuffle — a pure higher-order-function projection
-    (``filter`` with the index lambda over the split array), JVM-side.
-    Cost is O(lines²) per document on exact string compares — fine for
-    the  ≤10³-line documents this rule targets; chunk pathological
-    multi-MB docs first (``chunk_documents``).
+    Scale shape: ZERO shuffle — a pure projection.  First-occurrence
+    dedup IS ``array_distinct`` (it keeps elements in first-encounter
+    order), which runs one hash pass per document instead of the
+    O(lines²) filter-with-index-lambda formulation — and, worse than
+    the quadratic compares, a lambda body that references the ``split``
+    expression re-evaluates the regex split PER ELEMENT (the
+    ``ngram_shingles`` trap), turning this into O(lines²·chars) regex
+    work per document.  One split, one hash pass.
     """
     out_col = out_col or text_col
     # F.split takes a REGEX but array_join uses sep literally — quote the
@@ -807,10 +810,7 @@ def dedup_lines(
     # the text character-by-character
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     arr = F.split(F.col(text_col), quoted)
-    kept = F.filter(
-        arr,
-        lambda x, i: ~F.array_contains(F.slice(arr, F.lit(1), i), x),
-    )
+    kept = F.array_distinct(arr)
     return df.withColumn(
         count_col, (F.size(arr) - F.size(kept)).cast("long")
     ).withColumn(out_col, F.array_join(kept, sep))

@@ -187,6 +187,33 @@ def test_psi_drift_validation_and_null_excluded(spark):
         psi_drift(a, a, "v", lo=5.0, hi=1.0)
 
 
+def test_discover_keys_chain_cascade(spark):
+    """Chain-shaped candidates take the cascading-aggregation fast path
+    (round 11); its report must be identical to the single-pass
+    formulation — including NULL accounting and duplicate detection."""
+    from database_transportor_spark.operators.validate import discover_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 20), (2, "b", 10), (None, "c", 30),
+         (3, "c", 30), (3, "c", 30)],
+        "id long, g string, v int",
+    )
+    chain = [["id"], ["id", "g"], ["g", "id", "v"]]
+    got = {r["candidate"]: r for r in discover_keys(df, chain).collect()}
+    # labels keep the caller's column order
+    assert set(got) == {"id", "id,g", "g,id,v"}
+    assert got["id"]["n_rows"] == 6
+    assert got["id"]["n_distinct"] == 4  # 1, 2, NULL, 3
+    assert got["id"]["n_with_nulls"] == 1
+    assert not got["id"]["is_key"]
+    assert got["id,g"]["n_distinct"] == 4
+    assert got["g,id,v"]["n_distinct"] == 5  # (3,c,30) repeats
+    assert not got["g,id,v"]["is_key"]
+    # single candidate stays on the one-pass path but must agree
+    one = discover_keys(df, [["id", "g", "v"]]).collect()[0]
+    assert one["n_distinct"] == 5 and one["n_with_nulls"] == 1
+
+
 def test_discover_keys_single_pass(spark):
     import pytest as _pytest
 
