@@ -9480,6 +9480,12 @@ def q_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet",
         lo=lo, hi=hi, bins=bins,
         sink_table=f"sh_{uuid.uuid4().hex[:8]}",
+        # fixture-sized state-store count (same knob as the sibling
+        # streaming queries): the live windows hold a few hundred
+        # (window, type, bin) groups, so 32 state partitions are pure
+        # per-batch fixed cost — measured ~2 s of HDFSBackedStateStore
+        # setup/commit per run; production passes its own N
+        state_partitions=8,
     )
     hm = hist_measure(lo, hi, bins=bins)
     merged = snap.groupBy("event_type").agg(
@@ -9616,9 +9622,11 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for half in (docs.filter(F.col("doc_id") % 2 == 0),
                  docs.filter(F.col("doc_id") % 2 == 1)):
         half.write.mode("append").parquet(src)
+        # schema= skips the gate's per-call spark.read.parquet inference
+        # (the feed schema is the projection we just wrote)
         stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
                           "text", shingle_n=3, threshold=0.5,
-                          checkpoint=ckpt)
+                          schema=docs.schema, checkpoint=ckpt)
     return cat.read("clean").select(
         "doc_id", (F.col("doc_id") % 2).cast("long").alias("arrival_batch")
     )
@@ -9696,7 +9704,7 @@ def q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.write.mode("append").parquet(src)
         stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
                              "embedding", "cent", threshold=0.35,
-                             checkpoint=ckpt)
+                             schema=emb.schema, checkpoint=ckpt)
     return cat.read("clean").select(
         "vec_id", (F.col("vec_id") % 2).cast("long").alias("arrival_batch")
     )
