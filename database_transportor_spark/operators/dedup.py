@@ -683,16 +683,26 @@ def hamming_pairs(
 
     def bval(bi: int):
         return (
-            F.shiftright(F.col(sig_col), bi * width).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col("__sig"), bi * width).bitwiseAND(F.lit(mask))
         )
 
     combo_keys = [
         F.xxhash64(F.lit(ci), *[bval(bi) for bi in combo])
         for ci, combo in enumerate(combinations(range(bands), clean_bands))
     ]
+    # PIN the signature table before the self-join: both join sides
+    # consume it, and the signature pass upstream is typically the
+    # expensive part — a mapInPandas decode+hash over raw media for
+    # image/audio/video pairs, the full tokenize+simhash for
+    # simhash_pairs.  Without the pin that whole Python/codegen pass
+    # runs TWICE (once per side; the broadcast side cannot reuse the
+    # probe side's exchange).  The pinned frame is (id, 8-byte sig) —
+    # corpus-row-sized, never payload-sized.
+    sig = pin(sig.select(F.col(id_col).alias("__id"),
+                         F.col(sig_col).alias("__sig")))
     entries = sig.select(
-        F.col(id_col).alias("__id"),
-        F.col(sig_col).alias("__sig"),
+        "__id",
+        "__sig",
         F.explode(F.array(*combo_keys)).alias("__bk"),
     )
     a, b = entries.alias("a"), entries.alias("b")
