@@ -807,6 +807,12 @@ def query_lsh_index(
     """
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
+    # the index frame is consumed twice (band entries + the candidate
+    # __hset fetch); for a stored index that is two cheap re-reads, but
+    # a freshly COMPUTED index (build_lsh_index piped straight in, the
+    # index-then-probe pattern) would re-run its whole corpus signature
+    # aggregation — pin the compact (id, hset, bands) rows instead
+    index = pin(index.select("__id", "__hset", "__bands"))
     bsig = pin(minhash_signatures(
         batch, id_col, text_col, n_hashes, shingle_n, min_partitions
     ))
