@@ -693,13 +693,24 @@ def hamming_pairs(
     # PIN the signature table before the self-join: both join sides
     # consume it, and the signature pass upstream is typically the
     # expensive part — a mapInPandas decode+hash over raw media for
-    # image/audio/video pairs, the full tokenize+simhash for
-    # simhash_pairs.  Without the pin that whole Python/codegen pass
+    # image/audio/video pairs.  Without the pin that whole Python pass
     # runs TWICE (once per side; the broadcast side cannot reuse the
     # probe side's exchange).  The pinned frame is (id, 8-byte sig) —
-    # corpus-row-sized, never payload-sized.
-    sig = pin(sig.select(F.col(id_col).alias("__id"),
-                         F.col(sig_col).alias("__sig")))
+    # corpus-row-sized, never payload-sized.  Callers that already
+    # persist their signature frame (simhash_pairs) are left alone: a
+    # second cache of a projection of a cached frame is pure overhead.
+    from pyspark.storagelevel import StorageLevel
+
+    try:
+        # probe the INCOMING frame — the projection below is always a
+        # fresh (never-persisted) DataFrame, so probing it would lie
+        already_cached = sig.storageLevel != StorageLevel.NONE
+    except Exception:  # storageLevel probe must never break the join
+        already_cached = False
+    sig = sig.select(F.col(id_col).alias("__id"),
+                     F.col(sig_col).alias("__sig"))
+    if not already_cached:
+        sig = pin(sig)
     entries = sig.select(
         "__id",
         "__sig",
