@@ -1443,7 +1443,13 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import (
         decode_image, encode_png)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
@@ -1512,7 +1518,13 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import (
         decode_audio, encode_wav)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -1656,7 +1668,13 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import (
         decode_video_frames, encode_apng)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -1722,7 +1740,13 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import (
         decode_video_frames, encode_avi, encode_png)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -2148,7 +2172,13 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import (
         encode_png, resize_image)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -2295,7 +2325,13 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import (
         audio_frames, encode_wav)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -8501,7 +8537,13 @@ def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from database_transportor_spark.operators.multimodal import encode_png
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -8569,10 +8611,13 @@ def q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_transportor_spark.operators.multimodal import encode_wav
 
     frame, n_frames, rate = 1024, 8, 16_000
+    # one-file scan ⇒ repartition so the WAV synth + fingerprint Python
+    # passes spread across cores (the mjpeg_frames discipline)
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") < 200)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
@@ -9207,7 +9252,13 @@ def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png, png_metadata,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
@@ -10709,7 +10760,13 @@ def q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from database_transportor_spark.operators.multimodal import encode_apng
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # documents.parquet is ONE file ⇒ one scan partition: without the
+    # repartition the whole Python synth+decode chain below runs in a
+    # single task (the mjpeg_frames/_m4a_fixture discipline)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("content", BinaryType())])
 
