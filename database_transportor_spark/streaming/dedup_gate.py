@@ -442,6 +442,7 @@ def _run_ingest_gate(
     transform=None,
     compact_files: int | None = None,
     post_batch=None,
+    shuffle_partitions: int | None = None,
 ) -> int:
     """Shared gate scaffold: schema/checkpoint defaults, the
     availableNow stream, and per-batch replay / crash-window / append
@@ -456,7 +457,17 @@ def _run_ingest_gate(
     preserved) — bounds the per-micro-batch file accrual that probe
     wall tracks.  ``post_batch``: optional no-arg maintenance hook run
     after each APPLIED batch (still inside the writer lock), e.g. the
-    semantic gate's codebook-retrain milestone check."""
+    semantic gate's codebook-retrain milestone check.
+    ``shuffle_partitions``: size the gating computation's reducers to
+    the MICRO-BATCH volume instead of the session default (the same
+    caller-sized discipline as the streaming queries'
+    ``state_partitions``): a micro-batch is a small slice of the
+    corpus, so its joins/aggregations want far fewer partitions than a
+    full-corpus job — the session value is set for the batch and
+    restored after.  Pinned frames materialize under it too (cached
+    plans bypass AQE coalescing, so oversized settings leave every
+    cached probe/posting frame scattered over near-empty partitions).
+    Results are partition-count-invariant; only task counts change."""
     if compact_files is not None:
         if compact_files < 1:
             raise ValueError("compact_files must be >= 1")
@@ -487,6 +498,31 @@ def _run_ingest_gate(
     ckpt_ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
     applied = {"n": 0}
 
+    if shuffle_partitions is not None and shuffle_partitions < 1:
+        raise ValueError(
+            f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
+        )
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _batch_shuffle_conf(sess):
+        # the conf must land on the MICRO-BATCH's session: structured
+        # streaming clones the session (and its SQLConf) at stream
+        # start, and every frame derived from `batch` plans under the
+        # clone — setting the outer session's conf would be invisible
+        # to the gating computation
+        if shuffle_partitions is None:
+            yield
+            return
+        key = "spark.sql.shuffle.partitions"
+        prev = sess.conf.get(key)
+        sess.conf.set(key, str(shuffle_partitions))
+        try:
+            yield
+        finally:
+            sess.conf.set(key, prev)
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -498,20 +534,43 @@ def _run_ingest_gate(
             if hasattr(target, "writer_lock")
             else nullcontext()
         )
-        with lock, pin_scope():
+        with lock, pin_scope(), _batch_shuffle_conf(batch.sparkSession):
+            # ONE catalog probe job answers both replay questions (the
+            # two limit-1 marker scans previously ran as separate jobs
+            # per batch): a marker in the CLEAN table means the batch
+            # fully committed before (skip everything); a marker only in
+            # the INDEX means a crashed attempt landed index rows (skip
+            # the index append, recompute + land the clean rows).  The
+            # probes are read-only, so probing the index before the
+            # compute is equivalent to probing it after.
+            probes = []
             if target.exists(clean_table):
-                replayed = (
+                probes.append(
                     target.read(clean_table)
                     .filter(F.col("__commit") == marker)
+                    .select(F.lit("clean").alias("__t"))
                     .limit(1)
-                    .isEmpty()
-                    is False
                 )
-                if replayed:
-                    return
+            index_exists = target.exists(index_table)
+            if index_exists:
+                probes.append(
+                    target.read(index_table)
+                    .filter(F.col("__commit") == marker)
+                    .select(F.lit("idx").alias("__t"))
+                    .limit(1)
+                )
+            found: set = set()
+            if probes:
+                merged = probes[0]
+                for p in probes[1:]:
+                    merged = merged.unionAll(p)
+                found = {r["__t"] for r in merged.collect()}
+            if "clean" in found:
+                return
+            index_has_marker = "idx" in found
             batch = batch.dropDuplicates([id_col])
             idx = None
-            if target.exists(index_table):
+            if index_exists:
                 # exclude THIS marker's rows: a crashed prior attempt of
                 # this batch must not count as "previously accepted"
                 idx = target.read(index_table).filter(
@@ -522,7 +581,12 @@ def _run_ingest_gate(
             # clean rows) plus the index-row projection — without the
             # pin the whole gating computation (posting/bucket joins +
             # aggregations) re-executes once per consumer, which was
-            # the single largest per-batch cost in profiling
+            # the single largest per-batch cost in profiling.  The
+            # distinct matters: a rejected doc appears once PER MATCHING
+            # PARTNER in the union (dense batches: orders of magnitude),
+            # and collapsing it here keeps the anti-join build side
+            # reject-set-sized (measured: removing it cost ~2 s/query on
+            # the semantic gate at sf0.1)
             kept = pin(batch.join(
                 rejected.withColumnRenamed("__id", id_col).distinct(),
                 id_col,
@@ -530,12 +594,6 @@ def _run_ingest_gate(
             ))
             # index first (see module docstring for the crash contract);
             # skip if a crashed attempt already landed these rows
-            index_has_marker = target.exists(index_table) and not (
-                target.read(index_table)
-                .filter(F.col("__commit") == marker)
-                .limit(1)
-                .isEmpty()
-            )
             if not index_has_marker:
                 target.write(
                     index_rows_for(kept).withColumn(
@@ -588,6 +646,7 @@ def stream_dedup_gate(
     index_shards: int | None = None,
     compact_files: int | None = None,
     maintenance: str = "inline",
+    shuffle_partitions: int | None = None,
 ) -> int:
     """Stream document files from ``source_dir``; per micro-batch, keep
     only documents whose exact ``shingle_n``-gram Jaccard stays below
@@ -692,19 +751,24 @@ def stream_dedup_gate(
         target.partition_spec[index_table] = ["__shard"]
 
     def compute(batch: DataFrame, idx):
-        # batch postings: (__id, __h) + per-doc set size __n — pinned:
-        # feeds the size agg, the probe join, the self-join, and the
-        # survivor posting append
+        # batch postings: (__id, __n, __h) — pinned: feeds the probe
+        # join, the self-join, and the survivor posting append.  The
+        # per-doc set size __n is the SIZE OF THE (already-distinct)
+        # SHINGLE ARRAY, carried from the explode — the previous
+        # count-per-id aggregation + join-back recomputed exactly this
+        # number at the cost of two extra shuffles per micro-batch
+        # (equivalent because the gate applies no df-frequency cap).
+        sh = batch.select(
+            F.col(id_col).alias("__id"),
+            ngram_shingle_hashes(text_col, shingle_n).alias("__sh"),
+        )
         posting = pin(
-            batch.select(
-                F.col(id_col).alias("__id"),
-                F.explode(
-                    ngram_shingle_hashes(text_col, shingle_n)
-                ).alias("__h"),
+            sh.select(
+                "__id",
+                F.size("__sh").cast("long").alias("__n"),
+                F.explode("__sh").alias("__h"),
             )
         )
-        sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
-        posting = posting.join(sizes, "__id")
 
         jac = lambda i, na, nb: i / (na + nb - i)  # noqa: E731
         parts = []
@@ -775,12 +839,12 @@ def stream_dedup_gate(
                 )
             return rows
 
-        return rejected.distinct(), index_rows_for
+        return rejected, index_rows_for
 
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,
         schema, checkpoint, "dedup_gate", compute, transform=transform,
-        compact_files=compact_files,
+        compact_files=compact_files, shuffle_partitions=shuffle_partitions,
     )
 
 
@@ -806,6 +870,7 @@ def stream_semantic_gate(
     retrain_iters: int = 8,
     retrain_max_k: int = 65_536,
     maintenance: str = "inline",
+    shuffle_partitions: int | None = None,
 ) -> int:
     """Embedding sibling of :func:`stream_dedup_gate`: reject a vector
     iff its cosine reaches ``threshold`` against an accepted vector or a
@@ -1011,7 +1076,7 @@ def stream_semantic_gate(
                 kept.select(F.col(id_col).alias("__id")), "__id"
             ).select("__id", "__v", "__bucket")
 
-        return rejected.distinct(), index_rows_for
+        return rejected, index_rows_for
 
     def maybe_retrain() -> None:
         """Milestone check + retrain (shared machinery: `_retrain_due`
@@ -1031,6 +1096,6 @@ def stream_semantic_gate(
     return _run_ingest_gate(
         spark, source_dir, target, clean_table, index_table, id_col,
         schema, checkpoint, "semantic_gate", compute, transform=transform,
-        compact_files=compact_files,
+        compact_files=compact_files, shuffle_partitions=shuffle_partitions,
         post_batch=maybe_retrain if retrain_at is not None else None,
     )

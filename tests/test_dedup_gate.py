@@ -952,3 +952,34 @@ def test_gate_to_export_pipeline(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == accepted
     assert verify_export(spark, dest, man, "doc_id",
                          seed=4).collect() == []
+
+
+def test_gate_shuffle_partitions_same_decisions_and_conf_restored(
+        spark, tmp_path):
+    """The per-batch reducer sizing knob (round 12) must be
+    result-transparent — identical survivor sets and index rows as the
+    session default — and must RESTORE the session's
+    spark.sql.shuffle.partitions after the run (it is set on the
+    micro-batch's cloned session for the duration of each batch)."""
+    src, ckpt, cat = _run(spark, tmp_path, "a")
+    _write(spark, src, [(1, D1), (2, D2), (3, D3)])
+    _write(spark, src, [(10, D10), (11, D11), (12, D12)])
+    before_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt, shuffle_partitions=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_conf
+    kept = sorted(r["doc_id"] for r in cat.read("clean").collect())
+
+    src2, ckpt2, cat2 = _run(spark, tmp_path, "b")
+    _write(spark, src2, [(1, D1), (2, D2), (3, D3)])
+    _write(spark, src2, [(10, D10), (11, D11), (12, D12)])
+    stream_dedup_gate(spark, src2, cat2, "clean", "idx", "doc_id", "text",
+                      checkpoint=ckpt2)
+    assert kept == sorted(r["doc_id"] for r in cat2.read("clean").collect())
+    # index rows (id, hash, set size) agree too — the carried-__n
+    # formulation must match the old aggregate-and-join numbers
+    rows = lambda c: sorted(  # noqa: E731
+        (r["__id"], r["__h"], r["__n"])
+        for r in c.read("idx").select("__id", "__h", "__n").collect()
+    )
+    assert rows(cat) == rows(cat2)
