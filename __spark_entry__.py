@@ -9674,10 +9674,16 @@ def q_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  docs.filter(F.col("doc_id") % 2 == 1)):
         half.write.mode("append").parquet(src)
         # schema= skips the gate's per-call spark.read.parquet inference
-        # (the feed schema is the projection we just wrote)
+        # (the feed schema is the projection we just wrote);
+        # shuffle_partitions sizes the per-batch reducers to the
+        # micro-batch volume (a few thousand docs here) instead of the
+        # session width — the same fixture-scale sizing discipline as
+        # state_partitions on the sibling streaming queries; production
+        # passes its own batch-volume-derived value
         stream_dedup_gate(spark, src, cat, "clean", "idx", "doc_id",
                           "text", shingle_n=3, threshold=0.5,
-                          schema=docs.schema, checkpoint=ckpt)
+                          schema=docs.schema, checkpoint=ckpt,
+                          shuffle_partitions=8)
     return cat.read("clean").select(
         "doc_id", (F.col("doc_id") % 2).cast("long").alias("arrival_batch")
     )
@@ -9753,9 +9759,12 @@ def q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for half in (emb.filter(F.col("vec_id") % 2 == 0),
                  emb.filter(F.col("vec_id") % 2 == 1)):
         half.write.mode("append").parquet(src)
+        # shuffle_partitions: per-batch reducers sized to the micro-batch
+        # (see q_stream_dedup_gate)
         stream_semantic_gate(spark, src, cat, "clean", "idx", "vec_id",
                              "embedding", "cent", threshold=0.35,
-                             schema=emb.schema, checkpoint=ckpt)
+                             schema=emb.schema, checkpoint=ckpt,
+                             shuffle_partitions=8)
     return cat.read("clean").select(
         "vec_id", (F.col("vec_id") % 2).cast("long").alias("arrival_batch")
     )

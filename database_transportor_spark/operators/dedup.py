@@ -1010,6 +1010,23 @@ def repeated_passages(
     # each per-element reference is a row-field read.
     toked = df.select(F.col(id_col).alias("__id"),
                       tokens(text_col).alias("__toks"))
+    return _passage_sites(toked, span_words, anchor_chars, min_docs).select(
+        F.col("__id").alias(id_col), "pos", "n_docs", "n_sites", "keep"
+    )
+
+
+def _passage_sites(
+    toked: DataFrame,
+    span_words: int,
+    anchor_chars: tuple[str, ...],
+    min_docs: int,
+) -> DataFrame:
+    """Site detection over a PRE-TOKENIZED ``(__id, __toks)`` frame —
+    the shared core of :func:`repeated_passages` (which tokenizes
+    inline) and :func:`strip_repeated_passages` (which pins ONE
+    tokenized frame and feeds it to both the detector and the rewrite,
+    so the corpus is tokenized once, not twice).  Returns
+    ``(__id, pos, n_docs, n_sites, keep)``."""
     toks = F.col("__toks")
     n0 = F.size(toks) - (span_words - 1)
     chars = [F.lit(c) for c in anchor_chars]
@@ -1050,14 +1067,11 @@ def repeated_passages(
         .filter(F.col("n_docs") >= min_docs)
     )
     w = Window.partitionBy("__h").orderBy("__id", "pos")
-    out = (
+    return (
         sites.join(dup, "__h")
         .withColumn("keep", F.row_number().over(w) == 1)
-        .select(
-            F.col("__id").alias(id_col), "pos", "n_docs", "n_sites", "keep"
-        )
+        .select("__id", "pos", "n_docs", "n_sites", "keep")
     )
-    return out
 
 
 def strip_repeated_passages(
@@ -1082,32 +1096,34 @@ def strip_repeated_passages(
     LLM-corpus stage consumes anyway; keep the original column alongside
     if byte-exact provenance matters.  ``removed`` counts excised tokens.
 
-    Scale shape: the detector's plan (one fingerprint pass + one
-    group-by-span shuffle) plus one ids-keyed aggregation of cut
-    positions and one left join back to the corpus.  Per-doc work in the
+    Scale shape: ONE tokenizer pass over the corpus — the tokenized
+    ``(__id, __toks)`` frame is pinned and feeds BOTH the detector
+    (fingerprint pass + group-by-span shuffle) and the token-space
+    rewrite, which previously re-tokenized the corpus a second time.
+    The pin is token-array-sized (≈ normalized corpus bytes,
+    memory-and-disk), the price of halving the corpus passes; the cut
+    list attaches by one ids-keyed left join.  Per-doc work in the
     rewrite is tokens × cut-spans-in-that-doc via nested higher-order
     functions — JVM-side, no Python.  Docs without cuts pass through the
     join as NULL and rebuild unchanged.
     """
-    sites = repeated_passages(
-        df, id_col, text_col,
-        span_words=span_words, anchor_chars=anchor_chars, min_docs=min_docs,
-    )
+    if span_words < 2:
+        raise ValueError("span_words must be >= 2")
+    toked = pin(df.select(F.col(id_col).alias("__id"),
+                          tokens(text_col).alias("__toks")))
+    sites = _passage_sites(toked, span_words, anchor_chars, min_docs)
     cuts = (
         sites.filter(~F.col("keep"))
-        .groupBy(id_col)
+        .groupBy("__id")
         .agg(F.collect_list("pos").alias("__cuts"))
     )
-    # tokenizer + cut list hoisted to bound columns: the rewrite lambda
-    # reads row fields per element instead of re-running the regex split
+    # tokens come from the pinned detector frame (no second tokenize);
+    # the cut list is hoisted to a bound column so the rewrite lambda
+    # reads row fields per element instead of re-evaluating expressions
     # (same trap as in :func:`repeated_passages`)
-    joined = (
-        df.join(cuts, id_col, "left")
-        .withColumn("__toks", tokens(text_col))
-        .withColumn(
-            "__cutarr",
-            F.coalesce(F.col("__cuts"), F.array().cast("array<long>")),
-        )
+    joined = toked.join(cuts, "__id", "left").withColumn(
+        "__cutarr",
+        F.coalesce(F.col("__cuts"), F.array().cast("array<long>")),
     )
     toks = F.col("__toks")
     cut_arr = F.col("__cutarr")
@@ -1120,7 +1136,7 @@ def strip_repeated_passages(
         ),
     )
     return joined.select(
-        F.col(id_col),
+        F.col("__id").alias(id_col),
         F.concat_ws(" ", kept).alias(text_col),
         (F.size(toks) - F.size(kept)).cast("long").alias("removed"),
     )
