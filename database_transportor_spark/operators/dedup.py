@@ -123,18 +123,28 @@ def _shingle_index_intersections(
     n: int,
     max_df: int | None,
     min_partitions: int | None,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Shared scaffold of the exact pair generators
     (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
     hashed-shingle posting list (PERSISTED — it feeds the df-frequency
-    cap, the size aggregate, and both self-join sides; without the
+    cap, the size derivation, and both self-join sides; without the
     persist the tokenize→shingle scan runs 4×), optional ``max_df``
-    stop-phrase cap, per-doc capped set sizes, and the inverted-index
-    intersection counts.  Returns ``(sizes, inter)`` where ``sizes`` is
-    ``(__id, __n)`` and ``inter`` is ``(id_a, id_b, intersection)`` with
-    ``id_a < id_b``.  See :func:`ngram_jaccard_pairs` for the full plan
-    rationale; the two measures differ only in the ratio they derive
-    from these tables.
+    stop-phrase cap, and the inverted-index intersection counts.
+    Returns ``inter`` = ``(id_a, id_b, intersection, __na, __nb)`` with
+    ``id_a < id_b`` — the per-doc (capped) set sizes are CARRIED on the
+    posting rows through the self-join and surface via ``first()`` in
+    the pair aggregation.  The previous shape joined a separate sizes
+    table onto ``inter`` twice; ``inter`` (every pair sharing ≥1
+    shingle, BEFORE any threshold) is the largest intermediate of the
+    whole family — with ``max_df`` = d it can reach d/2 × the posting
+    row count — so two id-keyed shuffles of it cost far more than the
+    8 extra bytes per posting row the carry adds to the self-join
+    (guide: remove shuffles outright beats shuffling fewer bytes).
+    Without ``max_df`` the size is just ``size(shingles)`` (the array
+    is distinct), so the carry is free; with it, one id-keyed join
+    attaches the capped counts to the posting before the self-join.
+    See :func:`ngram_jaccard_pairs` for the full plan rationale; the
+    two measures differ only in the ratio they derive.
     """
     if min_partitions is not None:
         df = df.repartition(min_partitions)
@@ -142,15 +152,24 @@ def _shingle_index_intersections(
         F.col(id_col).alias("__id"),
         ngram_shingle_hashes(text_col, n).alias("__shingles"),
     )
-    posting = pin(sh.select("__id", F.explode("__shingles").alias("__h")))
-    if max_df is not None:
-        dfreq = posting.groupBy("__h").agg(F.count("*").alias("__df"))
-        posting = posting.join(
+    if max_df is None:
+        posting = pin(sh.select(
+            "__id",
+            F.size("__shingles").cast("long").alias("__n"),
+            F.explode("__shingles").alias("__h"),
+        ))
+    else:
+        posting0 = pin(
+            sh.select("__id", F.explode("__shingles").alias("__h"))
+        )
+        dfreq = posting0.groupBy("__h").agg(F.count("*").alias("__df"))
+        capped = posting0.join(
             F.broadcast(dfreq.filter(F.col("__df") > max_df).select("__h")),
             "__h",
             "left_anti",
         )
-    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
+        sizes = capped.groupBy("__id").agg(F.count("*").alias("__n"))
+        posting = pin(capped.join(sizes, "__id"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(
@@ -159,9 +178,13 @@ def _shingle_index_intersections(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("intersection"))
+        .agg(
+            F.count("*").alias("intersection"),
+            F.first("a.__n").alias("__na"),
+            F.first("b.__n").alias("__nb"),
+        )
     )
-    return sizes, inter
+    return inter
 
 
 def ngram_jaccard_pairs(
@@ -203,12 +226,11 @@ def ngram_jaccard_pairs(
     real inputs already have thousands of partitions and the extra shuffle
     of raw text would be pure cost.
     """
-    sizes, inter = _shingle_index_intersections(
+    inter = _shingle_index_intersections(
         df, id_col, text_col, n, max_df, min_partitions
     )
     out = (
-        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        inter
         .withColumn("union_size", F.col("__na") + F.col("__nb") - F.col("intersection"))
         .withColumn("jaccard", F.col("intersection") / F.col("union_size"))
         .filter(F.col("jaccard") >= threshold)
@@ -246,18 +268,13 @@ def ngram_containment_pairs(
     on both numerator and denominator, so the ratio stays a true
     containment of the filtered sets.
     """
-    sizes, inter = _shingle_index_intersections(
+    inter = _shingle_index_intersections(
         df, id_col, text_col, n, max_df, min_partitions
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "size_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "size_b"),
-            "id_b",
-        )
+        inter
+        .withColumnRenamed("__na", "size_a")
+        .withColumnRenamed("__nb", "size_b")
         .filter(
             F.greatest(
                 F.col("intersection") / F.col("size_a"),
